@@ -1,0 +1,149 @@
+"""Column-visibility enforcement.
+
+The reference stores an Accumulo ColumnVisibility boolean expression (e.g.
+``(A&B)|C``) per point and filters scan-side against the caller's
+authorization set (server/.../auth/ConfigurableVisibilityFilter.java,
+server/.../store/cache/VisibilityFilter.java:1-39). Empty/null visibility
+is readable by everyone.
+
+Spark strategy: the *distinct* visibility expressions in any real corpus
+number in the dozens, while rows number in the trillions. So instead of a
+per-row Python UDF we evaluate each distinct expression once on the driver
+and filter with a JVM-side ``isin`` — the hot path stays inside
+whole-stage codegen and the predicate pushes down to Parquet. A Pandas UDF
+fallback exists for pathological cardinality.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MAX_DISTINCT_VIZ = 100_000
+
+
+class _VizParser:
+    """Recursive-descent parser for ColumnVisibility expressions.
+
+    Grammar:  expr := term (('&' | '|') term)*  — mixing & and | at one
+    level requires parens (same restriction as Accumulo's parser);
+    term := TOKEN | '(' expr ')' | '"' quoted '"'.
+    """
+
+    def __init__(self, expr: str):
+        self.s = expr
+        self.i = 0
+
+    def parse(self) -> "_Node":
+        node = self._expr()
+        if self.i != len(self.s):
+            raise ValueError(f"trailing input in visibility {self.s!r} at {self.i}")
+        return node
+
+    def _expr(self) -> "_Node":
+        terms = [self._term()]
+        op: str | None = None
+        while self.i < len(self.s) and self.s[self.i] in "&|":
+            cur = self.s[self.i]
+            if op is not None and cur != op:
+                raise ValueError(f"mixed &/| without parens in {self.s!r}")
+            op = cur
+            self.i += 1
+            terms.append(self._term())
+        if len(terms) == 1:
+            return terms[0]
+        return _Node(op=op, children=terms)
+
+    def _term(self) -> "_Node":
+        if self.i >= len(self.s):
+            raise ValueError(f"unexpected end of visibility {self.s!r}")
+        ch = self.s[self.i]
+        if ch == "(":
+            self.i += 1
+            node = self._expr()
+            if self.i >= len(self.s) or self.s[self.i] != ")":
+                raise ValueError(f"unbalanced parens in {self.s!r}")
+            self.i += 1
+            return node
+        if ch == '"':
+            j = self.s.index('"', self.i + 1)
+            tok = self.s[self.i + 1 : j]
+            self.i = j + 1
+            return _Node(token=tok)
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_-.:/"):
+            j += 1
+        if j == self.i:
+            raise ValueError(f"bad char {ch!r} in visibility {self.s!r}")
+        tok = self.s[self.i : j]
+        self.i = j
+        return _Node(token=tok)
+
+
+class _Node:
+    __slots__ = ("token", "op", "children")
+
+    def __init__(self, token=None, op=None, children=None):
+        self.token, self.op, self.children = token, op, children or []
+
+    def evaluate(self, auths: frozenset[str]) -> bool:
+        if self.token is not None:
+            return self.token in auths
+        if self.op == "&":
+            return all(c.evaluate(auths) for c in self.children)
+        return any(c.evaluate(auths) for c in self.children)
+
+
+@lru_cache(maxsize=65536)
+def _compiled(expr: str) -> _Node:
+    return _VizParser(expr).parse()
+
+
+def evaluate_visibility(expr: str | None, auths: frozenset[str] | set[str]) -> bool:
+    """Pure-Python evaluator (driver-side and tests)."""
+    if expr is None or expr == "":
+        return True
+    try:
+        return _compiled(expr).evaluate(frozenset(auths))
+    except ValueError:
+        return False  # unparseable visibility -> never visible (fail closed)
+
+
+def viz_allows(viz_col: Column | str, auths: set[str], *, allowed: list[str]) -> Column:
+    """JVM-side predicate given a precomputed allowed-expression list."""
+    c = F.col(viz_col) if isinstance(viz_col, str) else viz_col
+    return c.isNull() | (c == "") | c.isin(allowed)
+
+
+def viz_filter(df: DataFrame, auths: set[str], viz_col: str = "viz") -> DataFrame:
+    """Filter ``df`` to rows visible under ``auths``.
+
+    MUST run before any aggregation (SURVEY.md §7 hard part (e)); callers in
+    plans/builder.py apply it as the first transformation after the scan.
+    """
+    if viz_col not in df.columns:
+        return df
+    distinct = [
+        r[0]
+        for r in df.select(viz_col).filter(F.col(viz_col).isNotNull()).distinct()
+        .limit(_MAX_DISTINCT_VIZ + 1).collect()
+    ]
+    if len(distinct) > _MAX_DISTINCT_VIZ:
+        return df.filter(_viz_pandas_udf(auths)(F.col(viz_col)))
+    allowed = [e for e in distinct if evaluate_visibility(e, frozenset(auths))]
+    return df.filter(viz_allows(viz_col, auths, allowed=allowed))
+
+
+def _viz_pandas_udf(auths: set[str]):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    fauths = frozenset(auths)
+
+    @pandas_udf("boolean")
+    def _eval(col: pd.Series) -> pd.Series:
+        return col.map(lambda e: evaluate_visibility(e, fauths))
+
+    return _eval

@@ -1,0 +1,98 @@
+"""The point data model and adapters onto the driver testdata.
+
+Timely's fundamental record is a *Metric*: name + tags + (timestamp-ms,
+double value), with an optional ``viz`` visibility expression carried as a
+reserved tag (reference: common/src/main/java/timely/model/Metric.java:25-36,
+Value.java:15-20, accumulo/MetricAdapter.java:44).
+
+Spark mapping (SURVEY.md §1.4): one DataFrame
+
+    metric: string, ts: long (epoch ms), value: double,
+    tags: map<string,string>, viz: string (nullable)
+
+Series identity = (metric, exact tag set) — reproduced with
+``groupBy("metric", "tags")`` on the map column, or the canonical
+``series_id`` column for window functions (map columns can't be
+partition keys of a window spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VISIBILITY_TAG = "viz"  # MetricAdapter.java:44
+
+METRIC_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),  # epoch milliseconds (Value.java:40-46)
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("viz", T.StringType(), True),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("tag_key", T.StringType(), False),
+        T.StructField("tag_value", T.StringType(), False),
+        T.StructField("last_seen", T.LongType(), False),  # epoch ms
+    ]
+)
+
+
+def series_id(metric: Column | str = "metric", tags: Column | str = "tags") -> Column:
+    """Canonical series key: metric + sorted ``k=v`` tag pairs.
+
+    Replaces the reference's ``Set<Tag>`` keying of per-series state
+    (DownsampleIterator.java:96-105). Sorting makes the id independent of
+    map insertion order.
+    """
+    m = F.col(metric) if isinstance(metric, str) else metric
+    t = F.col(tags) if isinstance(tags, str) else tags
+    pairs = F.transform(
+        F.array_sort(F.map_keys(t)), lambda k: F.concat(k, F.lit("="), F.element_at(t, k))
+    )
+    return F.concat_ws(",", F.array(m), pairs)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``events`` table to the point model (FIXTURES.md T4).
+
+    metric = event_type, ts = epoch ms (from the int64-nanos raw ts),
+    value = value, tags = {user: user_id, k: props.k}.
+    Purely narrow (no shuffle); Catalyst pushes metric/tag predicates into
+    the Parquet scan of event_type/user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("metric"),
+        F.expr("ts div 1000000").alias("ts"),  # int64 nanos -> epoch ms, exact integer div
+        F.col("value").alias("value"),
+        F.create_map(
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("k"),
+            F.get_json_object(F.col("props"), "$.k"),
+        ).alias("tags"),
+        F.lit(None).cast("string").alias("viz"),
+    )
+
+
+# DuckDB-side equivalent of events_as_metrics, used to build oracle SQL.
+# Kept adjacent to the Spark adapter so the two stay in lock-step.
+EVENTS_AS_METRICS_SQL = """
+SELECT event_type AS metric,
+       epoch_ns(ts) // 1000000 AS ts,
+       value,
+       CAST(user_id AS VARCHAR) AS tag_user,
+       json_extract_string(props, '$.k') AS tag_k
+FROM events
+"""

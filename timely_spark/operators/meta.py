@@ -1,0 +1,88 @@
+"""Meta catalog (metric/tag discovery) + suggest / lookup / metrics queries.
+
+Reference: the meta table holds ``m:<metric>``, ``t:<metric>/tagKey``,
+``v:<metric>/tagKey/tagValue`` rows updated on every write
+(common/.../model/Meta.java:54-66, DataStore.java:415-433); queries are
+
+- suggest  (GET/POST /api/suggest, DataStore.java:528-580): substring /
+  prefix search over metric names (or tag keys/values), sorted, capped;
+- lookup   (/api/search/lookup, DataStore.java:582-624): regex tag match
+  returning (metric, tag pairs) + a total count;
+- metrics  (/api/metrics): dump of metric -> known tags.
+
+Spark: the catalog is a tiny derived DataFrame
+``(metric, tag_key, tag_value, last_seen)`` = explode of the point
+stream's tags with max(ts). At 100 TB it is maintained incrementally by
+the ingest path (sources/store.py foreachBatch upsert), never recomputed
+from raw points; it is small enough to broadcast into any planning join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_meta(points: DataFrame) -> DataFrame:
+    """Full recompute of the catalog from a point DataFrame (batch path)."""
+    return (
+        points.select("metric", "ts", F.explode_outer("tags").alias("tag_key", "tag_value"))
+        .groupBy("metric", "tag_key", "tag_value")
+        .agg(F.max("ts").alias("last_seen"))
+    )
+
+
+def suggest(
+    meta: DataFrame, q: str, kind: str = "metrics", max_results: int = 25
+) -> DataFrame:
+    """Substring search, sorted ascending, capped (DataStore.java:536-573)."""
+    col = {"metrics": "metric", "tagk": "tag_key", "tagv": "tag_value"}[kind]
+    return (
+        meta.filter(F.col(col).contains(q))
+        .select(F.col(col).alias("suggestion"))
+        .distinct()
+        .orderBy("suggestion")
+        .limit(max_results)
+    )
+
+
+def search_lookup(
+    meta: DataFrame,
+    metric: str | None = None,
+    tag_key: str | None = None,
+    tag_value_pattern: str | None = None,
+    limit: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """Regex tag-value lookup (DataStore.java:582-624).
+
+    Returns (limited results ordered by metric/tag, total-count DataFrame) —
+    the reference reports ``totalResults`` over all matches while capping
+    the returned list at ``limit`` (SearchLookupRequest.java:30-33).
+    """
+    m = meta
+    if metric is not None:
+        m = m.filter(F.col("metric") == metric)
+    if tag_key is not None:
+        m = m.filter(F.col("tag_key") == tag_key)
+    if tag_value_pattern is not None:
+        m = m.filter(F.col("tag_value").rlike(tag_value_pattern))
+    results = m.select("metric", "tag_key", "tag_value").distinct()
+    ordered = results.orderBy("metric", "tag_key", "tag_value").limit(limit)
+    total = results.agg(F.count(F.lit(1)).alias("total_results"))
+    return ordered, total
+
+
+def metrics_dump(meta: DataFrame, ignored_tags: list[str] | None = None) -> DataFrame:
+    """/api/metrics: metric -> sorted list of known tag k=v pairs."""
+    m = meta
+    if ignored_tags:
+        m = m.filter(~F.col("tag_key").isin(ignored_tags))
+    return (
+        m.groupBy("metric")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.concat_ws("=", "tag_key", "tag_value"))
+            ).alias("tags")
+        )
+        .orderBy("metric")
+    )

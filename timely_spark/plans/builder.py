@@ -1,0 +1,124 @@
+"""Compile a QueryRequest into a DataFrame plan.
+
+Pipeline per SubQuery, mirroring the reference's iterator stack order
+(DataStore.java:711-745: TagFilter(100) -> Rate(499) -> Downsample(500)
+-> Aggregation(501), then the coordinator merge at :748-779):
+
+    scan -> time-range + metric + tag + visibility filters
+         -> [rate]
+         -> downsample (per-series buckets)
+         -> cross-series combine on the projected tag keys
+         -> orderBy(bucket_ts)
+
+All filters are plain Column predicates so Catalyst pushes them into the
+Parquet scan (the analogue of the reference's hour-range planning
+DataStore.getQueryRanges:997-1039 + column-family fetch :936-947 — with a
+time/metric-partitioned store these become partition pruning for free).
+
+Semantics notes:
+- Tag values that are not ``^\\w+$`` are regexes (DataStore.java:860-862),
+  compiled to ``rlike`` anchored on both ends, matching Java
+  ``Matcher.matches()``.
+- When the cross-series aggregator equals the downsample aggregator (or
+  there is no downsample), the two groupBys collapse into ONE aggregation
+  over the projected tags — this reproduces the reference's partial-merge
+  semantics exactly (Aggregation.java:85-96 re-accumulates raw
+  sums/counts, so e.g. avg is the weighted average over all points, and
+  count counts points, not series) while saving a shuffle.
+- ``start`` is floored to the downsample period before bucketing
+  (DataStore.java:693-695).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.viz import viz_filter
+from ..model import series_id
+from ..operators.aggregators import agg_expr
+from ..operators.downsample import combine_series, downsample
+from ..operators.rate import rate
+from ..parse import is_tag_regex
+from .request import QueryRequest, SubQuery
+
+
+def _tag_predicates(df: DataFrame, tags: dict[str, str]) -> DataFrame:
+    for k, v in tags.items():
+        col = F.col("tags").getItem(k)
+        if v == "*" or v == ".*":
+            df = df.filter(col.isNotNull())
+        elif is_tag_regex(v):
+            df = df.filter(col.rlike(f"^(?:{v})$"))  # Matcher.matches() semantics
+        else:
+            df = df.filter(col == v)
+    return df
+
+
+def build_subquery(
+    points: DataFrame,
+    q: SubQuery,
+    start_ms: int,
+    end_ms: int,
+    auths: set[str] | None = None,
+) -> DataFrame:
+    """Returns (metric, tags, bucket_ts, value) for one SubQuery."""
+    spec = q.downsample_spec()
+    period = spec.period_ms if spec else 1
+    # floor the query start to the bucket period (DataStore.java:693-695)
+    start_ms = start_ms - (start_ms % period) if period > 1 else start_ms
+
+    df = points.filter(F.col("metric") == q.metric)
+    df = df.filter((F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
+    df = _tag_predicates(df, q.tags)
+    if auths is not None:
+        df = viz_filter(df, auths)  # ALWAYS before any aggregation
+
+    if q.rate:
+        opts = q.rate_options
+        if spec and opts.interval_ms is None:
+            # DataStore.java:713-721: rate interval defaults to the
+            # downsample period when one is set
+            from dataclasses import replace
+
+            opts = replace(opts, interval_ms=spec.period_ms)
+        df = rate(df, opts)
+
+    group_keys = sorted(q.tags.keys())
+
+    if spec is None or spec.aggregator == "none" or spec.aggregator == q.aggregator:
+        # single-shuffle path: one aggregation over (projected tags, bucket)
+        agg_name = q.aggregator
+        keys = F.array(*[F.lit(k) for k in group_keys])
+        projected = F.map_filter("tags", lambda k, _v: F.array_contains(keys, k))
+        if spec is None or spec.aggregator == "none":
+            bucket = F.col("ts")
+        else:
+            off = F.col("ts") - F.lit(start_ms)
+            bucket = F.lit(start_ms) + (off - (off % F.lit(spec.period_ms)))
+        pre = df.withColumn("tags", projected).withColumn("bucket_ts", bucket)
+        pre = pre.withColumn("__gkey", series_id())
+        return (
+            pre.groupBy("__gkey", "bucket_ts")
+            .agg(
+                F.first("metric").alias("metric"),
+                F.first("tags").alias("tags"),
+                agg_expr(agg_name).alias("value"),
+            )
+            .select("metric", "tags", "bucket_ts", "value")
+        )
+
+    # two-stage path: downsample agg differs from the cross-series agg
+    ds = downsample(df, spec, start_ms=start_ms)
+    return combine_series(ds, group_keys, q.aggregator)
+
+
+def run_query(
+    points: DataFrame, request: QueryRequest, auths: set[str] | None = None
+) -> list[DataFrame]:
+    """One result DataFrame per SubQuery (concatenated by the API layer,
+    QueryRequest.java:370-372 / DataStore.java:645)."""
+    return [
+        build_subquery(points, q, request.start, request.end, auths=auths)
+        for q in request.queries
+    ]

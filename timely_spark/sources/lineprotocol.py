@@ -1,0 +1,74 @@
+"""Line-protocol ingest: ``put <metric> <ts> <value> <k=v>...`` -> points.
+
+Reference wire format: common/.../model/parse/MetricParser.java:17-30 (the
+same lines arrive over TCP/UDP/WS, SURVEY.md §2.1 S1-S4). The parse is a
+pure Column expression pipeline — no Python in the per-row path, so ingest
+scales with executors and stays inside whole-stage codegen. Malformed
+lines are dropped (the reference's fire-and-forget contract) or routed to
+a side output with ``keep_corrupt=True``.
+
+Works identically for ``spark.read.text`` (batch backfill) and
+``spark.readStream`` (live ingest): the transformation is the same
+DataFrame expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# first unescaped '=' splits key from value; escaped \= and \, are unescaped after
+_KV_KEY_RE = r"^((?:[^=\\]|\\.)*?)=(.*)$"
+
+
+def parse_lines_df(lines: DataFrame, value_col: str = "value", keep_corrupt: bool = False):
+    """lines(value: string) -> points(metric, ts, value, tags, viz).
+
+    Timestamps are normalized seconds->ms when < 10^12 (Value.java:40-46);
+    the reserved ``viz`` tag is lifted out of the tag map
+    (MetricAdapter.java:44,152-167).
+    """
+    arr = F.split(F.col(value_col), " ")
+    raw_ts = F.element_at(arr, 3).cast("long")
+    ts = F.when(raw_ts < 1_000_000_000_000, raw_ts * 1000).otherwise(raw_ts)
+    val = F.element_at(arr, 4).cast("double")
+    tag_tokens = F.filter(
+        F.slice(arr, 5, F.greatest(F.size(arr) - 4, F.lit(0))), lambda t: t != ""
+    )
+    entries = F.transform(
+        tag_tokens,
+        lambda t: F.struct(
+            F.regexp_replace(
+                F.regexp_extract(t, _KV_KEY_RE, 1), r"\\(.)", "$1"
+            ).alias("key"),
+            F.regexp_replace(
+                F.regexp_extract(t, _KV_KEY_RE, 2), r"\\(.)", "$1"
+            ).alias("value"),
+        ),
+    )
+    all_tags = F.map_from_entries(entries)
+    parsed = lines.select(
+        F.element_at(arr, 2).alias("metric"),
+        ts.alias("ts"),
+        val.alias("value"),
+        F.map_filter(all_tags, lambda k, _v: k != "viz").alias("tags"),
+        F.element_at(all_tags, F.lit("viz")).alias("viz"),
+        (
+            (F.element_at(arr, 1) == "put")
+            & (F.size(arr) >= 4)
+            & raw_ts.isNotNull()
+            & val.isNotNull()
+            & ~F.exists(tag_tokens, lambda t: F.regexp_extract(t, _KV_KEY_RE, 1) == "")
+        ).alias("__ok"),
+        F.col(value_col).alias("__raw"),
+    )
+    good = parsed.filter("__ok").drop("__ok", "__raw")
+    if keep_corrupt:
+        bad = parsed.filter(~F.col("__ok")).select(F.col("__raw").alias("line"))
+        return good, bad
+    return good
+
+
+def read_put_file(spark, path: str) -> DataFrame:
+    """Batch-ingest a file of put lines."""
+    return parse_lines_df(spark.read.text(path))

@@ -1,0 +1,125 @@
+"""The Parquet point store: partition layout, writers, compaction.
+
+Replaces the reference's Accumulo metrics-table layout (hour-rounded row
+keys + per-tag cell duplication, MetricAdapter.toMutation,
+common/.../accumulo/MetricAdapter.java:87-110). In a columnar store the
+N-cells-per-tag write amplification disappears entirely — one row per
+point, filter on ``tags[k]`` directly (SURVEY.md §1.4).
+
+Layout: ``partitionBy(metric, dt)`` where dt = epoch day, with
+``sortWithinPartitions(ts)`` so Parquet gets sorted column chunks (row
+groups then carry tight ts min/max stats -> range predicates prune at the
+row-group level, the columnar analogue of Accumulo's hour-range seek).
+
+Scale notes (100 TB / 1000 executors):
+- day-level directories keep the partition count ~O(metrics x days); a
+  deployment with >100k metric names should bucket the metric dimension
+  (``metric_bucket = hash(metric) % N``) — provided via ``bucket_metrics``.
+- compaction (the TieredCompactionStrategy analogue,
+  server/.../store/compaction/TieredCompactionStrategy.java:25-156) is a
+  per-partition rewrite targeting ~512 MB files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAY_MS = 86_400_000
+
+
+def with_partition_cols(points: DataFrame, bucket_metrics: int | None = None) -> DataFrame:
+    df = points.withColumn("dt", (F.col("ts") / F.lit(DAY_MS)).cast("long"))
+    if bucket_metrics:
+        df = df.withColumn(
+            "metric_bucket", F.pmod(F.xxhash64("metric"), F.lit(bucket_metrics))
+        )
+    return df
+
+
+def write_points(
+    points: DataFrame,
+    path: str,
+    mode: str = "append",
+    bucket_metrics: int | None = None,
+) -> None:
+    """Durable write (the BatchWriter-sink analogue, DataStore.java:385-510)."""
+    df = with_partition_cols(points, bucket_metrics)
+    part_cols = (["metric_bucket"] if bucket_metrics else ["metric"]) + ["dt"]
+    (
+        df.repartition(*[F.col(c) for c in part_cols])
+        .sortWithinPartitions("metric", "ts")
+        .write.mode(mode)
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+
+
+def read_points(spark: SparkSession, path: str) -> DataFrame:
+    """Read the store back in point-model shape (partition cols retained
+    for pruning but dropped from the logical point schema)."""
+    df = spark.read.parquet(path)
+    cols = [c for c in ["metric", "ts", "value", "tags", "viz"] if c in df.columns]
+    return df.select(*cols)
+
+
+def write_points_stream(
+    points: DataFrame,
+    path: str,
+    checkpoint: str,
+    meta_path: str | None = None,
+    trigger_seconds: int = 5,
+):
+    """Streaming ingest sink: partitioned Parquet + per-batch meta upsert.
+
+    The 5 s trigger mirrors the reference's BatchWriter max-latency
+    (WriteProperties.java:11); exactly-once comes from the checkpoint
+    rather than BatchWriter recreate-on-reject retry (DataStore.java:462-505).
+    """
+    from ..operators.meta import build_meta
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_points(batch_df, path)
+        if meta_path is not None:
+            # meta side-write (DataStore.java:415-433): tiny upsert per batch
+            build_meta(batch_df).write.mode("append").parquet(meta_path)
+
+    return (
+        points.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def compact_meta(spark: SparkSession, meta_path: str) -> DataFrame:
+    """Fold appended meta deltas to one row per (metric, tag_key, tag_value)."""
+    m = spark.read.parquet(meta_path)
+    return m.groupBy("metric", "tag_key", "tag_value").agg(
+        F.max("last_seen").alias("last_seen")
+    )
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, target_file_mb: int = 512
+) -> None:
+    """Small-file compaction: rewrite each partition into ~target-size files.
+
+    Metadata-level analogue of MetricCompactionStrategy.java:1-187; run as a
+    maintenance job, never inline with queries.
+    """
+    df = spark.read.parquet(path)
+    part_cols = [c for c in ("metric", "metric_bucket", "dt") if c in df.columns]
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(*[F.col(c) for c in part_cols])
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .option("maxRecordsPerFile", 4_000_000)
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
