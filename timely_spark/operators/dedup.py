@@ -1,0 +1,270 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond the reference's surface (BASELINE.json extension set): exact,
+MinHash+LSH, SimHash, and n-gram-Jaccard dedup, each expressed as
+DataFrame plans that shuffle on small derived keys (hashes, band buckets)
+rather than document text — the property that keeps them viable at 100 TB.
+
+Determinism: every hash is Spark's ``xxhash64``/``md5`` with fixed seeds
+baked into column literals, so results are stable across runs/partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text hash.
+
+    One shuffle on a 128-bit md5 — never on the text itself. min() not
+    first() so the survivor is deterministic.
+    """
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__h")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 member: (hash, survivor id, dup_count)."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------- shingles / tokens
+
+
+def _tokens(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")
+
+
+def _shingles(text_col: str, n: int):
+    """word n-gram shingles as strings."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """Append ``signature: array<bigint>`` (one min-hash per seed).
+
+    sig[i] = min over shingles of xxhash64(shingle, seed=i) — 'hash each
+    shingle num_hashes ways, keep the min' done as a single ``transform``
+    over a seed array: stays in codegen, no UDF, no explode (the explode
+    variant shuffles |shingles| x num_hashes rows; this shuffles nothing).
+    """
+    sh = _shingles(text_col, shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, s))
+        ),
+    )
+    return df.withColumn("signature", sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 band bucket. Output
+    (id_a, id_b) with id_a < id_b, distinct.
+
+    Plan: signature -> explode to (band, band_hash) -> self-join on the
+    bucket. The join key is (band, 64-bit hash): tiny rows, broadcast-able
+    bucket histogram, and the quadratic blow-up is bounded per-bucket (LSH
+    guarantees near-dup buckets stay small for reasonable thresholds).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).select(id_col, "signature")
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with verified shingle-Jaccard >= threshold.
+
+    LSH prunes the pair space; the verify step joins the (distinct)
+    shingle sets back in only for surviving candidates.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        j.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """Append ``simhash: bigint`` — sign-aggregated token-hash fingerprint.
+
+    For each bit position, sum +1/-1 over token hashes and take the sign.
+    Implemented as one ``aggregate`` over the token-hash array with an
+    array<int> accumulator (no UDF; ~bits ops per token inside codegen).
+    Hamming-close simhashes => near-duplicate texts.
+    """
+    tok_hashes = F.transform(F.array_distinct(_tokens(text_col)), lambda t: F.xxhash64(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # the pyspark shiftright wrapper requires a literal int; the SQL
+    # function accepts a column — go through call_function
+    counts = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda c, i: c
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    # fold sign bits MSB-first: acc*2 + bit (avoids column-arg shiftleft)
+    fingerprint = F.aggregate(
+        F.reverse(F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0))),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return df.withColumn("simhash", fingerprint)
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: distance <= 3 over 4 chunks => at least one chunk equal, so
+    join on each chunk and verify — avoids the all-pairs O(n^2) join.
+    """
+    sh = simhash(df, text_col).select(id_col, "simhash")
+    chunk_idx = F.sequence(F.lit(0), F.lit(3))
+    blocked = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.transform(
+                chunk_idx,
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.call_function("shiftright", F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.key")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------- n-gram Jaccard (blocked exact)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs within a blocking key.
+
+    ``block_col=None`` means all-pairs — only for small corpora; at scale
+    pass a blocking column (source, length bucket, LSH bucket...).
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        _shingles(text_col, n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    on = [block_col] if block_col else []
+    j = (a.join(b, on) if on else a.crossJoin(b)).filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh")).cast("double")
+    return (
+        j.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

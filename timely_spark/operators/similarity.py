@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (BASELINE.json extension set):
+
+- ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set against the corpus; the dot product is a ``zip_with`` +
+  ``aggregate`` column expression (JVM-side, no Python). At 100 TB the
+  corpus side stays partition-parallel and nothing shuffles except the
+  final per-query top-k (a tiny aggregate).
+- ``lsh_topk``         — random-hyperplane LSH: bucket corpus + queries by
+  sign bits of seeded hyperplanes, probe only matching buckets. The
+  hyperplanes derive from xxhash64 of (dim index, plane index) — fully
+  deterministic, no stored model.
+- ``ivf_topk``         — IVF-style: coarse centroids from a seeded sample,
+  probe the nearest ``nprobe`` cells (the scale path when buckets skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query. Queries must be small (broadcast).
+
+    Output: (query_id, vec_id, cosine) with rank<=k; ties broken by id
+    so results are deterministic.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
+    # exclude self-matches when the query set is drawn from the corpus
+    joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplane_sign_bits(vec_col, dim: int, planes: int) -> "F.Column":
+    """LSH bucket id: sign bits of `planes` pseudo-random hyperplanes.
+
+    Hyperplane p's weight for dimension d = a deterministic pseudo-uniform
+    in [-1, 1) derived from xxhash64(d, p) — no RNG state, reproducible on
+    any cluster.
+    """
+    plane_idx = F.sequence(F.lit(0), F.lit(planes - 1))
+    dim_idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def weight(d, p):
+        h = F.xxhash64(d, p)
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                dim_idx,
+                lambda x, d: x.cast("double") * weight(d, p),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bits = F.transform(
+        plane_idx, lambda p: F.when(plane_dot(p) >= 0, 1).otherwise(0)
+    )
+    # fold sign bits into a bucket id: acc*2 + bit
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors in the query's LSH bucket.
+
+    With p planes the corpus splits into 2^p buckets; expected candidate
+    set shrinks ~2^p-fold. Recall loss is the standard LSH trade — callers
+    tune ``planes`` (or union multiple tables) per workload.
+    """
+    bucket = _hyperplane_sign_bits(vec_col, dim, planes)
+    c = corpus.select(F.col(id_col), F.col(vec_col), bucket.alias("__bucket"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _hyperplane_sign_bits(vec_col, dim, planes).alias("__bucket"),
+        )
+    )
+    joined = c.join(q, "__bucket").filter(F.col(id_col) != F.col(query_id_col))
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ncells: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to ``ncells`` centroids
+    (deterministic corpus sample as centroids), probe ``nprobe`` nearest
+    cells per query.
+
+    The centroid table is tiny -> broadcast both assignment joins; the
+    corpus is scanned once to assign cells (cacheable as a materialized
+    index column at scale).
+    """
+    # deterministic 'centroids': the ncells corpus vectors with the
+    # smallest xxhash64(id) — a seeded reservoir without randomness
+    cent = (
+        corpus.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col("cell_id")))
+        .limit(ncells)
+    )
+    centb = F.broadcast(cent)
+
+    # corpus cell assignment: argmax cosine over centroids (broadcast join)
+    ca = corpus.select(id_col, vec_col).crossJoin(centb)
+    sim_c = cosine_similarity_col(F.col(vec_col), F.col("cvec"))
+    wc = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("cell_id"))
+    assigned = (
+        ca.withColumn("__sim", sim_c)
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    # query probes: nprobe nearest cells
+    qa = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).crossJoin(centb)
+    sim_q = cosine_similarity_col(F.col("__qvec"), F.col("cvec"))
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__sim"), F.col("cell_id"))
+    probes = (
+        qa.withColumn("__sim", sim_q)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id_col, "__qvec", "cell_id")
+    )
+    joined = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; no Python row path).
+Each has an exactly-equivalent SQL rendering used for the DuckDB oracle —
+keep the two in lock-step when editing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    """Whitespace-ish token count (BPE-approximating word splitter)."""
+    return F.size(tokens(text_col)).cast("long")
+
+
+def _stopword_hits(text_col, words: list[str]) -> Column:
+    toks = tokens(text_col)
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("double")
+
+
+def lang_id(text_col: str | Column = "text") -> Column:
+    """Heuristic language ID: argmax stopword-hit rate across languages.
+
+    Deterministic tie-break: language name ascending; empty/zero-hit
+    documents classify as 'unknown'.
+    """
+    scores = [(lang, _stopword_hits(text_col, ws)) for lang, ws in sorted(LANG_STOPWORDS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("unknown")
+    # first language (ascending) achieving the max wins: fold reversed
+    for lang, s in reversed(scores):
+        result = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns: n_tokens, mean_token_len,
+    punct_ratio, stopword_ratio, quality_score in [0,1].
+
+    The score formula mirrors common pretraining heuristics (length in
+    range, low punctuation noise, natural stopword density).
+    """
+    c = F.col(text_col)
+    n_tok = token_count(text_col)
+    n_chars = F.length(c).cast("double")
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct_chars = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")).cast("double")
+    sw = _stopword_hits(c, LANG_STOPWORDS["en"])
+    mean_tok_len = F.when(n_tok > 0, alpha_chars / n_tok.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, sw / n_tok.cast("double")).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def fingerprint(text_col: str | Column = "text") -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set — robust to shuffled word order / duplicated whitespace
+    (the cheap cousin of a rolling-hash fingerprint; exact-dup detection
+    after normalization).
+    """
+    norm = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    return F.md5(norm)
+
+
+# ------------------------- DuckDB SQL renderings (oracle parity) ---------
+
+TOKENS_SQL = (
+    "list_filter(string_split_regex(lower({c}), '[^a-z0-9'']+'), t -> t <> '')"
+)
+TOKEN_COUNT_SQL = f"CAST(len({TOKENS_SQL}) AS BIGINT)"
+FINGERPRINT_SQL = (
+    "md5(array_to_string(list_sort(list_distinct(" + TOKENS_SQL + ")), ' '))"
+)
+
+
+def stopword_hits_sql(c: str, words: list[str]) -> str:
+    wl = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CAST(len(list_filter({TOKENS_SQL.format(c=c)}, t -> list_contains({wl}, t))) AS DOUBLE)"
+    )
+
+
+def lang_id_sql(c: str) -> str:
+    langs = sorted(LANG_STOPWORDS.items())
+    hits = {lang: stopword_hits_sql(c, ws) for lang, ws in langs}
+    greatest = "greatest(" + ", ".join(hits[lang] for lang, _ in langs) + ")"
+    expr = "'unknown'"
+    for lang, _ in reversed(langs):
+        expr = (
+            f"CASE WHEN {greatest} > 0 AND {hits[lang]} = {greatest} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr

@@ -1,0 +1,129 @@
+"""WebSocket-style subscriptions as named Structured Streaming queries.
+
+Reference protocol (SURVEY.md §2.9): ``create``/``add``/``remove``/
+``close`` ops on a WS session; each ``add`` starts a tail-follow scan of
+one metric (server/.../subscription/MetricScanner.java:106-268) that
+re-scans ``(lastSeen, now - lag]`` forever — lag (120 s default) being the
+hand-rolled watermark (WebsocketProperties.java:20-24). Batches flush at
+1000 responses or 30 s.
+
+Spark mapping: ``add`` = start a readStream on the store filtered to the
+metric/tags with ``withWatermark(ts, lag)``; flush pacing = trigger
+interval; ``remove``/``close`` = stop the named query. Backfill-then-tail
+is native (file sources replay existing data before following new files).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import METRIC_SCHEMA
+
+
+@dataclass
+class Subscription:
+    subscription_id: str
+    queries: dict[str, object] = field(default_factory=dict)  # metric -> StreamingQuery
+
+
+class SubscriptionManager:
+    """create/add/remove/close lifecycle over Structured Streaming."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        lag_seconds: int = 120,
+        flush_seconds: int = 30,
+        sink_factory: Callable[[str, str], Callable[[DataFrame, int], None]] | None = None,
+    ):
+        self.spark = spark
+        self.store_path = store_path
+        self.lag_seconds = lag_seconds
+        self.flush_seconds = flush_seconds
+        self._subs: dict[str, Subscription] = {}
+        # default sink: collect to an in-memory buffer per (sub, metric);
+        # a WS server would push frames instead
+        self.buffers: dict[tuple[str, str], list] = {}
+        self._sink_factory = sink_factory or self._buffer_sink
+
+    def _buffer_sink(self, sub_id: str, metric: str):
+        buf = self.buffers.setdefault((sub_id, metric), [])
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # the reference caps batches at 1000 responses per flush
+            # (MetricScanner.java:186-199); trigger pacing covers the 30 s leg
+            buf.extend(batch_df.limit(100_000).collect())
+
+        return sink
+
+    def create(self, subscription_id: str) -> Subscription:
+        sub = Subscription(subscription_id)
+        self._subs[subscription_id] = sub
+        return sub
+
+    def add(
+        self,
+        subscription_id: str,
+        metric: str,
+        tags: dict[str, str] | None = None,
+        start_time_ms: int = 0,
+        end_time_ms: int = 0,
+    ):
+        """Start the tail-follow stream for one metric (AddSubscription.java:8-55)."""
+        sub = self._subs[subscription_id]
+        stream = (
+            self.spark.readStream.schema(self._store_schema())
+            .option("maxFilesPerTrigger", 64)  # scanner-batch pacing analogue
+            .parquet(self.store_path)
+        )
+        df = stream.filter(F.col("metric") == metric)
+        if start_time_ms:
+            df = df.filter(F.col("ts") >= start_time_ms)
+        if end_time_ms:
+            df = df.filter(F.col("ts") <= end_time_ms)
+        for k, v in (tags or {}).items():
+            df = df.filter(F.col("tags").getItem(k) == v)
+        # watermark = the reference's lag: exclude/settle the most recent
+        # window so late arrivals aren't missed
+        df = df.withColumn("event_time", F.timestamp_millis(F.col("ts"))).withWatermark(
+            "event_time", f"{self.lag_seconds} seconds"
+        )
+        q = (
+            df.drop("event_time")
+            .writeStream.foreachBatch(self._sink_factory(subscription_id, metric))
+            .option(
+                "checkpointLocation",
+                f"{self.store_path}__subs/{subscription_id}/{metric}",
+            )
+            .trigger(processingTime=f"{self.flush_seconds} seconds")
+            .queryName(f"sub-{subscription_id}-{metric}")
+            .start()
+        )
+        sub.queries[metric] = q
+        return q
+
+    def _store_schema(self):
+        import os
+
+        if os.path.isdir(self.store_path):
+            try:
+                return self.spark.read.parquet(self.store_path).schema
+            except Exception:
+                pass
+        return METRIC_SCHEMA
+
+    def remove(self, subscription_id: str, metric: str) -> None:
+        q = self._subs[subscription_id].queries.pop(metric, None)
+        if q is not None:
+            q.stop()
+
+    def close(self, subscription_id: str) -> None:
+        sub = self._subs.pop(subscription_id, None)
+        if sub:
+            for q in sub.queries.values():
+                q.stop()

@@ -1,0 +1,111 @@
+"""Histogram summarization — the Flink analytics job, Spark-native.
+
+Reference: analytics/src/main/java/timely/analytics/flink/SummarizationJob.java:40-105
+keyed tumbling event-time windows per (metric, tags) emitting
+``<metric>_summarized`` points carrying count/min/max/sum/avg/p50/p75/
+p90/p99 (MetricHistogram.java:64-167) back into the store.
+
+Spark: one windowed aggregation. Batch and streaming share the same
+expression list; the streaming variant adds a watermark (the lag analogue,
+WebsocketProperties.java:20 => 120 s default) and writes back through the
+store sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..model import series_id
+
+SUMMARY_PERCENTILES = [0.5, 0.75, 0.9, 0.99]  # MetricHistogram.java:123-167
+
+
+def _summary_aggs(exact: bool = True):
+    pct = (
+        F.percentile("value", F.array(*[F.lit(p) for p in SUMMARY_PERCENTILES]))
+        if exact
+        else F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in SUMMARY_PERCENTILES]), 10_000
+        )
+    )
+    return [
+        F.count("value").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+        pct.alias("pcts"),
+    ]
+
+
+def summarize_batch(points: DataFrame, window_ms: int, exact: bool = True) -> DataFrame:
+    """Batch summarization: one row per (metric, tags, window start).
+
+    ``exact=True`` uses the exact percentile aggregate (fine to a few
+    hundred M points/bucket); ``exact=False`` switches to
+    ``percentile_approx`` — the 100 TB path where buckets are huge.
+    """
+    bucket = (F.col("ts") - (F.col("ts") % F.lit(window_ms))).alias("bucket_ts")
+    out = (
+        points.withColumn("bucket_ts", bucket)
+        .withColumn("__series", series_id())
+        .groupBy("metric", "__series", "bucket_ts")
+        .agg(F.first("tags").alias("tags"), *_summary_aggs(exact))
+    )
+    return out.select(
+        F.concat("metric", F.lit("_summarized")).alias("metric"),
+        "tags",
+        "bucket_ts",
+        "n",
+        "min_value",
+        "max_value",
+        "sum_value",
+        "avg_value",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p75"),
+        F.col("pcts")[2].alias("p90"),
+        F.col("pcts")[3].alias("p99"),
+    )
+
+
+def summarization_query(
+    stream: DataFrame,
+    window_seconds: int,
+    checkpoint: str,
+    out_path: str,
+    watermark_seconds: int = 120,
+):
+    """Streaming variant: event-time tumbling window + watermark,
+    append-mode Parquet sink (points flow back into the lake as
+    ``*_summarized`` metrics like the Flink job's put-lines)."""
+    wm = stream.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts"))
+    ).withWatermark("event_time", f"{watermark_seconds} seconds")
+    agg = (
+        wm.groupBy(
+            F.col("metric"),
+            F.window("event_time", f"{window_seconds} seconds").alias("w"),
+        )
+        .agg(*_summary_aggs(exact=False))
+        .select(
+            F.concat("metric", F.lit("_summarized")).alias("metric"),
+            F.unix_millis(F.col("w.start")).alias("bucket_ts"),
+            "n",
+            "min_value",
+            "max_value",
+            "sum_value",
+            "avg_value",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p75"),
+            F.col("pcts")[2].alias("p90"),
+            F.col("pcts")[3].alias("p99"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
