@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed to full materialization (collect). An ingest
+benchmark (line-protocol parse -> partitioned Parquet store) rides along
+under the ``ingest_lineprotocol`` key, mirroring the reference's load-test
+tooling (server/.../application/testingest/TestIngestRunner.java).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: BASELINE.md §3 query set (Q1-Q8 analogues) + extension ops
+BENCH_QUERIES = [
+    "ts_downsample_avg",
+    "ts_downsample_sum_tag",
+    "ts_downsample_minmax",
+    "ts_dev",
+    "ts_agg_combine",
+    "ts_rate",
+    "ts_rate_counter",
+    "ts_fir_ma5",
+    "ts_tag_regex",
+    "ts_viz",
+    "ts_meta",
+    "ts_suggest",
+    "ts_lookup",
+    "ts_summarize",
+    "ts_multiquery",
+    "tpch_q1",
+    "tpch_q3ish",
+    "events_top_users",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_token_count",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_ngram_jaccard",
+    "doc_minhash_pairs",
+    "doc_simhash",
+    "emb_knn",
+    "emb_knn_lsh",
+]
+
+
+def bench_ingest(spark, sf_dir: str) -> tuple[float, int]:
+    """Line-protocol ingest: events -> put lines -> parse -> partitioned store."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import write_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.concat_ws(
+            " ",
+            F.lit("put"),
+            F.col("event_type"),
+            F.expr("ts div 1000000"),
+            F.col("value").cast("string"),
+            F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        ).alias("value")
+    )
+    n = lines.count()
+    out = tempfile.mkdtemp(prefix="timely_bench_store_")
+    t0 = time.time()
+    pts = parse_lines_df(lines)
+    write_points(pts, out, mode="overwrite")
+    dt = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt, n
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from timely_spark.session import get_spark
+
+    spark = get_spark("timely-bench")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as e:  # a failing query gets a sentinel, not a crash
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            times[name] = -1.0
+            continue
+        times[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    ingest_sec, ingest_rows = bench_ingest(spark, sf_dir)
+    times["ingest_lineprotocol"] = round(ingest_sec, 3)
+    print(
+        f"  ingest_lineprotocol: {ingest_sec:.3f}s "
+        f"({ingest_rows} pts, {ingest_rows / max(ingest_sec, 1e-9):.0f} pts/s)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(v for v in times.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

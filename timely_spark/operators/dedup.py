@@ -61,26 +61,50 @@ def _shingles(text_col: str, n: int):
 
 # ---------------------------------------------------------------- MinHash + LSH
 
+# multiply-add constants for the i-th "permutation": h -> h*a_i + b_i
+# (mod 2^64 via native long overflow). Odd multipliers => bijection, so
+# taking the min under any fixed total order is a valid MinHash.
+_MH_MULT = 0x9E3779B97F4A7C15  # golden-ratio mix
+_MH_SALT = 0xC2B2AE3D27D4EB4F
+
+
+def _perm_consts(i: int) -> tuple[int, int]:
+    a = ((_MH_MULT * (i + 1)) | 1) & 0xFFFFFFFFFFFFFFFF
+    b = (_MH_SALT * (i + 13)) & 0xFFFFFFFFFFFFFFFF
+
+    def signed(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    return signed(a), signed(b)
+
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 64, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Append ``signature: array<bigint>`` (one min-hash per seed).
+    """(id, signature: array<bigint>) — one min-hash per permutation.
 
-    sig[i] = min over shingles of xxhash64(shingle, seed=i) — 'hash each
-    shingle num_hashes ways, keep the min' done as a single ``transform``
-    over a seed array: stays in codegen, no UDF, no explode (the explode
-    variant shuffles |shingles| x num_hashes rows; this shuffles nothing).
+    Shape chosen for scale: hash each shingle ONCE (xxhash64), explode to
+    (id, h) rows, then one hash-aggregate computing all ``num_hashes``
+    mins as flat columns (pure codegen; partial aggregation makes the
+    shuffle O(docs), not O(docs x shingles)). The naive
+    nested-higher-order-function formulation falls out of whole-stage
+    codegen and is ~100x slower.
     """
-    sh = _shingles(text_col, shingle_n)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.xxhash64(g, s))
-        ),
+    hashes = F.transform(_shingles(text_col, shingle_n), lambda g: F.xxhash64(g))
+    exploded = df.select(F.col(id_col), F.explode(hashes).alias("__h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _perm_consts(i)
+        aggs.append(F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__s{i}"))
+    wide = exploded.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("signature"),
     )
-    return df.withColumn("signature", sig)
 
 
 def minhash_lsh_candidates(
@@ -95,12 +119,13 @@ def minhash_lsh_candidates(
     (id_a, id_b) with id_a < id_b, distinct.
 
     Plan: signature -> explode to (band, band_hash) -> self-join on the
-    bucket. The join key is (band, 64-bit hash): tiny rows, broadcast-able
-    bucket histogram, and the quadratic blow-up is bounded per-bucket (LSH
-    guarantees near-dup buckets stay small for reasonable thresholds).
+    bucket. The join key is (band, 64-bit hash): tiny rows, and the
+    quadratic blow-up is bounded per-bucket (near-dup buckets stay small
+    for reasonable thresholds). The banded relation is one shuffle output
+    reused on both sides of the self-join (exchange reuse).
     """
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, num_hashes, shingle_n).select(id_col, "signature")
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col),
@@ -142,7 +167,12 @@ def minhash_dedup(
     shingle sets back in only for surviving candidates.
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    # verify on hashed shingles: exact Jaccard modulo 64-bit collisions
+    # (~0 at any realistic corpus), rows ~8x lighter through the join
+    sh = df.select(
+        F.col(id_col),
+        F.transform(_shingles(text_col, shingle_n), lambda g: F.xxhash64(g)).alias("sh"),
+    )
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -247,11 +277,17 @@ def ngram_jaccard_pairs(
 
     ``block_col=None`` means all-pairs — only for small corpora; at scale
     pass a blocking column (source, length bucket, LSH bucket...).
+
+    Shingles travel through the pair join as xxhash64 longs, not strings:
+    same Jaccard (modulo negligible 64-bit collisions), much lighter
+    shuffle and a cheap long-array intersect.
     """
     sh = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
-        _shingles(text_col, n).alias("sh"),
+        F.array_sort(
+            F.transform(_shingles(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     on = [block_col] if block_col else []
