@@ -1,0 +1,83 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timely_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token change => high jaccard
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs).collect()
+    assert len(kept) == 3  # 0/1 collapse
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 0 and groups[0]["dup_count"] == 2
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)  # FAR never pairs
+
+
+def test_minhash_exact_dup_always_candidates(spark, docs):
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cands  # identical signatures share every band
+
+
+def test_simhash_properties(spark, docs):
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert rows[0] == rows[1]  # identical text => identical fingerprint
+
+    def ham(a, b):  # mask: fingerprints are signed 64-bit longs
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(rows[0], rows[2]) < ham(rows[0], rows[3])  # near-dup closer
+
+
+def test_simhash_near_dups_blocked_join(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    d = docs.withColumn("block", F.lit(1))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, block_col="block", threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # one token changed in a 23-token doc: 3 of 21 distinct trigrams differ
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert pairs[(0, 3)] < 0.05

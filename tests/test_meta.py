@@ -1,0 +1,57 @@
+"""Meta catalog + suggest/lookup tests (DataStore.java:528-624,
+MetaCache semantics)."""
+
+from pyspark.sql import functions as F
+
+from timely_spark.operators.meta import build_meta, metrics_dump, search_lookup, suggest
+
+
+def _meta(spark):
+    rows = [
+        ("sys.cpu.user", 1000, 1.0, {"host": "h001", "rack": "r1"}, None),
+        ("sys.cpu.user", 2000, 1.0, {"host": "h002", "rack": "r1"}, None),
+        ("sys.cpu.idle", 3000, 1.0, {"host": "h001"}, None),
+        ("app.req.count", 4000, 1.0, {"instance": "i-0"}, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, viz string"
+    )
+    return build_meta(df)
+
+
+def test_build_meta(spark):
+    m = _meta(spark)
+    rows = {(r["metric"], r["tag_key"], r["tag_value"]): r["last_seen"] for r in m.collect()}
+    assert rows[("sys.cpu.user", "host", "h001")] == 1000
+    assert rows[("sys.cpu.user", "rack", "r1")] == 2000  # max ts across points
+    assert ("app.req.count", "instance", "i-0") in rows
+
+
+def test_suggest_metrics_sorted_capped(spark):
+    m = _meta(spark)
+    got = [r["suggestion"] for r in suggest(m, "sys.cpu", "metrics", 10).collect()]
+    assert got == ["sys.cpu.idle", "sys.cpu.user"]
+    got = [r["suggestion"] for r in suggest(m, "sys.cpu", "metrics", 1).collect()]
+    assert got == ["sys.cpu.idle"]
+
+
+def test_suggest_tagk(spark):
+    m = _meta(spark)
+    got = [r["suggestion"] for r in suggest(m, "ost", "tagk", 10).collect()]
+    assert got == ["host"]
+
+
+def test_search_lookup_regex_and_total(spark):
+    m = _meta(spark)
+    ordered, total = search_lookup(m, tag_key="host", tag_value_pattern="^h0.*", limit=1)
+    assert total.collect()[0]["total_results"] == 3
+    rows = ordered.collect()
+    assert len(rows) == 1  # capped while total counts all (SearchLookupRequest.java:30-33)
+
+
+def test_metrics_dump(spark):
+    m = _meta(spark)
+    d = {r["metric"]: r["tags"] for r in metrics_dump(m).collect()}
+    assert d["sys.cpu.user"] == ["host=h001", "host=h002", "rack=r1"]
+    d2 = {r["metric"]: r["tags"] for r in metrics_dump(m, ignored_tags=["rack"]).collect()}
+    assert "rack=r1" not in d2["sys.cpu.user"]

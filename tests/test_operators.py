@@ -1,0 +1,263 @@
+"""Operator golden tests lifted from the reference's unit/integration
+suites (RateIteratorTest.java, DownsampleIteratorTest.java,
+TimeSeriesGroupingIteratorTest.java, HttpApiIT.java)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timely_spark.operators.aggregators import agg_expr
+from timely_spark.operators.fir import fir_filter
+from timely_spark.operators.rate import RateOptions, rate
+from timely_spark.plans.builder import run_query
+from timely_spark.plans.request import QueryRequest
+from timely_spark.plans.response import to_query_response
+
+
+def _q(d):
+    return QueryRequest.from_dict(d)
+
+
+def test_rate_constant_ramp(spark, ramp_points):
+    """RateIteratorTest.java:47-72: value i at second i => rate 1.0."""
+    base, pts = ramp_points
+    req = _q(
+        {
+            "start": 0,
+            "end": base + 10_000_000,
+            "msResolution": True,
+            "queries": [
+                {"aggregator": "sum", "metric": "sys.eth0.rx", "rate": True, "tags": {"host": "h1"}}
+            ],
+        }
+    )
+    rows = run_query(pts, req)[0].collect()
+    assert len(rows) == 119  # first point of the series emits nothing
+    assert all(abs(r["value"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_rate_interval_60s(spark, ramp_points):
+    """rateOptions.interval=60s on the 1/s ramp => 60.0 (HttpApiIT rateInterval)."""
+    base, pts = ramp_points
+    req = _q(
+        {
+            "start": 0,
+            "end": base + 10_000_000,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "sys.eth0.rx",
+                    "rate": True,
+                    "rateOptions": {"interval": "60s"},
+                    "tags": {"host": "h1"},
+                }
+            ],
+        }
+    )
+    rows = run_query(pts, req)[0].collect()
+    assert all(abs(r["value"] - 60.0) < 1e-9 for r in rows)
+
+
+def test_counter_rate_wrap(spark):
+    """RateIterator counter mode: decrease adds counterMax (RateIterator.java:60-82)."""
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    b = 1_447_767_913_000
+    lines = [f"put ctr {b + 1000} 10 h=a", f"put ctr {b + 2000} 20 h=a", f"put ctr {b + 3000} 5 h=a"]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    req = _q(
+        {
+            "start": 0,
+            "end": b + 10_000_000,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "ctr",
+                    "rate": True,
+                    "rateOptions": {"counter": True, "counterMax": 100},
+                    "tags": {"h": "a"},
+                }
+            ],
+        }
+    )
+    rows = sorted((r["bucket_ts"] - b, r["value"]) for r in run_query(pts, req)[0].collect())
+    assert rows == [(2000, 10.0), (3000, 85.0)]
+
+
+def test_counter_reset_value(spark):
+    """resetValue clamps runaway rates to 0 (RateIterator.java:84-90)."""
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    b = 1_447_767_913_000
+    lines = [f"put ctr {b + 1000} 0 h=a", f"put ctr {b + 2000} 1000000 h=a"]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    r = rate(pts, RateOptions(counter=True, reset_value=100)).collect()
+    assert len(r) == 1 and r[0]["value"] == 0.0
+
+
+def test_downsample_avg_bucketing(spark, ramp_points):
+    """Downsample.java:36 bucket alignment: start floored to the period."""
+    base, pts = ramp_points
+    req = _q(
+        {
+            "start": base,
+            "end": base + 10_000_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.eth0.rx", "downsample": "1m-avg", "tags": {}}
+            ],
+        }
+    )
+    rows = sorted(
+        (r["bucket_ts"], r["value"]) for r in run_query(pts, req)[0].collect()
+    )
+    floored = base - (base % 60_000)
+    assert rows[0][0] == floored
+    # first bucket = [floored, floored+60s) right-exclusive: holds contiguous
+    # ramp values 1..hi; avg = midpoint
+    lo, hi = 1, (floored + 60_000 - base) // 1000 - 1
+    assert rows[0][1] == pytest.approx((lo + hi) / 2)
+
+
+def test_downsample_none_identity(spark, ramp_points):
+    base, pts = ramp_points
+    req = _q(
+        {
+            "start": 0,
+            "end": base + 10_000_000,
+            "queries": [
+                {"aggregator": "none", "metric": "sys.eth0.rx", "downsample": "1ms-none", "tags": {}}
+            ],
+        }
+    )
+    rows = run_query(pts, req)[0].collect()
+    assert len(rows) == 120  # every raw point survives
+
+
+def test_dev_aggregator_formula(spark):
+    """Dev.java:8-19: sqrt(sum(x^2)/(n-1)), NOT stddev."""
+    df = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4]], ["value"])
+    got = df.agg(agg_expr("dev").alias("d")).collect()[0]["d"]
+    assert got == pytest.approx((30 / 3) ** 0.5)  # sqrt((1+4+9+16)/3)
+    one = spark.createDataFrame([(1.0,)], ["value"]).agg(agg_expr("dev").alias("d"))
+    assert one.collect()[0]["d"] is None  # n==1 -> NULL not Infinity
+
+
+def test_cross_series_combine_and_tag_projection(spark):
+    """AggregationIterator + tag projection (DataStore.java:752-762):
+    grouping keeps only queried tag keys."""
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    b = 1_447_767_913_000
+    lines = [
+        f"put m {b + 1000} 1.0 host=h1 rack=r1",
+        f"put m {b + 1000} 2.0 host=h2 rack=r1",
+        f"put m {b + 1000} 4.0 host=h1 rack=r2",
+    ]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    # no tags queried -> ALL series combine into one group
+    req = _q(
+        {
+            "start": b,
+            "end": b + 10_000,
+            "queries": [{"aggregator": "sum", "metric": "m", "downsample": "1m-sum", "tags": {}}],
+        }
+    )
+    rows = run_query(pts, req)[0].collect()
+    assert len(rows) == 1 and rows[0]["value"] == 7.0 and rows[0]["tags"] == {}
+    # group by host -> two groups
+    req2 = _q(
+        {
+            "start": b,
+            "end": b + 10_000,
+            "queries": [
+                {"aggregator": "sum", "metric": "m", "downsample": "1m-sum", "tags": {"host": "*"}}
+            ],
+        }
+    )
+    got = {r["tags"]["host"]: r["value"] for r in run_query(pts, req2)[0].collect()}
+    assert got == {"h1": 5.0, "h2": 2.0}
+
+
+def test_tag_regex_and_alternation(spark):
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    b = 1_447_767_913_000
+    lines = [
+        f"put m {b} 1.0 host=h001",
+        f"put m {b} 2.0 host=h002",
+        f"put m {b} 4.0 host=x900",
+    ]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+
+    def total(tags):
+        req = _q(
+            {
+                "start": b,
+                "end": b + 10_000,
+                "queries": [{"aggregator": "sum", "metric": "m", "downsample": "1h-sum", "tags": tags}],
+            }
+        )
+        return sum(r["value"] for r in run_query(pts, req)[0].collect())
+
+    assert total({"host": "h0.*"}) == 3.0  # regex
+    assert total({"host": "h001|x900"}) == 5.0  # alternation
+    assert total({"host": "h001"}) == 1.0  # literal
+    assert total({"host": "*"}) == 7.0  # wildcard
+    assert total({"host": "h0"}) == 0.0  # literal must match exactly
+
+
+def test_fir_moving_average(spark, ramp_points):
+    """TimeSeriesGroupingIteratorTest: 5-pt MA of the ramp = value-2."""
+    base, pts = ramp_points
+    f = (
+        fir_filter(pts.filter(F.col("metric") == "sys.eth0.rx"), "0.2,0.2,0.2,0.2,0.2")
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(f) == 116  # 120 - (5-1)
+    for r in f:
+        i = (r["ts"] - base) // 1000
+        assert r["value"] == pytest.approx(i - 2.0)
+
+
+def test_query_response_shape(spark, ramp_points):
+    """QueryResponse.java:8-60: dps keyed by epoch seconds unless msResolution."""
+    base, pts = ramp_points
+    req = _q(
+        {
+            "start": base,
+            "end": base + 10_000_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1m-avg", "tags": {"tag1": "value1"}}
+            ],
+        }
+    )
+    res = run_query(pts, req)[0]
+    out = to_query_response(res, ms_resolution=False)
+    assert len(out) == 1
+    assert out[0]["metric"] == "sys.cpu.user"
+    assert out[0]["tags"] == {"tag1": "value1"}
+    for k, v in out[0]["dps"].items():
+        assert int(k) < 10_000_000_000  # seconds, not ms
+        assert v == 1.0
+    out_ms = to_query_response(res, ms_resolution=True)
+    assert all(int(k) > 1_000_000_000_000 for k in out_ms[0]["dps"])
+
+
+def test_multi_subquery_union(spark, ramp_points):
+    base, pts = ramp_points
+    req = _q(
+        {
+            "start": base,
+            "end": base + 10_000_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1h-avg", "tags": {}},
+                {"aggregator": "max", "metric": "sys.eth0.rx", "downsample": "1h-max", "tags": {}},
+            ],
+        }
+    )
+    results = run_query(pts, req)
+    assert len(results) == 2
+    merged = results[0].unionByName(results[1]).collect()
+    metrics = {r["metric"] for r in merged}
+    assert metrics == {"sys.cpu.user", "sys.eth0.rx"}

@@ -1,0 +1,73 @@
+"""Similarity-search tests: exact brute force, LSH, IVF."""
+
+import math
+
+import pytest
+
+from timely_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
+
+
+def _vecs(spark, n=40, dim=8):
+    import random
+
+    rnd = random.Random(42)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(dim)]))
+    # vec 100 duplicates vec 0 => its nearest neighbor with cosine 1
+    rows.append((100, list(rows[0][1])))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _vecs(spark)
+
+
+def _queries(corpus):
+    from pyspark.sql import functions as F
+
+    return corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_bruteforce_topk_exact(spark, corpus):
+    res = cosine_topk(corpus, _queries(corpus), k=5).collect()
+    assert len(res) == 5
+    best = [r for r in res if r["rank"] == 1][0]
+    assert best["vec_id"] == 100  # the planted duplicate
+    assert best["cosine"] == pytest.approx(1.0)
+    # ranks are descending in cosine
+    sims = [r["cosine"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_bruteforce_python_oracle(spark, corpus):
+    rows = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    q = rows[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    expected = sorted(
+        ((cos(q, v), k) for k, v in rows.items() if k != 0), reverse=True
+    )[:5]
+    got = sorted(
+        (r["cosine"], r["vec_id"]) for r in cosine_topk(corpus, _queries(corpus), k=5).collect()
+    )
+    for (ec, ek), (gc, gk) in zip(sorted(expected), got):
+        assert ek == gk and gc == pytest.approx(ec, abs=1e-6)
+
+
+def test_lsh_finds_duplicate(spark, corpus):
+    res = lsh_topk(corpus, _queries(corpus), dim=8, k=5, planes=4).collect()
+    # the exact duplicate lands in the same bucket by construction
+    assert any(r["vec_id"] == 100 and r["cosine"] == pytest.approx(1.0) for r in res)
+
+
+def test_ivf_finds_duplicate(spark, corpus):
+    res = ivf_topk(corpus, _queries(corpus), k=5, ncells=8, nprobe=8).collect()
+    # probing every cell == exact: duplicate must surface
+    assert any(r["vec_id"] == 100 and r["cosine"] == pytest.approx(1.0) for r in res)

@@ -1,0 +1,89 @@
+"""Store layout, retention, and ingest tests."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from timely_spark.operators.retention import ageoff_filter, retention_delete_plan, ttl_for_metric
+from timely_spark.sources.lineprotocol import parse_lines_df
+from timely_spark.sources.store import read_points, write_points
+
+DAY = 86_400_000
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "metrics")
+    b = 1_447_767_913_000
+    lines = [
+        f"put sys.cpu.user {b + i * 3_600_000} {float(i)} host=h1" for i in range(48)
+    ] + [f"put app.req.count {b + i * 3_600_000} {float(i)} host=h2" for i in range(48)]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    write_points(pts, path, mode="overwrite")
+    return b, path
+
+
+def test_roundtrip_and_partition_layout(spark, store):
+    b, path = store
+    back = read_points(spark, path)
+    assert back.count() == 96
+    assert set(back.columns) == {"metric", "ts", "value", "tags", "viz"}
+    # layout: metric=<m>/dt=<day> directories exist
+    metrics = sorted(d for d in os.listdir(path) if d.startswith("metric="))
+    assert metrics == ["metric=app.req.count", "metric=sys.cpu.user"]
+    days = [d for d in os.listdir(os.path.join(path, metrics[0])) if d.startswith("dt=")]
+    assert len(days) >= 2  # 48h spans >= 2 day partitions
+
+
+def test_partition_pruning_in_plan(spark, store):
+    b, path = store
+    df = spark.read.parquet(path).filter(F.col("metric") == "sys.cpu.user")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # metric is a partition column: the filter must prune, not scan+filter
+    assert "PartitionFilters" in plan and "metric" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ageoff_filter_per_metric_ttl(spark, store):
+    b, path = store
+    pts = read_points(spark, path)
+    now = b + 47 * 3_600_000
+    kept = ageoff_filter(
+        pts, now_ms=now, ttls={"sys.": DAY}, default_ttl_ms=3 * DAY
+    )
+    per_metric = {
+        r["metric"]: r["n"]
+        for r in kept.groupBy("metric").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_metric["app.req.count"] == 48  # default 3d keeps all 48h
+    assert per_metric["sys.cpu.user"] == 25  # 1d TTL keeps trailing 24h+1
+
+
+def test_ttl_longest_prefix(spark):
+    df = spark.createDataFrame(
+        [("sys.cpu.user",), ("sys.mem",), ("app.x",)], ["metric"]
+    )
+    ttl = ttl_for_metric("metric", {"sys.": 10, "sys.cpu.": 20}, 99)
+    got = {r["metric"]: r["t"] for r in df.select("metric", ttl.alias("t")).collect()}
+    assert got == {"sys.cpu.user": 20, "sys.mem": 10, "app.x": 99}
+
+
+def test_retention_delete_plan(spark, store):
+    b, path = store
+    now = b + 47 * 3_600_000
+    doomed = retention_delete_plan(
+        spark, path, now_ms=now, ttls={"sys.": DAY}, default_ttl_ms=30 * DAY
+    )
+    assert all("metric=sys.cpu.user" in p for p in doomed)
+    assert all(p.startswith(path) for p in doomed)
+
+
+def test_corrupt_lines_side_output(spark):
+    lines = spark.createDataFrame(
+        [("put m 1447767913000 1.0 a=b",), ("garbage",), ("put m xx 1.0",)], ["value"]
+    )
+    good, bad = parse_lines_df(lines, keep_corrupt=True)
+    assert good.count() == 1
+    assert sorted(r["line"] for r in bad.collect()) == ["garbage", "put m xx 1.0"]

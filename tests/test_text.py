@@ -1,0 +1,51 @@
+"""Text-analysis operator tests: tokens, language ID, quality, fingerprint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timely_spark.operators.text import fingerprint, lang_id, quality_features, token_count
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world foo"), (1, ""), (2, "  spaced   out  "), (3, "don't stop")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {0: 3, 1: 0, 2: 2, 3: 2}
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is happy"),
+            (1, "der hund ist nicht in das haus und die katze"),
+            (2, "le chat est dans la maison pour les vacances"),
+            (3, "el perro es un animal en la casa por que si"),
+            (4, "xyzzy qwerty asdf"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "unknown"}
+
+
+def test_quality_features(spark):
+    good = "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park"
+    junk = "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(0, good), (1, junk)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[0]["quality_score"] > 0.8
+    assert rows[1]["quality_score"] < 0.3
+    assert rows[1]["punct_ratio"] > 0.5
+    assert rows[0]["stopword_ratio"] > 0.2
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma   alpha beta"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert got[0] == got[1]  # word order / whitespace invariant
+    assert got[0] != got[2]

@@ -86,6 +86,18 @@ def build_subquery(
 
     group_keys = sorted(q.tags.keys())
 
+    if q.aggregator == "none":
+        # 'none' disables downsampling AND cross-series combine
+        # (Aggregator.java:40-59): raw points, tags projected
+        keys = F.array(*[F.lit(k) for k in group_keys])
+        projected = F.map_filter("tags", lambda k, _v: F.array_contains(keys, k))
+        return df.select(
+            "metric",
+            projected.alias("tags"),
+            F.col("ts").alias("bucket_ts"),
+            "value",
+        )
+
     if spec is None or spec.aggregator == "none" or spec.aggregator == q.aggregator:
         # single-shuffle path: one aggregation over (projected tags, bucket)
         agg_name = q.aggregator
