@@ -425,6 +425,29 @@ def q_emb_knn(spark, sf_dir):
     )
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs tier).
+
+    Threshold applied to round(cosine, 6) so engine float noise (~1e-16)
+    can't flip boundary membership between Spark and the oracle.
+    """
+    from timely_spark.operators.similarity import cosine_similarity_col
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    j = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    sim = cosine_similarity_col(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        j.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
 # ----- non-SQL-expressible ops (rows-only driver check) --------------------
 
 
@@ -503,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_knn": q_emb_knn,
+        "emb_near_dup": q_emb_near_dup,
         # rows-only (no SQL oracle)
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
@@ -740,6 +764,22 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_ngram_jaccard": ngram_jaccard,
         "emb_knn": emb_knn,
+        "emb_near_dup": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b USING (i) WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+sims AS (
+  SELECT id_a, id_b, round(dot / (na.n * nb.n), 6) AS cosine
+  FROM dots JOIN nrm na ON na.vec_id = id_a
+            JOIN nrm nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, round(cosine, 4) AS cosine
+FROM sims WHERE cosine >= 0.4""",
     }
 
 

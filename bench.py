@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "doc_simhash",
     "emb_knn",
     "emb_knn_lsh",
+    "emb_near_dup",
 ]
 
 

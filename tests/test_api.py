@@ -1,0 +1,153 @@
+"""End-to-end facade tests — the HttpApiIT analogue: put a handful of
+points, then assert exact query/suggest/lookup results
+(server/src/test/java/timely/server/integration/HttpApiIT.java:93-851)."""
+
+import pytest
+
+from timely_spark.api import TimelyEngine
+
+B = 1_447_767_913_000
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine")
+    eng = TimelyEngine(
+        spark,
+        store_path=str(root / "metrics"),
+        metric_blocklist=["^blocked\\..*"],
+        tag_strips={"*": ["secret"]},
+    )
+    lines = (
+        [f"put sys.cpu.user {B + 1000 * i} 1.0 tag1=value1 tag2=value2" for i in range(10)]
+        + [f"put sys.cpu.idle {B + 1000 * i} {float(i)} tag3=value3 tag4=value4" for i in range(10)]
+        + [f"put sys.cpu.idle {B + 1000 * i} {float(i * 2)} tag3=value3 tag4=other" for i in range(10)]
+        + [f"put blocked.metric {B} 1.0 a=b"]
+        + [f"put app.x {B} 1.0 host=h1 secret=s"]
+    )
+    n = eng.put_lines(lines)
+    assert n == 31  # blocked.metric dropped
+    return eng
+
+
+def test_query_with_ms_resolution(engine):
+    """HttpApiIT.testQueryWithMsResolution:229-266 shape."""
+    out = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "avg",
+                    "metric": "sys.cpu.idle",
+                    "downsample": "1s-max",
+                    "tags": {"tag3": "value3", "tag4": "value4"},
+                }
+            ],
+        }
+    )
+    assert len(out) == 1
+    s = out[0]
+    assert s["metric"] == "sys.cpu.idle"
+    assert s["tags"] == {"tag3": "value3", "tag4": "value4"}
+    assert len(s["dps"]) == 10
+    assert s["dps"][str(B + 5000)] == 5.0
+    assert all(int(k) >= B for k in s["dps"])  # ms keys
+
+
+def test_query_second_resolution_keys(engine):
+    out = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1m-avg", "tags": {}}
+            ],
+        }
+    )
+    assert all(int(k) < 10_000_000_000 for k in out[0]["dps"])  # seconds
+
+
+def test_query_no_tags_combines_series(engine):
+    out = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "queries": [
+                {"aggregator": "sum", "metric": "sys.cpu.idle", "downsample": "1s-sum", "tags": {}}
+            ],
+        }
+    )
+    assert len(out) == 1 and out[0]["tags"] == {}
+    # both tag4 series combine: i + 2i = 3i at second i
+    assert out[0]["dps"][str((B + 4000) // 1000)] == 12.0
+
+
+def test_multi_subquery(engine):
+    out = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1m-avg", "tags": {}},
+                {"aggregator": "max", "metric": "sys.cpu.idle", "downsample": "1m-max", "tags": {}},
+            ],
+        }
+    )
+    assert {s["metric"] for s in out} == {"sys.cpu.user", "sys.cpu.idle"}
+
+
+def test_suggest_and_lookup(engine):
+    assert engine.suggest("sys.cpu", "metrics") == ["sys.cpu.idle", "sys.cpu.user"]
+    res = engine.search_lookup(tag_key="tag4", tag_value_pattern=".*")
+    assert res["totalResults"] == 2
+    assert {r["tag_value"] for r in res["results"]} == {"value4", "other"}
+
+
+def test_exclusions_applied(engine):
+    assert engine.suggest("blocked", "metrics") == []
+    # the 'secret' tag was stripped at ingest
+    assert "secret" not in {r["tag_key"] for r in engine.meta().collect()}
+
+
+def test_static_endpoints(engine):
+    assert engine.version() == "0.0.3"
+    assert engine.aggregators() == ["avg", "dev", "max", "min", "sum", "count", "none"]
+
+
+def test_cache_status(engine):
+    st = engine.cache_status()
+    assert st["oldestTs"] == B
+    assert "sys.cpu.user" in st["metrics"]
+
+
+def test_default_visibility_and_auth_filtering(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine_viz")
+    eng = TimelyEngine(spark, store_path=str(root / "m"), default_visibility="X")
+    eng.put_lines([f"put m {B} 1.0 a=b", f"put m {B + 1000} 2.0 a=b viz=(Y&Z)"])
+    q = {
+        "start": B - 1000,
+        "end": B + 60_000,
+        "msResolution": True,
+        "queries": [{"aggregator": "sum", "metric": "m", "downsample": "1s-sum", "tags": {}}],
+    }
+    assert len(eng.query(q, auths={"X"})[0]["dps"]) == 1  # only default-viz point
+    assert len(eng.query(q, auths={"X", "Y", "Z"})[0]["dps"]) == 2
+    assert eng.query(q, auths=set()) == []
+
+
+def test_retention_drops_partitions(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine_ret")
+    eng = TimelyEngine(spark, store_path=str(root / "m"), default_ttl_ms=86_400_000)
+    eng.put_lines(
+        [f"put old.metric {B} 1.0 a=b", f"put old.metric {B + 10 * 86_400_000} 2.0 a=b"]
+    )
+    now = B + 10 * 86_400_000 + 1000
+    doomed = eng.run_retention(now_ms=now)
+    assert len(doomed) == 1 and "dt=" in doomed[0]
+    vals = [
+        r["value"]
+        for r in eng.points(now_ms=now).filter("metric = 'old.metric'").collect()
+    ]
+    assert vals == [2.0]

@@ -1,0 +1,186 @@
+"""TimelyEngine — the user-facing facade.
+
+Binds the whole engine together behind the reference's API surface so a
+user of the reference can switch: ``put`` (ingest), ``query`` (the
+OpenTSDB-style read, POST /api/query), ``suggest``, ``search_lookup``,
+``metrics``, ``aggregators``, ``version``, ``cache_status``, plus the
+maintenance entry points (retention, compaction) and subscriptions.
+
+Reference endpoint inventory: SURVEY.md §2.8/§3; the annotated request
+classes under common/src/main/java/timely/api/request/.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import METRIC_SCHEMA
+from .operators.exclusions import apply_exclusions
+from .operators.meta import build_meta, metrics_dump, search_lookup, suggest
+from .operators.retention import ageoff_filter, retention_delete_plan
+from .parse import parse_put_line
+from .plans.builder import run_query
+from .plans.request import QueryRequest
+from .plans.response import to_query_response
+from .sources.lineprotocol import parse_lines_df
+from .sources.store import compact_partitions, read_points, write_points
+
+VERSION = "0.0.3"  # parity with VersionRequest.java
+
+
+class TimelyEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        meta_path: str | None = None,
+        default_visibility: str | None = None,
+        metric_blocklist: list[str] | None = None,
+        tag_strips: dict[str, list[str]] | None = None,
+        ttls: dict[str, int] | None = None,
+        default_ttl_ms: int | None = None,
+    ):
+        self.spark = spark
+        self.store_path = store_path
+        self.meta_path = meta_path or store_path.rstrip("/") + "_meta"
+        self.default_visibility = default_visibility
+        self.metric_blocklist = metric_blocklist or []
+        self.tag_strips = tag_strips or {}
+        self.ttls = ttls or {}
+        self.default_ttl_ms = default_ttl_ms
+
+    # ------------------------------------------------------------- ingest
+
+    def put_lines(self, lines: Iterable[str]) -> int:
+        """Ingest line-protocol strings (TCP/UDP put analogue, S1/S2).
+
+        Returns the number of points stored. Fire-and-forget semantics on
+        malformed lines (dropped), like TcpPutHandler.
+        """
+        df = self.spark.createDataFrame([(l,) for l in lines], ["value"])
+        pts = parse_lines_df(df)
+        return self._store(pts)
+
+    def put_json(self, payloads: Iterable[str | dict]) -> int:
+        """HTTP POST /api/put analogue (S3): JSON Metric objects
+        {"metric": ..., "timestamp": ms, "value": v, "tags": {...}}."""
+        rows = []
+        for p in payloads:
+            d = json.loads(p) if isinstance(p, str) else p
+            tags = dict(d.get("tags", {}))
+            viz = tags.pop("viz", None)
+            ts = int(d["timestamp"])
+            if ts < 1_000_000_000_000:
+                ts *= 1000
+            rows.append((d["metric"], ts, float(d["value"]), tags, viz))
+        pts = self.spark.createDataFrame(rows, METRIC_SCHEMA)
+        return self._store(pts)
+
+    def _store(self, pts: DataFrame) -> int:
+        pts = apply_exclusions(pts, self.metric_blocklist, self.tag_strips)
+        if self.default_visibility:
+            # default-visibility injection (DataStore.java:402-407)
+            pts = pts.withColumn(
+                "viz", F.coalesce(F.col("viz"), F.lit(self.default_visibility))
+            )
+        pts = pts.cache()
+        n = pts.count()
+        if n:
+            write_points(pts, self.store_path)
+            # meta side-write (DataStore.java:415-433)
+            build_meta(pts).write.mode("append").parquet(self.meta_path)
+        pts.unpersist()
+        return n
+
+    # -------------------------------------------------------------- reads
+
+    def points(self, now_ms: int | None = None) -> DataFrame:
+        """Stored points with the query-time age-off guard applied
+        (DataStoreCache.java:747-750). ``now_ms`` is injectable so tests
+        and replays can pin the clock; defaults to wall time."""
+        df = read_points(self.spark, self.store_path)
+        if self.default_ttl_ms is not None:
+            import time
+
+            df = ageoff_filter(
+                df,
+                now_ms=now_ms if now_ms is not None else int(time.time() * 1000),
+                ttls=self.ttls,
+                default_ttl_ms=self.default_ttl_ms,
+            )
+        return df
+
+    def meta(self) -> DataFrame:
+        m = self.spark.read.parquet(self.meta_path)
+        return m.groupBy("metric", "tag_key", "tag_value").agg(
+            F.max("last_seen").alias("last_seen")
+        )
+
+    def query(self, request: dict, auths: set[str] | None = None) -> list[dict]:
+        """POST /api/query: OpenTSDB JSON in, OpenTSDB JSON out."""
+        req = QueryRequest.from_dict(request)
+        results = run_query(self.points(), req, auths=auths)
+        out: list[dict] = []
+        for r in results:
+            out.extend(to_query_response(r, ms_resolution=req.ms_resolution))
+        return out
+
+    def suggest(self, q: str, kind: str = "metrics", max_results: int = 25) -> list[str]:
+        rows = suggest(self.meta(), q, kind, max_results).collect()
+        return [r["suggestion"] for r in rows]
+
+    def search_lookup(self, metric: str | None = None, tag_key: str | None = None,
+                      tag_value_pattern: str | None = None, limit: int = 25) -> dict:
+        ordered, total = search_lookup(
+            self.meta(), metric, tag_key, tag_value_pattern, limit
+        )
+        return {
+            "results": [r.asDict() for r in ordered.collect()],
+            "totalResults": total.collect()[0]["total_results"],
+        }
+
+    def metrics(self, ignored_tags: list[str] | None = None) -> list[dict]:
+        return [r.asDict() for r in metrics_dump(self.meta(), ignored_tags).collect()]
+
+    @staticmethod
+    def aggregators() -> list[str]:
+        from .operators.aggregators import ADVERTISED
+
+        return list(ADVERTISED)
+
+    @staticmethod
+    def version() -> str:
+        return VERSION
+
+    def cache_status(self) -> dict:
+        """/api/cache analogue (DataStoreCache.java:911-922): oldest/newest
+        ts + metric names currently stored."""
+        agg = self.points().agg(
+            F.min("ts").alias("oldest"), F.max("ts").alias("newest")
+        ).collect()[0]
+        names = [r["metric"] for r in self.points().select("metric").distinct().orderBy("metric").collect()]
+        return {"oldestTs": agg["oldest"], "newestTs": agg["newest"], "metrics": names}
+
+    # -------------------------------------------------------- maintenance
+
+    def run_retention(self, now_ms: int) -> list[str]:
+        """Drop wholly-expired partitions (F6/F7 as a maintenance job)."""
+        import shutil
+
+        doomed = retention_delete_plan(
+            self.spark,
+            self.store_path,
+            now_ms,
+            self.ttls,
+            self.default_ttl_ms or 7 * 86_400_000,
+        )
+        for p in doomed:
+            shutil.rmtree(p, ignore_errors=True)
+        return doomed
+
+    def compact(self) -> None:
+        compact_partitions(self.spark, self.store_path)

@@ -262,6 +262,50 @@ def simhash_near_dups(
     return pairs
 
 
+# ---------------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 0,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    ``planes=0``: exact all-pairs (self cross join) — small corpora only.
+    ``planes>0``: random-hyperplane LSH blocking first (near-identical
+    vectors share sign buckets with high probability) — the scale path;
+    trades recall for a 2^planes candidate reduction.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b.
+    """
+    from .similarity import _hyperplane_sign_bits, cosine_similarity_col
+
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    if planes > 0:
+        dim = len(vectors.select(vec_col).first()[0])
+        v = v.withColumn("__bucket", _hyperplane_sign_bits(vec_col, dim, planes))
+        join_on = ["__bucket"]
+        a, b = v.alias("a"), v.alias("b")
+        j = a.join(b, join_on)
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        j = a.crossJoin(b)
+    j = j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    sim = cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        j.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 # ---------------------------------------------------------------- n-gram Jaccard (blocked exact)
 
 
