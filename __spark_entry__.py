@@ -426,26 +426,17 @@ def q_emb_knn(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs tier).
+    """Embedding-cosine near-dup pairs (exact all-pairs tier) via the
+    blocked-GEMM operator: block pairs fan out, one numpy matmul each.
 
     Threshold applied to round(cosine, 6) so engine float noise (~1e-16)
     can't flip boundary membership between Spark and the oracle.
     """
-    from timely_spark.operators.similarity import cosine_similarity_col
+    from timely_spark.operators.dedup import embedding_near_dups
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
-    j = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    sim = cosine_similarity_col(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        j.withColumn("cosine", F.round(sim, 6))
-        .filter(F.col("cosine") >= 0.4)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round("cosine", 4).alias("cosine"),
-        )
-    )
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.4, round_to=6)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 # ----- non-SQL-expressible ops (rows-only driver check) --------------------

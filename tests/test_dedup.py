@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from timely_spark.operators.dedup import (
+    embedding_near_dups,
     exact_dedup,
     exact_dup_groups,
     minhash_dedup,
@@ -69,6 +70,40 @@ def test_simhash_near_dups_blocked_join(spark, docs):
     }
     assert pairs[(0, 1)] == 0
     assert (0, 3) not in pairs
+
+
+def test_embedding_near_dups_blocked_gemm(spark):
+    """Exact all-pairs path: hand-computable cosines; n_blocks=3 forces
+    cross-block pairs, exercising the id canonicalization."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # cos(0,1)=1 (scale-invariant)
+        (2, [1.0, 1.0, 0.0]),   # cos(0,2)=cos(1,2)=1/sqrt(2)
+        (3, [0.0, 0.0, 5.0]),   # orthogonal to all above
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(vecs, threshold=0.5, n_blocks=3).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(0, 2)] == pytest.approx(0.7071, abs=1e-4)
+    assert pairs[(1, 2)] == pytest.approx(0.7071, abs=1e-4)
+    assert not any(3 in p for p in pairs)
+    assert len(pairs) == 3
+
+
+def test_embedding_near_dups_lsh_finds_identical(spark):
+    """planes>0 path: identical-direction vectors share every sign bit."""
+    rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0]) for i in range(20)]
+    rows.append((100, [2.0, 0.0, 2.0]))
+    rows.append((101, [4.0, 0.0, 4.0]))  # same direction as 100
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(vecs, threshold=0.999, planes=4).collect()
+    }
+    assert pairs[(100, 101)] == pytest.approx(1.0)
 
 
 def test_ngram_jaccard_exact_values(spark, docs):
