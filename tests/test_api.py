@@ -122,6 +122,52 @@ def test_cache_status(engine):
     assert "sys.cpu.user" in st["metrics"]
 
 
+def test_get_mini_language_parser():
+    """QueryRequest.parseQueryParameters grammar (QueryRequest.java:515-627)."""
+    from timely_spark.plans.request import parse_get_query
+
+    req = parse_get_query(
+        {
+            "start": str(B // 1000),
+            "end": str(B // 1000 + 3600),
+            "m": [
+                "sum:rate{counter,1s,1000,500}:1m-avg:sys.cpu.user{tag1=value1}{tag2=value2}",
+                "avg:sys.cpu.idle",
+            ],
+        }
+    )
+    assert req.start == B // 1000 * 1000  # s -> ms normalization
+    q0, q1 = req.queries
+    assert q0.aggregator == "sum" and q0.metric == "sys.cpu.user"
+    assert q0.rate and q0.rate_options.counter
+    assert q0.rate_options.interval_ms == 1000
+    assert q0.rate_options.counter_max == 1000 and q0.rate_options.reset_value == 500
+    assert q0.downsample == "1m-avg"
+    assert q0.tags == {"tag1": "value1"}      # first {} group => groupBy
+    assert q0.filters == {"tag2": "value2"}   # second {} group => predicate-only
+    assert q1.aggregator == "avg" and q1.metric == "sys.cpu.idle" and not q1.rate
+
+    with pytest.raises(ValueError):
+        parse_get_query({"start": "1", "m": ["justametric"]})
+    with pytest.raises(ValueError):
+        parse_get_query({"start": "1", "m": ["a:b:c:d:e:f"]})
+
+
+def test_query_get_endpoint(engine):
+    out = engine.query_get(
+        {
+            "start": str(B - 60_000),
+            "end": str(B + 60_000),
+            "m": "max:1s-max:sys.cpu.idle{tag3=value3}{tag4=value4}",
+        }
+    )
+    # tag4 is predicate-only: filters to the value4 series but is NOT in
+    # the projected tag set
+    assert len(out) == 1
+    assert out[0]["tags"] == {"tag3": "value3"}
+    assert out[0]["dps"][str((B + 5000) // 1000)] == 5.0
+
+
 def test_default_visibility_and_auth_filtering(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("engine_viz")
     eng = TimelyEngine(spark, store_path=str(root / "m"), default_visibility="X")

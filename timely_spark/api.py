@@ -123,6 +123,16 @@ class TimelyEngine:
     def query(self, request: dict, auths: set[str] | None = None) -> list[dict]:
         """POST /api/query: OpenTSDB JSON in, OpenTSDB JSON out."""
         req = QueryRequest.from_dict(request)
+        return self._run(req, auths)
+
+    def query_get(self, params: dict, auths: set[str] | None = None) -> list[dict]:
+        """GET /api/query?start=..&m=agg:[rate:][ds:]metric{tags} — the
+        OpenTSDB mini-language (QueryRequest.java:515-627)."""
+        from .plans.request import parse_get_query
+
+        return self._run(parse_get_query(params), auths)
+
+    def _run(self, req: QueryRequest, auths: set[str] | None) -> list[dict]:
         results = run_query(self.points(), req, auths=auths)
         out: list[dict] = []
         for r in results:

@@ -71,6 +71,9 @@ def build_subquery(
     df = points.filter(F.col("metric") == q.metric)
     df = df.filter((F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
     df = _tag_predicates(df, q.tags)
+    # non-grouping filters (Filter.groupBy=false): predicate only — the
+    # tag key does NOT enter the projected tag set / series identity
+    df = _tag_predicates(df, q.filters)
     if auths is not None:
         df = viz_filter(df, auths)  # ALWAYS before any aggregation
 

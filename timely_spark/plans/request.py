@@ -23,17 +23,37 @@ class SubQuery:
     tags: dict[str, str] = field(default_factory=dict)  # value may be literal or regex
     rate: bool = False
     rate_options: RateOptions = field(default_factory=RateOptions)
+    # non-grouping predicates (Filter.groupBy=false): filter the scan but
+    # do NOT join the projected tag set / series identity
+    filters: dict[str, str] = field(default_factory=dict)
+    # tsuid list (GET ?tsuid=agg:id,id — QueryRequest.java:615-627);
+    # carried for API parity, matched against series_id at execution
+    tsuids: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict) -> "SubQuery":
         ro = RateOptions.from_dict(d.get("rateOptions"))
+        tags = dict(d.get("tags", {}))
+        filters: dict[str, str] = {}
+        # JSON filters array (QueryRequest.Filter:138-171): groupBy=true
+        # behaves as a queried tag (grouping + predicate), groupBy=false
+        # as predicate-only. NOTE a reference quirk: DataStore.query only
+        # consumes getTags() (DataStore.java:704-705,743) — parsed filters
+        # never reach execution there. We honor the documented intent.
+        for f in d.get("filters", []) or []:
+            if f.get("groupBy"):
+                tags[f["tagk"]] = f["filter"]
+            else:
+                filters[f["tagk"]] = f["filter"]
         return cls(
             metric=d["metric"],
             aggregator=d.get("aggregator", "avg"),
             downsample=d.get("downsample"),
-            tags=dict(d.get("tags", {})),
+            tags=tags,
             rate=bool(d.get("rate", False)),
             rate_options=ro,
+            filters=filters,
+            tsuids=list(d.get("tsuids", []) or []),
         )
 
     def downsample_spec(self) -> DownsampleSpec | None:
@@ -60,3 +80,87 @@ class QueryRequest:
             queries=[SubQuery.from_dict(q) for q in d.get("queries", [])],
             ms_resolution=bool(d.get("msResolution", False)),
         )
+
+
+def _parse_m(m: str) -> SubQuery:
+    """One ``m=`` expression -> SubQuery, per the GET mini-language
+    (QueryRequest.parseQueryParameters, QueryRequest.java:515-627):
+
+        <agg>:[rate[{counter[,interval[,counterMax[,resetValue]]]}]:]
+              [<downsample>:]<metric>[{groupTags}[{filterTags}]]
+
+    The first ``{}`` group are groupBy filters (grouping tags), the
+    optional second ``{}`` group are non-grouping tags.
+    """
+    parts = m.split(":")
+    if len(parts) < 2:
+        raise ValueError("Too few parameters for metric query")
+    if len(parts) > 5:
+        raise ValueError("Too many parameters for metric query")
+
+    sub = SubQuery(metric="", aggregator=parts[0])
+    for seg in parts[1:-1]:
+        if seg.startswith("rate"):
+            sub.rate = True
+            if seg != "rate":
+                # rate{counter,interval,counterMax,resetValue}
+                opts = seg[5:-1].split(",")
+                d: dict = {}
+                for i, o in enumerate(opts):
+                    if i == 0:
+                        d["counter"] = o.endswith("counter")
+                    elif i == 1 and o:
+                        d["interval"] = o
+                    elif i == 2 and o:
+                        d["counterMax"] = int(o)
+                    elif i == 3 and o:
+                        d["resetValue"] = int(o)
+                sub.rate_options = RateOptions.from_dict(d)
+        else:
+            sub.downsample = seg
+
+    metric_and_tags = parts[-1]
+    brace = metric_and_tags.find("{")
+    if brace == -1:
+        sub.metric = metric_and_tags
+        return sub
+    sub.metric = metric_and_tags[:brace]
+    if not metric_and_tags.endswith("}"):
+        raise ValueError("Tag section does not end with '}'")
+    groups = metric_and_tags[brace:].split("}")
+    for gi, grp in enumerate(g for g in groups if g):
+        for tag in grp[1:].split(","):
+            k, _, v = tag.partition("=")
+            if gi == 0:
+                sub.tags[k] = v  # groupBy filters
+            else:
+                sub.filters[k] = v  # non-grouping tags
+    return sub
+
+
+def parse_get_query(params: dict) -> QueryRequest:
+    """GET /api/query?start=..&end=..&m=..[&m=..][&tsuid=agg:id,..] ->
+    QueryRequest (QueryRequest.java:515-627). ``params`` values may be a
+    single string or a list (repeated params)."""
+
+    def many(key: str) -> list[str]:
+        v = params.get(key)
+        if v is None:
+            return []
+        return v if isinstance(v, list) else [v]
+
+    queries = [_parse_m(m) for m in many("m")]
+    for ts in many("tsuid"):
+        colon = ts.find(":")
+        sub = SubQuery(
+            metric="",
+            aggregator=ts[:colon] if colon != -1 else "avg",
+            tsuids=ts[colon + 1 :].split(","),
+        )
+        queries.append(sub)
+    d: dict = {"start": int(many("start")[0]), "queries": []}
+    if many("end"):
+        d["end"] = int(many("end")[0])
+    req = QueryRequest.from_dict(d)
+    req.queries = queries
+    return req
