@@ -271,6 +271,19 @@ def q_ts_multiquery(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_ts_none_raw(spark, sf_dir):
+    """A9 'none' aggregator (Aggregator.java:40-59, DownsampleIterator.java:161-169):
+    no downsample, no cross-series combine — raw points with the queried
+    tag projected, time-ordered by construction. Driver subset: metric
+    'error', users 0-9."""
+    pts = _points(spark, sf_dir).withColumn("tag_user", F.col("tags").getItem("user"))
+    return (
+        pts.filter((F.col("metric") == "error") & F.col("tag_user").rlike("^\\d$"))
+        .select("metric", "tag_user", F.col("ts").alias("bucket_ts"),
+                F.round("value", 4).alias("value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # general analytics (engine breadth; bench headliners)
 # ---------------------------------------------------------------------------
@@ -470,6 +483,18 @@ def q_emb_knn_lsh(spark, sf_dir):
     return lsh_topk(emb, q, dim=64, k=10, planes=6)
 
 
+def q_emb_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize to seeded centroids, probe nearest
+    cells (approximate — rows-only check)."""
+    from timely_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, q, k=10, ncells=16, nprobe=4)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: Arrow-batched fake decode over mapInPandas
     (schema/batching real; codec stubbed — rows-only check)."""
@@ -507,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lookup": q_ts_lookup,
         "ts_summarize": q_ts_summarize,
         "ts_multiquery": q_ts_multiquery,
+        "ts_none_raw": q_ts_none_raw,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "events_top_users": q_events_top_users,
@@ -522,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "media_features": q_media_features,
     }
 
@@ -717,6 +744,10 @@ FROM pts WHERE metric = 'click' GROUP BY 1, 2
 UNION ALL
 SELECT metric, ts - ts % 3600000 AS bucket_ts, round(max(value), 4) AS value
 FROM pts WHERE metric = 'error' GROUP BY 1, 2""",
+        "ts_none_raw": f"""
+WITH pts AS ({PTS})
+SELECT metric, tag_user, ts AS bucket_ts, round(value, 4) AS value
+FROM pts WHERE metric = 'error' AND regexp_matches(tag_user, '^\\d$')""",
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

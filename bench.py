@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "ts_lookup",
     "ts_summarize",
     "ts_multiquery",
+    "ts_none_raw",
     "tpch_q1",
     "tpch_q3ish",
     "events_top_users",
@@ -51,6 +52,7 @@ BENCH_QUERIES = [
     "doc_simhash",
     "emb_knn",
     "emb_knn_lsh",
+    "emb_knn_ivf",
     "emb_near_dup",
 ]
 
