@@ -95,6 +95,10 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # warm the session (codegen, parquet reader, Python workers) so the
+    # first measured query isn't charged one-time init cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).collect()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

@@ -30,7 +30,8 @@ def test_roundtrip_and_partition_layout(spark, store):
     b, path = store
     back = read_points(spark, path)
     assert back.count() == 96
-    assert set(back.columns) == {"metric", "ts", "value", "tags", "viz"}
+    # dt rides along for partition pruning (builder drops it from output)
+    assert set(back.columns) == {"metric", "ts", "value", "tags", "viz", "dt"}
     # layout: metric=<m>/dt=<day> directories exist
     metrics = sorted(d for d in os.listdir(path) if d.startswith("metric="))
     assert metrics == ["metric=app.req.count", "metric=sys.cpu.user"]

@@ -70,6 +70,14 @@ def build_subquery(
 
     df = points.filter(F.col("metric") == q.metric)
     df = df.filter((F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
+    if "dt" in df.columns:
+        # partition pruning: dt = ts div 1d is a store partition column
+        # (sources/store.py), so this predicate prunes whole directories —
+        # the F1 hour-range-scan analogue (DataStore.java:997-1039)
+        day_ms = 86_400_000
+        df = df.filter(
+            (F.col("dt") >= start_ms // day_ms) & (F.col("dt") <= end_ms // day_ms)
+        ).drop("dt")
     df = _tag_predicates(df, q.tags)
     # non-grouping filters (Filter.groupBy=false): predicate only — the
     # tag key does NOT enter the projected tag set / series identity

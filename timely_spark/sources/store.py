@@ -56,10 +56,15 @@ def write_points(
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
-    """Read the store back in point-model shape (partition cols retained
-    for pruning but dropped from the logical point schema)."""
+    """Read the store back in point-model shape. The ``dt`` partition
+    column rides along so the query builder can emit directory-level
+    pruning predicates (the analogue of Accumulo hour-range planning,
+    DataStore.getQueryRanges:997-1039); it is dropped from query output
+    by the projection stages."""
     df = spark.read.parquet(path)
-    cols = [c for c in ["metric", "ts", "value", "tags", "viz"] if c in df.columns]
+    cols = [
+        c for c in ["metric", "ts", "value", "tags", "viz", "dt"] if c in df.columns
+    ]
     return df.select(*cols)
 
 
