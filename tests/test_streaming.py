@@ -61,6 +61,82 @@ def test_streaming_ingest_availablenow(spark, tmp_path):
     }
 
 
+def test_subscription_backfill_then_tail(spark, tmp_path):
+    """X1-X3 subscription lifecycle: create/add replays the existing store
+    (backfill), a later write is picked up by the same stream (tail),
+    remove/close stop the queries (MetricScanner.java:106-268)."""
+    import time
+
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import write_points
+    from timely_spark.streaming.subscription import SubscriptionManager
+
+    b = 1_447_767_913_000
+    store = str(tmp_path / "store")
+
+    def put(lines):
+        df = spark.createDataFrame([(l,) for l in lines], ["value"])
+        write_points(parse_lines_df(df), store)
+
+    put([f"put m {b + i * 1000} {float(i)} host=h1" for i in range(5)]
+        + [f"put other {b} 9.9 host=h1"])
+
+    mgr = SubscriptionManager(spark, store, flush_seconds=1)
+    mgr.create("s1")
+    q = mgr.add("s1", "m")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(mgr.buffers.get(("s1", "m"), [])) < 5:
+            time.sleep(0.5)
+        got = mgr.buffers[("s1", "m")]
+        assert len(got) == 5  # backfill complete, 'other' filtered out
+        assert {r["value"] for r in got} == {float(i) for i in range(5)}
+
+        put([f"put m {b + 10_000} 42.0 host=h1"])  # tail-follow pickup
+        deadline = time.time() + 60
+        while time.time() < deadline and len(mgr.buffers[("s1", "m")]) < 6:
+            time.sleep(0.5)
+        assert len(mgr.buffers[("s1", "m")]) == 6
+        assert any(r["value"] == 42.0 for r in mgr.buffers[("s1", "m")])
+        assert q.isActive
+    finally:
+        mgr.close("s1")
+    assert not q.isActive
+
+
+def test_internal_metrics_listener(spark, tmp_path):
+    """X6: streaming progress events become queryable timely.* points."""
+    from timely_spark.streaming.internal_metrics import InternalMetricsListener
+
+    listener = InternalMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.txt").write_text("x\ny\n")
+        q = (
+            spark.readStream.text(str(src))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        import time
+
+        deadline = time.time() + 30  # listener events are delivered async
+        while time.time() < deadline:
+            pts = listener.drain(spark).collect()
+            if any(r["metric"] == "timely.stream.inputRows" for r in pts):
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no inputRows metric arrived")
+        assert all(r["metric"].startswith("timely.") for r in pts)
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_summarization_streaming_query(spark, tmp_path):
     """A11 streaming summarization over a bounded stream (availableNow-like:
     run one trigger of the real writeStream query)."""
