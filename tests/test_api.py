@@ -183,6 +183,36 @@ def test_default_visibility_and_auth_filtering(spark, tmp_path_factory):
     assert eng.query(q, auths=set()) == []
 
 
+def test_hot_cache_hybrid_equivalence(spark, tmp_path_factory):
+    """S7/§2.4 hybrid: with the recent-window tier enabled, a query
+    spanning the cache boundary returns exactly the uncached result
+    (DataStore.java:655-690 split-and-merge, here one union plan)."""
+    root = tmp_path_factory.mktemp("engine_hot")
+    eng = TimelyEngine(spark, store_path=str(root / "m"))
+    # two hours of minute points: cache window will cover the last hour
+    eng.put_lines(
+        [f"put m {B + i * 60_000} {float(i)} host=h1" for i in range(120)]
+    )
+    q = {
+        "start": B - 1000,
+        "end": B + 200 * 60_000,
+        "msResolution": True,
+        "queries": [
+            {"aggregator": "sum", "metric": "m", "downsample": "10m-sum", "tags": {}}
+        ],
+    }
+    plain = eng.query(q)
+    eng.enable_hot_cache(window_ms=3_600_000)
+    st = eng.cache_status()
+    assert st["metrics"] == ["m"]
+    assert st["oldestTs"] > B  # only the trailing window is cached
+    cached = eng.query(q)
+    assert cached == plain
+    # ingest through the engine refreshes the tier
+    eng.put_lines([f"put m2 {B + 121 * 60_000} 5.0 host=h1"])
+    assert "m2" in eng.cache_status()["metrics"]
+
+
 def test_retention_drops_partitions(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("engine_ret")
     eng = TimelyEngine(spark, store_path=str(root / "m"), default_ttl_ms=86_400_000)

@@ -52,6 +52,7 @@ class TimelyEngine:
         self.tag_strips = tag_strips or {}
         self.ttls = ttls or {}
         self.default_ttl_ms = default_ttl_ms
+        self._hot = None  # optional recent-window tier (enable_hot_cache)
 
     # ------------------------------------------------------------- ingest
 
@@ -93,8 +94,25 @@ class TimelyEngine:
             write_points(pts, self.store_path)
             # meta side-write (DataStore.java:415-433)
             build_meta(pts).write.mode("append").parquet(self.meta_path)
+            if self._hot is not None:
+                # cache append analogue (DataStoreCache.store:635-644)
+                self._hot.refresh(read_points(self.spark, self.store_path))
         pts.unpersist()
         return n
+
+    # ----------------------------------------------------------- hot tier
+
+    def enable_hot_cache(self, window_ms: int = 2 * 3_600_000) -> None:
+        """Pin the trailing window in executor memory (the Gorilla-cache
+        analogue, S7); queries transparently read cache+store hybrid
+        (DataStore.java:655-690)."""
+        from .sources.hot_cache import HotCache
+
+        self._hot = HotCache(self.spark, window_ms)
+        try:
+            self._hot.refresh(read_points(self.spark, self.store_path))
+        except Exception:
+            pass  # empty store: first ingest will refresh
 
     # -------------------------------------------------------------- reads
 
@@ -103,6 +121,8 @@ class TimelyEngine:
         (DataStoreCache.java:747-750). ``now_ms`` is injectable so tests
         and replays can pin the clock; defaults to wall time."""
         df = read_points(self.spark, self.store_path)
+        if self._hot is not None:
+            df = self._hot.hybrid(df)
         if self.default_ttl_ms is not None:
             import time
 
@@ -168,7 +188,10 @@ class TimelyEngine:
 
     def cache_status(self) -> dict:
         """/api/cache analogue (DataStoreCache.java:911-922): oldest/newest
-        ts + metric names currently stored."""
+        ts + metric names currently stored. With the hot tier enabled this
+        reports the cached window, like the reference."""
+        if self._hot is not None:
+            return self._hot.status()
         agg = self.points().agg(
             F.min("ts").alias("oldest"), F.max("ts").alias("newest")
         ).collect()[0]
