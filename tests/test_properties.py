@@ -1,0 +1,217 @@
+"""Property-based tests (hypothesis): operators vs plain-Python models.
+
+Each property generates a whole dataset, runs ONE Spark job over it, and
+compares against an independent Python model — so hypothesis shrinks over
+data, while Spark invocations stay batched and fast.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from timely_spark.parse import DownsampleSpec, parse_put_line
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ------------------------------------------------------------------ parsers
+
+_tag_key = st.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,8}", fullmatch=True)
+# tag values may contain escaped '=' and ',' (TagListParser.java:20-33)
+_tag_val = st.from_regex(r"[a-zA-Z0-9_.:/\\-]{1,12}", fullmatch=True)
+
+
+@given(
+    metric=st.from_regex(r"[a-zA-Z][a-zA-Z0-9_.]{0,20}", fullmatch=True),
+    ts=st.integers(min_value=1_000_000_000_000, max_value=2_000_000_000_000),
+    value=st.floats(
+        allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+    ),
+    tags=st.dictionaries(_tag_key, _tag_val, min_size=0, max_size=4),
+)
+@settings(**SETTINGS)
+def test_put_line_roundtrip(metric, ts, value, tags):
+    """format -> parse is the identity (MetricParser.java:17-30)."""
+    tag_str = " ".join(f"{k}={v}" for k, v in tags.items())
+    line = f"put {metric} {ts} {value!r} {tag_str}".rstrip()
+    if not tags:
+        # reference requires at least one tag; parser tolerates none
+        line = f"put {metric} {ts} {value!r}"
+    p = parse_put_line(line)
+    assert p.metric == metric
+    assert p.ts == ts
+    assert p.value == pytest.approx(value, rel=1e-12)
+    assert {k: v for k, v in p.tags.items() if k != "viz"} == {
+        k: v for k, v in tags.items() if k != "viz"
+    }
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10_000),
+    unit=st.sampled_from(["ms", "s", "m", "h", "d"]),
+    agg=st.sampled_from(["avg", "sum", "min", "max", "count", "dev", "none"]),
+)
+@settings(**SETTINGS)
+def test_downsample_spec_parse(n, unit, agg):
+    """'<n><unit>-<agg>' parses to exact milliseconds
+    (DownsampleIterator.getTimeInMillis:161-169)."""
+    ms = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[unit]
+    spec = DownsampleSpec.parse(f"{n}{unit}-{agg}")
+    assert spec.period_ms == n * ms
+    assert spec.aggregator == agg
+
+
+# -------------------------------------------------------- bucket alignment
+
+
+@given(
+    start=st.integers(min_value=0, max_value=10_000_000),
+    period=st.sampled_from([1000, 5000, 60_000, 300_000]),
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=40
+    ),
+)
+@settings(**SETTINGS)
+def test_downsample_bucket_alignment(spark, start, period, offsets):
+    """Bucket = start + floor((ts-start)/period)*period after the builder
+    floors start to the period (Downsample.java:31-42,
+    DataStore.java:693-695) — property-checked against integer math."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.downsample import downsample
+    from timely_spark.parse import DownsampleSpec
+
+    floored = start - (start % period)
+    rows = [("m", floored + o, 1.0, {}, None) for o in offsets]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, viz string"
+    )
+    spec = DownsampleSpec(period_ms=period, aggregator="count")
+    got = {
+        r["bucket_ts"]: r["value"]
+        for r in downsample(df, spec, start_ms=floored).collect()
+    }
+    expect: dict[int, float] = {}
+    for o in offsets:
+        b = floored + ((o // period) * period)
+        expect[b] = expect.get(b, 0.0) + 1.0
+    assert got == expect
+
+
+# ------------------------------------------------------------------- rate
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3_600),  # second offsets
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda p: p[0],
+    )
+)
+@settings(**SETTINGS)
+def test_rate_matches_model(spark, series):
+    """rate = (v2-v1)/(t2-t1)*interval per consecutive pair
+    (RateIterator.java:23-55), vs a Python diff model."""
+    from timely_spark.operators.rate import RateOptions, rate
+
+    base = 1_447_767_913_000
+    pts = sorted((base + s * 1000, v) for s, v in series)
+    df = spark.createDataFrame(
+        [("m", t, v, {"h": "1"}, None) for t, v in pts],
+        "metric string, ts long, value double, tags map<string,string>, viz string",
+    )
+    got = {
+        r["ts"]: r["value"]
+        for r in rate(df, RateOptions(interval_ms=1000)).collect()
+    }
+    expect = {
+        t2: (v2 - v1) / (t2 - t1) * 1000.0
+        for (t1, v1), (t2, v2) in zip(pts, pts[1:])
+    }
+    assert set(got) == set(expect)
+    for t in expect:
+        assert got[t] == pytest.approx(expect[t], rel=1e-9, abs=1e-9)
+
+
+# ------------------------------------------------------------- visibility
+
+
+def _viz_exprs():
+    token = st.sampled_from(["A", "B", "C", "D"])
+
+    def extend(children):
+        return st.builds(
+            lambda op, kids: (op, tuple(kids)),
+            st.sampled_from(["&", "|"]),
+            st.lists(children, min_size=2, max_size=3),
+        )
+
+    return st.recursive(token, extend, max_leaves=6)
+
+
+def _render(node) -> str:
+    if isinstance(node, str):
+        return node
+    op, kids = node
+    return "(" + op.join(_render(k) for k in kids) + ")"
+
+
+def _model_eval(node, auths) -> bool:
+    if isinstance(node, str):
+        return node in auths
+    op, kids = node
+    results = [_model_eval(k, auths) for k in kids]
+    return all(results) if op == "&" else any(results)
+
+
+@given(
+    exprs=st.lists(_viz_exprs(), min_size=1, max_size=8),
+    auths=st.sets(st.sampled_from(["A", "B", "C", "D"]), max_size=4),
+)
+@settings(**SETTINGS)
+def test_viz_filter_matches_model(spark, exprs, auths):
+    """The driver-side expression evaluator + isin filter agrees with a
+    recursive boolean model on arbitrary &/| trees (ColumnVisibility
+    semantics, F5)."""
+    from timely_spark.functions.viz import viz_filter
+
+    rows = [("m", 1, float(i), {}, _render(e)) for i, e in enumerate(exprs)]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, viz string"
+    )
+    got = {r["value"] for r in viz_filter(df, auths).collect()}
+    expect = {float(i) for i, e in enumerate(exprs) if _model_eval(e, auths)}
+    assert got == expect
+
+
+# ---------------------------------------------------------- dev aggregator
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_dev_is_rms_not_stddev(spark, values):
+    """Timely's dev = sqrt(sum(x^2)/(n-1)) — no mean subtraction
+    (Dev.java:1-21). Property-check the exact formula."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.aggregators import agg_expr
+
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    got = df.agg(agg_expr("dev").alias("d")).collect()[0]["d"]
+    expect = math.sqrt(sum(v * v for v in values) / (len(values) - 1))
+    assert got == pytest.approx(expect, rel=1e-9)
