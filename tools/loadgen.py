@@ -54,11 +54,56 @@ def generate_lines(minutes: int, series_per_metric: int, base_ms: int):
                 yield f"put {metric} {ts} {v:.4f} host={h} rack=r{int(h[1:]) % 2 + 1}"
 
 
+def run_queries(spark, store_path: str, base_ms: int, minutes: int, n_queries: int) -> None:
+    """Query-load leg mirroring TestQueryRunner
+    (server/.../application/testquery/TestQueryRunner.java): random
+    downsample/agg/rate queries over a random slice of the backlog,
+    through the full OpenTSDB request path."""
+    import random
+
+    from timely_spark.api import TimelyEngine
+
+    rnd = random.Random(7)
+    eng = TimelyEngine(spark, store_path=store_path)
+    aggs = ["avg", "sum", "min", "max", "count", "dev"]
+    downs = ["1m-avg", "5m-max", "1m-sum", "10m-avg"]
+    t0 = time.time()
+    rows = 0
+    for i in range(n_queries):
+        metric = METRIC_TEMPLATES[rnd.randrange(len(METRIC_TEMPLATES))][0]
+        start = base_ms + rnd.randrange(max(minutes * 60_000 // 2, 1))
+        q = {
+            "start": start,
+            "end": start + 60 * 60_000,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": rnd.choice(aggs),
+                    "metric": metric,
+                    "downsample": rnd.choice(downs),
+                    "rate": rnd.random() < 0.25,
+                    "tags": {"host": "h000"} if rnd.random() < 0.5 else {},
+                }
+            ],
+        }
+        out = eng.query(q)
+        rows += sum(len(s["dps"]) for s in out)
+    dt = time.time() - t0
+    print(
+        f"ran {n_queries} queries in {dt:.2f}s = {n_queries/dt:.1f} q/s "
+        f"({rows} dps total)"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=int, default=10)
     ap.add_argument("--series", type=int, default=20)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--queries", type=int, default=0,
+        help="after ingest, run N random queries against the store (TestQueryRunner leg)",
+    )
     args = ap.parse_args()
 
     from timely_spark.session import get_spark
@@ -77,6 +122,8 @@ def main() -> int:
     write_points(pts, out, mode="overwrite")
     dt = time.time() - t0
     print(f"ingested {len(lines)} points in {dt:.2f}s = {len(lines)/dt:.0f} pts/s")
+    if args.queries:
+        run_queries(spark, out, base_ms, args.minutes, args.queries)
     if args.out is None:
         shutil.rmtree(out, ignore_errors=True)
     spark.stop()
