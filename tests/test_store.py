@@ -81,6 +81,50 @@ def test_retention_delete_plan(spark, store):
     assert all(p.startswith(path) for p in doomed)
 
 
+def test_compaction_merges_small_files(spark, tmp_path):
+    """Small-file compaction (MetricCompactionStrategy analogue): N append
+    deltas collapse to one file per partition, data byte-identical."""
+    from timely_spark.sources.store import compact_partitions
+
+    path = str(tmp_path / "m")
+    b = 1_447_767_913_000
+    for batch in range(5):  # five appends -> five files per partition
+        lines = [f"put m {b + batch * 1000 + i} {float(batch)} host=h1" for i in range(10)]
+        pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+        write_points(pts, path)
+
+    def parquet_files():
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = read_points(spark, path).orderBy("ts").collect()
+    assert len(parquet_files()) >= 5
+    compact_partitions(spark, path)
+    assert len(parquet_files()) == 1  # one partition dir -> one file
+    after = read_points(spark, path).orderBy("ts").collect()
+    assert after == before
+
+
+def test_compact_meta_folds_deltas(spark, tmp_path):
+    from timely_spark.operators.meta import build_meta
+    from timely_spark.sources.store import compact_meta
+
+    meta_path = str(tmp_path / "meta")
+    b = 1_447_767_913_000
+    for batch in range(3):
+        lines = [f"put m {b + batch * 1000} 1.0 host=h1"]
+        pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+        build_meta(pts).write.mode("append").parquet(meta_path)
+    assert spark.read.parquet(meta_path).count() == 3
+    folded = compact_meta(spark, meta_path).collect()
+    assert len(folded) == 1
+    assert folded[0]["last_seen"] == b + 2000  # max last_seen survives
+
+
 def test_corrupt_lines_side_output(spark):
     lines = spark.createDataFrame(
         [("put m 1447767913000 1.0 a=b",), ("garbage",), ("put m xx 1.0",)], ["value"]
