@@ -81,8 +81,41 @@ def bench_ingest(spark, sf_dir: str) -> tuple[float, int]:
     pts = parse_lines_df(lines)
     write_points(pts, out, mode="overwrite")
     dt = time.time() - t0
-    shutil.rmtree(out, ignore_errors=True)
-    return dt, n
+    return dt, n, out
+
+
+def bench_store_query(spark, store_path: str) -> tuple[float, int]:
+    """Engine query over the partitioned store just written: exercises
+    dt/metric partition pruning + the single-shuffle downsample path
+    through the full OpenTSDB request pipeline."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.api import TimelyEngine
+
+    eng = TimelyEngine(spark, store_path=store_path)
+    bounds = eng.points().agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo = bounds["lo"]
+    t0 = time.time()
+    out = eng.query(
+        {
+            "start": lo,
+            "end": lo + 6 * 3_600_000,  # 6h slice of the backlog
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "click",
+                    "downsample": "5m-avg",
+                    "tags": {},
+                }
+            ],
+        }
+    )
+    dt = time.time() - t0
+    dps = sum(len(s["dps"]) for s in out)
+    return dt, dps
 
 
 def main() -> int:
@@ -112,13 +145,21 @@ def main() -> int:
         times[name] = round(time.time() - t0, 3)
         print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
-    ingest_sec, ingest_rows = bench_ingest(spark, sf_dir)
+    ingest_sec, ingest_rows, store_path = bench_ingest(spark, sf_dir)
     times["ingest_lineprotocol"] = round(ingest_sec, 3)
     print(
         f"  ingest_lineprotocol: {ingest_sec:.3f}s "
         f"({ingest_rows} pts, {ingest_rows / max(ingest_sec, 1e-9):.0f} pts/s)",
         file=sys.stderr,
     )
+    try:
+        sq_sec, sq_dps = bench_store_query(spark, store_path)
+        times["store_query_pruned"] = round(sq_sec, 3)
+        print(
+            f"  store_query_pruned: {sq_sec:.3f}s ({sq_dps} dps)", file=sys.stderr
+        )
+    finally:
+        shutil.rmtree(store_path, ignore_errors=True)
 
     total = round(sum(v for v in times.values() if v >= 0), 3)
     print(
