@@ -335,6 +335,34 @@ def q_tpch_q3ish(spark, sf_dir):
     return rev.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min inactivity closes a session):
+    lag + running sum of boundary flags per user — the standard
+    training-pipeline session op; Spark session_window's batch analogue."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    gap = 30 * 60_000
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap, 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def q_events_top_users(spark, sf_dir):
     """§2.7 sorts/limits: top-20 users by total value, deterministic tiebreak."""
     ev = _t(spark, sf_dir, "events")
@@ -536,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "events_top_users": q_events_top_users,
+        "events_sessionize": q_events_sessionize,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
@@ -771,6 +800,22 @@ GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
 FROM events GROUP BY 1
 ORDER BY total_value DESC, user_id LIMIT 20""",
+        "events_sessionize": """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events),
+flagged AS (
+  SELECT user_id, ts_ms, value,
+         CASE WHEN ts_ms - lag(ts_ms) OVER w > 30*60000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+sess AS (
+  SELECT user_id, ts_ms, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged)
+SELECT user_id, sess_no, count(*) AS n_events,
+       max(ts_ms) - min(ts_ms) AS duration_ms,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY 1, 2""",
         "doc_exact_dedup": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
        count(*) AS dup_count

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3ish",
     "events_top_users",
+    "events_sessionize",
     "doc_exact_dedup",
     "doc_fingerprint",
     "doc_token_count",
