@@ -408,6 +408,14 @@ def q_doc_token_count(spark, sf_dir):
     return docs.select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer piece count (GPT-2-style split regex)."""
+    from timely_spark.operators.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count("text").alias("n_pieces"))
+
+
 def q_doc_lang_id(spark, sf_dir):
     from timely_spark.operators.text import lang_id
 
@@ -568,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -584,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from timely_spark.operators.text import (
+        BPE_TOKEN_COUNT_SQL,
         FINGERPRINT_SQL,
         TOKEN_COUNT_SQL,
         TOKENS_SQL,
@@ -826,6 +836,8 @@ SELECT {FINGERPRINT_SQL.format(c=c)} AS fp, min(doc_id) AS keep_id,
 FROM documents GROUP BY 1""",
         "doc_token_count": f"""
 SELECT doc_id, {TOKEN_COUNT_SQL.format(c=c)} AS n_tokens FROM documents""",
+        "doc_bpe_tokens": f"""
+SELECT doc_id, {BPE_TOKEN_COUNT_SQL.format(c=c)} AS n_pieces FROM documents""",
         "doc_lang_id": f"""
 SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,

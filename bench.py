@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_fingerprint",
     "doc_token_count",
+    "doc_bpe_tokens",
     "doc_lang_id",
     "doc_quality",
     "doc_ngram_jaccard",

@@ -49,3 +49,20 @@ def test_fingerprint_order_insensitive(spark):
     got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
     assert got[0] == got[1]  # word order / whitespace invariant
     assert got[0] != got[2]
+
+
+def test_bpe_token_count_pieces(spark):
+    """GPT-2-style pre-tokenizer pieces: contractions split, digits and
+    punctuation separate from letters, whitespace runs collapse."""
+    from timely_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(0, "It's a test, isn't it? 123 abc-def  end "), (1, ""), (2, "hello")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()
+    }
+    # It|'s| a| test|,| isn|'t| it|?| 123| abc|-|def| |end| => 16 pieces
+    assert got == {0: 16, 1: 0, 2: 1}

@@ -30,6 +30,27 @@ def token_count(text_col: str | Column = "text") -> Column:
     return F.size(tokens(text_col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer classes, restricted to syntax Java regex and
+# DuckDB's RE2 treat identically (no lookahead/backrefs): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text_col: str | Column = "text") -> Column:
+    """Pre-tokenizer piece count — the usual fast proxy for 'how many BPE
+    tokens will this doc cost' before a real tokenizer pass (each piece
+    splits into >=1 merges, so this lower-bounds true BPE counts with a
+    stable ratio on natural text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), F.lit(0))).cast("long")
+
+
+BPE_TOKEN_COUNT_SQL = (
+    "CAST(len(regexp_extract_all({c}, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+')) AS BIGINT)"
+)
+
+
 def _stopword_hits(text_col, words: list[str]) -> Column:
     toks = tokens(text_col)
     wl = F.array(*[F.lit(w) for w in words])
