@@ -92,6 +92,56 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """audio rows -> AUDIO_FEATURES_SCHEMA via mapInPandas (codec STUBBED,
+    same contract as extract_image_features)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires a codec library not present in this "
+                    "container; run with fake=True to exercise the pipeline"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.sha256(payload or b"").digest()
+                rows.append(
+                    (
+                        int(mid),
+                        1.0 + h[0] % 30,
+                        [8000, 16000, 44100, 48000][h[1] % 4],
+                        1 + h[2] % 2,
+                        h[3] / 255.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_s", "sample_rate", "channels", "rms"],
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
 def sample_video_frames(
     media: DataFrame, every_n_seconds: float = 1.0, fake: bool = False
 ) -> DataFrame:
