@@ -167,3 +167,59 @@ def test_summarization_streaming_query(spark, tmp_path):
     import os
 
     assert os.path.isdir(str(tmp_path / "out"))
+
+
+def test_streaming_rate_state_across_microbatches(spark, tmp_path):
+    """W1 as a custom stateful streaming operator: per-series last-point
+    state carries across micro-batches (maxFilesPerTrigger=1 forces the
+    batch boundary mid-series); output equals the batch rate operator."""
+    from timely_spark.operators.rate import RateOptions, rate
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.streaming.stateful_rate import streaming_rate
+
+    b = 1_447_767_913_000
+    src = tmp_path / "pts"
+    src.mkdir()
+    # two series interleaved; split mid-series across two files
+    f1 = [f"put m {b + i * 1000} {float(i * i)} host=h1" for i in range(5)] + [
+        f"put m {b + i * 2000} {float(i)} host=h2" for i in range(3)
+    ]
+    f2 = [f"put m {b + i * 1000} {float(i * i)} host=h1" for i in range(5, 10)] + [
+        f"put m {b + i * 2000} {float(i)} host=h2" for i in range(3, 6)
+    ]
+    (src / "f1.txt").write_text("\n".join(f1) + "\n")
+    (src / "f2.txt").write_text("\n".join(f2) + "\n")
+
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    pts = parse_lines_df(lines)
+    q = (
+        streaming_rate(pts, RateOptions(interval_ms=1000))
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["series_key"], r["ts"]): r["value"]
+        for r in spark.sql("select * from rates").collect()
+    }
+
+    batch_pts = parse_lines_df(
+        spark.createDataFrame([(l,) for l in f1 + f2], ["value"])
+    )
+    from timely_spark.model import series_id
+
+    expect = {
+        (r["__series"], r["ts"]): r["value"]
+        for r in rate(batch_pts, RateOptions(interval_ms=1000))
+        .withColumn("__series", series_id())
+        .collect()
+    }
+    assert len(got) == len(expect) == 8 + 8 - 2  # each series loses its first point
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
