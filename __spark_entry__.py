@@ -158,7 +158,12 @@ def q_ts_fir_ma5(spark, sf_dir):
     pts = _points(spark, sf_dir)
     f = fir_filter(pts, [0.2, 0.2, 0.2, 0.2, 0.2])
     return f.groupBy("metric", _bucket(3_600_000)).agg(
-        F.round(F.avg("value"), 4).alias("avg_ma5"), F.count("value").alias("n")
+        # 0.2-weighted sums land EXACTLY on 4-decimal half-boundaries
+        # (e.g. 358.054/8 = 44.75675) where Spark's BigDecimal rounding
+        # and DuckDB's multiply-round disagree; the 1e-9 nudge moves every
+        # such tie off the boundary identically in both engines
+        F.round(F.avg("value") + F.lit(1e-9), 4).alias("avg_ma5"),
+        F.count("value").alias("n"),
     )
 
 
@@ -722,7 +727,7 @@ f AS (SELECT metric, ts,
            + 0.2*lag(value,3) OVER w + 0.2*lag(value,4) OVER w AS ma5
       FROM pts WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts))
 SELECT metric, ts - ts % 3600000 AS bucket_ts,
-       round(avg(ma5), 4) AS avg_ma5, count(ma5) AS n
+       round(avg(ma5) + 1e-9, 4) AS avg_ma5, count(ma5) AS n
 FROM f WHERE ma5 IS NOT NULL GROUP BY 1, 2""",
         "ts_tag_regex": f"""
 WITH pts AS ({PTS})
