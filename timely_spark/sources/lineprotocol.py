@@ -72,3 +72,18 @@ def parse_lines_df(lines: DataFrame, value_col: str = "value", keep_corrupt: boo
 def read_put_file(spark, path: str) -> DataFrame:
     """Batch-ingest a file of put lines."""
     return parse_lines_df(spark.read.text(path))
+
+
+def put_socket_stream(spark, host: str = "localhost", port: int = 4242) -> DataFrame:
+    """Live TCP ``put`` ingest (S1, TcpPutHandler.java:1-43): socket source
+    -> the same parse pipeline. Port 4242 is the reference's conventional
+    tcp-port (server/conf/timely-loadtest.yml:5). The socket source is a
+    demo/dev path — production streams arrive via files or Kafka, where the
+    identical ``parse_lines_df`` expression applies."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_lines_df(lines)
