@@ -209,11 +209,9 @@ def minhash_dedup(
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     # verify on hashed shingles: exact Jaccard modulo 64-bit collisions
-    # (~0 at any realistic corpus), rows ~8x lighter through the join
-    sh = df.select(
-        F.col(id_col),
-        F.transform(_shingles(text_col, shingle_n), lambda g: F.xxhash64(g)).alias("sh"),
-    )
+    # (~0 at any realistic corpus), rows ~8x lighter through the join;
+    # same _shingle_hashes mapping the signatures use
+    sh = df.select(F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh"))
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
