@@ -340,6 +340,17 @@ def q_tpch_q3ish(spark, sf_dir):
     return rev.orderBy(F.desc("revenue"), F.col("o_orderkey")).limit(10)
 
 
+def q_events_user_cardinality(spark, sf_dir):
+    """Distinct aggregation: exact per-metric user cardinality (the
+    expand+two-phase distinct-agg shuffle pattern; the approx path is
+    approx_count_distinct — not oracle-comparable, so exact here)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min inactivity closes a session):
     lag + running sum of boundary flags per user — the standard
@@ -578,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": q_tpch_q3ish,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
+        "events_user_cardinality": q_events_user_cardinality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
@@ -815,6 +827,10 @@ GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
 FROM events GROUP BY 1
 ORDER BY total_value DESC, user_id LIMIT 20""",
+        "events_user_cardinality": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1""",
         "events_sessionize": """
 WITH ev AS (
   SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events),

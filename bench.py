@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "tpch_q3ish",
     "events_top_users",
     "events_sessionize",
+    "events_user_cardinality",
     "doc_exact_dedup",
     "doc_fingerprint",
     "doc_token_count",
