@@ -379,6 +379,35 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_tpch_q5ish(spark, sf_dir):
+    """Multi-join chain: region -> nation -> customer -> orders ->
+    lineitem, revenue per nation. The three dimension tables broadcast;
+    only orders⨝lineitem shuffles on the fact key."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_events_top_users(spark, sf_dir):
     """§2.7 sorts/limits: top-20 users by total value, deterministic tiebreak."""
     ev = _t(spark, sf_dir, "events")
@@ -587,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_none_raw": q_ts_none_raw,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
         "events_user_cardinality": q_events_user_cardinality,
@@ -823,6 +853,17 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "tpch_q5ish": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1""",
         "events_top_users": """
 SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
 FROM events GROUP BY 1

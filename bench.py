@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ts_none_raw",
     "tpch_q1",
     "tpch_q3ish",
+    "tpch_q5ish",
     "events_top_users",
     "events_sessionize",
     "events_user_cardinality",

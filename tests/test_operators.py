@@ -261,3 +261,33 @@ def test_multi_subquery_union(spark, ramp_points):
     merged = results[0].unionByName(results[1]).collect()
     metrics = {r["metric"] for r in merged}
     assert metrics == {"sys.cpu.user", "sys.eth0.rx"}
+
+
+def test_salted_agg_matches_plain(spark):
+    """Two-phase salted aggregation equals the plain groupBy for every
+    mergeable aggregator (skew relief changes the plan, not the answer)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.skew import salted_agg
+
+    rows = [("hot", float(i % 7)) for i in range(5000)] + [
+        (f"k{i % 13}", float(i)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    for agg in ["sum", "count", "min", "max", "avg"]:
+        got = {
+            r["k"]: r[f"{agg}_value"]
+            for r in salted_agg(df, ["k"], agg=agg, n_salts=8).collect()
+        }
+        fn = {
+            "sum": F.sum, "count": F.count, "min": F.min,
+            "max": F.max, "avg": F.avg,
+        }[agg]
+        want = {
+            r["k"]: r["w"]
+            for r in df.groupBy("k").agg(fn("value").alias("w")).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == _pt.approx(want[k], rel=1e-12), (agg, k)
