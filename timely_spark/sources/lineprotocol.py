@@ -74,6 +74,27 @@ def read_put_file(spark, path: str) -> DataFrame:
     return parse_lines_df(spark.read.text(path))
 
 
+def put_kafka_stream(
+    spark, bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """Production ingest path: Kafka topic of ``put`` lines -> points.
+
+    Requires the spark-sql-kafka connector on the classpath (not bundled
+    in this container — the call raises Spark's missing-data-source error
+    until the package is added via ``--packages``). The transformation is
+    the same all-JVM parse expression as every other ingest path.
+    """
+    lines = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    )
+    return parse_lines_df(lines)
+
+
 def put_socket_stream(spark, host: str = "localhost", port: int = 4242) -> DataFrame:
     """Live TCP ``put`` ingest (S1, TcpPutHandler.java:1-43): socket source
     -> the same parse pipeline. Port 4242 is the reference's conventional
