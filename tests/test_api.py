@@ -100,9 +100,34 @@ def test_multi_subquery(engine):
 
 def test_suggest_and_lookup(engine):
     assert engine.suggest("sys.cpu", "metrics") == ["sys.cpu.idle", "sys.cpu.user"]
+    assert engine.suggest("tag", "tagk") == ["tag1", "tag2", "tag3", "tag4"]
+    assert engine.suggest("other", "tagv") == ["other"]
     res = engine.search_lookup(tag_key="tag4", tag_value_pattern=".*")
     assert res["totalResults"] == 2
     assert {r["tag_value"] for r in res["results"]} == {"value4", "other"}
+
+
+def test_none_aggregator_raw_passthrough(engine):
+    """A9 through the full API: aggregator 'none' returns raw points per
+    series, no downsample, no combine (Aggregator.java:40-59)."""
+    out = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "none",
+                    "metric": "sys.cpu.idle",
+                    "tags": {"tag4": "value4"},
+                }
+            ],
+        }
+    )
+    assert len(out) == 1
+    s = out[0]
+    assert len(s["dps"]) == 10  # every raw point, ms keys
+    assert s["dps"][str(B + 7000)] == 7.0
 
 
 def test_exclusions_applied(engine):
