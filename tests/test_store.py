@@ -132,3 +132,36 @@ def test_corrupt_lines_side_output(spark):
     good, bad = parse_lines_df(lines, keep_corrupt=True)
     assert good.count() == 1
     assert sorted(r["line"] for r in bad.collect()) == ["garbage", "put m xx 1.0"]
+
+
+def test_bucketed_store_shuffle_free_rate(spark, tmp_path):
+    """Series-bucketed layout: the rate window's distribution is satisfied
+    by the bucketed scan — zero Exchange in the physical plan, and values
+    match the plain (shuffled) rate operator exactly."""
+    from timely_spark.operators.rate import RateOptions, rate
+    from timely_spark.sources.store import write_points_bucketed
+
+    b = 1_447_767_913_000
+    lines = [
+        f"put m {b + i * 1000} {float(i * (1 + i % 3))} host=h{i % 5}"
+        for i in range(200)
+    ]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    write_points_bucketed(pts, "metrics_bucketed_test", n_buckets=4)
+    try:
+        t = spark.table("metrics_bucketed_test")
+        r = rate(t, RateOptions(interval_ms=1000), series_col="series_key")
+        plan = r._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+
+        got = {(x["series_key"], x["ts"]): x["value"] for x in r.collect()}
+        plain = rate(pts, RateOptions(interval_ms=1000))
+        from timely_spark.model import series_id
+
+        want = {
+            (x["__s"], x["ts"]): x["value"]
+            for x in plain.withColumn("__s", series_id()).collect()
+        }
+        assert got == want and len(got) == 195  # 5 series x (40-1) points
+    finally:
+        spark.sql("DROP TABLE IF EXISTS metrics_bucketed_test")

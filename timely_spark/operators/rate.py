@@ -64,10 +64,19 @@ def rate(
     options: RateOptions | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
+    series_col: str | None = None,
 ) -> DataFrame:
-    """Replace ``value`` with its per-series rate; drops each series' first point."""
+    """Replace ``value`` with its per-series rate; drops each series' first point.
+
+    ``series_col``: name of a MATERIALIZED series-key column to window on
+    instead of the computed ``series_id()`` expression. When the input is
+    a series-bucketed table (store.write_points_bucketed), windowing on
+    the stored column lets the bucketed scan satisfy the window's
+    distribution — the Exchange disappears from the plan entirely.
+    """
     opt = options or RateOptions()
-    w = Window.partitionBy(series_id()).orderBy(F.col(ts_col))
+    key = F.col(series_col) if series_col else series_id()
+    w = Window.partitionBy(key).orderBy(F.col(ts_col))
     prev_v = F.lag(value_col).over(w)
     prev_t = F.lag(ts_col).over(w)
     dt = (F.col(ts_col) - prev_t).cast("double")

@@ -68,6 +68,39 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*cols)
 
 
+def write_points_bucketed(
+    points: DataFrame,
+    table: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Series-bucketed store variant: co-locates every series in one
+    bucket file, sorted by (series_key, ts).
+
+    Per-series operators (rate W1, FIR W2, per-series downsample) window
+    on the materialized ``series_key`` column, and the bucketed scan's
+    HashPartitioning satisfies the window's required distribution — NO
+    Exchange in the plan (verified in tests). At 100 TB this removes the
+    one shuffle per-series analytics would otherwise pay; the trade is
+    writing through a saveAsTable catalog entry and fixing n_buckets up
+    front (size so a bucket's hot window fits one task: ~total series /
+    n_buckets per task).
+
+    The analogue of the reference's per-series keying of iterator state
+    (DownsampleIterator.java:96-105) done at the storage layout level.
+    """
+    from ..model import series_id
+
+    df = points.withColumn("series_key", series_id())
+    (
+        df.write.bucketBy(n_buckets, "series_key")
+        .sortBy("series_key", "ts")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_points_stream(
     points: DataFrame,
     path: str,
