@@ -163,5 +163,24 @@ def test_bucketed_store_shuffle_free_rate(spark, tmp_path):
             for x in plain.withColumn("__s", series_id()).collect()
         }
         assert got == want and len(got) == 195  # 5 series x (40-1) points
+
+        # FIR and per-series downsample get the same zero-Exchange plan
+        from timely_spark.operators.downsample import downsample
+        from timely_spark.operators.fir import fir_filter
+
+        f = fir_filter(t, [0.5, 0.5], series_col="series_key")
+        assert "Exchange" not in f._jdf.queryExecution().executedPlan().toString()
+        d = downsample(t, "10s-avg", series_col="series_key")
+        assert "Exchange" not in d._jdf.queryExecution().executedPlan().toString()
+        # downsample values match the expression-keyed operator
+        dd = {
+            (x["metric"], str(sorted((x["tags"] or {}).items())), x["bucket_ts"]): x["value"]
+            for x in d.collect()
+        }
+        pd_ = {
+            (x["metric"], str(sorted((x["tags"] or {}).items())), x["bucket_ts"]): x["value"]
+            for x in downsample(pts, "10s-avg").collect()
+        }
+        assert dd == pd_
     finally:
         spark.sql("DROP TABLE IF EXISTS metrics_bucketed_test")

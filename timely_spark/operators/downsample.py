@@ -37,10 +37,15 @@ def downsample(
     start_ms: int = 0,
     ts_col: str = "ts",
     value_col: str = "value",
+    series_col: str | None = None,
 ) -> DataFrame:
     """Per-series downsample: one row per (metric, tags, bucket_ts).
 
     Output columns: metric, tags, bucket_ts (epoch ms), value.
+
+    ``series_col``: group on a materialized series-key column (bucketed
+    store) — HashPartitioning(series_key) satisfies the grouping's
+    ClusteredDistribution, so the aggregation runs without an Exchange.
     """
     if isinstance(spec, str):
         spec = DownsampleSpec.parse(spec)
@@ -50,15 +55,18 @@ def downsample(
             "metric", "tags", F.col(ts_col).alias("bucket_ts"), F.col(value_col).alias("value")
         )
     bucket = query_aligned_bucket(ts_col, start_ms, spec.period_ms)
+    key = F.col(series_col) if series_col else series_id()
     return (
         df.withColumn("bucket_ts", bucket)
-        .withColumn("__series", series_id())
-        .groupBy("metric", "__series", "bucket_ts")
+        .withColumn("__series", key)
+        .groupBy("__series", "bucket_ts")
         .agg(
+            F.first("metric").alias("metric"),
             F.first("tags").alias("tags"),
             agg_expr(spec.aggregator, value_col).alias("value"),
         )
         .drop("__series")
+        .select("metric", "tags", "bucket_ts", "value")
     )
 
 

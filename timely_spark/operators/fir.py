@@ -32,17 +32,23 @@ def fir_filter(
     weights: list[float] | str,
     ts_col: str = "ts",
     value_col: str = "value",
+    series_col: str | None = None,
 ) -> DataFrame:
     """Replace ``value`` with the FIR-filtered value.
 
     weights[0] applies to the oldest point in the window, weights[-1] to
     the current point (TimeSeriesGroupingIterator.java:215-247 multiplies
     in time order).
+
+    ``series_col``: window on a materialized series-key column (from the
+    bucketed store) instead of the computed expression — zero-Exchange
+    plan, same as rate().
     """
     if isinstance(weights, str):
         weights = parse_weights(weights)
     n = len(weights)
-    w = Window.partitionBy(series_id()).orderBy(F.col(ts_col))
+    key = F.col(series_col) if series_col else series_id()
+    w = Window.partitionBy(key).orderBy(F.col(ts_col))
     # current point gets weights[-1]; lag(i) gets weights[-1-i]
     terms = [F.lag(value_col, i).over(w) * F.lit(weights[n - 1 - i]) for i in range(n)]
     filtered = terms[0]
