@@ -79,11 +79,12 @@ def test_subscription_backfill_then_tail(spark, tmp_path):
         write_points(parse_lines_df(df), store)
 
     put([f"put m {b + i * 1000} {float(i)} host=h1" for i in range(5)]
+        + [f"put m {b} 7.7 host=h9"]  # excluded by the tag filter below
         + [f"put other {b} 9.9 host=h1"])
 
     mgr = SubscriptionManager(spark, store, flush_seconds=1)
     mgr.create("s1")
-    q = mgr.add("s1", "m")
+    q = mgr.add("s1", "m", tags={"host": "h1"})
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len(mgr.buffers.get(("s1", "m"), [])) < 5:
