@@ -147,6 +147,25 @@ def test_cache_status(engine):
     assert "sys.cpu.user" in st["metrics"]
 
 
+def test_put_json_normalization(spark, tmp_path_factory):
+    """S3 JSON ingest: seconds->ms timestamp normalization (Value.java:40-46)
+    and viz lifted out of the tag map (MetricAdapter.java:44)."""
+    root = tmp_path_factory.mktemp("engine_json")
+    eng = TimelyEngine(spark, store_path=str(root / "m"))
+    n = eng.put_json(
+        [
+            {"metric": "j.m", "timestamp": B // 1000, "value": 1.5, "tags": {"a": "b"}},
+            '{"metric": "j.m", "timestamp": %d, "value": 2.5, '
+            '"tags": {"a": "b", "viz": "X"}}' % (B + 1000),
+        ]
+    )
+    assert n == 2
+    rows = {r["ts"]: r for r in eng.points().collect()}
+    assert set(rows) == {B // 1000 * 1000, B + 1000}  # s -> ms normalized
+    lifted = rows[B + 1000]
+    assert lifted["viz"] == "X" and "viz" not in lifted["tags"]
+
+
 def test_get_mini_language_parser():
     """QueryRequest.parseQueryParameters grammar (QueryRequest.java:515-627)."""
     from timely_spark.plans.request import parse_get_query
