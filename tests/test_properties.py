@@ -215,3 +215,44 @@ def test_dev_is_rms_not_stddev(spark, values):
     got = df.agg(agg_expr("dev").alias("d")).collect()[0]["d"]
     expect = math.sqrt(sum(v * v for v in values) / (len(values) - 1))
     assert got == pytest.approx(expect, rel=1e-9)
+
+
+# ------------------------------------------------------------------- FIR
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=-2, max_value=2, allow_nan=False), min_size=1, max_size=6
+    ),
+    values=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_fir_matches_convolution_model(spark, weights, values):
+    """FIR output at point i = dot(weights, values[i-F+1..i]) once the
+    window fills (TimeSeriesGroupingIterator.java:215-247), vs a plain
+    Python sliding dot product."""
+    from timely_spark.operators.fir import fir_filter
+
+    base = 1_447_767_913_000
+    df = spark.createDataFrame(
+        [("m", base + i * 1000, v, {"h": "1"}, None) for i, v in enumerate(values)],
+        "metric string, ts long, value double, tags map<string,string>, viz string",
+    )
+    got = {r["ts"]: r["value"] for r in fir_filter(df, weights).collect()}
+    n = len(weights)
+    expect = {}
+    for i in range(n - 1, len(values)):
+        window = values[i - n + 1 : i + 1]
+        # same left-to-right add order as the lag-sum expression:
+        # current term (weights[-1]) first, then older lags
+        acc = window[-1] * weights[-1]
+        for lag in range(1, n):
+            acc += window[-1 - lag] * weights[-1 - lag]
+        expect[base + i * 1000] = acc
+    assert set(got) == set(expect)
+    for t in expect:
+        assert got[t] == pytest.approx(expect[t], rel=1e-9, abs=1e-9)
