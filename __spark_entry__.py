@@ -424,6 +424,38 @@ def q_events_top_users(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: keep ~20% of docs per source by
+    id residue — reproducible across runs/engines (curation pipelines
+    need stable splits, not rand()); per-stratum counts prove coverage."""
+    docs = _t(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 5 == 0)
+    return sample.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_id"),
+    )
+
+
+def q_tpch_q18ish(spark, sf_dir):
+    """Q18 shape: aggregate-then-semi-join — orders whose total quantity
+    exceeds a threshold, joined back for customer detail. The HAVING
+    aggregate is tiny -> broadcast semi-join against the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    j = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("total_qty", 4).alias("total_qty"),
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     """Exact dedup groups by md5(text): survivor id + dup count per hash."""
     docs = _t(spark, sf_dir, "documents")
@@ -617,10 +649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q18ish": q_tpch_q18ish,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_token_count": q_doc_token_count,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -892,6 +926,16 @@ FROM sess GROUP BY 1, 2""",
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
        count(*) AS dup_count
 FROM documents GROUP BY 1""",
+        "doc_stratified_sample": """
+SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id
+FROM documents WHERE doc_id % 5 = 0 GROUP BY 1""",
+        "tpch_q18ish": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+SELECT o_orderkey, o_custkey, round(total_qty, 4) AS total_qty,
+       round(o_totalprice, 4) AS o_totalprice
+FROM orders JOIN big ON o_orderkey = l_orderkey""",
         "doc_fingerprint": f"""
 SELECT {FINGERPRINT_SQL.format(c=c)} AS fp, min(doc_id) AS keep_id,
        count(*) AS dup_count

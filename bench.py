@@ -42,10 +42,12 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3ish",
     "tpch_q5ish",
+    "tpch_q18ish",
     "events_top_users",
     "events_sessionize",
     "events_user_cardinality",
     "doc_exact_dedup",
+    "doc_stratified_sample",
     "doc_fingerprint",
     "doc_token_count",
     "doc_bpe_tokens",
