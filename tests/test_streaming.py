@@ -224,3 +224,38 @@ def test_streaming_rate_state_across_microbatches(spark, tmp_path):
     assert len(got) == len(expect) == 8 + 8 - 2  # each series loses its first point
     for k, v in expect.items():
         assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_summarization_writeback_loop(spark, tmp_path):
+    """A11 full loop: raw points -> summarize -> sample-tagged points ->
+    store -> queryable via the same OpenTSDB API (the Flink job's
+    put-line write-back, MetricHistogram.serialize:123-167)."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.streaming.summarize import summarize_batch, summary_to_points
+
+    b = 1_447_767_913_000 - (1_447_767_913_000 % 60_000)
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "m"))
+    eng.put_lines([f"put m {b + i * 1000} {float(i)} host=h1" for i in range(1, 60)])
+
+    summary = summarize_batch(eng.points(), window_ms=60_000, exact=True)
+    wb = summary_to_points(summary)
+    n = eng._store(wb)
+    assert n == 9  # one point per stat
+
+    out = eng.query(
+        {
+            "start": b - 1000,
+            "end": b + 120_000,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "none",
+                    "metric": "m_summarized",
+                    "tags": {"sample": "avg"},
+                }
+            ],
+        }
+    )
+    assert len(out) == 1
+    assert out[0]["tags"] == {"sample": "avg"}
+    assert out[0]["dps"][str(b)] == pytest.approx(30.0)

@@ -88,7 +88,13 @@ class TimelyEngine:
             pts = pts.withColumn(
                 "viz", F.coalesce(F.col("viz"), F.lit(self.default_visibility))
             )
-        pts = pts.cache()
+        # localCheckpoint, not cache(): the batch may DERIVE from this very
+        # store (e.g. the summarization write-back loop), and the append
+        # below auto-invalidates any cache reading the store path — a plain
+        # cache would then re-evaluate the batch against its own output
+        # (observed as a duplicate 'sample' tag). Truncating lineage pins
+        # the batch contents; it stays distributed (executor blocks).
+        pts = pts.localCheckpoint(eager=True)
         n = pts.count()
         if n:
             write_points(pts, self.store_path)
@@ -97,7 +103,6 @@ class TimelyEngine:
             if self._hot is not None:
                 # cache append analogue (DataStoreCache.store:635-644)
                 self._hot.refresh(read_points(self.spark, self.store_path))
-        pts.unpersist()
         return n
 
     # ----------------------------------------------------------- hot tier

@@ -109,3 +109,49 @@ def summarization_query(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# sample-tag vocabulary of the reference's put-line serializer
+# (MetricHistogram.java:17-25: " sample=min\n", " sample=50p\n", ...)
+SAMPLE_TAG = {
+    "min_value": "min",
+    "max_value": "max",
+    "n": "count",
+    "sum_value": "sum",
+    "avg_value": "avg",
+    "p50": "50p",
+    "p75": "75p",
+    "p90": "90p",
+    "p99": "99p",
+}
+
+
+def summary_to_points(summary: DataFrame) -> DataFrame:
+    """Unpivot a summary row into the reference's write-back point shape:
+    one point per stat, metric ``X_summarized``, tag ``sample=<stat>``
+    appended to the series tags (MetricHistogram.serialize:123-167).
+    Feeding this to the store closes the Flink job's loop — summarized
+    series are queryable through the same API as raw ones."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).alias("s"), F.col(c).cast("double").alias("v"))
+            for c, s in SAMPLE_TAG.items()
+        ]
+    )
+    has_tags = "tags" in summary.columns
+    base_tags = (
+        F.col("tags") if has_tags else F.create_map().cast("map<string,string>")
+    )
+    ex = summary.select(
+        "metric",
+        F.col("bucket_ts").alias("ts"),
+        base_tags.alias("__base"),
+        F.explode(pairs).alias("e"),
+    )
+    return ex.select(
+        "metric",
+        "ts",
+        F.col("e.v").alias("value"),
+        F.map_concat("__base", F.create_map(F.lit("sample"), F.col("e.s"))).alias("tags"),
+        F.lit(None).cast("string").alias("viz"),
+    )
