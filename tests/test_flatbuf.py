@@ -58,3 +58,24 @@ def test_parse_flatbuffers_df(spark):
     assert pts["sys.cpu.idle"]["value"] == -2.5
     assert pts["m2"]["ts"] == B // 1000 * 1000  # s -> ms normalized
     assert pts["m2"]["viz"] == "X" and pts["m2"]["tags"] == {"a": "b"}
+
+
+def test_engine_put_flatbuffers(spark, tmp_path_factory):
+    """Binary batches flow through the same store/meta/query pipeline."""
+    from timely_spark.api import TimelyEngine
+
+    root = tmp_path_factory.mktemp("engine_fb")
+    eng = TimelyEngine(spark, store_path=str(root / "m"))
+    n = eng.put_flatbuffers([encode_metrics(SAMPLE), b"not-a-buffer"])
+    assert n == 3  # bad frame dropped, fire-and-forget
+    out = eng.query(
+        {
+            "start": B - 1000,
+            "end": B + 60_000,
+            "msResolution": True,
+            "queries": [
+                {"aggregator": "none", "metric": "sys.cpu.user", "tags": {}}
+            ],
+        }
+    )
+    assert out[0]["dps"][str(B)] == 1.0

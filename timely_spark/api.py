@@ -81,6 +81,16 @@ class TimelyEngine:
         pts = self.spark.createDataFrame(rows, METRIC_SCHEMA)
         return self._store(pts)
 
+    def put_flatbuffers(self, frames: Iterable[bytes]) -> int:
+        """FlatBuffers Metrics-batch ingest (S1 binary variant,
+        MetricsBufferDecoder.java:21-60): one frame per TCP read."""
+        from .sources.flatbuf import parse_flatbuffers_df
+
+        df = self.spark.createDataFrame(
+            [(bytearray(f),) for f in frames], "payload binary"
+        )
+        return self._store(parse_flatbuffers_df(df))
+
     def _store(self, pts: DataFrame) -> int:
         pts = apply_exclusions(pts, self.metric_blocklist, self.tag_strips)
         if self.default_visibility:
