@@ -184,3 +184,46 @@ def test_bucketed_store_shuffle_free_rate(spark, tmp_path):
         assert dd == pd_
     finally:
         spark.sql("DROP TABLE IF EXISTS metrics_bucketed_test")
+
+
+def test_promoted_tag_pushdown(spark, tmp_path_factory):
+    """Hot-tag promotion: tag_<k> predicate reaches PushedFilters, and the
+    end-to-end query result equals the unpromoted (map-filter) store."""
+    from timely_spark.api import TimelyEngine
+
+    b = 1_447_767_913_000
+    lines = [
+        f"put m {b + i * 1000} {float(i)} host=h{i % 4} rack=r{i % 2}"
+        for i in range(200)
+    ]
+    root = tmp_path_factory.mktemp("promoted")
+    plain = TimelyEngine(spark, store_path=str(root / "plain"))
+    promo = TimelyEngine(spark, store_path=str(root / "promo"), promote_tags=["host"])
+    plain.put_lines(lines)
+    promo.put_lines(lines)
+
+    back = read_points(spark, str(root / "promo"))
+    assert "tag_host" in back.columns
+
+    # the plan: host predicate lands in the scan's PushedFilters
+    df = back.filter(F.col("tag_host") == "h1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "tag_host" in pushed
+
+    req = {
+        "start": b,
+        "end": b + 300_000,
+        "msResolution": True,
+        "queries": [
+            {
+                "aggregator": "sum",
+                "metric": "m",
+                "downsample": "10s-avg",
+                "tags": {"host": "h1"},
+            }
+        ],
+    }
+    got = promo.query(req)
+    want = plain.query(req)
+    assert got == want and len(got) == 1 and got[0]["tags"] == {"host": "h1"}

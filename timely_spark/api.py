@@ -43,6 +43,7 @@ class TimelyEngine:
         tag_strips: dict[str, list[str]] | None = None,
         ttls: dict[str, int] | None = None,
         default_ttl_ms: int | None = None,
+        promote_tags: list[str] | None = None,
     ):
         self.spark = spark
         self.store_path = store_path
@@ -52,6 +53,10 @@ class TimelyEngine:
         self.tag_strips = tag_strips or {}
         self.ttls = ttls or {}
         self.default_ttl_ms = default_ttl_ms
+        # hot-tag column promotion (SURVEY §4 / store.with_promoted_tags):
+        # list the deployment's high-selectivity tag keys once at engine
+        # construction; every write materializes them as pushdown columns
+        self.promote_tags = promote_tags or []
         self._hot = None  # optional recent-window tier (enable_hot_cache)
 
     # ------------------------------------------------------------- ingest
@@ -107,7 +112,7 @@ class TimelyEngine:
         pts = pts.localCheckpoint(eager=True)
         n = pts.count()
         if n:
-            write_points(pts, self.store_path)
+            write_points(pts, self.store_path, promote_tags=self.promote_tags or None)
             # meta side-write (DataStore.java:415-433)
             build_meta(pts).write.mode("append").parquet(self.meta_path)
             if self._hot is not None:

@@ -45,7 +45,11 @@ from .request import QueryRequest, SubQuery
 
 def _tag_predicates(df: DataFrame, tags: dict[str, str]) -> DataFrame:
     for k, v in tags.items():
-        col = F.col("tags").getItem(k)
+        # prefer a promoted tag_<k> column (sources/store.with_promoted_tags):
+        # a plain string column's predicate reaches PushedFilters + row-group
+        # stats, which a tags-map access never can
+        pc = f"tag_{k}"
+        col = F.col(pc) if pc in df.columns else F.col("tags").getItem(k)
         if v == "*" or v == ".*":
             df = df.filter(col.isNotNull())
         elif is_tag_regex(v):
@@ -82,6 +86,9 @@ def build_subquery(
     # non-grouping filters (Filter.groupBy=false): predicate only — the
     # tag key does NOT enter the projected tag set / series identity
     df = _tag_predicates(df, q.filters)
+    promoted = [c for c in df.columns if c.startswith("tag_")]
+    if promoted:  # layout columns: filtered on above, never projected
+        df = df.drop(*promoted)
     if auths is not None:
         df = viz_filter(df, auths)  # ALWAYS before any aggregation
 

@@ -28,6 +28,29 @@ from pyspark.sql import functions as F
 DAY_MS = 86_400_000
 
 
+def with_promoted_tags(points: DataFrame, promote_tags: list[str]) -> DataFrame:
+    """Hot-tag column promotion (SURVEY §4): materialize ``tags[k]`` as a
+    top-level ``tag_<k>`` column at write time for the deployment's
+    high-selectivity tag keys (host, rack, instance...).
+
+    Why: a map access ``tags['host'] = 'h1'`` is evaluated row-by-row
+    after the scan — Parquet can push neither the predicate nor stats
+    for it. A promoted plain string column gets dictionary encoding,
+    row-group min/max stats, and PushedFilters, so at 100 TB a
+    one-host query skips row groups instead of decoding every tags map.
+    The query builder (plans/builder.py) transparently prefers the
+    promoted column when present; the ``tags`` map stays authoritative
+    for projection, so promotion is purely a layout optimization.
+    """
+    import re
+
+    for k in promote_tags:
+        if not re.fullmatch(r"\w+", k):
+            raise ValueError(f"cannot promote non-identifier tag key {k!r}")
+        points = points.withColumn(f"tag_{k}", F.col("tags").getItem(k))
+    return points
+
+
 def with_partition_cols(points: DataFrame, bucket_metrics: int | None = None) -> DataFrame:
     df = points.withColumn("dt", (F.col("ts") / F.lit(DAY_MS)).cast("long"))
     if bucket_metrics:
@@ -42,8 +65,17 @@ def write_points(
     path: str,
     mode: str = "append",
     bucket_metrics: int | None = None,
+    promote_tags: list[str] | None = None,
 ) -> None:
-    """Durable write (the BatchWriter-sink analogue, DataStore.java:385-510)."""
+    """Durable write (the BatchWriter-sink analogue, DataStore.java:385-510).
+
+    ``promote_tags``: also write each listed tag key as a pushdown-able
+    top-level column (see ``with_promoted_tags``). Use the same list for
+    every append — a mixed store still reads (missing values null) but
+    unpromoted files lose the pushdown.
+    """
+    if promote_tags:
+        points = with_promoted_tags(points, promote_tags)
     df = with_partition_cols(points, bucket_metrics)
     part_cols = (["metric_bucket"] if bucket_metrics else ["metric"]) + ["dt"]
     (
@@ -65,6 +97,9 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     cols = [
         c for c in ["metric", "ts", "value", "tags", "viz", "dt"] if c in df.columns
     ]
+    # promoted tag columns ride along like dt: the builder filters on them
+    # (scan pushdown) and drops them before projection
+    cols += [c for c in df.columns if c.startswith("tag_") and c not in cols]
     return df.select(*cols)
 
 
