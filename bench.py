@@ -85,7 +85,8 @@ def bench_ingest(spark, sf_dir: str) -> tuple[float, int]:
     out = tempfile.mkdtemp(prefix="timely_bench_store_")
     t0 = time.time()
     pts = parse_lines_df(lines)
-    write_points(pts, out, mode="overwrite")
+    # promote the high-selectivity user tag -> pushdown column (SCALE.md §1)
+    write_points(pts, out, mode="overwrite", promote_tags=["user"])
     dt = time.time() - t0
     return dt, n, out
 
@@ -115,6 +116,41 @@ def bench_store_query(spark, store_path: str) -> tuple[float, int]:
                     "metric": "click",
                     "downsample": "5m-avg",
                     "tags": {},
+                }
+            ],
+        }
+    )
+    dt = time.time() - t0
+    dps = sum(len(s["dps"]) for s in out)
+    return dt, dps
+
+
+def bench_store_query_tag(spark, store_path: str) -> tuple[float, int]:
+    """Single-tag query over the promoted store: the tag_user predicate
+    reaches PushedFilters (hot-tag promotion), so one user's series is
+    row-group-skipped out of the full backlog."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.api import TimelyEngine
+
+    eng = TimelyEngine(spark, store_path=store_path)
+    row = eng.points().select(F.col("tags")["user"].alias("u")).limit(1).collect()[0]
+    uid = row["u"]
+    bounds = eng.points().agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    t0 = time.time()
+    out = eng.query(
+        {
+            "start": bounds["lo"],
+            "end": bounds["hi"],
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "click",
+                    "downsample": "1h-avg",
+                    "tags": {"user": str(uid)},
                 }
             ],
         }
@@ -163,6 +199,12 @@ def main() -> int:
         times["store_query_pruned"] = round(sq_sec, 3)
         print(
             f"  store_query_pruned: {sq_sec:.3f}s ({sq_dps} dps)", file=sys.stderr
+        )
+        tg_sec, tg_dps = bench_store_query_tag(spark, store_path)
+        times["store_query_tag_pushdown"] = round(tg_sec, 3)
+        print(
+            f"  store_query_tag_pushdown: {tg_sec:.3f}s ({tg_dps} dps)",
+            file=sys.stderr,
         )
     finally:
         shutil.rmtree(store_path, ignore_errors=True)
