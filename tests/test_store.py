@@ -227,3 +227,33 @@ def test_promoted_tag_pushdown(spark, tmp_path_factory):
     got = promo.query(req)
     want = plain.query(req)
     assert got == want and len(got) == 1 and got[0]["tags"] == {"host": "h1"}
+
+
+def test_promoted_store_with_hot_cache(spark, tmp_path_factory):
+    """Promotion x hot tier: tag_<k> columns ride through the cached
+    union seam; hybrid query equals the cold-store query."""
+    from timely_spark.api import TimelyEngine
+
+    b = 1_447_767_913_000
+    lines = [
+        f"put m {b + i * 1000} {float(i)} host=h{i % 3}" for i in range(90)
+    ]
+    root = tmp_path_factory.mktemp("promo_hot")
+    eng = TimelyEngine(spark, store_path=str(root / "m"), promote_tags=["host"])
+    eng.put_lines(lines[:45])
+    eng.enable_hot_cache(window_ms=30_000)
+    eng.put_lines(lines[45:])
+
+    req = {
+        "start": b,
+        "end": b + 120_000,
+        "msResolution": True,
+        "queries": [
+            {"aggregator": "sum", "metric": "m", "downsample": "10s-avg",
+             "tags": {"host": "h1"}}
+        ],
+    }
+    hybrid = eng.query(req)
+
+    cold = TimelyEngine(spark, store_path=str(root / "m"), promote_tags=["host"])
+    assert hybrid == cold.query(req)
