@@ -356,9 +356,12 @@ def q_events_sessionize(spark, sf_dir):
     lag + running sum of boundary flags per user — the standard
     training-pipeline session op; Spark session_window's batch analogue."""
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "value"
+        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "value", "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    # event_id tiebreak: rows sharing a (user, millisecond) would otherwise
+    # order engine-dependently and tied rows straddling a session boundary
+    # could land in different sessions.
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gap = 30 * 60_000
     flagged = ev.withColumn(
         "new_sess",
@@ -908,14 +911,14 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
 FROM events GROUP BY 1""",
         "events_sessionize": """
 WITH ev AS (
-  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events),
+  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value, event_id FROM events),
 flagged AS (
-  SELECT user_id, ts_ms, value,
+  SELECT user_id, ts_ms, value, event_id,
          CASE WHEN ts_ms - lag(ts_ms) OVER w > 30*60000 THEN 1 ELSE 0 END AS new_sess
-  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
 sess AS (
   SELECT user_id, ts_ms, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                              ROWS UNBOUNDED PRECEDING) AS sess_no
   FROM flagged)
 SELECT user_id, sess_no, count(*) AS n_events,
