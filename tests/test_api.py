@@ -271,3 +271,102 @@ def test_retention_drops_partitions(spark, tmp_path_factory):
         for r in eng.points(now_ms=now).filter("metric = 'old.metric'").collect()
     ]
     assert vals == [2.0]
+
+
+def test_omitted_end_defaults_to_now(engine):
+    """QueryRequest.java:371: end omitted => System.currentTimeMillis().
+    A no-end query must return the same dps as the explicit-range one."""
+    explicit = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1m-avg", "tags": {}}
+            ],
+        }
+    )
+    no_end = engine.query(
+        {
+            "start": B - 60_000,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1m-avg", "tags": {}}
+            ],
+        }
+    )
+    assert no_end == explicit
+    # end=0 is the same "unset" shape
+    zero_end = engine.query(
+        {
+            "start": B - 60_000,
+            "end": 0,
+            "queries": [
+                {"aggregator": "avg", "metric": "sys.cpu.user", "downsample": "1m-avg", "tags": {}}
+            ],
+        }
+    )
+    assert zero_end == explicit
+
+
+def test_tsuid_query_executes(engine):
+    """GET ?tsuid=agg:id,.. (QueryRequest.java:615-627): tsuids select the
+    listed series by canonical series_id and aggregate them."""
+    from timely_spark.plans.builder import encode_tsuid
+
+    # canonical series ids per model.series_id: metric,k1=v1,k2=v2 (sorted),
+    # hex-encoded for the comma-separated GET list
+    sid_v4 = encode_tsuid("sys.cpu.idle,tag3=value3,tag4=value4")
+    sid_other = encode_tsuid("sys.cpu.idle,tag3=value3,tag4=other")
+    one = engine.query_get(
+        {
+            "start": str(B - 60_000),
+            "end": str(B + 60_000),
+            "tsuid": f"sum:{sid_v4}",
+        }
+    )
+    assert len(one) == 1
+    # raw (no downsample) sum over one series == that series' points
+    explicit = engine.query(
+        {
+            "start": B - 60_000,
+            "end": B + 60_000,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "sys.cpu.idle",
+                    "tags": {"tag3": "value3", "tag4": "value4"},
+                }
+            ],
+        }
+    )
+    assert one[0]["dps"] == explicit[0]["dps"]
+    # two tsuids aggregate across the listed series: i + 2i at second i
+    both = engine.query_get(
+        {
+            "start": str(B - 60_000),
+            "end": str(B + 60_000),
+            "tsuid": f"sum:{sid_v4},{sid_other}",
+        }
+    )
+    assert both[0]["dps"][str((B + 4000) // 1000)] == 12.0
+
+
+def test_auths_fail_closed(spark, tmp_path_factory):
+    """ADVICE: omitting auths must NOT bypass visibility (the reference
+    always filters; anonymous = empty auth set). ALL_AUTHS is the explicit
+    bypass sentinel."""
+    from timely_spark.api import ALL_AUTHS
+
+    root = tmp_path_factory.mktemp("engine_failclosed")
+    eng = TimelyEngine(spark, store_path=str(root / "m"))
+    eng.put_lines(
+        [f"put m {B} 1.0 a=b", f"put m {B + 1000} 2.0 a=b viz=SECRET"]
+    )
+    q = {
+        "start": B - 1000,
+        "end": B + 60_000,
+        "msResolution": True,
+        "queries": [{"aggregator": "sum", "metric": "m", "downsample": "1s-sum", "tags": {}}],
+    }
+    assert len(eng.query(q)[0]["dps"]) == 1  # unlabeled point only
+    assert len(eng.query(q, auths={"SECRET"})[0]["dps"]) == 2
+    assert len(eng.query(q, auths=ALL_AUTHS)[0]["dps"]) == 2

@@ -32,6 +32,20 @@ from .sources.store import compact_partitions, read_points, write_points
 VERSION = "0.0.3"  # parity with VersionRequest.java
 
 
+class _AllAuths:
+    """Sentinel: explicitly bypass visibility enforcement (superuser scans,
+    maintenance jobs). Distinct from ``None``/omitted, which fails CLOSED —
+    the reference always applies the visibility filter, and an anonymous
+    caller holds an empty auth set that can only read unlabeled data
+    (AnonymousUserDetails / ConfigurableVisibilityFilter)."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "ALL_AUTHS"
+
+
+ALL_AUTHS = _AllAuths()
+
+
 class TimelyEngine:
     def __init__(
         self,
@@ -160,20 +174,27 @@ class TimelyEngine:
             F.max("last_seen").alias("last_seen")
         )
 
-    def query(self, request: dict, auths: set[str] | None = None) -> list[dict]:
-        """POST /api/query: OpenTSDB JSON in, OpenTSDB JSON out."""
+    def query(self, request: dict, auths=None) -> list[dict]:
+        """POST /api/query: OpenTSDB JSON in, OpenTSDB JSON out.
+
+        ``auths``: the caller's authorization set. Omitted/None = anonymous
+        (empty auth set — only unlabeled data, fail closed). Pass
+        ``timely_spark.api.ALL_AUTHS`` to bypass enforcement explicitly.
+        """
         req = QueryRequest.from_dict(request)
         return self._run(req, auths)
 
-    def query_get(self, params: dict, auths: set[str] | None = None) -> list[dict]:
+    def query_get(self, params: dict, auths=None) -> list[dict]:
         """GET /api/query?start=..&m=agg:[rate:][ds:]metric{tags} — the
-        OpenTSDB mini-language (QueryRequest.java:515-627)."""
+        OpenTSDB mini-language (QueryRequest.java:515-627). Same ``auths``
+        semantics as :meth:`query`."""
         from .plans.request import parse_get_query
 
         return self._run(parse_get_query(params), auths)
 
-    def _run(self, req: QueryRequest, auths: set[str] | None) -> list[dict]:
-        results = run_query(self.points(), req, auths=auths)
+    def _run(self, req: QueryRequest, auths) -> list[dict]:
+        eff = None if auths is ALL_AUTHS else set(auths or ())
+        results = run_query(self.points(), req, auths=eff)
         out: list[dict] = []
         for r in results:
             out.extend(to_query_response(r, ms_resolution=req.ms_resolution))

@@ -125,6 +125,11 @@ def viz_filter(df: DataFrame, auths: set[str], viz_col: str = "viz") -> DataFram
     """
     if viz_col not in df.columns:
         return df
+    if not auths:
+        # anonymous (empty auth set): no labeled expression can evaluate
+        # true, so only unlabeled rows are visible — no distinct scan needed
+        c = F.col(viz_col)
+        return df.filter(c.isNull() | (c == ""))
     distinct = [
         r[0]
         for r in df.select(viz_col).filter(F.col(viz_col).isNotNull()).distinct()

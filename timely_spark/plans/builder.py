@@ -43,6 +43,22 @@ from ..parse import is_tag_regex
 from .request import QueryRequest, SubQuery
 
 
+def _decode_tsuid(t: str) -> str:
+    """Wire tsuid -> series_id string. Hex-encoded UTF-8 (the comma-free GET
+    form, encode_tsuid's output) decodes; anything non-hex is already a raw
+    series_id string and passes through."""
+    try:
+        return bytes.fromhex(t).decode("utf-8")
+    except ValueError:
+        return t
+
+
+def encode_tsuid(series: str) -> str:
+    """series_id string -> wire tsuid (hex UTF-8), safe inside the GET
+    ``?tsuid=agg:id,id`` comma list."""
+    return series.encode("utf-8").hex()
+
+
 def _tag_predicates(df: DataFrame, tags: dict[str, str]) -> DataFrame:
     for k, v in tags.items():
         # prefer a promoted tag_<k> column (sources/store.with_promoted_tags):
@@ -72,7 +88,18 @@ def build_subquery(
     # floor the query start to the bucket period (DataStore.java:693-695)
     start_ms = start_ms - (start_ms % period) if period > 1 else start_ms
 
-    df = points.filter(F.col("metric") == q.metric)
+    if q.tsuids:
+        # tsuid SubQuery (GET ?tsuid=agg:id,.. — QueryRequest.java:615-627):
+        # a tsuid here IS the canonical series_id (metric + sorted k=v tag
+        # pairs, model.series_id), hex-encoded on the wire so the GET
+        # comma-separated list stays unambiguous (the reference's tsuids are
+        # likewise hex UID strings). Raw series-id strings are accepted too
+        # (JSON path). Selects the listed series directly; the metric
+        # predicate is skipped (metric is "" on these SubQueries).
+        ids = [_decode_tsuid(t) for t in q.tsuids]
+        df = points.filter(series_id().isin(ids))
+    else:
+        df = points.filter(F.col("metric") == q.metric)
     df = df.filter((F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
     if "dt" in df.columns:
         # partition pruning: dt = ts div 1d is a store partition column

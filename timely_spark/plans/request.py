@@ -74,6 +74,13 @@ class QueryRequest:
             start *= 1000
         if 0 < end < 1_000_000_000_000:
             end *= 1000
+        if end <= 0:
+            # QueryRequest.java:371 initializes end = System.currentTimeMillis();
+            # an omitted end means "up to now" (the Grafana last-N-minutes shape),
+            # not "ts <= 0" (which silently returns nothing).
+            import time
+
+            end = int(time.time() * 1000)
         return cls(
             start=start,
             end=end,
