@@ -781,7 +781,9 @@ WITH pts AS ({PTS}),
 l AS (SELECT metric, ts, value,
              lag(value) OVER w AS pv, lag(ts) OVER w AS pt
       FROM pts WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
-r AS (SELECT metric, ts, (value - pv) / (ts - pt) * 1000.0 AS rate
+r AS (SELECT metric, ts,
+             CASE WHEN ts = pt THEN 0.0
+                  ELSE (value - pv) / (ts - pt) * 1000.0 END AS rate
       FROM l WHERE pt IS NOT NULL)
 SELECT metric, ts - ts % 900000 AS bucket_ts,
        round(avg(rate), 4) + 0.0 AS avg_rate, count(rate) AS n
@@ -792,10 +794,11 @@ l AS (SELECT metric, ts, value,
              lag(value) OVER w AS pv, lag(ts) OVER w AS pt
       FROM pts WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
 d AS (SELECT metric, ts,
-             (CASE WHEN value - pv < 0 THEN value - pv + 1000.0
-                   ELSE value - pv END) / (ts - pt) * 1000.0 AS rate
+             CASE WHEN ts = pt THEN 0.0
+                  ELSE (CASE WHEN value - pv < 0 THEN value - pv + 1000.0
+                             ELSE value - pv END) / (ts - pt) * 1000.0 END AS rate
       FROM l WHERE pt IS NOT NULL),
-r AS (SELECT metric, ts, CASE WHEN abs(rate) > 500.0 THEN 0.0 ELSE rate END AS rate FROM d)
+r AS (SELECT metric, ts, CASE WHEN rate > 500.0 THEN 0.0 ELSE rate END AS rate FROM d)
 SELECT metric, ts - ts % 3600000 AS bucket_ts,
        round(avg(rate), 4) + 0.0 AS avg_rate, count(rate) AS n
 FROM r GROUP BY 1, 2""",

@@ -291,3 +291,33 @@ def test_salted_agg_matches_plain(spark):
         assert set(got) == set(want)
         for k in want:
             assert got[k] == _pt.approx(want[k], rel=1e-12), (agg, k)
+
+
+def test_rate_same_timestamp_emits_zero(spark):
+    """RateIterator.java:93-95: a pair sharing a timestamp yields 0.0 —
+    the row is emitted, not dropped (and no divide-by-zero NULL)."""
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    b = 1_447_767_913_000
+    lines = [f"put m {b + 1000} 10 h=a", f"put m {b + 1000} 20 h=a"]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    r = rate(pts).collect()
+    assert len(r) == 1 and r[0]["value"] == 0.0
+
+
+def test_counter_negative_rate_not_clamped(spark):
+    """RateIterator.java:101-104 clamps only result > resetValue (signed):
+    a large NEGATIVE post-wrap rate passes through unclamped."""
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    b = 1_447_767_913_000
+    # dv = 0-500 = -500; wrap add counterMax=100 => -400; rate = -400.0/s
+    lines = [f"put ctr {b + 1000} 500 h=a", f"put ctr {b + 2000} 0 h=a"]
+    pts = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
+    r = rate(pts, RateOptions(counter=True, counter_max=100, reset_value=100)).collect()
+    assert len(r) == 1 and r[0]["value"] == -400.0
+    # and a positive rate beyond resetValue still clamps to 0
+    lines2 = [f"put ctr {b + 1000} 0 h=a", f"put ctr {b + 2000} 1000 h=a"]
+    pts2 = parse_lines_df(spark.createDataFrame([(l,) for l in lines2], ["value"]))
+    r2 = rate(pts2, RateOptions(counter=True, counter_max=5000, reset_value=100)).collect()
+    assert len(r2) == 1 and r2[0]["value"] == 0.0

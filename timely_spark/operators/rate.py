@@ -87,11 +87,16 @@ def rate(
         wrap_add = F.lit(float(opt.counter_max)) if opt.counter_max is not None else prev_v
         dv = F.when(dv < 0, dv + wrap_add).otherwise(dv)
 
-    r = dv / dt * F.lit(float(opt.interval_ms if opt.interval_ms is not None else 1000))
+    interval = F.lit(float(opt.interval_ms if opt.interval_ms is not None else 1000))
+    # RateIterator.java:93-95: equal-timestamp pairs emit 0.0, not a dropped
+    # row (and the explicit branch is ANSI-safe — no divide-by-zero NULL).
+    # A missing prev (series' first point) keeps dt NULL -> NULL -> dropped.
+    r = F.when(dt == 0, F.lit(0.0)).otherwise(dv / dt * interval)
 
     if opt.counter and opt.reset_value > 0:
-        # RateIterator.java:84-90: rate beyond resetValue clamps to 0
-        r = F.when(F.abs(r) > F.lit(float(opt.reset_value)), F.lit(0.0)).otherwise(r)
+        # RateIterator.java:101-104: only a rate EXCEEDING resetValue clamps
+        # to 0 — signed compare; a large negative post-wrap rate passes through
+        r = F.when(r > F.lit(float(opt.reset_value)), F.lit(0.0)).otherwise(r)
 
     out = df.withColumn("__rate", r).filter(F.col("__rate").isNotNull())
     return out.withColumn(value_col, F.col("__rate")).drop("__rate")

@@ -88,14 +88,19 @@ def streaming_rate(
                 metric = row.metric
                 t, v = int(row.ts), float(row.value)
                 if last_ts is not None:
-                    if t <= last_ts:
+                    if t < last_ts:
                         continue  # monotonic-state guard (GorillaStore.java:293-316)
-                    dv = v - last_v
-                    if counter and dv < 0:
-                        dv += counter_max if counter_max is not None else last_v
-                    r = dv / (t - last_ts) * interval
-                    if reset_value > 0 and abs(r) > reset_value:
+                    if t == last_ts:
+                        # RateIterator.java:93-95: equal-timestamp pair -> 0.0
                         r = 0.0
+                    else:
+                        dv = v - last_v
+                        if counter and dv < 0:
+                            dv += counter_max if counter_max is not None else last_v
+                        r = dv / (t - last_ts) * interval
+                        # RateIterator.java:101-104: counter mode only, signed
+                        if counter and reset_value > 0 and r > reset_value:
+                            r = 0.0
                     out_ts.append(t)
                     out_v.append(r)
                 last_ts, last_v = t, v
