@@ -276,6 +276,58 @@ def q_ts_multiquery(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_ts_engine_query(spark, sf_dir):
+    """Full engine path (HttpApiIT.java:229-266 analogue): points written
+    to a real metric/day-partitioned store, then TimelyEngine.query() —
+    request parse -> pruned store scan -> tag-regex filter -> rate ->
+    downsample -> cross-series combine -> OpenTSDB response JSON — whose
+    dps are re-flattened to rows for the oracle compare. This is the one
+    oracle row that exercises store+builder+response end-to-end rather
+    than calling operators directly."""
+    import os
+    import shutil
+
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+    from timely_spark.sources.store import write_points
+
+    store = os.path.join(
+        "/root/repo/.engine_stores", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    write_points(_points(spark, sf_dir), store)
+    eng = TimelyEngine(spark, store_path=store, meta_path=store + "_meta")
+    out = eng.query(
+        {
+            "start": 1,  # ms epoch; end omitted -> now (QueryRequest.java:371)
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "click",
+                    "downsample": "15m-avg",
+                    "rate": True,
+                    "tags": {"user": "1\\d"},  # regex => users 10-19
+                }
+            ],
+        },
+        auths=ALL_AUTHS,
+    )
+    rows = [
+        (s["metric"], s["tags"]["user"], int(ts), v)
+        for s in out
+        for ts, v in s["dps"].items()
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, tag_user string, bucket_ts long, value double"
+    )
+    return df.select(
+        "metric",
+        "tag_user",
+        "bucket_ts",
+        (F.round("value", 4) + F.lit(0.0)).alias("avg_rate"),
+    )
+
+
 def q_ts_none_raw(spark, sf_dir):
     """A9 'none' aggregator (Aggregator.java:40-59, DownsampleIterator.java:161-169):
     no downsample, no cross-series combine — raw points with the queried
@@ -648,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lookup": q_ts_lookup,
         "ts_summarize": q_ts_summarize,
         "ts_multiquery": q_ts_multiquery,
+        "ts_engine_query": q_ts_engine_query,
         "ts_none_raw": q_ts_none_raw,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
@@ -863,6 +916,21 @@ SELECT metric || '_summarized' AS metric, ts - ts % 86400000 AS bucket_ts,
        round(quantile_cont(value, 0.9), 4) AS p90,
        round(quantile_cont(value, 0.99), 4) AS p99
 FROM pts GROUP BY 1, 2""",
+        "ts_engine_query": f"""
+WITH pts AS ({PTS}),
+f AS (SELECT metric, tag_user, ts, value FROM pts
+      WHERE metric = 'click' AND regexp_matches(tag_user, '^(?:1\\d)$')),
+l AS (SELECT metric, tag_user, ts, value,
+             lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+      FROM f WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
+r AS (SELECT metric, tag_user, ts,
+             CASE WHEN ts = pt THEN 0.0
+                  ELSE (value - pv) / (ts - pt) * 900000.0 END AS rate
+      FROM l WHERE pt IS NOT NULL),
+ds AS (SELECT metric, tag_user, ts - ts % 900000 AS bucket_ts, avg(rate) AS v
+       FROM r GROUP BY 1, 2, 3)
+SELECT metric, tag_user, bucket_ts, round(sum(v), 4) + 0.0 AS avg_rate
+FROM ds GROUP BY 1, 2, 3""",
         "ts_multiquery": f"""
 WITH pts AS ({PTS})
 SELECT metric, ts - ts % 3600000 AS bucket_ts, round(avg(value), 4) AS value
