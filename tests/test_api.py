@@ -370,3 +370,23 @@ def test_auths_fail_closed(spark, tmp_path_factory):
     assert len(eng.query(q)[0]["dps"]) == 1  # unlabeled point only
     assert len(eng.query(q, auths={"SECRET"})[0]["dps"]) == 2
     assert len(eng.query(q, auths=ALL_AUTHS)[0]["dps"]) == 2
+
+
+def test_meta_ageoff_in_retention(spark, tmp_path_factory):
+    """MetaAgeOffIterator.java:26-115: retention also ages off catalog
+    entries — an expired tag value disappears from suggest/lookup."""
+    root = tmp_path_factory.mktemp("engine_meta_ttl")
+    eng = TimelyEngine(spark, store_path=str(root / "m"), default_ttl_ms=86_400_000)
+    eng.put_lines(
+        [
+            f"put m {B} 1.0 host=stale",
+            f"put m {B + 10 * 86_400_000} 2.0 host=fresh",
+        ]
+    )
+    assert eng.suggest("", "tagv") == ["fresh", "stale"]
+    now = B + 10 * 86_400_000 + 1000
+    eng.run_retention(now_ms=now)
+    assert eng.suggest("", "tagv") == ["fresh"]
+    res = eng.search_lookup(tag_key="host", tag_value_pattern=".*")
+    assert {r["tag_value"] for r in res["results"]} == {"fresh"}
+    assert res["totalResults"] == 1

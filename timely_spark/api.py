@@ -242,8 +242,12 @@ class TimelyEngine:
     # -------------------------------------------------------- maintenance
 
     def run_retention(self, now_ms: int) -> list[str]:
-        """Drop wholly-expired partitions (F6/F7 as a maintenance job)."""
+        """Drop wholly-expired point partitions AND age off the meta
+        catalog (F6/F7 as one maintenance job — MetricAgeOffIterator +
+        MetaAgeOffIterator)."""
         import shutil
+
+        from .sources.store import compact_meta_with_cutoff
 
         doomed = retention_delete_plan(
             self.spark,
@@ -254,6 +258,13 @@ class TimelyEngine:
         )
         for p in doomed:
             shutil.rmtree(p, ignore_errors=True)
+        compact_meta_with_cutoff(
+            self.spark,
+            self.meta_path,
+            now_ms,
+            self.ttls,
+            self.default_ttl_ms or 7 * 86_400_000,
+        )
         return doomed
 
     def compact(self) -> None:

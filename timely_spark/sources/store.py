@@ -173,6 +173,36 @@ def compact_meta(spark: SparkSession, meta_path: str) -> DataFrame:
     )
 
 
+def compact_meta_with_cutoff(
+    spark: SparkSession,
+    meta_path: str,
+    now_ms: int,
+    ttls: dict[str, int] | None = None,
+    default_ttl_ms: int = 7 * 86_400_000,
+) -> None:
+    """Meta age-off (MetaAgeOffIterator.java:26-115): fold the appended
+    catalog deltas AND drop entries whose last_seen is beyond the metric's
+    TTL, so stale tag values stop appearing in suggest/lookup. A full
+    rewrite is fine at any data scale — the catalog is O(distinct tag
+    values), not O(points). Run from the retention maintenance job.
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(meta_path):
+        return
+    from ..operators.retention import ttl_for_metric
+
+    ttl = ttl_for_metric("metric", ttls or {}, default_ttl_ms)
+    kept = compact_meta(spark, meta_path).filter(
+        F.col("last_seen") >= F.lit(now_ms) - ttl
+    )
+    tmp = meta_path.rstrip("/") + "__compacting"
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(meta_path)
+    shutil.move(tmp, meta_path)
+
+
 def compact_partitions(
     spark: SparkSession, path: str, target_file_mb: int = 512
 ) -> None:
