@@ -318,3 +318,39 @@ def test_streaming_fir_state_across_microbatches(spark, tmp_path):
     assert len(got) == len(expect) == (12 - 4) + (8 - 4)
     for k, v in expect.items():
         assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_subscription_finite_range_completes(spark, tmp_path):
+    """X1/X2 end-of-range: a finite subscription drains the range and then
+    emits the complete:true marker (MetricScanner.java:254-281); close()
+    on an infinite subscription sends it too (close path :283-291)."""
+    import time
+
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import write_points
+    from timely_spark.streaming.subscription import SubscriptionManager
+
+    b = 1_447_767_913_000
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"put m {b + i * 1000} {float(i)} host=h1",) for i in range(5)], ["value"]
+    )
+    write_points(parse_lines_df(df), store)
+
+    mgr = SubscriptionManager(spark, store, flush_seconds=1)
+    mgr.create("s1")
+    q = mgr.add("s1", "m", start_time_ms=b, end_time_ms=b + 2500)
+    deadline = time.time() + 60
+    while time.time() < deadline and not any(
+        isinstance(r, dict) and r.get("complete")
+        for r in mgr.buffers.get(("s1", "m"), [])
+    ):
+        time.sleep(0.5)
+    buf = mgr.buffers[("s1", "m")]
+    rows = [r for r in buf if not isinstance(r, dict)]
+    assert {r["value"] for r in rows} == {0.0, 1.0, 2.0}  # ts <= b+2500
+    assert buf[-1] == {"metric": "m", "subscriptionId": "s1", "complete": True}
+    assert not q.isActive
+    # close() is idempotent on the marker: only one complete response
+    mgr.close("s1")
+    assert sum(1 for r in mgr.buffers[("s1", "m")] if isinstance(r, dict)) == 1

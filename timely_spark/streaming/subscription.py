@@ -50,6 +50,7 @@ class SubscriptionManager:
         # a WS server would push frames instead
         self.buffers: dict[tuple[str, str], list] = {}
         self._sink_factory = sink_factory or self._buffer_sink
+        self._completed: set[tuple[str, str]] = set()
 
     def _buffer_sink(self, sub_id: str, metric: str):
         buf = self.buffers.setdefault((sub_id, metric), [])
@@ -93,19 +94,46 @@ class SubscriptionManager:
         df = df.withColumn("event_time", F.timestamp_millis(F.col("ts"))).withWatermark(
             "event_time", f"{self.lag_seconds} seconds"
         )
-        q = (
+        writer = (
             df.drop("event_time")
             .writeStream.foreachBatch(self._sink_factory(subscription_id, metric))
             .option(
                 "checkpointLocation",
                 f"{self.store_path}__subs/{subscription_id}/{metric}",
             )
-            .trigger(processingTime=f"{self.flush_seconds} seconds")
             .queryName(f"sub-{subscription_id}-{metric}")
-            .start()
         )
+        if end_time_ms:
+            # finite range: a bounded stream — drain everything available,
+            # then terminate and send the end-of-range marker, matching the
+            # scanner's exhausted->sendCompletedResponse (MetricScanner.java:254-281)
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.flush_seconds} seconds")
+        q = writer.start()
         sub.queries[metric] = q
+        if end_time_ms:
+            import threading
+
+            def _watch() -> None:
+                try:
+                    q.awaitTermination()
+                finally:
+                    self._send_complete(subscription_id, metric)
+
+            threading.Thread(target=_watch, daemon=True).start()
         return q
+
+    def _send_complete(self, subscription_id: str, metric: str) -> None:
+        """complete:true response, once per scanner
+        (MetricScanner.java:270-281 sendCompletedResponse)."""
+        key = (subscription_id, metric)
+        if key in self._completed:
+            return
+        self._completed.add(key)
+        self.buffers.setdefault(key, []).append(
+            {"metric": metric, "subscriptionId": subscription_id, "complete": True}
+        )
 
     def _store_schema(self):
         import os
@@ -121,9 +149,13 @@ class SubscriptionManager:
         q = self._subs[subscription_id].queries.pop(metric, None)
         if q is not None:
             q.stop()
+            # the scanner's close() also sends the completed response
+            # (MetricScanner.java:283-291)
+            self._send_complete(subscription_id, metric)
 
     def close(self, subscription_id: str) -> None:
         sub = self._subs.pop(subscription_id, None)
         if sub:
-            for q in sub.queries.values():
+            for metric, q in sub.queries.items():
                 q.stop()
+                self._send_complete(subscription_id, metric)
