@@ -44,3 +44,50 @@ def test_viz_filter_dataframe(spark):
     assert vals == [1.0]
     vals = sorted(r["value"] for r in viz_filter(df, {"A", "B"}).collect())
     assert vals == [1.0, 2.0, 4.0, 8.0]
+
+
+def test_viz_filter_known_exprs_skips_scan(spark):
+    """known_exprs (from the meta catalog) must reproduce the distinct-scan
+    result — and never trigger a collect on the data path."""
+    from timely_spark.functions.viz import viz_filter
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, "X"), (3.0, "(Y&Z)"), (4.0, "SECRET")],
+        "value double, viz string",
+    )
+    scanned = {r["value"] for r in viz_filter(df, {"X", "Y", "Z"}).collect()}
+    known = {
+        r["value"]
+        for r in viz_filter(
+            df, {"X", "Y", "Z"}, known_exprs=["X", "(Y&Z)", "SECRET"]
+        ).collect()
+    }
+    assert scanned == known == {1.0, 2.0, 3.0}
+    # an expression missing from the catalog fails closed
+    partial = viz_filter(df, {"X"}, known_exprs=["(Y&Z)"])
+    assert {r["value"] for r in partial.collect()} == {1.0}
+
+
+def test_engine_viz_catalog_sidecar(spark, tmp_path_factory):
+    """TimelyEngine maintains the distinct-viz sidecar at ingest and serves
+    queries from it (no per-query distinct scan at 100 TB)."""
+    from timely_spark.api import TimelyEngine
+
+    b = 1_447_767_913_000
+    root = tmp_path_factory.mktemp("viz_catalog")
+    eng = TimelyEngine(spark, store_path=str(root / "m"), default_visibility="X")
+    eng.put_lines([f"put m {b} 1.0 a=b", f"put m {b + 1000} 2.0 a=b viz=(Y&Z)"])
+    assert eng._viz_known() == {"X", "(Y&Z)"}
+    # a fresh engine on the same store reloads the catalog from disk
+    eng2 = TimelyEngine(spark, store_path=str(root / "m"))
+    assert eng2._viz_known() == {"X", "(Y&Z)"}
+    # incremental ingest folds in only new expressions
+    eng.put_lines([f"put m {b + 2000} 3.0 a=b viz=Q"])
+    assert eng._viz_known() == {"X", "(Y&Z)", "Q"}
+    q = {
+        "start": b - 1000,
+        "end": b + 60_000,
+        "msResolution": True,
+        "queries": [{"aggregator": "sum", "metric": "m", "downsample": "1s-sum", "tags": {}}],
+    }
+    assert len(eng.query(q, auths={"X", "Q"})[0]["dps"]) == 2

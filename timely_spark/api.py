@@ -72,6 +72,11 @@ class TimelyEngine:
         # construction; every write materializes them as pushdown columns
         self.promote_tags = promote_tags or []
         self._hot = None  # optional recent-window tier (enable_hot_cache)
+        # distinct viz-expression catalog (sidecar of the meta side-write):
+        # queries evaluate visibility against this driver-cached set instead
+        # of a per-query distinct scan over the point store
+        self._viz_path = self.meta_path.rstrip("/") + "_viz"
+        self._viz_exprs: set[str] | None = None
 
     # ------------------------------------------------------------- ingest
 
@@ -129,6 +134,7 @@ class TimelyEngine:
             write_points(pts, self.store_path, promote_tags=self.promote_tags or None)
             # meta side-write (DataStore.java:415-433)
             build_meta(pts).write.mode("append").parquet(self.meta_path)
+            self._record_viz(pts)
             if self._hot is not None:
                 # cache append analogue (DataStoreCache.store:635-644)
                 self._hot.refresh(read_points(self.spark, self.store_path))
@@ -192,9 +198,42 @@ class TimelyEngine:
 
         return self._run(parse_get_query(params), auths)
 
+    def _record_viz(self, pts: DataFrame) -> None:
+        """Fold the batch's distinct viz expressions into the sidecar
+        catalog (one tiny job on the already-checkpointed batch; queries
+        then never scan the store for them)."""
+        batch = {
+            r[0]
+            for r in pts.select("viz").filter(F.col("viz").isNotNull()).distinct().collect()
+        }
+        known = self._viz_known()
+        new = batch - (known or set())
+        if new or known is None:
+            # the write also *establishes* the catalog on first ingest, so
+            # an all-unlabeled store is "known empty", not "unknown"
+            self.spark.createDataFrame(
+                [(e,) for e in sorted(new)], "viz string"
+            ).coalesce(1).write.mode("append").parquet(self._viz_path)
+        self._viz_exprs = (known or set()) | new
+
+    def _viz_known(self) -> set[str] | None:
+        """The catalog's distinct viz expressions, or None when this store
+        has no sidecar (populated outside the engine) — callers then fall
+        back to viz_filter's distinct scan."""
+        if self._viz_exprs is None:
+            import os
+
+            if os.path.isdir(self._viz_path):
+                self._viz_exprs = {
+                    r[0] for r in self.spark.read.parquet(self._viz_path).collect()
+                }
+        return self._viz_exprs
+
     def _run(self, req: QueryRequest, auths) -> list[dict]:
         eff = None if auths is ALL_AUTHS else set(auths or ())
-        results = run_query(self.points(), req, auths=eff)
+        known = self._viz_known() if eff else None
+        viz_exprs = sorted(known) if known is not None else None
+        results = run_query(self.points(), req, auths=eff, viz_exprs=viz_exprs)
         out: list[dict] = []
         for r in results:
             out.extend(to_query_response(r, ms_resolution=req.ms_resolution))

@@ -117,11 +117,21 @@ def viz_allows(viz_col: Column | str, auths: set[str], *, allowed: list[str]) ->
     return c.isNull() | (c == "") | c.isin(allowed)
 
 
-def viz_filter(df: DataFrame, auths: set[str], viz_col: str = "viz") -> DataFrame:
+def viz_filter(
+    df: DataFrame,
+    auths: set[str],
+    viz_col: str = "viz",
+    known_exprs: list[str] | None = None,
+) -> DataFrame:
     """Filter ``df`` to rows visible under ``auths``.
 
     MUST run before any aggregation (SURVEY.md §7 hard part (e)); callers in
     plans/builder.py apply it as the first transformation after the scan.
+
+    ``known_exprs``: the corpus' distinct visibility expressions, when the
+    caller already knows them (TimelyEngine maintains them in the meta
+    side-write). Passing them skips the per-query distinct scan — at 100 TB
+    the distinct-viz set must come from the catalog, not a data scan.
     """
     if viz_col not in df.columns:
         return df
@@ -130,11 +140,14 @@ def viz_filter(df: DataFrame, auths: set[str], viz_col: str = "viz") -> DataFram
         # true, so only unlabeled rows are visible — no distinct scan needed
         c = F.col(viz_col)
         return df.filter(c.isNull() | (c == ""))
-    distinct = [
-        r[0]
-        for r in df.select(viz_col).filter(F.col(viz_col).isNotNull()).distinct()
-        .limit(_MAX_DISTINCT_VIZ + 1).collect()
-    ]
+    if known_exprs is not None:
+        distinct = list(known_exprs)
+    else:
+        distinct = [
+            r[0]
+            for r in df.select(viz_col).filter(F.col(viz_col).isNotNull()).distinct()
+            .limit(_MAX_DISTINCT_VIZ + 1).collect()
+        ]
     if len(distinct) > _MAX_DISTINCT_VIZ:
         return df.filter(_viz_pandas_udf(auths)(F.col(viz_col)))
     allowed = [e for e in distinct if evaluate_visibility(e, frozenset(auths))]

@@ -81,6 +81,7 @@ def build_subquery(
     start_ms: int,
     end_ms: int,
     auths: set[str] | None = None,
+    viz_exprs: list[str] | None = None,
 ) -> DataFrame:
     """Returns (metric, tags, bucket_ts, value) for one SubQuery."""
     spec = q.downsample_spec()
@@ -117,7 +118,9 @@ def build_subquery(
     if promoted:  # layout columns: filtered on above, never projected
         df = df.drop(*promoted)
     if auths is not None:
-        df = viz_filter(df, auths)  # ALWAYS before any aggregation
+        # ALWAYS before any aggregation; viz_exprs (from the meta catalog)
+        # saves the per-query distinct-viz scan
+        df = viz_filter(df, auths, known_exprs=viz_exprs)
 
     if q.rate:
         opts = q.rate_options
@@ -171,11 +174,16 @@ def build_subquery(
 
 
 def run_query(
-    points: DataFrame, request: QueryRequest, auths: set[str] | None = None
+    points: DataFrame,
+    request: QueryRequest,
+    auths: set[str] | None = None,
+    viz_exprs: list[str] | None = None,
 ) -> list[DataFrame]:
     """One result DataFrame per SubQuery (concatenated by the API layer,
     QueryRequest.java:370-372 / DataStore.java:645)."""
     return [
-        build_subquery(points, q, request.start, request.end, auths=auths)
+        build_subquery(
+            points, q, request.start, request.end, auths=auths, viz_exprs=viz_exprs
+        )
         for q in request.queries
     ]
