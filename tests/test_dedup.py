@@ -116,3 +116,25 @@ def test_ngram_jaccard_exact_values(spark, docs):
     # one token changed in a 23-token doc: 3 of 21 distinct trigrams differ
     assert 0.5 < pairs[(0, 2)] < 1.0
     assert pairs[(0, 3)] < 0.05
+
+
+def test_ngram_jaccard_all_pairs_guard(spark):
+    """threshold<=0 is quadratic per block: blocks beyond max_block_rows
+    must raise instead of silently launching an all-pairs join."""
+    import pytest
+
+    from timely_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "blk", f"tok{i} tok{i+1} tok{i+2} common words here") for i in range(6)],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(ValueError, match="max_block_rows"):
+        ngram_jaccard_pairs(
+            docs, block_col="source", threshold=0.0, max_block_rows=3
+        )
+    # under the bound (or any threshold > 0) it runs
+    out = ngram_jaccard_pairs(
+        docs, block_col="source", threshold=0.0, max_block_rows=100
+    )
+    assert out.count() == 15  # all 6*5/2 pairs emitted

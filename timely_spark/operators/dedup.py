@@ -419,6 +419,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    max_block_rows: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs within a blocking key.
 
@@ -437,7 +438,12 @@ def ngram_jaccard_pairs(
 
     With ``threshold <= 0`` every in-block pair must be emitted, so a
     light ids-only pair skeleton (no arrays) left-joins the intersection
-    counts and fills zeroes.
+    counts and fills zeroes. That skeleton is QUADRATIC per block —
+    inherent to "emit every pair" — so this path is guarded: the largest
+    block is counted (one cheap ids-only job) and blocks beyond
+    ``max_block_rows`` raise instead of silently launching an
+    eat-the-cluster join. Raise the bound explicitly to opt in, or set a
+    ``threshold > 0`` (the set-join path is corpus-linear and unguarded).
     """
     blk = block_col or "__blk"
     docs = df.select(
@@ -467,6 +473,19 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         pairs = inter
     else:
+        top = (
+            df.groupBy(F.col(block_col) if block_col else F.lit(1))
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if top and top > max_block_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs(threshold<=0) emits every in-block pair; "
+                f"largest block has {top} rows (~{top * (top - 1) // 2:.2g} pairs) "
+                f"> max_block_rows={max_block_rows}. Use a finer block_col, a "
+                f"positive threshold, or raise max_block_rows to opt in."
+            )
         ids = docs.select(id_col, blk, "nsh")
         pa, pb = ids.alias("a"), ids.alias("b")
         skeleton = pa.join(
