@@ -1,0 +1,202 @@
+"""Golden tests pinning the math of the operators that have no DuckDB
+oracle (MinHash/LSH banding, SimHash, hyperplane-LSH ANN, IVF ANN).
+
+Strategy per VERDICT r1 #6: recompute signatures/buckets in pure Python on
+a small corpus — sharing ONLY the primitive xxhash64 values with Spark
+(collected once from a tiny fixture) — and assert exact signature/pair
+equality; for the ANN paths, plant known near-neighbors and assert recall
+against the exact kNN.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+M64 = (1 << 64) - 1
+
+
+def _signed(x: int) -> int:
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """~100 docs with seeded near-duplicate clusters."""
+    base = [
+        " ".join(f"w{(i * 7 + j) % 97}" for j in range(30)) for i in range(80)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # 20 near-dups: copy doc i with one token changed
+    for i in range(20):
+        toks = base[i].split()
+        toks[5] = f"alt{i}"
+        rows.append((1000 + i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def shingle_hashes(spark, docs):
+    """Spark-computed shingle-hash arrays (the shared primitive)."""
+    from timely_spark.operators.dedup import _shingle_hashes
+
+    rows = docs.select("doc_id", _shingle_hashes("text", 3).alias("sh")).collect()
+    return {r["doc_id"]: list(r["sh"]) for r in rows}
+
+
+def _py_signature(hashes: list[int], num_hashes: int) -> list[int]:
+    from timely_spark.operators.dedup import _perm_consts
+
+    sig = []
+    for i in range(num_hashes):
+        a, b = _perm_consts(i)
+        sig.append(min(_signed(h * a + b) for h in hashes))
+    return sig
+
+
+def test_minhash_signature_matches_python(spark, docs, shingle_hashes):
+    """The wide-column min-agg signature == an independent per-doc fold."""
+    from timely_spark.operators.dedup import minhash_signature
+
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signature(docs, num_hashes=32).collect()
+    }
+    want = {d: _py_signature(hs, 32) for d, hs in shingle_hashes.items()}
+    assert got == want
+
+
+def test_minhash_lsh_candidates_match_python_banding(spark, docs, shingle_hashes):
+    """Banded bucket-join pair set == pure-Python band-tuple equality
+    (bucket hash equality == tuple equality modulo xxhash64 collisions)."""
+    from timely_spark.operators.dedup import minhash_lsh_candidates
+
+    num_hashes, bands = 32, 8
+    rows = num_hashes // bands
+    sigs = {d: _py_signature(hs, num_hashes) for d, hs in shingle_hashes.items()}
+    buckets: dict[tuple, list[int]] = {}
+    for d, sig in sigs.items():
+        for b in range(bands):
+            buckets.setdefault((b, tuple(sig[b * rows : (b + 1) * rows])), []).append(d)
+    want = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                want.add((ms[i], ms[j]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=num_hashes, bands=bands).collect()
+    }
+    assert got == want
+    # the planted near-dups must all be candidates (identical in most bands)
+    assert all((i, 1000 + i) in got for i in range(20))
+
+
+@pytest.fixture(scope="module")
+def token_hashes(spark, docs):
+    from timely_spark.operators.dedup import _tokens
+
+    rows = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(_tokens("text")), lambda t: F.xxhash64(t)
+        ).alias("th"),
+    ).collect()
+    return {r["doc_id"]: list(r["th"]) for r in rows}
+
+
+def test_simhash_matches_python(spark, docs, token_hashes):
+    """The aggregate/zip_with simhash fold == an independent bit-count
+    recompute (arithmetic shifts on signed longs match Python's >>)."""
+    from timely_spark.operators.dedup import simhash
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {}
+    for d, hs in token_hashes.items():
+        counts = [0] * 64
+        for h in hs:
+            for i in range(64):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        want[d] = _signed(sum((1 if c > 0 else 0) << i for i, c in enumerate(counts)))
+    assert got == want
+
+
+def test_simhash_near_dups_pigeonhole(spark, docs):
+    """Blocked Hamming join finds exactly the all-pairs answer for
+    distance <= 3 (pigeonhole over 4 x 16-bit chunks is lossless)."""
+    from timely_spark.operators.dedup import simhash, simhash_near_dups
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if bin((sh[a] ^ sh[b]) & M64).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert len(got) >= 15  # the planted one-token edits are Hamming-close
+
+
+# ---------------------------------------------------------------- ANN recall
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """200 deterministic pseudo-random 32-dim vectors + 5 queries, each
+    query's true nearest neighbor planted at cosine ~0.99."""
+    import math
+
+    def vec(seed):
+        # deterministic pseudo-uniform in [-1, 1): LCG per (seed, dim)
+        out = []
+        x = seed * 6364136223846793005 + 1442695040888963407
+        for _ in range(32):
+            x = (x * 6364136223846793005 + 1442695040888963407) & M64
+            out.append((x >> 11) / float(1 << 53) * 2 - 1)
+        n = math.sqrt(sum(v * v for v in out))
+        return [v / n for v in out]
+
+    rows = [(i, vec(i)) for i in range(200)]
+    # plant: vector 1000+q = slightly perturbed copy of query q
+    for qid in range(5):
+        v = list(rows[qid][1])
+        v[0] += 0.05
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((1000 + qid, [x / n for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return corpus, queries
+
+
+def _pairs(df):
+    return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+
+def test_lsh_topk_recall_floor(spark, planted):
+    """Multi-table hyperplane LSH: >=80% of the exact top-5 recovered, and
+    every planted ~0.99-cosine neighbor found (that's the LSH contract —
+    close vectors share buckets with high probability)."""
+    from timely_spark.operators.similarity import cosine_topk, lsh_topk
+
+    corpus, queries = planted
+    exact = _pairs(cosine_topk(corpus, queries, k=5))
+    approx = _pairs(lsh_topk(corpus, queries, dim=32, k=5, planes=4, tables=12))
+    assert len(approx & exact) / len(exact) >= 0.8
+    assert all((q, 1000 + q) in approx for q in range(5))
+
+
+def test_ivf_topk_recall_floor(spark, planted):
+    from timely_spark.operators.similarity import cosine_topk, ivf_topk
+
+    corpus, queries = planted
+    exact = _pairs(cosine_topk(corpus, queries, k=5))
+    approx = _pairs(ivf_topk(corpus, queries, k=5, ncells=8, nprobe=4))
+    assert len(approx & exact) / len(exact) >= 0.6

@@ -72,14 +72,16 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign_bits(vec_col, dim: int, planes: int) -> "F.Column":
+def _hyperplane_sign_bits(vec_col, dim: int, planes: int, table: int = 0) -> "F.Column":
     """LSH bucket id: sign bits of `planes` pseudo-random hyperplanes.
 
     Hyperplane p's weight for dimension d = a deterministic pseudo-uniform
     in [-1, 1) derived from xxhash64(d, p) — no RNG state, reproducible on
-    any cluster.
+    any cluster. ``table`` offsets the plane indices so each hash table
+    draws independent hyperplanes.
     """
-    plane_idx = F.sequence(F.lit(0), F.lit(planes - 1))
+    lo = table * planes
+    plane_idx = F.sequence(F.lit(lo), F.lit(lo + planes - 1))
     dim_idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def weight(d, p):
@@ -110,26 +112,44 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     planes: int = 8,
+    tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: compare only vectors in the query's LSH bucket.
+    """Approximate top-k: compare only vectors sharing an LSH bucket with
+    the query in at least one hash table.
 
-    With p planes the corpus splits into 2^p buckets; expected candidate
-    set shrinks ~2^p-fold. Recall loss is the standard LSH trade — callers
-    tune ``planes`` (or union multiple tables) per workload.
+    With p planes the corpus splits into 2^p buckets per table; expected
+    candidate set shrinks ~2^p-fold. ``tables`` is the standard
+    OR-amplification: L independent tables lift recall from q to
+    1-(1-q)^L at L× the candidate cost — the knob to turn when a single
+    table's recall is too low (random high-dim corpora especially).
     """
-    bucket = _hyperplane_sign_bits(vec_col, dim, planes)
-    c = corpus.select(F.col(id_col), F.col(vec_col), bucket.alias("__bucket"))
+
+    def buckets(vc):
+        return F.array(
+            *[_hyperplane_sign_bits(vc, dim, planes, table=t) for t in range(tables)]
+        )
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(buckets(vec_col))
+    ).select(id_col, vec_col, F.col("pos").alias("__t"), F.col("col").alias("__bucket"))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            _hyperplane_sign_bits(vec_col, dim, planes).alias("__bucket"),
+            F.posexplode(buckets(vec_col)),
+        ).select(
+            query_id_col, "__qvec", F.col("pos").alias("__t"), F.col("col").alias("__bucket")
         )
     )
-    joined = c.join(q, "__bucket").filter(F.col(id_col) != F.col(query_id_col))
+    joined = (
+        c.join(q, ["__t", "__bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        # a pair can collide in several tables; score it once
+        .dropDuplicates([query_id_col, id_col])
+    )
     sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
