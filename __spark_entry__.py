@@ -581,6 +581,17 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: flag docs sharing any word 8-gram
+    with the 'benchmark' subset (doc_id % 50 == 0); the pre-training
+    contamination check, as a broadcast set-join."""
+    from timely_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_decontaminate(docs, bench, n=8)
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -719,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_decontaminate": q_doc_decontaminate,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
         # rows-only (no SQL oracle)
@@ -1024,6 +1036,19 @@ SELECT doc_id, {BPE_TOKEN_COUNT_SQL.format(c=c)} AS n_pieces FROM documents""",
 SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_ngram_jaccard": ngram_jaccard,
+        "doc_decontaminate": f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 6, 1)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS s
+       FROM tk),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT d.doc_id, count(*) AS ngram_hits
+         FROM (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN bench USING (g)
+         GROUP BY 1)
+SELECT sh.doc_id, CAST(COALESCE(hits.ngram_hits, 0) AS BIGINT) AS ngram_hits,
+       COALESCE(hits.ngram_hits, 0) > 0 AS contaminated
+FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
         "emb_knn": emb_knn,
         "emb_near_dup": """
 WITH ex AS (

@@ -138,3 +138,28 @@ def test_ngram_jaccard_all_pairs_guard(spark):
         docs, block_col="source", threshold=0.0, max_block_rows=100
     )
     assert out.count() == 15  # all 6*5/2 pairs emitted
+
+
+def test_ngram_decontaminate(spark):
+    """Planted benchmark overlap: only docs containing a benchmark 4-gram
+    are flagged; hit counts are exact distinct-n-gram counts."""
+    from timely_spark.operators.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated text about spark plans and shuffles"),
+            # contains 'quick brown fox jumps' and 'brown fox jumps over' (2 hits)
+            (2, "i saw the quick brown fox jumps over stuff yesterday"),
+            # contains the full tail => many 4-gram hits
+            (3, "the quick brown fox jumps over the lazy dog indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, n=4).collect()}
+    assert not out[1]["contaminated"] and out[1]["ngram_hits"] == 0
+    assert out[2]["contaminated"] and out[2]["ngram_hits"] == 3
+    assert out[3]["contaminated"] and out[3]["ngram_hits"] == 6

@@ -508,3 +508,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------- decontamination
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: count each training document's word
+    n-grams that also appear in a benchmark/test set, the standard
+    "n-gram overlap" contamination check run before training.
+
+    Output: (id, ngram_hits, contaminated) — ``ngram_hits`` = number of
+    DISTINCT doc n-grams present in the benchmark's n-gram set.
+
+    Plan: both sides shingle to 64-bit hashes (injective fold — counts are
+    identical to string n-grams); the benchmark's distinct hash set is
+    tiny relative to the corpus and broadcasts, so the corpus-side
+    explode+join+groupBy is corpus-linear with NO shuffle of text and no
+    shuffle at all on the probe side beyond the final per-doc count (which
+    partial-aggregates map-side). Set ``broadcast_bench=False`` when the
+    benchmark set is too big for a broadcast (falls back to a hash join
+    on the shingle hash).
+    """
+    d = docs.select(F.col(id_col), F.explode(_shingle_hashes(text_col, n)).alias("__h"))
+    b = bench.select(F.explode(_shingle_hashes(text_col, n)).alias("__h")).distinct()
+    if broadcast_bench:
+        b = F.broadcast(b)
+    hits = d.join(b, "__h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("ngram_hits")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("ngram_hits", F.coalesce(F.col("ngram_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("ngram_hits") > 0)
+    )
