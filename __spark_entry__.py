@@ -592,6 +592,30 @@ def q_doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, n=8)
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrub pass: per-doc counts of email/ipv4/phone matches and the
+    scrubbed text's md5 (regexes restricted to the Java-regex/RE2 common
+    dialect). Deterministic PII is appended to each doc on BOTH sides so
+    the check exercises the patterns on every row."""
+    from timely_spark.operators.text import pii_counts, pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" phone 555-123-4567"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id", *pii_counts("text"), F.md5(pii_scrub("text")).alias("scrubbed_md5")
+    )
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -731,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
         # rows-only (no SQL oracle)
@@ -740,6 +765,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": q_emb_knn_ivf,
         "media_features": q_media_features,
     }
+
+
+def _pii_scrub_oracle() -> str:
+    from timely_spark.operators.text import pii_counts_sql, pii_scrub_sql
+
+    aug = (
+        "text || ' reach me at user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "' phone 555-123-4567'"
+    )
+    counts = ", ".join(
+        f"{sql} AS n_{k}" for k, sql in pii_counts_sql("t").items()
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id, {counts}, md5({pii_scrub_sql('t')}) AS scrubbed_md5
+FROM aug"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1036,6 +1078,7 @@ SELECT doc_id, {BPE_TOKEN_COUNT_SQL.format(c=c)} AS n_pieces FROM documents""",
 SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_ngram_jaccard": ngram_jaccard,
+        "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_decontaminate": f"""
 WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
 sh AS (SELECT doc_id,

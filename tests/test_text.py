@@ -66,3 +66,27 @@ def test_bpe_token_count_pieces(spark):
     }
     # It|'s| a| test|,| isn|'t| it|?| 123| abc|-|def| |end| => 16 pieces
     assert got == {0: 16, 1: 0, 2: 1}
+
+
+def test_pii_scrub_and_counts(spark):
+    from timely_spark.operators.text import pii_counts, pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.org or x@y.io, call 555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.255, no mail"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *pii_counts("text"), pii_scrub("text").alias("s")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 1, 0)
+    assert out[1]["s"] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert (out[2]["n_email"], out[2]["n_ipv4"]) == (0, 2)
+    assert out[2]["s"] == "server at <IPV4> and <IPV4>, no mail"
+    assert out[3]["s"] == "nothing sensitive here"

@@ -147,3 +147,51 @@ def lang_id_sql(c: str) -> str:
             f"THEN '{lang}' ELSE {expr} END"
         )
     return expr
+
+
+# ---------------------------------------------------------------- PII scrubbing
+
+# Patterns restricted to syntax Java regex and DuckDB's RE2 treat
+# identically (no lookaround/backrefs) — keep the SQL renderings below in
+# lock-step.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# order matters: ipv4 before phone would not collide, but email first keeps
+# host-like strings out of the ipv4/phone passes
+_PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_counts(text_col: str | Column = "text") -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern (pure codegen)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+
+
+def pii_scrub(text_col: str | Column = "text") -> Column:
+    """Replace each PII match with a typed placeholder (<EMAIL>, <IPV4>,
+    <PHONE>) — the standard pre-training scrub pass, as chained
+    regexp_replace (JVM-side, no Python row path)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for k in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"<{k.upper()}>")
+    return c
+
+
+def pii_counts_sql(c: str) -> dict[str, str]:
+    return {
+        k: f"CAST(len(regexp_extract_all({c}, '{p}')) AS BIGINT)"
+        for k, p in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub_sql(c: str) -> str:
+    expr = c
+    for k in _PII_ORDER:
+        expr = f"regexp_replace({expr}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return expr
