@@ -616,6 +616,27 @@ def q_doc_pii_scrub(spark, sf_dir):
     )
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Pair list -> dedup clusters via min-label connected components with
+    pointer jumping (the step that turns pairwise near-dup matches into
+    groups with one canonical keeper). Edges here: same source + adjacent
+    token counts — chain-shaped components that genuinely require
+    transitive closure, and are SQL-expressible for the oracle."""
+    from timely_spark.operators.dedup import dedup_cluster_assignment
+    from timely_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "source", token_count("text").alias("n"))
+    a, b = tk.alias("a"), tk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.abs(F.col("a.n") - F.col("b.n")) <= 1)
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    return dedup_cluster_assignment(docs, pairs)
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -756,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
         # rows-only (no SQL oracle)
@@ -1079,6 +1101,20 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_ngram_jaccard": ngram_jaccard,
         "doc_pii_scrub": _pii_scrub_oracle(),
+        "doc_dedup_clusters": f"""
+WITH RECURSIVE
+tk AS (SELECT doc_id, source, {TOKEN_COUNT_SQL.format(c=c)} AS n FROM documents),
+e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+       FROM tk a JOIN tk b
+       ON a.source = b.source AND abs(a.n - b.n) <= 1 AND a.doc_id <> b.doc_id),
+reach(node, r) AS (
+  SELECT a, a FROM e0
+  UNION
+  SELECT e0.a, reach.r FROM e0 JOIN reach ON e0.b = reach.node),
+m AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, CAST(COALESCE(m.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(m.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN m ON d.doc_id = m.node""",
         "doc_decontaminate": f"""
 WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
 sh AS (SELECT doc_id,

@@ -163,3 +163,25 @@ def test_ngram_decontaminate(spark):
     assert not out[1]["contaminated"] and out[1]["ngram_hits"] == 0
     assert out[2]["contaminated"] and out[2]["ngram_hits"] == 3
     assert out[3]["contaminated"] and out[3]["ngram_hits"] == 6
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Pointer-jumping min-label CC: a 10-node chain collapses to one
+    cluster (within the O(log n) round budget), separate components keep
+    separate labels, and unpaired docs become singleton keepers."""
+    from timely_spark.operators.dedup import (
+        connected_components,
+        dedup_cluster_assignment,
+    )
+
+    # chain 0-1-2-...-9, plus component {20, 21}, plus isolated 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21)], "id_a long, id_b long"
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert all(cc[i] == 0 for i in range(10))
+    assert cc[20] == cc[21] == 20
+    docs = spark.createDataFrame([(i,) for i in list(range(10)) + [20, 21, 30]], "doc_id long")
+    out = {r["doc_id"]: r for r in dedup_cluster_assignment(docs, pairs).collect()}
+    assert out[30]["cluster_id"] == 30 and out[30]["is_keeper"]
+    assert sum(1 for r in out.values() if r["is_keeper"]) == 3  # 0, 20, 30

@@ -550,3 +550,87 @@ def ngram_decontaminate(
         .withColumn("ngram_hits", F.coalesce(F.col("ngram_hits"), F.lit(0)))
         .withColumn("contaminated", F.col("ngram_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------- dedup clusters
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) over an undirected pair list — cluster_id = the
+    smallest node id reachable from each node.
+
+    Near-dup pair lists (MinHash/SimHash/Jaccard output) need this final
+    step to turn pairwise matches into dedup groups with one canonical
+    keeper. Min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels — one join + one aggregation per
+    round, both on (node, long) rows, converging in O(component diameter)
+    rounds plus a pointer-jumping step (label(label(v))) that halves the
+    remaining depth each round, so even path-shaped components converge in
+    O(log n) rounds — the same doubling idea as large-star/small-star.
+    ``localCheckpoint`` truncates lineage each round so plans stay flat;
+    a driver-side loop over distributed steps, like every iterative
+    algorithm on Spark.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        via = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        # pointer jump: node -> lbl(node) -> lbl(lbl(node))
+        jumped = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
+        )
+        new = (
+            labels.union(via)
+            .union(jumped)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_assignment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every document's dedup cluster and keeper flag: docs in no pair are
+    their own singleton cluster; the keeper is the cluster's min id."""
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
