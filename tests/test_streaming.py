@@ -354,3 +354,55 @@ def test_subscription_finite_range_completes(spark, tmp_path):
     # close() is idempotent on the marker: only one complete response
     mgr.close("s1")
     assert sum(1 for r in mgr.buffers[("s1", "m")] if isinstance(r, dict)) == 1
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """State-store dedup: a duplicate document arriving in a LATER
+    micro-batch is dropped (file source processes one file per trigger)."""
+    import json
+
+    from timely_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    b = 1_447_767_913_000
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    write_batch(
+        "b1.json",
+        [
+            {"doc_id": 1, "ts": b, "text": "alpha beta"},
+            {"doc_id": 2, "ts": b + 1, "text": "gamma delta"},
+            {"doc_id": 3, "ts": b + 2, "text": "alpha beta"},  # in-batch dup
+        ],
+    )
+    write_batch(
+        "b2.json",
+        [
+            {"doc_id": 4, "ts": b + 60_000, "text": "alpha beta"},  # cross-batch dup
+            {"doc_id": 5, "ts": b + 60_001, "text": "epsilon"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id, text FROM dedup_out").collect()
+    kept_texts = sorted(r["text"] for r in rows)
+    assert kept_texts == ["alpha beta", "epsilon", "gamma delta"]
+    kept_ids = {r["doc_id"] for r in rows}
+    assert 4 not in kept_ids and 3 not in kept_ids
