@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "doc_quality",
     "doc_ngram_jaccard",
+    "doc_decontaminate",
+    "doc_pii_scrub",
+    "doc_dedup_clusters",
     "doc_minhash_pairs",
     "doc_simhash",
     "emb_knn",
