@@ -637,6 +637,22 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return dedup_cluster_assignment(docs, pairs)
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-line fraction +
+    top-2-gram share per doc (boilerplate/spam markers)."""
+    from timely_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_token_freq(spark, sf_dir):
+    """Corpus-wide top-50 token frequencies (vocabulary head audit):
+    explode + map-side-combined count + deterministic top-k."""
+    from timely_spark.operators.text import token_frequencies
+
+    return token_frequencies(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -778,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_repetition": q_doc_repetition,
+        "doc_token_freq": q_doc_token_freq,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
         # rows-only (no SQL oracle)
@@ -1101,6 +1119,29 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_ngram_jaccard": ngram_jaccard,
         "doc_pii_scrub": _pii_scrub_oracle(),
+        "doc_repetition": f"""
+WITH lines AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+  FROM documents),
+dlf AS (
+  SELECT doc_id, CASE WHEN len(ls) > 0
+                      THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                      ELSE 0.0 END AS dlf
+  FROM lines),
+tk AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+                                           i -> array_to_string(t[i:i+1], ' '))) AS g
+      FROM tk),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tf FROM cnt GROUP BY 1)
+SELECT dlf.doc_id, round(dlf.dlf, 4) AS dup_line_frac,
+       round(COALESCE(top.tf, 0.0), 4) AS top_2gram_frac
+FROM dlf LEFT JOIN top ON dlf.doc_id = top.doc_id""",
+        "doc_token_freq": f"""
+WITH tk AS (SELECT {toks} AS t FROM documents),
+ex AS (SELECT unnest(t) AS token FROM tk)
+SELECT token, count(*) AS n FROM ex GROUP BY 1
+ORDER BY n DESC, token LIMIT 50""",
         "doc_dedup_clusters": f"""
 WITH RECURSIVE
 tk AS (SELECT doc_id, source, {TOKEN_COUNT_SQL.format(c=c)} AS n FROM documents),

@@ -90,3 +90,32 @@ def test_pii_scrub_and_counts(spark):
     assert (out[2]["n_email"], out[2]["n_ipv4"]) == (0, 2)
     assert out[2]["s"] == "server at <IPV4> and <IPV4>, no mail"
     assert out[3]["s"] == "nothing sensitive here"
+
+
+def test_repetition_signals(spark):
+    from timely_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 1 dup line of 3; grams: 'a b'x2,'b a','b c','c d' of 6
+            (2, "x y z w"),                 # no repetition
+            (3, "spam spam spam spam"),     # 'spam spam' x3 of 3
+            (4, "one"),                     # no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert abs(out[1]["dup_line_frac"] - round(1 / 3, 4)) < 1e-9
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["top_2gram_frac"] == round(1 / 3, 4)
+    assert out[3]["top_2gram_frac"] == 1.0
+    assert out[4]["top_2gram_frac"] == 0.0
+
+
+def test_token_frequencies(spark):
+    from timely_spark.operators.text import token_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c b")], "doc_id long, text string"
+    )
+    rows = [(r["token"], r["n"]) for r in token_frequencies(docs, k=2).collect()]
+    assert rows == [("a", 3), ("b", 2)]

@@ -195,3 +195,65 @@ def pii_scrub_sql(c: str) -> str:
     for k in _PII_ORDER:
         expr = f"regexp_replace({expr}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
     return expr
+
+
+# ---------------------------------------------------------------- repetition signals
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (1 - distinct/total) — pure Column expression.
+    - ``top_2gram_frac``: share of all word 2-grams taken by the most
+      frequent one — explode + two-level aggregation; the per-doc group
+      keys keep the shuffle corpus-linear and partial aggregation does
+      the heavy counting map-side.
+
+    High values on either signal mark boilerplate/spam for filtering.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda l: l != "")
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(0.0)
+
+    toks = tokens(text_col)
+    m = F.size(toks) - 1
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(m, F.lit(0))),
+        F.slice(toks, 2, F.greatest(m, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = df.select(
+        F.col(id_col),
+        dup_line_frac.alias("__dlf"),
+        F.explode_outer(grams).alias("__g"),
+    )
+    counts = ex.groupBy(id_col, "__dlf", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    return counts.groupBy(id_col).agg(
+        F.round(F.first("__dlf"), 4).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("__g").isNotNull(), F.col("__c")))
+                / F.sum(F.when(F.col("__g").isNotNull(), F.col("__c"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("top_2gram_frac"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k token frequencies (vocabulary head / boilerplate
+    audit): explode + count + deterministic top-k. Partial aggregation
+    counts map-side, so the shuffle carries one row per distinct token per
+    partition, not one per occurrence."""
+    ex = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.col("token")).limit(k)
