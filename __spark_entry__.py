@@ -653,6 +653,21 @@ def q_doc_token_freq(spark, sf_dir):
     return token_frequencies(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic md5-prefix Bernoulli sample (~3.9%), summarized per
+    source — reproducible across engines and cluster sizes, unlike
+    RNG-seeded sampling."""
+    from timely_spark.operators.text import hash_sample, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    s = hash_sample(docs, "0a")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_id"),
+        F.sum(token_count("text")).alias("sampled_tokens"),
+    )
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -795,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_repetition": q_doc_repetition,
+        "doc_hash_sample": q_doc_hash_sample,
         "doc_token_freq": q_doc_token_freq,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
@@ -1142,6 +1158,11 @@ WITH tk AS (SELECT {toks} AS t FROM documents),
 ex AS (SELECT unnest(t) AS token FROM tk)
 SELECT token, count(*) AS n FROM ex GROUP BY 1
 ORDER BY n DESC, token LIMIT 50""",
+        "doc_hash_sample": f"""
+SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id,
+       CAST(sum({TOKEN_COUNT_SQL.format(c=c)}) AS BIGINT) AS sampled_tokens
+FROM documents WHERE substr(md5(text), 1, 2) < '0a'
+GROUP BY 1""",
         "doc_dedup_clusters": f"""
 WITH RECURSIVE
 tk AS (SELECT doc_id, source, {TOKEN_COUNT_SQL.format(c=c)} AS n FROM documents),

@@ -119,3 +119,20 @@ def test_token_frequencies(spark):
     )
     rows = [(r["token"], r["n"]) for r in token_frequencies(docs, k=2).collect()]
     assert rows == [("a", 3), ("b", 2)]
+
+
+def test_hash_sample_deterministic(spark):
+    from timely_spark.operators.text import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(300)], "doc_id long, text string"
+    )
+    a = {r["doc_id"] for r in hash_sample(docs, "20").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "20").collect()}
+    assert a == b and 0 < len(a) < 300  # reproducible, rate ~12.5%
+    # duplicates of the same text sample together (content-keyed)
+    dup = spark.createDataFrame(
+        [(1, "same text"), (2, "same text")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in hash_sample(dup, "80").collect()}
+    assert kept in (set(), {1, 2})

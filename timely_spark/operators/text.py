@@ -257,3 +257,24 @@ def token_frequencies(
     ex = df.select(F.explode(tokens(text_col)).alias("token"))
     counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.col("token")).limit(k)
+
+
+# ---------------------------------------------------------------- deterministic sampling
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction_hex: str = "0a",
+    key_col: str = "text",
+) -> DataFrame:
+    """Deterministic content-hash Bernoulli sample: keep rows whose
+    md5(key) starts below ``fraction_hex`` (two hex chars => rate =
+    int(fraction_hex, 16)/256, e.g. "0a" ~ 3.9%).
+
+    Content-keyed sampling is reproducible across runs/engines/cluster
+    sizes (unlike ``df.sample``'s partition-seeded RNG) and keeps all
+    copies of identical text together — the property training-data
+    ablations need. Pure Column predicate: prunes at the scan when the
+    hash column is materialized.
+    """
+    return df.filter(F.substring(F.md5(F.col(key_col)), 1, 2) < F.lit(fraction_hex))
