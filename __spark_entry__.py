@@ -668,6 +668,31 @@ def q_doc_hash_sample(spark, sf_dir):
     )
 
 
+def q_doc_domains(spark, sf_dir):
+    """Per-domain document counts after a domain-blocklist pass —
+    deterministic URLs appended on BOTH sides so the extraction regex is
+    exercised on every row (same trick as doc_pii_scrub)."""
+    from timely_spark.operators.text import domain_blocklist_filter, extract_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/page?x=1 and http://Mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net/"),
+        ).alias("text"),
+    )
+    kept = domain_blocklist_filter(aug, ["site3.example.org"])
+    ex = kept.select("doc_id", F.explode(extract_domains("text")).alias("domain"))
+    return ex.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_id")
+    )
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -811,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_repetition": q_doc_repetition,
         "doc_hash_sample": q_doc_hash_sample,
+        "doc_domains": q_doc_domains,
         "doc_token_freq": q_doc_token_freq,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
@@ -843,6 +869,7 @@ FROM aug"""
 def oracle_sql() -> dict[str, str]:
     from timely_spark.operators.text import (
         BPE_TOKEN_COUNT_SQL,
+        DOMAINS_SQL,
         FINGERPRINT_SQL,
         TOKEN_COUNT_SQL,
         TOKENS_SQL,
@@ -1163,6 +1190,19 @@ SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id,
        CAST(sum({TOKEN_COUNT_SQL.format(c=c)}) AS BIGINT) AS sampled_tokens
 FROM documents WHERE substr(md5(text), 1, 2) < '0a'
 GROUP BY 1""",
+        "doc_domains": f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org/page?x=1 and http://Mirror'
+              || CAST(doc_id % 3 AS VARCHAR) || '.example.net/' AS t
+  FROM documents),
+doms AS (SELECT doc_id, {DOMAINS_SQL.format(c='t')} AS ds FROM aug),
+kept AS (SELECT doc_id, ds FROM doms
+         WHERE len(list_intersect(ds, ['site3.example.org'])) = 0),
+ex AS (SELECT doc_id, unnest(ds) AS domain FROM kept)
+SELECT domain, count(*) AS n_docs, min(doc_id) AS first_id
+FROM ex GROUP BY 1""",
         "doc_dedup_clusters": f"""
 WITH RECURSIVE
 tk AS (SELECT doc_id, source, {TOKEN_COUNT_SQL.format(c=c)} AS n FROM documents),

@@ -136,3 +136,21 @@ def test_hash_sample_deterministic(spark):
     )
     kept = {r["doc_id"] for r in hash_sample(dup, "80").collect()}
     assert kept in (set(), {1, 2})
+
+
+def test_extract_domains_and_blocklist(spark):
+    from timely_spark.operators.text import domain_blocklist_filter, extract_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://Foo.Example.com/a?b=c and http://bar.org/x plain text"),
+            (2, "spam from https://evil.example.net/login"),
+            (3, "no links at all"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {r["doc_id"]: sorted(r["d"]) for r in docs.select("doc_id", extract_domains("text").alias("d")).collect()}
+    assert doms[1] == ["bar.org", "foo.example.com"]
+    assert doms[2] == ["evil.example.net"] and doms[3] == []
+    kept = {r["doc_id"] for r in domain_blocklist_filter(docs, ["EVIL.example.net"]).collect()}
+    assert kept == {1, 3}

@@ -278,3 +278,41 @@ def hash_sample(
     hash column is materialized.
     """
     return df.filter(F.substring(F.md5(F.col(key_col)), 1, 2) < F.lit(fraction_hex))
+
+
+# ---------------------------------------------------------------- URL / domain ops
+
+# Java-regex/RE2 common dialect (no lookaround). Captures scheme://host.
+URL_RE = r"https?://([A-Za-z0-9.-]+)[^\s]*"
+
+
+def extract_domains(text_col: str | Column = "text") -> Column:
+    """All domains linked from a document (lowercased, distinct) — the
+    per-document signal for domain-level filtering/weighting of a web
+    corpus. Pure Column expression."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(c, F.lit(URL_RE), F.lit(1)), lambda d: F.lower(d)
+        )
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents linking to any blocked domain (exact match on the
+    extracted host). The blocklist is a literal array (broadcast-free:
+    baked into the plan); for million-entry blocklists use a broadcast
+    join against ``explode(extract_domains(...))`` instead."""
+    doms = extract_domains(text_col)
+    bl = F.array(*[F.lit(b.lower()) for b in blocked])
+    return df.filter(F.size(F.array_intersect(doms, bl)) == 0)
+
+
+DOMAINS_SQL = (
+    "list_distinct(list_transform("
+    "regexp_extract_all({c}, 'https?://([A-Za-z0-9.-]+)[^\\s]*', 1), d -> lower(d)))"
+)
