@@ -693,6 +693,24 @@ def q_doc_domains(spark, sf_dir):
     )
 
 
+def q_doc_length_stats(spark, sf_dir):
+    """Per-source token-length distribution (exact interpolated
+    percentiles — the corpus audit before length filtering). Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear
+    interpolation formula; the 1e-9 nudge guards half-boundary rounding."""
+    from timely_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("n")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n") + F.lit(1e-9), 4).alias("mean_tokens"),
+        F.round(F.expr("percentile(n, 0.5)") + F.lit(1e-9), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n, 0.9)") + F.lit(1e-9), 4).alias("p90_tokens"),
+    )
+
+
 def q_emb_knn(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
     from timely_spark.operators.similarity import cosine_similarity_col
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_domains": q_doc_domains,
+        "doc_length_stats": q_doc_length_stats,
         "doc_token_freq": q_doc_token_freq,
         "emb_knn": q_emb_knn,
         "emb_near_dup": q_emb_near_dup,
@@ -1190,6 +1209,13 @@ SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id,
        CAST(sum({TOKEN_COUNT_SQL.format(c=c)}) AS BIGINT) AS sampled_tokens
 FROM documents WHERE substr(md5(text), 1, 2) < '0a'
 GROUP BY 1""",
+        "doc_length_stats": f"""
+WITH tk AS (SELECT source, {TOKEN_COUNT_SQL.format(c=c)} AS n FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(avg(n) + 1e-9, 4) AS mean_tokens,
+       round(quantile_cont(n, 0.5) + 1e-9, 4) AS p50_tokens,
+       round(quantile_cont(n, 0.9) + 1e-9, 4) AS p90_tokens
+FROM tk GROUP BY 1""",
         "doc_domains": f"""
 WITH aug AS (
   SELECT doc_id,
