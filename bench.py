@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_pii_scrub",
     "doc_dedup_clusters",
+    "doc_repetition",
+    "doc_token_freq",
+    "doc_hash_sample",
+    "doc_domains",
+    "doc_length_stats",
     "doc_minhash_pairs",
     "doc_simhash",
     "emb_knn",
