@@ -5,7 +5,8 @@ Each ``queries()`` entry exercises one operator family from SURVEY.md §2
 matching ``oracle_sql()`` entry states the same semantics in DuckDB SQL.
 
 Conventions shared by both sides (hash-match requirements):
-- timestamps -> BIGINT epoch ms (events.ts is int64 nanos: ``div 1e6``);
+- timestamps -> BIGINT epoch ms (``model.ts_epoch_ms`` adapts whichever
+  physical type events.ts ships as: int64 nanos or TIMESTAMP micros);
 - every float aggregate rounded to 4 decimals under the same alias;
 - every LIMIT preceded by a fully deterministic ORDER BY (unique tiebreak).
 """
@@ -36,13 +37,15 @@ def _points(spark: SparkSession, sf_dir: str, with_k: bool = False) -> DataFrame
     from timely_spark.session import configure
 
     configure(spark)
+    from timely_spark.model import ts_epoch_ms
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     tag_pairs = [F.lit("user"), F.col("user_id").cast("string")]
     if with_k:
         tag_pairs += [F.lit("k"), F.get_json_object("props", "$.k")]
     return ev.select(
         F.col("event_type").alias("metric"),
-        F.expr("ts div 1000000").alias("ts"),
+        ts_epoch_ms(ev).alias("ts"),
         F.col("value"),
         F.create_map(*tag_pairs).alias("tags"),
         F.lit(None).cast("string").alias("viz"),
@@ -407,9 +410,10 @@ def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min inactivity closes a session):
     lag + running sum of boundary flags per user — the standard
     training-pipeline session op; Spark session_window's batch analogue."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000000").alias("ts_ms"), "value", "event_id"
-    )
+    from timely_spark.model import ts_epoch_ms
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select("user_id", ts_epoch_ms(raw).alias("ts_ms"), "value", "event_id")
     # event_id tiebreak: rows sharing a (user, millisecond) would otherwise
     # order engine-dependently and tied rows straddling a session boundary
     # could land in different sessions.

@@ -78,13 +78,15 @@ def bench_ingest(spark, sf_dir: str) -> tuple[float, int]:
     from timely_spark.sources.lineprotocol import parse_lines_df
     from timely_spark.sources.store import write_points
 
+    from timely_spark.model import ts_epoch_ms
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     lines = ev.select(
         F.concat_ws(
             " ",
             F.lit("put"),
             F.col("event_type"),
-            F.expr("ts div 1000000"),
+            ts_epoch_ms(ev),
             F.col("value").cast("string"),
             F.concat(F.lit("user="), F.col("user_id").cast("string")),
         ).alias("value")

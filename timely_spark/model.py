@@ -63,6 +63,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_epoch_ms(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-ms BIGINT from whichever physical type the lake stores.
+
+    The driver testdata has shipped ``events.ts`` as TIMESTAMP(NANOS)
+    (surfaced as int64 nanoseconds under ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). The session timezone is
+    pinned to UTC (session.py), so the NTZ->TIMESTAMP cast is the identity
+    and matches DuckDB's naive-as-UTC ``epoch_ns`` reading of the same file.
+    """
+    dt = dict(df.dtypes)[col]
+    if dt in ("bigint", "long"):
+        return F.expr(f"{col} div 1000000")
+    if dt == "timestamp_ntz":
+        return F.unix_millis(F.col(col).cast("timestamp"))
+    if dt == "timestamp":
+        return F.unix_millis(F.col(col))
+    raise TypeError(f"unsupported timestamp physical type for {col!r}: {dt}")
+
+
 def events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's ``events`` table to the point model (FIXTURES.md T4).
 
@@ -74,7 +93,7 @@ def events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_type").alias("metric"),
-        F.expr("ts div 1000000").alias("ts"),  # int64 nanos -> epoch ms, exact integer div
+        ts_epoch_ms(ev).alias("ts"),  # raw nanos/timestamp -> epoch ms
         F.col("value").alias("value"),
         F.create_map(
             F.lit("user"),
