@@ -433,7 +433,12 @@ def q_events_sessionize(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # decimal(38,10) sum is exact, hence order-independent: a double
+            # sum accumulates in partition order and round(.,4) can land on
+            # either side of a half-boundary depending on the engine's plan.
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 
@@ -1156,7 +1161,7 @@ sess AS (
   FROM flagged)
 SELECT user_id, sess_no, count(*) AS n_events,
        max(ts_ms) - min(ts_ms) AS duration_ms,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
 FROM sess GROUP BY 1, 2""",
         "doc_exact_dedup": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
