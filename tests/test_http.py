@@ -1,0 +1,273 @@
+"""HTTP facade tests — HttpApiIT scenarios replayed over real HTTP.
+
+Each test boots TimelyHttpServer on an ephemeral port over a fresh
+engine/store, ingests via POST /api/put, and asserts the exact JSON the
+reference's integration test asserts
+(server/src/test/java/timely/server/integration/HttpApiIT.java:93-420).
+"""
+
+import json
+import urllib.error
+import urllib.request
+from contextlib import contextmanager
+
+import pytest
+
+from timely_spark.api import TimelyEngine
+from timely_spark.http_facade import TimelyHttpServer
+
+# hour-aligned like ITBase.roundTimestampToLastHour
+TEST_TIME = 1_447_767_900_000 - (1_447_767_900_000 % 3_600_000)
+
+
+@contextmanager
+def server(spark, tmp_path, auths=None):
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    srv = TimelyHttpServer(eng, auths=auths).start()
+    try:
+        yield srv
+    finally:
+        srv.stop()
+
+
+def get(url: str, accept: str | None = None):
+    req = urllib.request.Request(url)
+    if accept:
+        req.add_header("Accept", accept)
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read().decode("utf-8")
+
+
+def post(url: str, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read().decode("utf-8")
+
+
+def put_lines(base_url: str, *lines: str) -> None:
+    """HttpApiIT.put(...) analogue: line-protocol strings -> JSON metrics
+    -> POST /api/put (HttpMetricPutHandler path)."""
+    metrics = []
+    for line in lines:
+        parts = line.split(" ")
+        tags = dict(p.split("=", 1) for p in parts[3:])
+        metrics.append(
+            {
+                "metric": parts[0],
+                "timestamp": int(parts[1]),
+                "value": float(parts[2]),
+                "tags": tags,
+            }
+        )
+    status, body = post(base_url + "/api/put", metrics)
+    assert status == 200 and body == ""
+
+
+def test_suggest(spark, tmp_path):
+    """HttpApiIT.testSuggest:93-117 — exact JSON text."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 tag1=value1 tag2=value2",
+            f"sys.cpu.idle {TEST_TIME + 1} 1.0 tag3=value3 tag4=value4",
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 tag4=value4",
+        )
+        suggest = srv.base_url + "/api/suggest?"
+        assert get(suggest + "type=metrics&m=sys&max=10")[1] == (
+            '["sys.cpu.idle","sys.cpu.user"]'
+        )
+        assert get(suggest + "type=metrics&m=sys&max=1")[1] == '["sys.cpu.idle"]'
+        assert get(suggest + "type=metrics&max=10")[1] == (
+            '["sys.cpu.idle","sys.cpu.user"]'
+        )
+
+
+def test_lookup(spark, tmp_path):
+    """HttpApiIT.testLookup:196-227 — results-substring asserts."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 tag1=value1 tag2=value2",
+            f"sys.cpu.user {TEST_TIME + 1} 1.0 tag3=value3",
+            f"sys.cpu.idle {TEST_TIME + 1} 1.0 tag3=value3 tag4=value4",
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 tag4=value4",
+        )
+        lookup = srv.base_url + "/api/search/lookup?"
+        # known query
+        body = get(lookup + "m=sys.cpu.idle%7Btag3%3D.*%7D")[1]
+        assert '"results":[{"tags":{"tag3":"value3"}' in body, body
+        # no match
+        body = get(lookup + "m=sys.cpu.idle%7Btag3%3Dnomatch%7D")[1]
+        assert '"results":[]' in body
+        # multiple results
+        body = get(lookup + "m=sys.cpu.idle%7Btag3%3D.*,tag4%3D.*%7D")[1]
+        assert '"results":[{"tags":{"tag3":"value3"}' in body, body
+        assert '{"tags":{"tag4":"value4"}' in body, body
+        # tag present only in a different metric
+        body = get(lookup + "m=sys.cpu.idle%7Btag1%3D.*%7D")[1]
+        assert '"results":[]' in body
+
+
+def test_query_with_ms_resolution(spark, tmp_path):
+    """HttpApiIT.testQueryWithMsResolution:229-266 — exact dps."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 tag1=value1 tag2=value2",
+            f"sys.cpu.user {TEST_TIME + 1} 1.0 tag3=value3",
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 tag4=value4",
+            f"sys.cpu.idle {TEST_TIME + 1000} 3.0 tag3=value3 tag4=value4",
+        )
+        status, body = post(
+            srv.base_url + "/api/query",
+            {
+                "start": TEST_TIME,
+                "end": TEST_TIME + 6000,
+                "msResolution": True,
+                "queries": [
+                    {
+                        "metric": "sys.cpu.idle",
+                        "tags": {"tag3": "value3"},
+                        "downsample": "1s-max",
+                    }
+                ],
+            },
+        )
+        assert status == 200
+        response = json.loads(body)
+        assert len(response) == 1
+        assert response[0]["tags"] == {"tag3": "value3"}
+        # 1s buckets at ms resolution: keys end in the floored second
+        assert response[0]["dps"] == {
+            str(TEST_TIME): 1.0,
+            str(TEST_TIME + 1000): 3.0,
+        }
+
+
+def test_query_without_ms_resolution(spark, tmp_path):
+    """HttpApiIT.testQueryWithoutMsResolution:300-344 — second keys."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 tag4=value4",
+            f"sys.cpu.idle {TEST_TIME + 1000} 3.0 tag3=value3 tag4=value4",
+        )
+        status, body = post(
+            srv.base_url + "/api/query",
+            {
+                "start": TEST_TIME,
+                "end": TEST_TIME + 6000,
+                "queries": [
+                    {
+                        "metric": "sys.cpu.idle",
+                        "tags": {"tag3": "value3"},
+                        "downsample": "1s-max",
+                    }
+                ],
+            },
+        )
+        assert status == 200
+        response = json.loads(body)
+        assert response[0]["dps"] == {
+            str(TEST_TIME // 1000): 1.0,
+            str(TEST_TIME // 1000 + 1): 3.0,
+        }
+
+
+def test_query_no_matching_tags_is_400(spark, tmp_path):
+    """HttpApiIT.testQueryWithNoMatchingTags:386-409 — HTTP 400."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 tag4=value4 rack=r1",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(
+                srv.base_url + "/api/query",
+                {
+                    "start": TEST_TIME,
+                    "end": TEST_TIME + 6000,
+                    "queries": [
+                        {"metric": "sys.cpu.idle", "tags": {"rack": "r3"}}
+                    ],
+                },
+            )
+        assert exc.value.code == 400
+        assert "No matching tags" in exc.value.read().decode("utf-8")
+
+
+def test_query_get_mini_language(spark, tmp_path):
+    """GET /api/query?m=... (QueryRequest.java:515-627) over HTTP."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3",
+            f"sys.cpu.idle {TEST_TIME + 1000} 3.0 tag3=value3",
+        )
+        url = (
+            srv.base_url
+            + f"/api/query?start={TEST_TIME}&end={TEST_TIME + 6000}"
+            + "&msResolution=true&m=max:1s-max:sys.cpu.idle%7Btag3%3Dvalue3%7D"
+        )
+        status, body = get(url)
+        assert status == 200
+        response = json.loads(body)
+        assert response[0]["dps"] == {
+            str(TEST_TIME): 1.0,
+            str(TEST_TIME + 1000): 3.0,
+        }
+
+
+def test_metrics_json(spark, tmp_path):
+    """HttpApiIT.testMetricsJson:146-193 — tag multimap per metric."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 tag1=value1 tag2=value2",
+            f"sys.cpu.idle {TEST_TIME + 1} 1.0 tag3=value3 tag4=value4",
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 tag4=value4 viz=(a|b|c)",
+            "zzzz 1234567892 1.0 host=localhost",
+        )
+        status, body = get(srv.base_url + "/api/metrics", accept="application/json")
+        assert status == 200
+        metrics = {
+            m["metric"]: {(t["key"], t["value"]) for t in m["tags"]}
+            for m in json.loads(body)["metrics"]
+        }
+        assert len(metrics) == 3
+        assert metrics["sys.cpu.user"] == {("tag1", "value1"), ("tag2", "value2")}
+        # viz is carried in the viz column, never as a tag
+        assert metrics["sys.cpu.idle"] == {("tag3", "value3"), ("tag4", "value4")}
+        assert metrics["zzzz"] == {("host", "localhost")}
+
+
+def test_metrics_html(spark, tmp_path):
+    """HttpApiIT.testMetrics:119-144 — HTML table cells."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 tag1=value1 tag2=value2",
+            "zzzz 1234567892 1.0 host=localhost",
+        )
+        status, body = get(srv.base_url + "/api/metrics")
+        assert status == 200
+        assert "<td>sys.cpu.user</td>" in body
+        assert "<td>tag1=value1 tag2=value2</td>" in body
+        assert "<td>zzzz</td>" in body
+        assert "<td>host=localhost</td>" in body
+
+
+def test_version_and_aggregators(spark, tmp_path):
+    """HttpVersionRequestHandler (text/plain) + /api/aggregators."""
+    with server(spark, tmp_path) as srv:
+        status, body = get(srv.base_url + "/version")
+        assert status == 200 and body == TimelyEngine.version()
+        status, body = get(srv.base_url + "/api/aggregators")
+        assert status == 200
+        aggs = set(json.loads(body))
+        assert {"avg", "sum", "min", "max", "count", "dev"} <= aggs

@@ -46,6 +46,13 @@ class _AllAuths:
 ALL_AUTHS = _AllAuths()
 
 
+class NoMatchingTagsError(ValueError):
+    """A SubQuery matched zero series. The reference fails the whole
+    request with HTTP 400 "No matching tags" (DataStore.java:939); the
+    HTTP facade maps this exception onto that status. Library callers get
+    the lenient empty-list behavior unless they pass ``strict=True``."""
+
+
 class TimelyEngine:
     def __init__(
         self,
@@ -180,23 +187,25 @@ class TimelyEngine:
             F.max("last_seen").alias("last_seen")
         )
 
-    def query(self, request: dict, auths=None) -> list[dict]:
+    def query(self, request: dict, auths=None, strict: bool = False) -> list[dict]:
         """POST /api/query: OpenTSDB JSON in, OpenTSDB JSON out.
 
         ``auths``: the caller's authorization set. Omitted/None = anonymous
         (empty auth set — only unlabeled data, fail closed). Pass
         ``timely_spark.api.ALL_AUTHS`` to bypass enforcement explicitly.
+        ``strict``: raise :class:`NoMatchingTagsError` when a SubQuery
+        matches zero series (the reference's HTTP behavior).
         """
         req = QueryRequest.from_dict(request)
-        return self._run(req, auths)
+        return self._run(req, auths, strict=strict)
 
-    def query_get(self, params: dict, auths=None) -> list[dict]:
+    def query_get(self, params: dict, auths=None, strict: bool = False) -> list[dict]:
         """GET /api/query?start=..&m=agg:[rate:][ds:]metric{tags} — the
         OpenTSDB mini-language (QueryRequest.java:515-627). Same ``auths``
         semantics as :meth:`query`."""
         from .plans.request import parse_get_query
 
-        return self._run(parse_get_query(params), auths)
+        return self._run(parse_get_query(params), auths, strict=strict)
 
     def _record_viz(self, pts: DataFrame) -> None:
         """Fold the batch's distinct viz expressions into the sidecar
@@ -229,14 +238,17 @@ class TimelyEngine:
                 }
         return self._viz_exprs
 
-    def _run(self, req: QueryRequest, auths) -> list[dict]:
+    def _run(self, req: QueryRequest, auths, strict: bool = False) -> list[dict]:
         eff = None if auths is ALL_AUTHS else set(auths or ())
         known = self._viz_known() if eff else None
         viz_exprs = sorted(known) if known is not None else None
         results = run_query(self.points(), req, auths=eff, viz_exprs=viz_exprs)
         out: list[dict] = []
         for r in results:
-            out.extend(to_query_response(r, ms_resolution=req.ms_resolution))
+            part = to_query_response(r, ms_resolution=req.ms_resolution)
+            if strict and not part:
+                raise NoMatchingTagsError("No matching tags")
+            out.extend(part)
         return out
 
     def suggest(self, q: str, kind: str = "metrics", max_results: int = 25) -> list[str]:

@@ -1,0 +1,291 @@
+"""HTTP transport facade — the reference's Netty HTTP API over TimelyEngine.
+
+Maps the reference's annotated routes (common/.../api/annotation — each
+request class carries ``@Http(path=...)``) onto a stdlib
+``ThreadingHTTPServer`` so HttpApiIT-style scenarios run over real HTTP:
+
+    POST /api/put            HttpMetricPutHandler.java:30-43
+    POST/GET /api/query      netty/http/timeseries/HttpQueryRequestHandler.java
+    GET/POST /api/suggest    HttpSuggestRequestHandler.java
+    GET /api/search/lookup   HttpSearchLookupRequestHandler.java
+    GET /api/metrics         HttpMetricsRequestHandler.java (JSON + HTML)
+    GET /api/aggregators     HttpAggregatorsRequestHandler.java
+    GET /api/cache           netty/http/HttpCacheRequestHandler.java
+    GET /version             HttpVersionRequestHandler.java (text/plain)
+
+Transport only: every route delegates to the corresponding TimelyEngine
+method, so query semantics (and their oracle checks) live in one place.
+SSL/SPNEGO/login auth is a named scope-out (SURVEY.md §2.1); the
+``auths`` constructor arg supplies the session authorization set the
+reference would extract from the client certificate or session cookie.
+
+A query whose SubQuery matches zero series returns HTTP 400
+"No matching tags" exactly like DataStore.java:939.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .api import NoMatchingTagsError, TimelyEngine
+
+JSON_TYPE = "application/json"  # netty Constants.JSON_TYPE
+TEXT_TYPE = "text/plain"
+HTML_TYPE = "text/html"
+
+
+def _compact(obj) -> bytes:
+    return json.dumps(obj, separators=(",", ":")).encode("utf-8")
+
+
+def _parse_metric_braces(m: str) -> tuple[str, dict[str, str]]:
+    """``metric{k=pat,k2=pat}`` -> (metric, {k: pat}). The lookup/suggest
+    ``m=`` shape (SearchLookupRequest.java:24-60)."""
+    if "{" not in m:
+        return m, {}
+    metric, rest = m.split("{", 1)
+    rest = rest.rstrip("}")
+    tags: dict[str, str] = {}
+    for pair in filter(None, rest.split(",")):
+        k, _, v = pair.partition("=")
+        tags[k] = v
+    return metric, tags
+
+
+class TimelyHttpServer:
+    """Embedded HTTP server over a TimelyEngine.
+
+    ``port=0`` binds an ephemeral port (tests); ``auths=None`` serves
+    anonymous requests (empty auth set, fail-closed visibility), matching
+    the reference's AnonymousUserDetails default.
+    """
+
+    def __init__(
+        self,
+        engine: TimelyEngine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auths=None,
+    ):
+        self.engine = engine
+        self.auths = auths
+        handler = self._make_handler()
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def base_url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "TimelyHttpServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="timely-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+    # ------------------------------------------------------------ handler
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *args):  # quiet: tests spin many requests
+                pass
+
+            # -- plumbing ------------------------------------------------
+            def _send(self, status: int, body: bytes, ctype: str) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _error(self, status: int, message: str) -> None:
+                # TimelyException JSON shape (TimelyExceptionHandler)
+                self._send(
+                    status,
+                    _compact({"message": message, "detailMessage": message}),
+                    JSON_TYPE,
+                )
+
+            def _body_json(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                return json.loads(raw) if raw else None
+
+            def _params(self, parsed) -> dict[str, str]:
+                return {k: v[0] for k, v in parse_qs(parsed.query).items()}
+
+            # -- dispatch ------------------------------------------------
+            def do_GET(self):  # noqa: N802 (stdlib casing)
+                parsed = urlparse(self.path)
+                try:
+                    route = {
+                        "/api/query": self._get_query,
+                        "/api/suggest": self._suggest,
+                        "/api/search/lookup": self._lookup,
+                        "/api/metrics": self._metrics,
+                        "/api/aggregators": self._aggregators,
+                        "/api/cache": self._cache,
+                        "/version": self._version,
+                    }.get(parsed.path)
+                    if route is None:
+                        self._error(404, f"unknown path {parsed.path}")
+                        return
+                    route(self._params(parsed))
+                except NoMatchingTagsError as e:
+                    self._error(400, str(e))
+                except (KeyError, ValueError) as e:
+                    self._error(400, str(e))
+                except Exception as e:  # pragma: no cover - defensive
+                    self._error(500, str(e))
+
+            def do_POST(self):  # noqa: N802
+                parsed = urlparse(self.path)
+                try:
+                    if parsed.path == "/api/put":
+                        self._put(self._body_json())
+                    elif parsed.path == "/api/query":
+                        self._post_query(self._body_json())
+                    elif parsed.path == "/api/suggest":
+                        self._suggest(self._body_json() or {})
+                    elif parsed.path == "/api/search/lookup":
+                        self._post_lookup(self._body_json() or {})
+                    else:
+                        self._error(404, f"unknown path {parsed.path}")
+                except NoMatchingTagsError as e:
+                    self._error(400, str(e))
+                except (KeyError, ValueError) as e:
+                    self._error(400, str(e))
+                except Exception as e:  # pragma: no cover - defensive
+                    self._error(500, str(e))
+
+            # -- routes --------------------------------------------------
+            def _put(self, body) -> None:
+                payloads = body if isinstance(body, list) else [body]
+                server.engine.put_json(payloads)
+                # HttpMetricPutHandler: 200 with empty JSON body
+                self._send(200, b"", JSON_TYPE)
+
+            def _post_query(self, body) -> None:
+                out = server.engine.query(body, auths=server.auths, strict=True)
+                self._send(200, _compact(out), JSON_TYPE)
+
+            def _get_query(self, params: dict[str, str]) -> None:
+                # parse_get_query consumes the raw multi-value mapping for
+                # repeated m=; re-parse to preserve duplicates
+                parsed = urlparse(self.path)
+                multi = parse_qs(parsed.query)
+                flat: dict = {
+                    k: (v if len(v) > 1 else v[0]) for k, v in multi.items()
+                }
+                out = server.engine.query_get(flat, auths=server.auths, strict=True)
+                self._send(200, _compact(out), JSON_TYPE)
+
+            def _suggest(self, params: dict) -> None:
+                q = params.get("m") or params.get("q") or ""
+                kind = params.get("type", "metrics")
+                max_results = int(params.get("max", 25))
+                out = server.engine.suggest(q, kind=kind, max_results=max_results)
+                self._send(200, _compact(out), JSON_TYPE)
+
+            def _lookup(self, params: dict[str, str]) -> None:
+                m = params.get("m", "")
+                limit = int(params.get("limit", 25))
+                metric, tags = _parse_metric_braces(m)
+                self._send(
+                    200, _compact(server._lookup_response(m, metric, tags, limit)), JSON_TYPE
+                )
+
+            def _post_lookup(self, body: dict) -> None:
+                metric = body.get("metric", "")
+                tags = dict(body.get("tags", {}))
+                limit = int(body.get("limit", 25))
+                self._send(
+                    200,
+                    _compact(server._lookup_response(metric, metric, tags, limit)),
+                    JSON_TYPE,
+                )
+
+            def _metrics(self, params: dict[str, str]) -> None:
+                accept = self.headers.get("Accept", "")
+                rows = server.engine.metrics()
+                if JSON_TYPE in accept:
+                    out = {
+                        "metrics": [
+                            {
+                                "metric": r["metric"],
+                                "tags": [
+                                    dict(zip(("key", "value"), kv.split("=", 1)))
+                                    for kv in r["tags"]
+                                ],
+                            }
+                            for r in rows
+                        ]
+                    }
+                    self._send(200, _compact(out), JSON_TYPE)
+                    return
+                # HTML branch (HttpMetricsRequestHandler.generateHtml)
+                body = [
+                    "<html><head><title>Timely Metric Availability</title></head>",
+                    "<body><table>",
+                    "<tr><th>Metric</th><th>Available Tags</th></tr>",
+                ]
+                for r in rows:
+                    body.append(
+                        f"<tr><td>{r['metric']}</td><td>{' '.join(r['tags'])}</td></tr>"
+                    )
+                body.append("</table></body></html>")
+                self._send(200, "\n".join(body).encode("utf-8"), HTML_TYPE)
+
+            def _aggregators(self, params: dict[str, str]) -> None:
+                self._send(200, _compact(server.engine.aggregators()), JSON_TYPE)
+
+            def _cache(self, params: dict[str, str]) -> None:
+                self._send(200, _compact(server.engine.cache_status()), JSON_TYPE)
+
+            def _version(self, params: dict[str, str]) -> None:
+                self._send(200, server.engine.version().encode("utf-8"), TEXT_TYPE)
+
+        return Handler
+
+    # -------------------------------------------------------------- shapes
+
+    def _lookup_response(
+        self, query: str, metric: str, tags: dict[str, str], limit: int
+    ) -> dict:
+        """SearchLookupResponse JSON (field order per @JsonPropertyOrder:
+        type, metric, tags, limit, time, totalResults, results)."""
+        from .operators.meta import search_lookup_or
+
+        t0 = time.time()
+        ordered, total = search_lookup_or(self.engine.meta(), metric, tags, limit)
+        results = [
+            {"tags": {r["tag_key"]: r["tag_value"]}} for r in ordered.collect()
+        ]
+        n = total.collect()[0]["total_results"]
+        return {
+            "type": "LOOKUP",
+            "metric": query,
+            "tags": tags,
+            "limit": limit,
+            "time": int((time.time() - t0) * 1000),
+            "totalResults": n,
+            "startIndex": 0,
+            "results": results,
+        }

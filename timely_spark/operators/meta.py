@@ -72,6 +72,32 @@ def search_lookup(
     return ordered, total
 
 
+def search_lookup_or(
+    meta: DataFrame,
+    metric: str,
+    tags: dict[str, str],
+    limit: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """The wire-shape lookup: exact metric, OR over requested (tag key,
+    anchored value regex) pairs — one result row per matching catalog
+    entry (DataStore.lookup:582-634: fetchColumnFamily per key, then
+    ``matches`` ORs across the requested patterns with
+    ``Matcher.matches()`` anchoring). Ordered (tag_key, tag_value) like
+    the sorted meta-table scan.
+    """
+    m = meta.filter(F.col("metric") == metric)
+    if tags:
+        pred = None
+        for k, v in tags.items():
+            clause = (F.col("tag_key") == k) & F.col("tag_value").rlike(f"^(?:{v})$")
+            pred = clause if pred is None else (pred | clause)
+        m = m.filter(pred)
+    results = m.select("tag_key", "tag_value").distinct()
+    ordered = results.orderBy("tag_key", "tag_value").limit(limit)
+    total = results.agg(F.count(F.lit(1)).alias("total_results"))
+    return ordered, total
+
+
 def metrics_dump(meta: DataFrame, ignored_tags: list[str] | None = None) -> DataFrame:
     """/api/metrics: metric -> sorted list of known tag k=v pairs."""
     m = meta

@@ -168,6 +168,11 @@ def parse_get_query(params: dict) -> QueryRequest:
     d: dict = {"start": int(many("start")[0]), "queries": []}
     if many("end"):
         d["end"] = int(many("end")[0])
+    # flag param, both spellings (?ms / ?msResolution[=true]); bare
+    # presence means true, like the OpenTSDB GET API
+    flag = (many("msResolution") or many("ms") or [None])[0]
+    if flag is not None:
+        d["msResolution"] = flag == "" or flag.lower() == "true"
     req = QueryRequest.from_dict(d)
     req.queries = queries
     return req
