@@ -140,6 +140,48 @@ def q_ts_rate(spark, sf_dir):
     )
 
 
+def _bucketed_points_table(spark, sf_dir) -> str:
+    """Materialize the events point stream as a series-bucketed table
+    (sources/store.write_points_bucketed) once per sf_dir. The bucketed
+    scan's HashPartitioning on series_key satisfies per-series window
+    distributions, so rate/FIR/downsample plans over it carry ZERO
+    Exchange — the documented 100x lever for per-series analytics at
+    scale (SCALE.md; the layout-level analogue of the reference keying
+    iterator state per series, DownsampleIterator.java:96-105)."""
+    import re
+
+    table = "ts_bucketed_" + re.sub(r"\W+", "_", sf_dir).strip("_")
+    if not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        from timely_spark.sources.store import write_points_bucketed
+
+        # a previous session's managed-table directory without its
+        # in-memory catalog entry blocks saveAsTable: clear the leftover
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        write_points_bucketed(_points(spark, sf_dir), table, n_buckets=32)
+    return table
+
+
+def q_ts_rate_bucketed(spark, sf_dir):
+    """W1 rate (RateIterator.java:23-108) over the series-bucketed store:
+    identical semantics and oracle as ts_rate, but the per-series lag
+    window needs no shuffle — `rate()` windows on the materialized
+    series_key column whose distribution the bucketed scan already
+    provides. tools/plan_audit.py records exch=0 for the rate stage."""
+    from timely_spark.operators.rate import rate
+
+    table = _bucketed_points_table(spark, sf_dir)
+    t = spark.table(table)
+    r = rate(t, series_col="series_key")
+    return r.groupBy("metric", _bucket(900_000)).agg(
+        (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("avg_rate"),
+        F.count("value").alias("n"),
+    )
+
+
 def q_ts_rate_counter(spark, sf_dir):
     """W1 counter mode: wrap via counterMax, clamp via resetValue
     (RateIterator.java:60-90)."""
@@ -831,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dev": q_ts_dev,
         "ts_agg_combine": q_ts_agg_combine,
         "ts_rate": q_ts_rate,
+        "ts_rate_bucketed": q_ts_rate_bucketed,
         "ts_rate_counter": q_ts_rate_counter,
         "ts_fir_ma5": q_ts_fir_ma5,
         "ts_tag_regex": q_ts_tag_regex,
@@ -967,7 +1010,7 @@ SELECT query_id, vec_id, round(cosine, 4) AS cosine, rnk
 FROM ranked WHERE rnk <= 10
 """
 
-    return {
+    d = {
         "ts_downsample_avg": f"""
 WITH pts AS ({PTS})
 SELECT metric, ts - ts % 300000 AS bucket_ts,
@@ -1283,6 +1326,10 @@ sims AS (
 SELECT id_a, id_b, round(cosine, 4) AS cosine
 FROM sims WHERE cosine >= 0.4""",
     }
+    # the bucketed layout changes the physical plan, not the semantics:
+    # same oracle as the expression-keyed rate
+    d["ts_rate_bucketed"] = d["ts_rate"]
+    return d
 
 
 if __name__ == "__main__":

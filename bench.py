@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "ts_dev",
     "ts_agg_combine",
     "ts_rate",
+    "ts_rate_bucketed",
     "ts_rate_counter",
     "ts_fir_ma5",
     "ts_tag_regex",

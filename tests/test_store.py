@@ -257,3 +257,33 @@ def test_promoted_store_with_hot_cache(spark, tmp_path_factory):
 
     cold = TimelyEngine(spark, store_path=str(root / "m"), promote_tags=["host"])
     assert hybrid == cold.query(req)
+
+
+def test_driver_bucketed_rate_plan(spark):
+    """The ts_rate_bucketed driver query (VERDICT r2 item #5): rate stage
+    exch=0 over the bucketed table; whole query carries only the final
+    rollup Exchange; values equal the expression-keyed ts_rate."""
+    import __spark_entry__ as entrymod
+    from timely_spark.operators.rate import rate
+
+    sf = "/root/testdata/sf0.001"
+    table = entrymod._bucketed_points_table(spark, sf)
+    try:
+        r = rate(spark.table(table), series_col="series_key")
+        assert "Exchange" not in r._jdf.queryExecution().executedPlan().toString()
+
+        full = entrymod.queries()["ts_rate_bucketed"](spark, sf)
+        plan = full._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1  # the 15m rollup only
+
+        want = {
+            (x["metric"], x["bucket_ts"]): (x["avg_rate"], x["n"])
+            for x in entrymod.queries()["ts_rate"](spark, sf).collect()
+        }
+        got = {
+            (x["metric"], x["bucket_ts"]): (x["avg_rate"], x["n"])
+            for x in full.collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
