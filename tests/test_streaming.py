@@ -82,7 +82,7 @@ def test_subscription_backfill_then_tail(spark, tmp_path):
         + [f"put m {b} 7.7 host=h9"]  # excluded by the tag filter below
         + [f"put other {b} 9.9 host=h1"])
 
-    mgr = SubscriptionManager(spark, store, flush_seconds=1)
+    mgr = SubscriptionManager(spark, store, flush_seconds=1, sink="buffer")
     mgr.create("s1")
     q = mgr.add("s1", "m", tags={"host": "h1"})
     try:
@@ -337,7 +337,7 @@ def test_subscription_finite_range_completes(spark, tmp_path):
     )
     write_points(parse_lines_df(df), store)
 
-    mgr = SubscriptionManager(spark, store, flush_seconds=1)
+    mgr = SubscriptionManager(spark, store, flush_seconds=1, sink="buffer")
     mgr.create("s1")
     q = mgr.add("s1", "m", start_time_ms=b, end_time_ms=b + 2500)
     deadline = time.time() + 60
@@ -406,3 +406,126 @@ def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
     assert kept_texts == ["alpha beta", "epsilon", "gamma delta"]
     kept_ids = {r["doc_id"] for r in rows}
     assert 4 not in kept_ids and 3 not in kept_ids
+
+
+def test_streaming_summarization_parity_with_batch(spark, tmp_path):
+    """A11 end-to-end (VERDICT r2 item #6): summarization_query drains a
+    WRITTEN STORE via availableNow and its *_summarized rows equal the
+    batch summarize_batch result for every closed window
+    (SummarizationJob.java:40-105 / MetricHistogram.java:64-167)."""
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import read_points, write_points
+    from timely_spark.streaming.summarize import (
+        summarization_query,
+        summarize_batch,
+    )
+
+    b = 1_447_767_913_000 - (1_447_767_913_000 % 60_000)
+    # 2 series x 2 one-minute windows
+    lines = [
+        f"put m {b + i * 1000} {float(i * (1 + i % 2))} host=h{i % 2}"
+        for i in range(120)
+    ]
+    # sentinel far in the future: advances the watermark past every real
+    # window so append mode emits them; its own open window never emits
+    sentinel_ts = b + 10 * 60_000
+    sentinel = f"put m {sentinel_ts} 0.0 host=h0"
+    pts = parse_lines_df(
+        spark.createDataFrame([(l,) for l in lines + [sentinel]], ["value"])
+    )
+    store = str(tmp_path / "store")
+    write_points(pts, store, mode="overwrite")
+
+    stream = spark.readStream.schema(
+        "ts long, value double, tags map<string,string>, viz string, "
+        "metric string, dt long"
+    ).parquet(store)
+    q = summarization_query(
+        stream.select("metric", "ts", "value", "tags", "viz"),
+        window_seconds=60,
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        watermark_seconds=1,
+        exact=True,
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+
+    def rows_to_set(rows):
+        return {
+            (
+                r["metric"],
+                tuple(sorted((r["tags"] or {}).items())),
+                r["bucket_ts"],
+                r["n"],
+                r["min_value"],
+                r["max_value"],
+                r["sum_value"],
+                r["avg_value"],
+                r["p50"],
+                r["p75"],
+                r["p90"],
+                r["p99"],
+            )
+            for r in rows
+        }
+
+    got = rows_to_set(spark.read.parquet(str(tmp_path / "out")).collect())
+    want = rows_to_set(
+        summarize_batch(
+            read_points(spark, store).filter(F.col("ts") < sentinel_ts),
+            window_ms=60_000,
+            exact=True,
+        ).collect()
+    )
+    assert len(want) == 4  # 2 series x 2 windows
+    assert got == want
+
+
+def test_subscription_file_sink_lifecycle(spark, tmp_path):
+    """Default (non-collect) sink: responses spool to per-(sub, metric)
+    JSON-lines directories via distributed writes — no driver collect —
+    and a finite-range add() drains, terminates, and drops the
+    complete:true marker into the spool (VERDICT r2 item #7;
+    MetricScanner.java:254-281)."""
+    import os
+    import time
+
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import write_points
+    from timely_spark.streaming.subscription import SubscriptionManager
+
+    b = 1_447_767_913_000
+    store = str(tmp_path / "store")
+    lines = [f"put m {b + i * 1000} {float(i)} host=h1" for i in range(8)]
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+    )
+
+    mgr = SubscriptionManager(
+        spark, store, flush_seconds=1, out_root=str(tmp_path / "spool")
+    )
+    assert mgr._kind == "files"
+    mgr.create("s1")
+    # finite range: availableNow drain then completion marker
+    mgr.add("s1", "m", tags={"host": "h1"}, end_time_ms=b + 60_000)
+    try:
+        deadline = time.time() + 120
+        marker = os.path.join(mgr.results_path("s1", "m"), "complete.marker.json")
+        while time.time() < deadline and not os.path.exists(marker):
+            time.sleep(0.5)
+        assert os.path.exists(marker)
+
+        res = mgr.read_results("s1", "m")
+        data = res.filter("complete IS NULL" if "complete" in res.columns else "1=1")
+        vals = {r["value"] for r in data.collect() if r["value"] is not None}
+        assert vals == {float(i) for i in range(8)}
+        done = res.filter("complete = true").collect() if "complete" in res.columns else []
+        assert len(done) == 1 and done[0]["subscriptionId"] == "s1"
+        # nothing accumulated driver-side
+        assert mgr.buffers.get(("s1", "m"), []) == [
+            {"metric": "m", "subscriptionId": "s1", "complete": True}
+        ]
+    finally:
+        mgr.close("s1")

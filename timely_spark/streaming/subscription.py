@@ -39,17 +39,29 @@ class SubscriptionManager:
         store_path: str,
         lag_seconds: int = 120,
         flush_seconds: int = 30,
-        sink_factory: Callable[[str, str], Callable[[DataFrame, int], None]] | None = None,
+        sink: str | Callable[[str, str], Callable[[DataFrame, int], None]] = "files",
+        out_root: str | None = None,
     ):
+        """``sink``: ``"files"`` (default) writes each flush as JSON-lines
+        into a per-(subscription, metric) spool directory — a fully
+        distributed write the WS server tails and frames, never a driver
+        collect. ``"buffer"`` collects into ``self.buffers`` (tests /
+        small demos only — driver-bounded by construction). A callable is
+        a custom factory ``(sub_id, metric) -> foreachBatch sink`` (e.g. a
+        real socket push)."""
         self.spark = spark
         self.store_path = store_path
         self.lag_seconds = lag_seconds
         self.flush_seconds = flush_seconds
         self._subs: dict[str, Subscription] = {}
-        # default sink: collect to an in-memory buffer per (sub, metric);
-        # a WS server would push frames instead
         self.buffers: dict[tuple[str, str], list] = {}
-        self._sink_factory = sink_factory or self._buffer_sink
+        self.out_root = out_root or store_path.rstrip("/") + "__subs_out"
+        if callable(sink):
+            self._sink_factory, self._kind = sink, "custom"
+        elif sink == "buffer":
+            self._sink_factory, self._kind = self._buffer_sink, "buffer"
+        else:
+            self._sink_factory, self._kind = self._file_sink, "files"
         self._completed: set[tuple[str, str]] = set()
 
     def _buffer_sink(self, sub_id: str, metric: str):
@@ -61,6 +73,27 @@ class SubscriptionManager:
             buf.extend(batch_df.limit(100_000).collect())
 
         return sink
+
+    # ------------------------------------------------------- default sink
+
+    def results_path(self, sub_id: str, metric: str) -> str:
+        return f"{self.out_root}/{sub_id}/{metric}"
+
+    def _file_sink(self, sub_id: str, metric: str):
+        """Spool each flush as JSON lines (executor-side write, the
+        response-batch analogue of MetricScanner's 1000-response flushes).
+        The WS layer tails the spool and frames lines to the client, so
+        result volume never passes through the driver."""
+        out = self.results_path(sub_id, metric)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").json(out)
+
+        return sink
+
+    def read_results(self, sub_id: str, metric: str) -> DataFrame:
+        """The spooled responses for one (subscription, metric)."""
+        return self.spark.read.json(self.results_path(sub_id, metric))
 
     def create(self, subscription_id: str) -> Subscription:
         sub = Subscription(subscription_id)
@@ -131,9 +164,16 @@ class SubscriptionManager:
         if key in self._completed:
             return
         self._completed.add(key)
-        self.buffers.setdefault(key, []).append(
-            {"metric": metric, "subscriptionId": subscription_id, "complete": True}
-        )
+        marker = {"metric": metric, "subscriptionId": subscription_id, "complete": True}
+        self.buffers.setdefault(key, []).append(marker)
+        if self._kind == "files":
+            import json
+            import os
+
+            out = self.results_path(subscription_id, metric)
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "complete.marker.json"), "w") as f:
+                json.dump(marker, f)
 
     def _store_schema(self):
         import os

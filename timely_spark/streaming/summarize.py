@@ -75,21 +75,37 @@ def summarization_query(
     checkpoint: str,
     out_path: str,
     watermark_seconds: int = 120,
+    exact: bool = False,
+    available_now: bool = False,
 ):
     """Streaming variant: event-time tumbling window + watermark,
     append-mode Parquet sink (points flow back into the lake as
-    ``*_summarized`` metrics like the Flink job's put-lines)."""
+    ``*_summarized`` metrics like the Flink job's put-lines).
+
+    Keyed per (metric, series) like the batch path and the reference's
+    keyBy(metric, tags) (SummarizationJob.java:60-78), so the two
+    variants emit identical rows for closed windows —
+    tests/test_streaming.py asserts the hash-level parity.
+
+    ``exact`` selects the exact percentile aggregate (parity/testing);
+    the default approx path is the 100 TB choice. ``available_now``
+    drains a bounded backlog in one run then terminates (the batch-mode
+    execution of the same streaming plan).
+    """
     wm = stream.withColumn(
         "event_time", F.timestamp_millis(F.col("ts"))
     ).withWatermark("event_time", f"{watermark_seconds} seconds")
     agg = (
-        wm.groupBy(
+        wm.withColumn("__series", series_id())
+        .groupBy(
             F.col("metric"),
+            F.col("__series"),
             F.window("event_time", f"{window_seconds} seconds").alias("w"),
         )
-        .agg(*_summary_aggs(exact=False))
+        .agg(F.first("tags").alias("tags"), *_summary_aggs(exact))
         .select(
             F.concat("metric", F.lit("_summarized")).alias("metric"),
+            "tags",
             F.unix_millis(F.col("w.start")).alias("bucket_ts"),
             "n",
             "min_value",
@@ -102,13 +118,15 @@ def summarization_query(
             F.col("pcts")[3].alias("p99"),
         )
     )
-    return (
+    writer = (
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 # sample-tag vocabulary of the reference's put-line serializer
