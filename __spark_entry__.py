@@ -847,12 +847,32 @@ def q_emb_knn_ivf(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: Arrow-batched fake decode over mapInPandas
-    (schema/batching real; codec stubbed — rows-only check)."""
-    from timely_spark.operators.multimodal import extract_image_features, synthetic_media
+    """Multimodal features with the REAL in-container codecs: BMP decode
+    (dimensions, mean luma, aHash) + PCM WAV decode (duration, rate,
+    RMS), Arrow-batched over mapInPandas — no stub in this path
+    (rows-only check; compressed formats remain stubbed elsewhere)."""
+    from timely_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        synthetic_media,
+    )
 
     media = synthetic_media(spark, n=64)
-    return extract_image_features(media, fake=True)
+    img = extract_image_features(media).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("width").cast("double").alias("f1"),
+        F.col("height").cast("double").alias("f2"),
+        F.col("mean_luma").alias("f3"),
+    )
+    aud = extract_audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("duration_s").alias("f1"),
+        F.col("sample_rate").cast("double").alias("f2"),
+        F.col("rms").alias("f3"),
+    )
+    return img.unionByName(aud)
 
 
 # ---------------------------------------------------------------------------

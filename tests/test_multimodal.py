@@ -1,38 +1,78 @@
 """Multimodal plumbing tests: schema, Arrow batching, per-kind routing,
-and the clearly-marked codec stubs (real decode libs absent here)."""
+the REAL in-container BMP/WAV codecs, and the remaining clearly-marked
+stubs (compressed-format decode libs absent here)."""
 
 import pytest
 
 from timely_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_wav,
     extract_audio_features,
     extract_image_features,
+    make_bmp,
+    make_wav,
     sample_video_frames,
     synthetic_media,
 )
 
 
-def test_image_features_schema_and_determinism(spark):
-    media = synthetic_media(spark, n=12)
-    feats = extract_image_features(media, fake=True)
-    rows = {r["media_id"]: r for r in feats.collect()}
-    assert len(rows) == 12
-    r0 = rows[0]
-    assert 64 <= r0["width"] <= 255 and 64 <= r0["height"] <= 255
-    assert r0["channels"] == 3 and 0.0 <= r0["mean_luma"] <= 1.0
+def test_bmp_decode_roundtrip():
+    """Real codec: dimensions/channels from the header, luma/aHash from
+    the pixel array."""
+    w, h, ch, luma, phash = _decode_bmp(make_bmp(37, 21, seed=7))
+    assert (w, h, ch) == (37, 21, 3)
+    assert 0.0 <= luma <= 1.0
+    # deterministic + discriminating
+    assert _decode_bmp(make_bmp(37, 21, seed=7))[4] == phash
+    assert _decode_bmp(make_bmp(37, 21, seed=8))[4] != phash
+
+
+def test_wav_decode_roundtrip():
+    """Real codec: header fields + PCM RMS (0.5-amplitude sine ->
+    RMS = 0.5/sqrt(2))."""
+    dur, rate, ch, rms = _decode_wav(make_wav(0.5, sample_rate=16_000, freq=440.0))
+    assert rate == 16_000 and ch == 1
+    assert abs(dur - 0.5) < 1e-6
+    assert abs(rms - 0.5 / 2**0.5) < 0.01
+
+
+def test_image_features_real_decode(spark):
+    """media_features real path: BMP payloads decode distributed via
+    mapInPandas with no stub in the loop (VERDICT r2 item #8)."""
+    media = synthetic_media(spark, n=12)  # kinds cycle image/audio/video
+    rows = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert set(rows) == {i for i in range(12) if i % 3 == 0}
+    for i, r in rows.items():
+        assert r["width"] == 16 + i % 48 and r["height"] == 16 + (i * 3) % 48
+        assert r["channels"] == 3 and 0.0 <= r["mean_luma"] <= 1.0
     # deterministic: same payload bytes -> same features
-    again = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
+    again = {r["media_id"]: r for r in extract_image_features(media).collect()}
     assert again == rows
 
 
-def test_audio_features_routed_by_kind(spark):
-    media = synthetic_media(spark, n=12)  # kinds cycle image/audio/video
-    feats = extract_audio_features(media, fake=True).collect()
+def test_audio_features_real_decode(spark):
+    media = synthetic_media(spark, n=12)
+    feats = extract_audio_features(media).collect()
     audio_ids = {r["media_id"] for r in feats}
     assert audio_ids == {i for i in range(12) if i % 3 == 1}
     for r in feats:
-        assert r["sample_rate"] in (8000, 16000, 44100, 48000)
-        assert r["channels"] in (1, 2)
-        assert 0.0 <= r["rms"] <= 1.0
+        i = r["media_id"]
+        assert r["sample_rate"] == 8000 + 1000 * (i % 3)
+        assert r["channels"] == 1
+        expected_dur = int((0.05 + (i % 10) / 100.0) * r["sample_rate"]) / r["sample_rate"]
+        assert abs(r["duration_s"] - expected_dur) < 1e-9
+        assert abs(r["rms"] - 0.5 / 2**0.5) < 0.02
+
+
+def test_fake_decode_still_available(spark):
+    """fake=True keeps exercising the plumbing for formats without an
+    in-container codec."""
+    media = synthetic_media(spark, n=12, real=False)
+    rows = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
+    assert set(rows) == {i for i in range(12) if i % 3 == 0}
+    r0 = rows[0]
+    assert 64 <= r0["width"] <= 255 and 64 <= r0["height"] <= 255
+    assert r0["channels"] == 3 and 0.0 <= r0["mean_luma"] <= 1.0
 
 
 def test_video_frame_sampling(spark):
@@ -48,8 +88,9 @@ def test_video_frame_sampling(spark):
         assert all(f["ts_s"] == f["frame_idx"] * 1.0 for f in fs)
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    media = synthetic_media(spark, n=3)
+def test_compressed_decode_is_explicitly_stubbed(spark):
+    """Non-BMP image payloads still fail loudly without fake=True."""
+    media = synthetic_media(spark, n=3, real=False)
     with pytest.raises(Exception) as ei:
         extract_image_features(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
