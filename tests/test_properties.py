@@ -256,3 +256,108 @@ def test_fir_matches_convolution_model(spark, weights, values):
     assert set(got) == set(expect)
     for t in expect:
         assert got[t] == pytest.approx(expect[t], rel=1e-9, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# GET m= mini-language round-trip (QueryRequest.java:515-627)
+# --------------------------------------------------------------------------
+
+_ident = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,11}", fullmatch=True)
+_metric = st.from_regex(r"[A-Za-z][A-Za-z0-9_.]{0,15}", fullmatch=True).filter(
+    lambda s: not s.startswith("rate")
+)
+# tag values: literals or simple regexes; must avoid the structural
+# chars , } = : the grammar reserves
+_tagval = st.from_regex(r"[A-Za-z0-9_.*|()\[\]\\-]{1,12}", fullmatch=True)
+_tags = st.dictionaries(_ident, _tagval, max_size=3)
+
+
+@st.composite
+def _rate_options(draw):
+    from timely_spark.operators.rate import RateOptions
+
+    return RateOptions(
+        counter=draw(st.booleans()),
+        interval_ms=draw(st.none() | st.integers(1, 10**6)),
+        counter_max=draw(st.none() | st.integers(1, 10**9)),
+        reset_value=draw(st.sampled_from([0]) | st.integers(1, 10**9)),
+    )
+
+
+@st.composite
+def _subqueries(draw):
+    from timely_spark.operators.rate import RateOptions
+    from timely_spark.plans.request import SubQuery
+
+    rate = draw(st.booleans())
+    tags = draw(_tags)
+    return SubQuery(
+        metric=draw(_metric),
+        aggregator=draw(st.sampled_from(["avg", "sum", "min", "max", "count", "dev", "none"])),
+        downsample=draw(
+            st.none()
+            | st.builds(
+                lambda n, u, a: f"{n}{u}-{a}",
+                st.integers(1, 60),
+                st.sampled_from(["s", "m", "h", "d"]),
+                st.sampled_from(["avg", "sum", "min", "max", "count"]),
+            )
+        ),
+        tags=tags,
+        rate=rate,
+        rate_options=draw(_rate_options()) if rate else RateOptions(),
+        # the grammar can only express filters after a groupBy section
+        filters=draw(_tags) if tags else {},
+    )
+
+
+@given(sub=_subqueries())
+@settings(max_examples=300, deadline=None)
+def test_m_language_roundtrip(sub):
+    """parse(render(sub)) == sub over the whole documented grammar —
+    aggregator, positional rate options, downsample, groupBy vs filter
+    tag sections (QueryRequest.java:515-627)."""
+    from timely_spark.plans.request import _parse_m, render_m
+
+    m = render_m(sub)
+    again = _parse_m(m)
+    assert again == sub, m
+    # and rendering is a fixed point
+    assert render_m(again) == m
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "sys.cpu.user",  # too few sections
+        "avg:1m-avg:rate:extra:still:sys.cpu.user",  # too many sections
+        "avg:sys.cpu.user{tag1=value1",  # unterminated tag section
+        "avg:sys.cpu.user{}",  # empty tag group (tParts[1] AIOOBE parity)
+        "avg:sys.cpu.user{noequals}",  # tag without '='
+    ],
+)
+def test_m_language_rejects(bad):
+    """Corner cases the reference rejects (exception paths in
+    QueryRequest.parseQueryParameters)."""
+    from timely_spark.plans.request import _parse_m
+
+    with pytest.raises(ValueError):
+        _parse_m(bad)
+
+
+def test_m_language_reference_examples():
+    """Literal shapes from the reference's own tests/docs."""
+    from timely_spark.plans.request import _parse_m
+
+    s = _parse_m("max:1s-max:sys.cpu.idle{tag3=value3}")
+    assert (s.aggregator, s.downsample, s.metric) == ("max", "1s-max", "sys.cpu.idle")
+    assert s.tags == {"tag3": "value3"} and not s.rate
+
+    s = _parse_m("avg:rate{counter,1000ms,100,50}:m{a=b}{c=d}")
+    assert s.rate and s.rate_options.counter
+    assert s.rate_options.interval_ms == 1000
+    assert s.rate_options.counter_max == 100 and s.rate_options.reset_value == 50
+    assert s.tags == {"a": "b"} and s.filters == {"c": "d"}
+
+    s = _parse_m("sum:rate:m")  # bare rate, defaults
+    assert s.rate and s.rate_options.interval_ms is None

@@ -137,12 +137,48 @@ def _parse_m(m: str) -> SubQuery:
     groups = metric_and_tags[brace:].split("}")
     for gi, grp in enumerate(g for g in groups if g):
         for tag in grp[1:].split(","):
-            k, _, v = tag.partition("=")
+            k, eq, v = tag.partition("=")
+            if not eq or not k:
+                # the reference indexes tParts[1] unconditionally -> a
+                # tag without '=' (including the empty "{}" group) fails
+                # the request (QueryRequest.java:592-607)
+                raise ValueError(f"Invalid tag spec {tag!r}")
             if gi == 0:
                 sub.tags[k] = v  # groupBy filters
             else:
                 sub.filters[k] = v  # non-grouping tags
     return sub
+
+
+def render_m(sub: SubQuery) -> str:
+    """SubQuery -> the GET ``m=`` mini-language string (the inverse of
+    ``_parse_m``; rate options use the reference's positional encoding
+    ``rate{counter,interval,counterMax,resetValue}`` with empty slots for
+    unset middle options, QueryRequest.java:536-560)."""
+    parts = [sub.aggregator]
+    if sub.rate:
+        ro = sub.rate_options
+        if ro == RateOptions():
+            parts.append("rate")
+        else:
+            opts = [
+                "counter" if ro.counter else "",
+                f"{ro.interval_ms}ms" if ro.interval_ms is not None else "",
+                str(ro.counter_max) if ro.counter_max is not None else "",
+                str(ro.reset_value) if ro.reset_value else "",
+            ]
+            while opts and opts[-1] == "":
+                opts.pop()
+            parts.append("rate{" + ",".join(opts) + "}")
+    if sub.downsample:
+        parts.append(sub.downsample)
+    tail = sub.metric
+    if sub.tags:
+        tail += "{" + ",".join(f"{k}={v}" for k, v in sub.tags.items()) + "}"
+        if sub.filters:
+            tail += "{" + ",".join(f"{k}={v}" for k, v in sub.filters.items()) + "}"
+    parts.append(tail)
+    return ":".join(parts)
 
 
 def parse_get_query(params: dict) -> QueryRequest:
