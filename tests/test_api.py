@@ -390,3 +390,47 @@ def test_meta_ageoff_in_retention(spark, tmp_path_factory):
     res = eng.search_lookup(tag_key="host", tag_value_pattern=".*")
     assert {r["tag_value"] for r in res["results"]} == {"fresh"}
     assert res["totalResults"] == 1
+
+
+def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
+    """VERDICT r2 item #10: refresh issues <=1 Spark job — zero when the
+    ingest path supplies the batch max as the window anchor, one max(ts)
+    aggregation otherwise (was: two driver collects per refresh)."""
+    from timely_spark.sources.hot_cache import HotCache
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import read_points, write_points
+
+    b = 1_447_767_913_000
+    store = str(tmp_path_factory.mktemp("hotjobs") / "m")
+    lines = [f"put m {b + i * 1000} {float(i)} host=h1" for i in range(30)]
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+    )
+    pts = read_points(spark, store)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    hc = HotCache(spark, window_ms=10_000)
+    try:
+        sc.setJobGroup("refresh-anchored", "refresh with known now_ms")
+        hc.refresh(pts, now_ms=b + 29_000)
+        assert list(tracker.getJobIdsForGroup("refresh-anchored")) == []
+
+        sc.setJobGroup("refresh-unanchored", "refresh computing max(ts)")
+        hc.refresh(pts)
+        # one max(ts) ACTION; AQE materializes the partial+final agg as
+        # up to two tracker jobs for the single query execution
+        assert len(tracker.getJobIdsForGroup("refresh-unanchored")) <= 2
+        sc.setJobGroup("after", "")
+
+        # the hybrid seam still covers every row exactly once
+        hybrid = hc.hybrid(pts)
+        assert hybrid.count() == 30
+        assert hybrid.select("ts").distinct().count() == 30
+        st = hc.status()
+        assert st["newestTs"] == b + 29_000 and st["metrics"] == ["m"]
+        assert st["oldestTs"] >= hc.oldest_ts - 1
+    finally:
+        hc.close()
+        sc.setJobGroup("", "")

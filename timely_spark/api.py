@@ -136,7 +136,12 @@ class TimelyEngine:
         # (observed as a duplicate 'sample' tag). Truncating lineage pins
         # the batch contents; it stays distributed (executor blocks).
         pts = pts.localCheckpoint(eager=True)
-        n = pts.count()
+        # one stats job covers the emptiness check AND the hot tier's
+        # window anchor, so the cache refresh below issues zero jobs
+        stats = pts.agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("hi")
+        ).collect()[0]
+        n = stats["n"]
         if n:
             write_points(pts, self.store_path, promote_tags=self.promote_tags or None)
             # meta side-write (DataStore.java:415-433)
@@ -144,7 +149,9 @@ class TimelyEngine:
             self._record_viz(pts)
             if self._hot is not None:
                 # cache append analogue (DataStoreCache.store:635-644)
-                self._hot.refresh(read_points(self.spark, self.store_path))
+                self._hot.refresh(
+                    read_points(self.spark, self.store_path), now_ms=stats["hi"]
+                )
         return n
 
     # ----------------------------------------------------------- hot tier

@@ -35,49 +35,59 @@ class HotCache:
         self.spark = spark
         self.window_ms = window_ms
         self._df: DataFrame | None = None
-        self._oldest: int | None = None
+        self._cut: int | None = None  # window cutoff = hybrid split boundary
         self._newest: int | None = None
 
     # ------------------------------------------------------------ refresh
 
     def refresh(self, points: DataFrame, now_ms: int | None = None) -> None:
-        """(Re)load the recent window; called post-ingest or on a timer
-        (the archive/age-off cycle, DataStoreCache.java:635-644)."""
+        """(Re)pin the recent window; called post-ingest or on a timer
+        (the archive/age-off cycle, DataStoreCache.java:635-644).
+
+        Job budget: ZERO Spark jobs when the caller supplies ``now_ms``
+        (the ingest path already knows its batch max), ONE max(ts)
+        aggregation otherwise. The split boundary is the window CUTOFF
+        (now - window), not the oldest cached row — every row above the
+        cutoff is in the cache by construction, so the hybrid seam is
+        identical and the old min(ts)-over-the-window job disappears.
+        The pinned DataFrame materializes lazily on first query."""
         if now_ms is None:
             hi = points.agg(F.max("ts")).collect()[0][0]
             now_ms = hi if hi is not None else 0
-        lo = now_ms - self.window_ms
-        fresh = points.filter(F.col("ts") > lo)
+        if self._newest is not None:
+            now_ms = max(now_ms, self._newest)  # window never moves backward
+        cut = now_ms - self.window_ms
+        fresh = points.filter(F.col("ts") > cut)
         if self._df is not None:
             self._df.unpersist()
         self._df = fresh.cache()
-        bounds = self._df.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).collect()[0]
-        self._oldest, self._newest = bounds["lo"], bounds["hi"]
+        self._cut, self._newest = cut, now_ms
 
     # ------------------------------------------------------------- status
 
     @property
     def oldest_ts(self) -> int | None:
         """Cache boundary: queries older than this go to the store
-        (getOldestTimestamp, DataStoreCache.java:911-922)."""
-        return self._oldest
+        (getOldestTimestamp, DataStoreCache.java:911-922). This is the
+        window cutoff; the oldest actual row is >= it."""
+        return None if self._cut is None else self._cut + 1
 
     @property
     def newest_ts(self) -> int | None:
         return self._newest
 
     def status(self) -> dict:
-        names = (
-            []
-            if self._df is None
-            else [
-                r["metric"]
-                for r in self._df.select("metric").distinct().orderBy("metric").collect()
-            ]
-        )
-        return {"oldestTs": self._oldest, "newestTs": self._newest, "metrics": names}
+        """One aggregation job over the (cached) window — min/max/names
+        together; the reference likewise walks its live maps per status
+        call (DataStoreCache.java:911-922)."""
+        if self._df is None:
+            return {"oldestTs": None, "newestTs": None, "metrics": []}
+        row = self._df.agg(
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.sort_array(F.collect_set("metric")).alias("names"),
+        ).collect()[0]
+        return {"oldestTs": row["lo"], "newestTs": row["hi"], "metrics": row["names"]}
 
     # -------------------------------------------------------------- reads
 
@@ -89,9 +99,9 @@ class HotCache:
         logical table; the cached side serves from memory, the store side
         keeps its partition pruning.
         """
-        if self._df is None or self._oldest is None:
+        if self._df is None or self._cut is None:
             return store_points
-        cold = store_points.filter(F.col("ts") < self._oldest)
+        cold = store_points.filter(F.col("ts") <= self._cut)
         hot = self._df
         cols = [c for c in store_points.columns if c in hot.columns]
         return cold.select(*cols).unionByName(hot.select(*cols))
@@ -100,4 +110,4 @@ class HotCache:
         if self._df is not None:
             self._df.unpersist()
             self._df = None
-            self._oldest = self._newest = None
+            self._cut = self._newest = None
