@@ -74,7 +74,11 @@ def ts_epoch_ms(df: DataFrame, col: str = "ts") -> Column:
     """
     dt = dict(df.dtypes)[col]
     if dt in ("bigint", "long"):
-        return F.expr(f"{col} div 1000000")
+        # FLOOR division in exact integer math (`x div y` truncates toward
+        # zero, diverging from unix_millis and DuckDB's `//` for pre-1970
+        # sub-ms timestamps; `floor(x / 1e6)` would round through double
+        # and lose precision above 2^53 ns)
+        return F.expr(f"({col} - pmod({col}, 1000000)) div 1000000")
     if dt == "timestamp_ntz":
         return F.unix_millis(F.col(col).cast("timestamp"))
     if dt == "timestamp":
@@ -90,6 +94,12 @@ def events_as_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Purely narrow (no shuffle); Catalyst pushes metric/tag predicates into
     the Parquet scan of event_type/user_id.
     """
+    from .session import configure
+
+    # ts_epoch_ms's NTZ branch needs session.timeZone=UTC for the
+    # NTZ->TIMESTAMP cast to be identity; a driver-supplied non-UTC
+    # session would otherwise silently shift every epoch-ms value
+    configure(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_type").alias("metric"),
