@@ -875,6 +875,66 @@ def q_media_features(spark, sf_dir):
     return img.unionByName(aud)
 
 
+def q_tpch_q6ish(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change: pure scan-shaped filter+agg —
+    every predicate reaches PushedFilters, zero joins; the canonical
+    pushdown/pruning showcase. Decimal-accumulated sum so the single
+    output value is partition-order independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(38,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_doc_ttr(spark, sf_dir):
+    """Lexical diversity (type-token ratio) per doc — the boilerplate/
+    spam screen; pure column expressions, no shuffle (text.py)."""
+    from timely_spark.operators.text import type_token_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *type_token_ratio("text"))
+
+
+def q_doc_tfidf_terms(spark, sf_dir):
+    """Per-source characteristic terms by tf-idf: corpus-linear (group,
+    term) agg with map-side combine + broadcast df join + tiny top-n
+    window (text.tfidf_top_terms)."""
+    from timely_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, group_col="source", top_n=3)
+
+
+def q_emb_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd assignment step over the embedding corpus:
+    centroid literals inlined (k-row driver seam), assignment is a pure
+    column expression — no corpus-keyed shuffle
+    (similarity.kmeans_assign)."""
+    from timely_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -907,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_engine_query": q_ts_engine_query,
         "ts_none_raw": q_ts_none_raw,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6ish": q_tpch_q6ish,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q18ish": q_tpch_q18ish,
@@ -929,7 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domains": q_doc_domains,
         "doc_length_stats": q_doc_length_stats,
         "doc_token_freq": q_doc_token_freq,
+        "doc_ttr": q_doc_ttr,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         "emb_knn": q_emb_knn,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
         # rows-only (no SQL oracle)
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1349,6 +1413,41 @@ FROM sims WHERE cosine >= 0.4""",
     # the bucketed layout changes the physical plan, not the semantics:
     # same oracle as the expression-keyed rate
     d["ts_rate_bucketed"] = d["ts_rate"]
+
+    from timely_spark.operators.text import tfidf_top_terms_sql, ttr_sql
+
+    d["tpch_q6ish"] = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)
+            AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+    d["doc_ttr"] = f"SELECT doc_id, {ttr_sql('text')} FROM documents"
+    d["doc_tfidf_terms"] = tfidf_top_terms_sql(group_col="source", top_n=3)
+    d["emb_kmeans_assign"] = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+cents AS (SELECT * FROM ex WHERE vec_id < 8),
+dots AS (
+  SELECT e.vec_id AS vid, c.vec_id AS cid, sum(e.x * c.x) AS dot
+  FROM ex e JOIN cents c USING (i) GROUP BY 1, 2),
+sims AS (
+  SELECT vid, cid, round(dot / (ne.n * nc.n), 6) AS cos
+  FROM dots JOIN nrm ne ON ne.vec_id = vid JOIN nrm nc ON nc.vec_id = cid),
+best AS (
+  SELECT vid, cid, cos,
+         row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS r
+  FROM sims)
+SELECT cid AS centroid_id, count(*) AS n_assigned,
+       CAST(round(sum(CAST(cos AS DECIMAL(38,10))) / count(*), 4) AS DOUBLE)
+         AS mean_cosine
+FROM best WHERE r = 1 GROUP BY 1"""
     return d
 
 

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "ts_multiquery",
     "ts_none_raw",
     "tpch_q1",
+    "tpch_q6ish",
     "tpch_q3ish",
     "tpch_q5ish",
     "tpch_q18ish",
@@ -60,12 +61,15 @@ BENCH_QUERIES = [
     "doc_dedup_clusters",
     "doc_repetition",
     "doc_token_freq",
+    "doc_ttr",
+    "doc_tfidf_terms",
     "doc_hash_sample",
     "doc_domains",
     "doc_length_stats",
     "doc_minhash_pairs",
     "doc_simhash",
     "emb_knn",
+    "emb_kmeans_assign",
     "emb_knn_lsh",
     "emb_knn_ivf",
     "emb_near_dup",

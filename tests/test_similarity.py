@@ -71,3 +71,24 @@ def test_ivf_finds_duplicate(spark, corpus):
     res = ivf_topk(corpus, _queries(corpus), k=5, ncells=8, nprobe=8).collect()
     # probing every cell == exact: duplicate must surface
     assert any(r["vec_id"] == 100 and r["cosine"] == pytest.approx(1.0) for r in res)
+
+
+def test_kmeans_assign_plan_and_partition(spark):
+    """kmeans_assign inlines centroid literals: the corpus side is a pure
+    scan (no crossJoin blowup, no corpus-keyed shuffle) and the only
+    Exchange aggregates k rows. Assignments partition the corpus."""
+    import __spark_entry__ as entrymod
+    from timely_spark.operators.similarity import kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = kmeans_assign(emb, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # final k-row agg only
+    rows = out.collect()
+    assert sum(r["n_assigned"] for r in rows) == emb.count()
+    assert all(0 <= r["centroid_id"] < 4 for r in rows)
+    assert all(-1.0 <= r["mean_cosine"] <= 1.0 for r in rows)
+    # deterministic
+    again = {r["centroid_id"]: (r["n_assigned"], r["mean_cosine"]) for r in kmeans_assign(emb, k=4).collect()}
+    assert again == {r["centroid_id"]: (r["n_assigned"], r["mean_cosine"]) for r in rows}

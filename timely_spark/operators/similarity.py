@@ -220,3 +220,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One deterministic Lloyd ASSIGNMENT step — the coarse-quantizer
+    building block shared by IVF indexing and embedding-space cluster
+    dedup. Centroids are the k lowest-id vectors (seeded, model-free);
+    every vector is assigned to its nearest centroid by cosine (ties ->
+    lowest centroid id).
+
+    Scale shape: the k centroid vectors are collected once (a k-row
+    driver seam, like the reference coordinator's query planning) and
+    inlined as literal arrays, so assignment is a pure column expression
+    over the scan — NO corpus-keyed shuffle, no crossJoin row blowup;
+    the only Exchange aggregates k output rows. Cosines round to 6
+    before the argmax/mean so float association order can't flip a
+    boundary (same discipline as emb_knn's oracle ranking).
+
+    Output: (centroid_id, n_assigned, mean_cosine).
+    """
+    cents = (
+        emb.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity_col(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
+                    ),
+                    6,
+                ).alias("cos"),
+                F.lit(-int(row[id_col])).alias("negid"),
+            )
+            for row in cents
+        ]
+    )
+    # array_max on (cos, negid): max cosine, then max(-id) = min id
+    best = F.array_max(scored)
+    return (
+        emb.select(
+            (-best["negid"]).alias("centroid_id"),
+            best["cos"].alias("cos"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (
+                F.round(
+                    F.sum(F.col("cos").cast("decimal(38,10)"))
+                    / F.count(F.lit(1)),
+                    4,
+                ).cast("double")
+            ).alias("mean_cosine"),
+        )
+    )

@@ -316,3 +316,97 @@ DOMAINS_SQL = (
     "list_distinct(list_transform("
     "regexp_extract_all({c}, 'https?://([A-Za-z0-9.-]+)[^\\s]*', 1), d -> lower(d)))"
 )
+
+
+def type_token_ratio(text_col: str | Column = "text") -> list[Column]:
+    """Lexical-diversity quality signal: distinct-token / token ratio
+    per doc (low TTR flags boilerplate/spam for corpus filtering). Pure
+    column expressions over the scan — no shuffle at any corpus size.
+
+    Returns [n_tokens, n_distinct, ttr] columns.
+    """
+    t = tokens(text_col)
+    n = F.size(t).cast("long")
+    d = F.size(F.array_distinct(t)).cast("long")
+    ttr = F.round(d / F.nullif(n.cast("double"), F.lit(0.0)), 4)
+    return [n.alias("n_tokens"), d.alias("n_distinct"), ttr.alias("ttr")]
+
+
+def ttr_sql(c: str) -> str:
+    """DuckDB equivalents of type_token_ratio (same aliases)."""
+    toks = TOKENS_SQL.format(c=c)
+    return (
+        f"CAST(len({toks}) AS BIGINT) AS n_tokens, "
+        f"CAST(len(list_distinct({toks})) AS BIGINT) AS n_distinct, "
+        f"round(CAST(len(list_distinct({toks})) AS DOUBLE)"
+        f" / nullif(CAST(len({toks}) AS DOUBLE), 0.0), 4) AS ttr"
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-group characteristic terms by tf-idf — the standard corpus
+    characterization pass (what distinguishes each source/domain slice).
+
+    tf = term count within the group; idf = ln(n_groups / group-df).
+    Scale shape: one (group, term) aggregation with map-side combine
+    (corpus-linear), then a tiny per-term df aggregate broadcast back;
+    the final top-n window runs over n_groups x vocabulary rows, not the
+    corpus. Ties break lexicographically so output is deterministic.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_groups = docs.select(group_col).distinct().count()  # scalar seam
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_.filter(F.col("df") >= min_df)), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def tfidf_top_terms_sql(
+    group_col: str = "source", text_col: str = "text", top_n: int = 3
+) -> str:
+    """DuckDB equivalent of tfidf_top_terms over ``documents``."""
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH tok AS (
+  SELECT {group_col} AS grp, unnest({toks}) AS term FROM documents),
+tf AS (SELECT grp, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ng AS (SELECT count(DISTINCT {group_col}) AS n FROM documents),
+scored AS (
+  SELECT grp, tf.term AS term, tf, df,
+         round(tf * ln(CAST(ng.n AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN ng),
+ranked AS (
+  SELECT grp, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY grp ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+SELECT grp AS {group_col}, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {top_n}"""
