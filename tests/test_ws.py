@@ -1,0 +1,117 @@
+"""WebSocket subscription transport test — WebSocketIT analogue: raw
+RFC 6455 client does the handshake, drives the create/add/close ops, and
+reads MetricResponses frames until the complete:true marker
+(server/src/test/java/timely/server/integration/WebSocketIT shape;
+MetricScanner.java:186-281)."""
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import time
+
+from timely_spark.sources.lineprotocol import parse_lines_df
+from timely_spark.sources.store import write_points
+from timely_spark.ws_facade import _WS_GUID, TimelyWebSocketServer, read_frame
+
+
+def _client_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """Client frames MUST be masked (RFC 6455 §5.3)."""
+    mask = os.urandom(4)
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    head = bytes([0x80 | opcode])
+    ln = len(payload)
+    if ln < 126:
+        head += bytes([0x80 | ln])
+    elif ln < 1 << 16:
+        head += bytes([0x80 | 126]) + struct.pack(">H", ln)
+    else:
+        head += bytes([0x80 | 127]) + struct.pack(">Q", ln)
+    return head + mask + masked
+
+
+def _handshake(conn: socket.socket, host: str, port: int) -> None:
+    key = base64.b64encode(os.urandom(16)).decode("ascii")
+    conn.sendall(
+        (
+            f"GET /websocket HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode("ascii")
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += conn.recv(4096)
+    text = resp.decode("latin-1")
+    assert "101" in text.split("\r\n")[0]
+    want = base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode("ascii")).digest()
+    ).decode("ascii")
+    assert f"Sec-WebSocket-Accept: {want}" in text
+
+
+def test_websocket_subscription_end_to_end(spark, tmp_path):
+    b = 1_447_767_913_000
+    store = str(tmp_path / "store")
+    lines = [f"put m {b + i * 1000} {float(i)} host=h1" for i in range(6)] + [
+        f"put other {b} 9.9 host=h1"
+    ]
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+    )
+
+    srv = TimelyWebSocketServer(spark, store, flush_seconds=1).start()
+    conn = socket.create_connection((srv.host, srv.port), timeout=120)
+    try:
+        _handshake(conn, srv.host, srv.port)
+
+        def send(op: dict) -> None:
+            conn.sendall(_client_frame(json.dumps(op).encode("utf-8")))
+
+        send({"operation": "create", "subscriptionId": "s1"})
+        # finite range -> drain then complete:true
+        send(
+            {
+                "operation": "add",
+                "subscriptionId": "s1",
+                "metric": "m",
+                "tags": {"host": "h1"},
+                "startTime": b,
+                "endTime": b + 60_000,
+            }
+        )
+
+        got, complete = [], False
+        deadline = time.time() + 120
+        while not complete and time.time() < deadline:
+            opcode, payload = read_frame(conn)
+            if opcode != 0x1:
+                continue
+            msg = json.loads(payload)
+            assert "error" not in msg, msg
+            for r in msg["responses"]:
+                assert r["subscriptionId"] == "s1"
+                if r["complete"]:
+                    complete = True
+                else:
+                    got.append(r)
+        assert complete, "no complete:true frame within deadline"
+        # exactly the six matching points, reference response shape
+        assert {r["value"] for r in got} == {float(i) for i in range(6)}
+        assert all(r["metric"] == "m" for r in got)
+        assert all(
+            {"key": "host", "value": "h1"} in r["tags"] for r in got
+        )
+        assert {r["timestamp"] for r in got} == {b + i * 1000 for i in range(6)}
+
+        send({"operation": "close", "subscriptionId": "s1"})
+        # RFC close
+        conn.sendall(_client_frame(b"", opcode=0x8))
+        opcode, _ = read_frame(conn)
+        assert opcode == 0x8
+    finally:
+        conn.close()
+        srv.stop()

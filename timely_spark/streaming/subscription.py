@@ -41,6 +41,7 @@ class SubscriptionManager:
         flush_seconds: int = 30,
         sink: str | Callable[[str, str], Callable[[DataFrame, int], None]] = "files",
         out_root: str | None = None,
+        on_complete: Callable[[str, str], None] | None = None,
     ):
         """``sink``: ``"files"`` (default) writes each flush as JSON-lines
         into a per-(subscription, metric) spool directory — a fully
@@ -63,6 +64,9 @@ class SubscriptionManager:
         else:
             self._sink_factory, self._kind = self._file_sink, "files"
         self._completed: set[tuple[str, str]] = set()
+        # transport hook: the WS facade turns this into the
+        # sendCompletedResponse frame (MetricScanner.java:270-281)
+        self._on_complete = on_complete
 
     def _buffer_sink(self, sub_id: str, metric: str):
         buf = self.buffers.setdefault((sub_id, metric), [])
@@ -174,6 +178,8 @@ class SubscriptionManager:
             os.makedirs(out, exist_ok=True)
             with open(os.path.join(out, "complete.marker.json"), "w") as f:
                 json.dump(marker, f)
+        if self._on_complete is not None:
+            self._on_complete(subscription_id, metric)
 
     def _store_schema(self):
         import os

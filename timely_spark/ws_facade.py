@@ -1,0 +1,283 @@
+"""WebSocket transport for subscriptions — the reference's WS API on a
+stdlib RFC 6455 server.
+
+Reference protocol (common/.../api/request/websocket/*.java, routed by
+``@WebSocket(operation=...)``): the client sends JSON text frames
+
+    {"operation": "create", "subscriptionId": "s1"}
+    {"operation": "add",    "subscriptionId": "s1", "metric": "m",
+     "tags": {...}, "startTime": ms, "endTime": ms}
+    {"operation": "remove", "subscriptionId": "s1", "metric": "m"}
+    {"operation": "close",  "subscriptionId": "s1"}
+
+and the server pushes ``MetricResponses`` frames — ``{"responses":
+[{"metric", "timestamp", "value", "tags": [{"key","value"}...],
+"subscriptionId", "complete"}...]}`` (MetricResponse.java:14-22,
+MetricScanner.java:186-199) — ending a finite range with a
+``complete: true`` response (MetricScanner.java:270-281).
+
+Transport notes: frames funnel each subscription's results through the
+client's single WS channel, so the per-batch collect in the push sink is
+the protocol's own bottleneck, identical to the reference writing every
+response through one Netty channel; batches are capped like the
+reference's 1000-response flushes. The scale path for bulk consumers is
+the SubscriptionManager's default file-spool sink, not a socket.
+
+SSL/login auth stays a named scope-out (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import threading
+
+from pyspark.sql import SparkSession
+
+from .streaming.subscription import SubscriptionManager
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+_BATCH_CAP = 1000  # WebsocketProperties.java:20 subscription batch size
+
+
+def _accept_key(key: str) -> str:
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode("ascii")).digest()
+    ).decode("ascii")
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def read_frame(conn: socket.socket) -> tuple[int, bytes]:
+    """One frame -> (opcode, payload). Client frames are masked per RFC
+    6455 §5.3; fragmentation is not needed for the JSON op messages."""
+    b1, b2 = _recv_exact(conn, 2)
+    opcode = b1 & 0x0F
+    masked = bool(b2 & 0x80)
+    ln = b2 & 0x7F
+    if ln == 126:
+        (ln,) = struct.unpack(">H", _recv_exact(conn, 2))
+    elif ln == 127:
+        (ln,) = struct.unpack(">Q", _recv_exact(conn, 8))
+    mask = _recv_exact(conn, 4) if masked else b""
+    payload = _recv_exact(conn, ln) if ln else b""
+    if masked:
+        payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    return opcode, payload
+
+
+def make_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    """Server frame (unmasked, FIN)."""
+    head = bytes([0x80 | opcode])
+    ln = len(payload)
+    if ln < 126:
+        head += bytes([ln])
+    elif ln < 1 << 16:
+        head += bytes([126]) + struct.pack(">H", ln)
+    else:
+        head += bytes([127]) + struct.pack(">Q", ln)
+    return head + payload
+
+
+class TimelyWebSocketServer:
+    """One listener; each accepted connection owns a SubscriptionManager
+    (subscriptions die with their session, like the reference's
+    channel-close teardown)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        lag_seconds: int = 120,
+        flush_seconds: int = 30,
+    ):
+        self.spark = spark
+        self.store_path = store_path
+        self.lag_seconds = lag_seconds
+        self.flush_seconds = flush_seconds
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self.host, self.port = self._sock.getsockname()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "TimelyWebSocketServer":
+        self._sock.listen(8)
+        self._thread = threading.Thread(
+            target=self._accept_loop, name="timely-ws", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # ---------------------------------------------------------- internals
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _handshake(self, conn: socket.socket) -> bool:
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = conn.recv(4096)
+            if not chunk:
+                return False
+            data += chunk
+        headers = {}
+        for line in data.decode("latin-1").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        key = headers.get("sec-websocket-key")
+        if not key or "websocket" not in headers.get("upgrade", "").lower():
+            conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+            return False
+        conn.sendall(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            ).encode("ascii")
+        )
+        return True
+
+    def _serve(self, conn: socket.socket) -> None:
+        if not self._handshake(conn):
+            conn.close()
+            return
+        wlock = threading.Lock()
+
+        def push(obj: dict) -> None:
+            frame = make_frame(json.dumps(obj, separators=(",", ":")).encode("utf-8"))
+            with wlock:
+                conn.sendall(frame)
+
+        def ws_sink(sub_id: str, metric: str):
+            def sink(batch_df, batch_id: int) -> None:
+                rows = batch_df.limit(_BATCH_CAP).collect()
+                if not rows:
+                    return
+                push(
+                    {
+                        "responses": [
+                            {
+                                "metric": r["metric"],
+                                "timestamp": r["ts"],
+                                "value": r["value"],
+                                "tags": [
+                                    {"key": k, "value": v}
+                                    for k, v in sorted((r["tags"] or {}).items())
+                                ],
+                                "subscriptionId": sub_id,
+                                "complete": False,
+                            }
+                            for r in rows
+                        ]
+                    }
+                )
+
+            return sink
+
+        def on_complete(sub_id: str, metric: str) -> None:
+            try:
+                push(
+                    {
+                        "responses": [
+                            {
+                                "metric": metric,
+                                "timestamp": 0,
+                                "value": 0.0,
+                                "tags": [],
+                                "subscriptionId": sub_id,
+                                "complete": True,
+                            }
+                        ]
+                    }
+                )
+            except OSError:
+                pass  # client already gone
+
+        mgr = SubscriptionManager(
+            self.spark,
+            self.store_path,
+            lag_seconds=self.lag_seconds,
+            flush_seconds=self.flush_seconds,
+            sink=ws_sink,
+            on_complete=on_complete,
+        )
+        try:
+            while not self._stop.is_set():
+                opcode, payload = read_frame(conn)
+                if opcode == 0x8:  # close
+                    with wlock:
+                        conn.sendall(make_frame(payload, opcode=0x8))
+                    return
+                if opcode == 0x9:  # ping -> pong
+                    with wlock:
+                        conn.sendall(make_frame(payload, opcode=0xA))
+                    continue
+                if opcode != 0x1:
+                    continue
+                try:
+                    msg = json.loads(payload)
+                    self._dispatch(mgr, msg)
+                except Exception as e:
+                    push({"error": str(e)})
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            for sub_id in list(mgr._subs):
+                mgr.close(sub_id)
+            conn.close()
+
+    @staticmethod
+    def _dispatch(mgr: SubscriptionManager, msg: dict) -> None:
+        op = msg.get("operation")
+        sub_id = msg.get("subscriptionId")
+        if not sub_id:
+            raise ValueError("Subscription ID is required.")  # SubscriptionRequest.validate
+        if op == "create":
+            mgr.create(sub_id)
+        elif op == "add":
+            mgr.add(
+                sub_id,
+                msg["metric"],
+                tags=msg.get("tags") or None,
+                start_time_ms=int(msg.get("startTime") or 0),
+                end_time_ms=int(msg.get("endTime") or 0),
+            )
+        elif op == "remove":
+            mgr.remove(sub_id, msg["metric"])
+        elif op == "close":
+            mgr.close(sub_id)
+        else:
+            raise ValueError(f"unknown operation {op!r}")
