@@ -905,6 +905,76 @@ def q_tpch_q6ish(spark, sf_dir):
     )
 
 
+def q_tpch_q10ish(spark, sf_dir):
+    """TPC-H Q10-ish returned-item report: one fact-key shuffle
+    (lineitem joins orders on orderkey); customer and nation broadcast;
+    revenue decimal-accumulated; deterministic top-20 tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per-user first-view,
+    first-click-after-view, first-purchase-after-click via conditional
+    min aggregations joined on user_id — the three shuffles co-partition
+    on the same key, so AQE coalesces them into one user-keyed exchange
+    chain; the rollup is a single row. The product-analytics staple a
+    metrics store gets asked for right after sessionization."""
+    from timely_spark.model import ts_epoch_ms
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", F.col("event_type").alias("et"), ts_epoch_ms(raw).alias("ts_ms")
+    )
+    v = ev.filter(F.col("et") == "view").groupBy("user_id").agg(
+        F.min("ts_ms").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("et") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ms") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("et") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ms") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    )
+
+
 def q_doc_ttr(spark, sf_dir):
     """Lexical diversity (type-token ratio) per doc — the boilerplate/
     spam screen; pure column expressions, no shuffle (text.py)."""
@@ -968,11 +1038,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_none_raw": q_ts_none_raw,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
+        "tpch_q10ish": q_tpch_q10ish,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q18ish": q_tpch_q18ish,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1425,6 +1497,31 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24"""
+    d["tpch_q10ish"] = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+    d["events_funnel"] = f"""
+WITH ev AS (SELECT user_id, event_type AS et,
+                   epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+v AS (SELECT user_id, min(ts_ms) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(ts_ms) AS t2
+      FROM ev e JOIN v USING (user_id)
+      WHERE et = 'click' AND ts_ms > t1 GROUP BY 1),
+p AS (SELECT e.user_id, min(ts_ms) AS t3
+      FROM ev e JOIN c USING (user_id)
+      WHERE et = 'purchase' AND ts_ms > t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view_users,
+       (SELECT count(*) FROM c) AS n_click_users,
+       (SELECT count(*) FROM p) AS n_purchase_users"""
     d["doc_ttr"] = f"SELECT doc_id, {ttr_sql('text')} FROM documents"
     d["doc_tfidf_terms"] = tfidf_top_terms_sql(group_col="source", top_n=3)
     d["emb_kmeans_assign"] = """

@@ -42,11 +42,13 @@ BENCH_QUERIES = [
     "ts_none_raw",
     "tpch_q1",
     "tpch_q6ish",
+    "tpch_q10ish",
     "tpch_q3ish",
     "tpch_q5ish",
     "tpch_q18ish",
     "events_top_users",
     "events_sessionize",
+    "events_funnel",
     "events_user_cardinality",
     "doc_exact_dedup",
     "doc_stratified_sample",
