@@ -939,39 +939,38 @@ def q_tpch_q10ish(spark, sf_dir):
 
 
 def q_events_funnel(spark, sf_dir):
-    """Ordered funnel (view -> click -> purchase): per-user first-view,
-    first-click-after-view, first-purchase-after-click via conditional
-    min aggregations joined on user_id — the three shuffles co-partition
-    on the same key, so AQE coalesces them into one user-keyed exchange
-    chain; the rollup is a single row. The product-analytics staple a
-    metrics store gets asked for right after sessionization."""
+    """Ordered funnel (view -> click -> purchase) in ONE corpus shuffle:
+    a single per-user aggregation collects first-view plus the sorted
+    click/purchase timestamp lists, then pure array expressions walk the
+    stage conditions (first click AFTER first view, first purchase AFTER
+    that click); the rollup is a single row. The naive three-join chain
+    of conditional-min aggregations costs 8 Exchanges at sf0.01 — this
+    plan costs 2 (the user-keyed agg + the 1-row rollup). Per-user list
+    size is bounded by that user's click/purchase counts, the same bound
+    sessionization's window already assumes."""
     from timely_spark.model import ts_epoch_ms
 
     raw = _t(spark, sf_dir, "events")
     ev = raw.select(
         "user_id", F.col("event_type").alias("et"), ts_epoch_ms(raw).alias("ts_ms")
     )
-    v = ev.filter(F.col("et") == "view").groupBy("user_id").agg(
-        F.min("ts_ms").alias("t1")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("et") == "view", F.col("ts_ms"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("et") == "click", F.col("ts_ms")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("et") == "purchase", F.col("ts_ms")))
+        ).alias("purchases"),
     )
-    c = (
-        ev.filter(F.col("et") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_ms") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ms").alias("t2"))
+    t2 = F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+    staged = per_user.withColumn("t2", t2).withColumn(
+        "t3", F.array_min(F.filter("purchases", lambda p: p > F.col("t2")))
     )
-    p = (
-        ev.filter(F.col("et") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_ms") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ms").alias("t3"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view_users"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_users")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_users")))
+    return staged.agg(
+        F.count("t1").alias("n_view_users"),
+        F.count("t2").alias("n_click_users"),
+        F.count("t3").alias("n_purchase_users"),
     )
 
 
