@@ -115,3 +115,70 @@ def test_websocket_subscription_end_to_end(spark, tmp_path):
     finally:
         conn.close()
         srv.stop()
+
+
+def test_websocket_full_api_ops(spark, tmp_path):
+    """The reference serves the whole API over WS (@WebSocket(operation)
+    on MetricRequest/QueryRequest/SuggestRequest/...): put, query,
+    suggest, aggregators, version round-trip over one socket."""
+    b = 1_447_767_913_000
+    store = str(tmp_path / "store")
+    srv = TimelyWebSocketServer(spark, store, flush_seconds=1).start()
+    conn = socket.create_connection((srv.host, srv.port), timeout=120)
+    try:
+        _handshake(conn, srv.host, srv.port)
+
+        def send(op: dict) -> None:
+            conn.sendall(_client_frame(json.dumps(op).encode("utf-8")))
+
+        def recv_json() -> dict:
+            while True:
+                opcode, payload = read_frame(conn)
+                if opcode == 0x1:
+                    return json.loads(payload)
+
+        send({"operation": "version"})
+        assert recv_json() == {"version": "0.0.3"}
+
+        send({"operation": "aggregators"})
+        assert "dev" in recv_json()["aggregators"]
+
+        # put is fire-and-forget; version acts as the sync barrier
+        for i in range(4):
+            send(
+                {
+                    "operation": "put",
+                    "metric": "sys.cpu.user",
+                    "timestamp": b + i * 1000,
+                    "value": float(i),
+                    "tags": {"host": "h1"},
+                }
+            )
+            send({"operation": "version"})
+            recv_json()
+
+        send({"operation": "suggest", "type": "metrics", "m": "sys", "max": 10})
+        assert recv_json()["suggestions"] == ["sys.cpu.user"]
+
+        send(
+            {
+                "operation": "query",
+                "start": b,
+                "end": b + 60_000,
+                "msResolution": True,
+                "queries": [
+                    {
+                        "aggregator": "max",
+                        "metric": "sys.cpu.user",
+                        "downsample": "1s-max",
+                        "tags": {"host": "h1"},
+                    }
+                ],
+            }
+        )
+        out = recv_json()["responses"]
+        assert len(out) == 1 and out[0]["tags"] == {"host": "h1"}
+        assert out[0]["dps"] == {str(b + i * 1000): float(i) for i in range(4)}
+    finally:
+        conn.close()
+        srv.stop()

@@ -10,6 +10,14 @@ Reference protocol (common/.../api/request/websocket/*.java, routed by
     {"operation": "remove", "subscriptionId": "s1", "metric": "m"}
     {"operation": "close",  "subscriptionId": "s1"}
 
+and the reference exposes the whole API over the same channel — the
+request classes unwrap into the op message (``@WebSocket(operation=...)``
+on MetricRequest/QueryRequest/SuggestRequest/...): ``put`` (Metric
+fields), ``query`` (QueryRequest fields, response = QueryResponse list
+frame), ``suggest``, ``lookup``, ``aggregators``, ``version``,
+``cache``, ``metrics`` — all dispatched here onto the same TimelyEngine
+methods the HTTP facade uses.
+
 and the server pushes ``MetricResponses`` frames — ``{"responses":
 [{"metric", "timestamp", "value", "tags": [{"key","value"}...],
 "subscriptionId", "complete"}...]}`` (MetricResponse.java:14-22,
@@ -103,9 +111,15 @@ class TimelyWebSocketServer:
         port: int = 0,
         lag_seconds: int = 120,
         flush_seconds: int = 30,
+        engine=None,
+        auths=None,
     ):
+        from .api import TimelyEngine
+
         self.spark = spark
         self.store_path = store_path
+        self.engine = engine or TimelyEngine(spark, store_path=store_path)
+        self.auths = auths
         self.lag_seconds = lag_seconds
         self.flush_seconds = flush_seconds
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -249,7 +263,9 @@ class TimelyWebSocketServer:
                     continue
                 try:
                     msg = json.loads(payload)
-                    self._dispatch(mgr, msg)
+                    reply = self._dispatch(mgr, msg)
+                    if reply is not None:
+                        push(reply)
                 except Exception as e:
                     push({"error": str(e)})
         except (ConnectionError, OSError):
@@ -259,25 +275,83 @@ class TimelyWebSocketServer:
                 mgr.close(sub_id)
             conn.close()
 
-    @staticmethod
-    def _dispatch(mgr: SubscriptionManager, msg: dict) -> None:
+    def _dispatch(self, mgr: SubscriptionManager, msg: dict) -> dict | None:
+        """One op message -> optional response frame object. Subscription
+        ops return None (their results stream); API ops return the same
+        shapes the HTTP handlers send."""
         op = msg.get("operation")
-        sub_id = msg.get("subscriptionId")
-        if not sub_id:
-            raise ValueError("Subscription ID is required.")  # SubscriptionRequest.validate
-        if op == "create":
-            mgr.create(sub_id)
-        elif op == "add":
-            mgr.add(
-                sub_id,
-                msg["metric"],
-                tags=msg.get("tags") or None,
-                start_time_ms=int(msg.get("startTime") or 0),
-                end_time_ms=int(msg.get("endTime") or 0),
-            )
-        elif op == "remove":
-            mgr.remove(sub_id, msg["metric"])
-        elif op == "close":
-            mgr.close(sub_id)
-        else:
-            raise ValueError(f"unknown operation {op!r}")
+        if op in ("create", "add", "remove", "close"):
+            sub_id = msg.get("subscriptionId")
+            if not sub_id:
+                # SubscriptionRequest.validate
+                raise ValueError("Subscription ID is required.")
+            if op == "create":
+                mgr.create(sub_id)
+            elif op == "add":
+                mgr.add(
+                    sub_id,
+                    msg["metric"],
+                    tags=msg.get("tags") or None,
+                    start_time_ms=int(msg.get("startTime") or 0),
+                    end_time_ms=int(msg.get("endTime") or 0),
+                )
+            elif op == "remove":
+                mgr.remove(sub_id, msg["metric"])
+            else:
+                mgr.close(sub_id)
+            return None
+        # full-API ops: the request object unwraps into the message
+        # (MetricRequest/QueryRequest/... @WebSocket annotations)
+        eng = self.engine
+        if op == "put":
+            eng.put_json([{k: v for k, v in msg.items() if k != "operation"}])
+            return None  # fire-and-forget, like the TCP put path
+        if op == "query":
+            body = {k: v for k, v in msg.items() if k != "operation"}
+            return {"responses": eng.query(body, auths=self.auths)}
+        if op == "suggest":
+            return {
+                "suggestions": eng.suggest(
+                    msg.get("m") or msg.get("q") or "",
+                    kind=msg.get("type", "metrics"),
+                    max_results=int(msg.get("max", 25)),
+                )
+            }
+        if op == "lookup":
+            from .operators.meta import search_lookup_or
+
+            metric = msg.get("query") or msg.get("metric") or ""
+            tags = dict(msg.get("tags") or {})
+            limit = int(msg.get("limit", 25))
+            ordered, total = search_lookup_or(eng.meta(), metric, tags, limit)
+            return {
+                "type": "LOOKUP",
+                "metric": metric,
+                "tags": tags,
+                "limit": limit,
+                "totalResults": total.collect()[0]["total_results"],
+                "results": [
+                    {"tags": {r["tag_key"]: r["tag_value"]}}
+                    for r in ordered.collect()
+                ],
+            }
+        if op == "aggregators":
+            return {"aggregators": eng.aggregators()}
+        if op == "version":
+            return {"version": eng.version()}
+        if op == "cache":
+            return eng.cache_status()
+        if op == "metrics":
+            return {
+                "metrics": [
+                    {
+                        "metric": r["metric"],
+                        "tags": [
+                            dict(zip(("key", "value"), kv.split("=", 1)))
+                            for kv in r["tags"]
+                        ],
+                    }
+                    for r in eng.metrics()
+                ]
+            }
+        raise ValueError(f"unknown operation {op!r}")
