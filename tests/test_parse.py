@@ -79,3 +79,68 @@ def test_regex_detection():
     assert is_tag_regex(".*")
     assert is_tag_regex("value1|value2")
     assert is_tag_regex("h0.*")
+
+
+def test_get_decode_reference_loaded_example():
+    """HttpRequestDecoderIT.testQueryURIAllAnonAccess:499-545 — the
+    reference's most loaded GET decode: rate options + two brace groups
+    + a tsuid subquery on one URI. Group-1 entries carry groupBy=true in
+    the reference and land in our grouping tags (same semantics);
+    group-2 entries are where we diverge deliberately — the reference
+    executes them as full grouping tags via addTag while declaring the
+    first group groupBy, we honor the annotation and keep group 2
+    predicate-only (plans/request.py docstring)."""
+    from timely_spark.plans.request import parse_get_query
+
+    req = parse_get_query(
+        {
+            "start": "1356998400",
+            "end": "1356998460",
+            "m": "sum:rate{false,1s,100,0}:sys.cpu.user{host=*}{rack=r1|r2}",
+            "tsuid": "sum:000001000002000042,000001000002000043",
+        }
+    )
+    assert req.start == 1_356_998_400_000  # s -> ms normalization
+    assert req.end == 1_356_998_460_000
+    assert len(req.queries) == 2
+
+    first = req.queries[0]
+    assert first.aggregator == "sum" and first.metric == "sys.cpu.user"
+    assert first.rate and not first.rate_options.counter
+    assert first.rate_options.interval_ms == 1000  # "1s"
+    assert first.rate_options.counter_max == 100
+    assert first.rate_options.reset_value == 0
+    assert first.downsample is None
+    assert first.tags == {"host": "*"}
+    assert first.filters == {"rack": "r1|r2"}
+    assert not first.tsuids
+
+    second = req.queries[1]
+    assert second.aggregator == "sum" and second.metric == ""
+    assert second.tsuids == ["000001000002000042", "000001000002000043"]
+
+
+def test_post_decode_rate_option_body():
+    """HttpRequestDecoderIT.testQueryPostRateOption:778-815 — JSON body
+    with rate + rateOptions + downsample."""
+    from timely_spark.plans.request import QueryRequest
+
+    req = QueryRequest.from_dict(
+        {
+            "start": 1447767369171,
+            "queries": [
+                {
+                    "metric": "sys.cpu.user",
+                    "aggregator": "sum",
+                    "rate": True,
+                    "rateOptions": {"counter": False},
+                    "downsample": "30s-avg",
+                }
+            ],
+        }
+    )
+    assert req.start == 1447767369171
+    q = req.queries[0]
+    assert q.metric == "sys.cpu.user" and q.aggregator == "sum"
+    assert q.rate and not q.rate_options.counter
+    assert q.downsample == "30s-avg"
