@@ -91,3 +91,42 @@ def test_engine_viz_catalog_sidecar(spark, tmp_path_factory):
         "queries": [{"aggregator": "sum", "metric": "m", "downsample": "1s-sum", "tags": {}}],
     }
     assert len(eng.query(q, auths={"X", "Q"})[0]["dps"]) == 2
+
+
+def test_visibility_matrix_from_tcp_it(spark, tmp_path_factory):
+    """TimelyTcpIT.testPersistenceWithVisibility:271-310 as an engine
+    golden: unlabeled + viz=(A|B) + viz=(C&B) points; the reference's
+    scanner sees 1, 2, and 3 points (its cell counts 2/4/6 are points x
+    2 tag cells — the columnar store has no per-tag duplication) under
+    auths {}, {A}, {B,C}."""
+    from timely_spark.api import TimelyEngine
+
+    b = 1_447_767_913_000
+    root = tmp_path_factory.mktemp("viz_matrix")
+    eng = TimelyEngine(spark, store_path=str(root / "m"))
+    eng.put_lines(
+        [
+            f"put sys.cpu.user {b} 1.0 tag1=value1 tag2=value2",
+            f"put sys.cpu.idle {b + 1} 1.0 tag3=value3 tag4=value4 viz=(A|B)",
+            f"put sys.cpu.idle {b + 2} 1.0 tag3=value3 tag4=value4 viz=(C&B)",
+        ]
+    )
+    req = {
+        "start": b - 1000,
+        "end": b + 60_000,
+        "msResolution": True,
+        "queries": [
+            {"aggregator": "sum", "metric": m, "downsample": "1s-sum", "tags": {}}
+            for m in ("sys.cpu.user", "sys.cpu.idle")
+        ],
+    }
+
+    def total_value(auths):
+        # the two idle points share a 1s bucket, so count visible points
+        # by their summed value (each point contributes 1.0)
+        return sum(v for s in eng.query(req, auths=auths) for v in s["dps"].values())
+
+    assert total_value(set()) == 1.0  # anonymous: unlabeled only
+    assert total_value({"A"}) == 2.0  # + (A|B)
+    assert total_value({"B", "C"}) == 3.0  # + (C&B)
+    assert total_value({"C"}) == 1.0  # C alone fails (C&B)
