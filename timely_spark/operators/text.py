@@ -208,9 +208,12 @@ def repetition_signals(
     - ``dup_line_frac``: fraction of lines that are duplicates of an
       earlier line (1 - distinct/total) — pure Column expression.
     - ``top_2gram_frac``: share of all word 2-grams taken by the most
-      frequent one — explode + two-level aggregation; the per-doc group
-      keys keep the shuffle corpus-linear and partial aggregation does
-      the heavy counting map-side.
+      frequent one — sort the per-doc gram array and take the longest
+      run of equal adjacent elements with an ``aggregate`` fold, all in
+      column expressions. ZERO shuffle at any corpus size (the earlier
+      explode + two-level aggregation paid two corpus-linear Exchanges
+      for the same numbers; per-doc cost is n log n on the doc's own
+      gram count either way).
 
     High values on either signal mark boilerplate/spam for filtering.
     """
@@ -228,22 +231,30 @@ def repetition_signals(
         F.slice(toks, 2, F.greatest(m, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    ex = df.select(
-        F.col(id_col),
-        dup_line_frac.alias("__dlf"),
-        F.explode_outer(grams).alias("__g"),
+    # longest equal-run in the sorted gram array == max gram multiplicity
+    folded = F.aggregate(
+        F.sort_array(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    counts = ex.groupBy(id_col, "__dlf", "__g").agg(F.count(F.lit(1)).alias("__c"))
-    return counts.groupBy(id_col).agg(
-        F.round(F.first("__dlf"), 4).alias("dup_line_frac"),
-        F.round(
-            F.coalesce(
-                F.max(F.when(F.col("__g").isNotNull(), F.col("__c")))
-                / F.sum(F.when(F.col("__g").isNotNull(), F.col("__c"))),
-                F.lit(0.0),
-            ),
-            4,
-        ).alias("top_2gram_frac"),
+    top_frac = F.when(
+        F.size(grams) > 0, folded["best"] / F.size(grams)
+    ).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(top_frac, 4).alias("top_2gram_frac"),
     )
 
 
