@@ -1017,6 +1017,63 @@ def q_emb_kmeans_assign(spark, sf_dir):
     return kmeans_assign(emb, k=8)
 
 
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) exact dedup — the daily-crawl
+    shape: an incoming batch probes the existing corpus by content hash;
+    only hashes shuffle, never text. The synthetic batch takes every
+    7th doc and perturbs every 14th, so half the batch collides with
+    the corpus and half is genuinely new."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("batch_id"),
+        F.when(
+            F.col("doc_id") % 14 == 0, F.concat(F.col("text"), F.lit(" fresh"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    corpus_hashes = docs.select(F.md5("text").alias("h")).distinct()
+    probe = batch.select(
+        "batch_id", F.md5("text").alias("h")
+    ).join(corpus_hashes.withColumn("dup", F.lit(True)), "h", "left")
+    return probe.select(
+        "batch_id", F.coalesce(F.col("dup"), F.lit(False)).alias("is_dup")
+    )
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Per-metric z-score outlier report: mean/std from EXACT decimal
+    moments (order-independent), then a broadcast join back flags
+    |z| > 3 rows — two corpus-linear passes, no window. The anomaly
+    screen a metrics store runs over its own backlog."""
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(F.col("event_type").alias("metric"), "value")
+    stats = ev.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("s"),
+        F.sum(
+            (F.col("value").cast("decimal(38,10)") * F.col("value").cast("decimal(38,10)"))
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    stats = stats.select(
+        "metric",
+        "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = ev.join(F.broadcast(stats), "metric").select(
+        "metric", ((F.col("value") - F.col("mean")) / F.col("std")).alias("z")
+    )
+    return z.groupBy("metric").agg(
+        F.sum(F.when(F.abs("z") > 3.0, 1).otherwise(0)).alias("n_outliers"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1058,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
         "events_funnel": q_events_funnel,
+        "events_anomaly": q_events_anomaly,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1077,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_freq": q_doc_token_freq,
         "doc_ttr": q_doc_ttr,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "emb_knn": q_emb_knn,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
@@ -1551,6 +1610,30 @@ p AS (SELECT e.user_id, min(ts_ms) AS t3
 SELECT (SELECT count(*) FROM v) AS n_view_users,
        (SELECT count(*) FROM c) AS n_click_users,
        (SELECT count(*) FROM p) AS n_purchase_users"""
+    d["doc_incremental_dedup"] = """
+WITH batch AS (
+  SELECT doc_id AS batch_id,
+         CASE WHEN doc_id % 14 = 0 THEN text || ' fresh' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 = 0),
+corpus AS (SELECT DISTINCT md5(text) AS h FROM documents)
+SELECT batch_id, (corpus.h IS NOT NULL) AS is_dup
+FROM batch LEFT JOIN corpus ON md5(batch.text) = corpus.h"""
+    d["events_anomaly"] = """
+WITH ev AS (SELECT event_type AS metric, value FROM events),
+st AS (
+  SELECT metric, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(38,10)) * CAST(value AS DECIMAL(38,10)))
+              AS DOUBLE) AS sq
+  FROM ev GROUP BY 1),
+m AS (SELECT metric, n, s / n AS mean,
+             sqrt((sq - s * s / n) / (n - 1)) AS std FROM st),
+z AS (SELECT ev.metric AS metric, (value - mean) / std AS z
+      FROM ev JOIN m ON ev.metric = m.metric)
+SELECT metric,
+       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(abs(z)), 4) AS max_abs_z
+FROM z GROUP BY 1"""
     d["doc_ttr"] = f"SELECT doc_id, {ttr_sql('text')} FROM documents"
     d["doc_tfidf_terms"] = tfidf_top_terms_sql(group_col="source", top_n=3)
     d["emb_kmeans_assign"] = """

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_sessionize_native",
     "events_funnel",
+    "events_anomaly",
     "events_user_cardinality",
     "doc_exact_dedup",
     "doc_stratified_sample",
@@ -66,6 +67,7 @@ BENCH_QUERIES = [
     "doc_token_freq",
     "doc_ttr",
     "doc_tfidf_terms",
+    "doc_incremental_dedup",
     "doc_hash_sample",
     "doc_domains",
     "doc_length_stats",
