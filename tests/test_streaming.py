@@ -600,3 +600,65 @@ def test_streaming_sessionize_parity_with_batch(spark, tmp_path):
     for r in want:
         sessions_per_user.setdefault(r[0], []).append(r[2])
     assert all(sorted(v) == [4, 4, 4] for v in sessions_per_user.values())
+
+
+def test_streaming_zscore_parity_with_batch_moments(spark, tmp_path):
+    """Online z-score screen: running moments carry across micro-batches
+    (maxFilesPerTrigger=1 forces the boundary) and after the full drain
+    equal the batch exact-decimal moments; n_seen accumulates
+    monotonically per metric."""
+    import math
+
+    from timely_spark.streaming.anomaly import streaming_zscore
+
+    rows = [("m1", float(i % 17) + (50.0 if i == 37 else 0.0)) for i in range(60)] + [
+        ("m2", float(i % 5)) for i in range(40)
+    ]
+    src = tmp_path / "vals"
+    src.mkdir()
+    import pandas as pd
+
+    # two files -> two micro-batches
+    pd.DataFrame(rows[:50], columns=["metric", "value"]).to_parquet(src / "a.parquet")
+    pd.DataFrame(rows[50:], columns=["metric", "value"]).to_parquet(src / "b.parquet")
+
+    stream = (
+        spark.readStream.schema("metric string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_zscore(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_metric = {}
+    for r in got:
+        by_metric.setdefault(r["metric"], []).append(r)
+    # multiple batches per metric, n_seen monotone
+    assert len(by_metric["m1"]) >= 2
+    for rs in by_metric.values():
+        ns = sorted(r["n_seen"] for r in rs)
+        assert ns == [r["n_seen"] for r in sorted(rs, key=lambda x: x["n_seen"])]
+
+    # final moments == batch moments
+    for metric, vals in (
+        ("m1", [v for m, v in rows if m == "m1"]),
+        ("m2", [v for m, v in rows if m == "m2"]),
+    ):
+        final = max(by_metric[metric], key=lambda r: r["n_seen"])
+        n = len(vals)
+        mean = sum(vals) / n
+        std = math.sqrt((sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1))
+        assert final["n_seen"] == n
+        assert abs(final["mean"] - mean) < 1e-9 * max(1.0, abs(mean))
+        assert abs(final["std"] - std) < 1e-9 * max(1.0, std)
+    # the planted spike is an outlier in its batch
+    assert any(r["n_outliers_batch"] >= 1 for r in by_metric["m1"])
