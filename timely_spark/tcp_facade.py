@@ -1,0 +1,172 @@
+"""TCP / UDP put transports — the reference's primary ingest sockets.
+
+Reference: the Netty TCP pipeline accepts newline-delimited ``put``
+lines and the bare ``version`` request (TcpPutHandler,
+TcpVersionHandler; `@Tcp(operation=...)` annotations); the UDP pipeline
+accepts the same put lines one-or-many per datagram (`@Udp`). Writes
+buffer and flush on a latency timer — WriteProperties.java:11's 5 s
+BatchWriter max-latency — not per line.
+
+Spark mapping: accepted lines accumulate in a driver-side buffer that a
+background flusher drains through ``TimelyEngine.put_lines`` (parse +
+partitioned-Parquet append) every ``flush_seconds`` or
+``flush_lines``, whichever first. The socket accept loop is I/O-bound
+plumbing; all real work happens in the flushed Spark batch. For
+sustained firehose ingest the scale path remains the Structured
+Streaming socket/file source (``sources/lineprotocol.put_socket_stream``
+/ ``store.write_points_stream``) — this facade is the wire-protocol
+compatibility seam, like the reference's own put socket.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+from .api import TimelyEngine
+
+
+class _PutBuffer:
+    """Shared line buffer with size/latency flush (BatchWriter analogue)."""
+
+    def __init__(self, engine: TimelyEngine, flush_lines: int, flush_seconds: float):
+        self.engine = engine
+        self.flush_lines = flush_lines
+        self.flush_seconds = flush_seconds
+        self._buf: list[str] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name="timely-put-flusher", daemon=True
+        )
+        self._thread.start()
+
+    def add(self, line: str) -> None:
+        flush_now = False
+        with self._lock:
+            self._buf.append(line)
+            flush_now = len(self._buf) >= self.flush_lines
+        if flush_now:
+            self.flush()
+
+    def flush(self) -> int:
+        with self._lock:
+            batch, self._buf = self._buf, []
+        if not batch:
+            return 0
+        return self.engine.put_lines(batch)
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.flush_seconds):
+            try:
+                self.flush()
+            except Exception:  # pragma: no cover - flusher must survive
+                pass
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+        self.flush()
+
+
+class TimelyTcpServer:
+    """Newline-delimited TCP ingest + the bare ``version`` op
+    (TimelyTcpIT.testVersion/testPut shapes)."""
+
+    def __init__(
+        self,
+        engine: TimelyEngine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        flush_lines: int = 5000,
+        flush_seconds: float = 5.0,
+    ):
+        self.engine = engine
+        self.buffer = _PutBuffer(engine, flush_lines, flush_seconds)
+        buffer = self.buffer
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                for raw in self.rfile:
+                    line = raw.decode("utf-8", errors="replace").strip()
+                    if not line:
+                        continue
+                    if line == "version":
+                        self.wfile.write(
+                            (TimelyEngine.version() + "\n").encode("utf-8")
+                        )
+                        self.wfile.flush()
+                    elif line.startswith("put "):
+                        buffer.add(line)
+                    # unknown ops are dropped, like the lenient TCP decoder
+
+        self._srv = socketserver.ThreadingTCPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        self.host, self.port = self._srv.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "TimelyTcpServer":
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, name="timely-tcp", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def flush(self) -> int:
+        """Force-drain the put buffer (tests; the reference calls this
+        seam dataStore.flush())."""
+        return self.buffer.flush()
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        self.buffer.close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+
+class TimelyUdpServer:
+    """Datagram ingest: one or many put lines per packet (TimelyUdpIT)."""
+
+    def __init__(
+        self,
+        engine: TimelyEngine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        flush_lines: int = 5000,
+        flush_seconds: float = 5.0,
+    ):
+        self.engine = engine
+        self.buffer = _PutBuffer(engine, flush_lines, flush_seconds)
+        buffer = self.buffer
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                data = self.request[0]
+                for line in data.decode("utf-8", errors="replace").splitlines():
+                    line = line.strip()
+                    if line.startswith("put "):
+                        buffer.add(line)
+
+        self._srv = socketserver.ThreadingUDPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        self.host, self.port = self._srv.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "TimelyUdpServer":
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, name="timely-udp", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def flush(self) -> int:
+        return self.buffer.flush()
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        self.buffer.close()
+        if self._thread:
+            self._thread.join(timeout=10)
