@@ -287,3 +287,57 @@ def test_driver_bucketed_rate_plan(spark):
         assert got == want and len(got) > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_metric_bucketed_layout_prunes_and_matches(spark, tmp_path_factory):
+    """bucket_metrics layout (>100k-metric deployments, SCALE.md §1):
+    the layout sidecar lets the query builder reconstruct a metric's
+    directory bucket, so the predicate folds to a constant and lands in
+    PartitionFilters; results equal the unbucketed store exactly."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.sources.store import read_layout
+
+    b = 1_447_767_913_000
+    lines = [
+        f"put m{m} {b + i * 1000} {float(m * 100 + i)} host=h{i % 3}"
+        for m in range(6)
+        for i in range(20)
+    ]
+    root = tmp_path_factory.mktemp("bucketed")
+    plain = TimelyEngine(spark, store_path=str(root / "plain"))
+    bucketed = TimelyEngine(
+        spark, store_path=str(root / "bucketed"), bucket_metrics=4
+    )
+    plain.put_lines(list(lines))
+    bucketed.put_lines(list(lines))
+
+    assert read_layout(str(root / "bucketed")) == {"bucket_metrics": 4}
+    # rediscovery from the sidecar (fresh engine, no explicit param)
+    rediscovered = TimelyEngine(spark, store_path=str(root / "bucketed"))
+    assert rediscovered.bucket_metrics == 4
+
+    req = {
+        "start": b,
+        "end": b + 60_000,
+        "msResolution": True,
+        "queries": [
+            {"aggregator": "sum", "metric": "m3", "downsample": "5s-avg",
+             "tags": {"host": "h1"}}
+        ],
+    }
+    assert bucketed.query(req) == plain.query(req)
+    assert rediscovered.query(req) == plain.query(req)
+
+    # the pruning predicate reaches the scan's partition filters
+    from timely_spark.plans.builder import build_subquery
+    from timely_spark.plans.request import SubQuery
+
+    df = build_subquery(
+        bucketed.points(),
+        SubQuery(metric="m3", aggregator="sum"),
+        b,
+        b + 60_000,
+        bucket_metrics=4,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "metric_bucket" in plan.split("PartitionFilters")[1][:200], plan

@@ -65,6 +65,7 @@ class TimelyEngine:
         ttls: dict[str, int] | None = None,
         default_ttl_ms: int | None = None,
         promote_tags: list[str] | None = None,
+        bucket_metrics: int | None = None,
     ):
         self.spark = spark
         self.store_path = store_path
@@ -78,6 +79,13 @@ class TimelyEngine:
         # list the deployment's high-selectivity tag keys once at engine
         # construction; every write materializes them as pushdown columns
         self.promote_tags = promote_tags or []
+        # metric-bucketed layout (>100k metric names, SCALE.md §1):
+        # explicit for new stores, else discovered from the layout sidecar
+        if bucket_metrics is None:
+            from .sources.store import read_layout
+
+            bucket_metrics = read_layout(store_path).get("bucket_metrics")
+        self.bucket_metrics = bucket_metrics
         self._hot = None  # optional recent-window tier (enable_hot_cache)
         # distinct viz-expression catalog (sidecar of the meta side-write):
         # queries evaluate visibility against this driver-cached set instead
@@ -143,7 +151,12 @@ class TimelyEngine:
         ).collect()[0]
         n = stats["n"]
         if n:
-            write_points(pts, self.store_path, promote_tags=self.promote_tags or None)
+            write_points(
+                pts,
+                self.store_path,
+                promote_tags=self.promote_tags or None,
+                bucket_metrics=self.bucket_metrics,
+            )
             # meta side-write (DataStore.java:415-433)
             build_meta(pts).write.mode("append").parquet(self.meta_path)
             self._record_viz(pts)
@@ -249,7 +262,13 @@ class TimelyEngine:
         eff = None if auths is ALL_AUTHS else set(auths or ())
         known = self._viz_known() if eff else None
         viz_exprs = sorted(known) if known is not None else None
-        results = run_query(self.points(), req, auths=eff, viz_exprs=viz_exprs)
+        results = run_query(
+            self.points(),
+            req,
+            auths=eff,
+            viz_exprs=viz_exprs,
+            bucket_metrics=self.bucket_metrics,
+        )
         out: list[dict] = []
         for r in results:
             part = to_query_response(r, ms_resolution=req.ms_resolution)

@@ -82,8 +82,14 @@ def build_subquery(
     end_ms: int,
     auths: set[str] | None = None,
     viz_exprs: list[str] | None = None,
+    bucket_metrics: int | None = None,
 ) -> DataFrame:
-    """Returns (metric, tags, bucket_ts, value) for one SubQuery."""
+    """Returns (metric, tags, bucket_ts, value) for one SubQuery.
+
+    ``bucket_metrics``: the store's metric-bucket modulus (layout
+    sidecar, sources/store.read_layout) — lets the metric predicate
+    reconstruct its directory bucket so partition pruning survives the
+    bucketed layout a >100k-metric deployment needs."""
     spec = q.downsample_spec()
     period = spec.period_ms if spec else 1
     # floor the query start to the bucket period (DataStore.java:693-695)
@@ -101,6 +107,16 @@ def build_subquery(
         df = points.filter(series_id().isin(ids))
     else:
         df = points.filter(F.col("metric") == q.metric)
+        if bucket_metrics and "metric_bucket" in df.columns:
+            # directory pruning under the bucketed layout: the bucket id
+            # is a pure function of the metric literal, so this predicate
+            # folds to a constant and lands in PartitionFilters
+            df = df.filter(
+                F.col("metric_bucket")
+                == F.pmod(F.xxhash64(F.lit(q.metric)), F.lit(bucket_metrics))
+            )
+    if "metric_bucket" in df.columns:
+        df = df.drop("metric_bucket")
     df = df.filter((F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
     if "dt" in df.columns:
         # partition pruning: dt = ts div 1d is a store partition column
@@ -178,12 +194,19 @@ def run_query(
     request: QueryRequest,
     auths: set[str] | None = None,
     viz_exprs: list[str] | None = None,
+    bucket_metrics: int | None = None,
 ) -> list[DataFrame]:
     """One result DataFrame per SubQuery (concatenated by the API layer,
     QueryRequest.java:370-372 / DataStore.java:645)."""
     return [
         build_subquery(
-            points, q, request.start, request.end, auths=auths, viz_exprs=viz_exprs
+            points,
+            q,
+            request.start,
+            request.end,
+            auths=auths,
+            viz_exprs=viz_exprs,
+            bucket_metrics=bucket_metrics,
         )
         for q in request.queries
     ]

@@ -85,6 +85,27 @@ def write_points(
         .partitionBy(*part_cols)
         .parquet(path)
     )
+    if bucket_metrics:
+        # layout sidecar: queries need the modulus to reconstruct a
+        # metric's bucket for directory pruning (underscore files are
+        # invisible to Spark's parquet reader)
+        import json
+        import os
+
+        with open(os.path.join(path, "_layout.json"), "w") as f:
+            json.dump({"bucket_metrics": bucket_metrics}, f)
+
+
+def read_layout(path: str) -> dict:
+    """The store's layout sidecar ({} for unbucketed stores)."""
+    import json
+    import os
+
+    p = os.path.join(path, "_layout.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
@@ -95,7 +116,9 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     by the projection stages."""
     df = spark.read.parquet(path)
     cols = [
-        c for c in ["metric", "ts", "value", "tags", "viz", "dt"] if c in df.columns
+        c
+        for c in ["metric", "ts", "value", "tags", "viz", "dt", "metric_bucket"]
+        if c in df.columns
     ]
     # promoted tag columns ride along like dt: the builder filters on them
     # (scan pushdown) and drops them before projection
