@@ -341,3 +341,38 @@ def test_metric_bucketed_layout_prunes_and_matches(spark, tmp_path_factory):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "metric_bucket" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_retention_drops_bucketed_partitions(spark, tmp_path_factory):
+    """TTL partition drop under the metric_bucket layout: day dirs older
+    than the MAX configured TTL drop (a bucket dir mixes metrics, so the
+    conservative cutoff applies); newer days survive."""
+    import os
+
+    from timely_spark.operators.retention import retention_delete_plan
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import write_points
+
+    day_ms = 86_400_000
+    base = 19_000  # epoch day (~2022) so ts stays in the ms regime
+    now = (base + 200) * day_ms
+    lines = [
+        f"put m{m} {(base + day) * day_ms + 1000} 1.0 h=h1"
+        for m in range(4)
+        for day in (10, 100, 199)  # ancient / old / fresh
+    ]
+    store = str(tmp_path_factory.mktemp("bttl") / "m")
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+        bucket_metrics=2,
+    )
+    doomed = retention_delete_plan(
+        spark, store, now_ms=now, ttls={"m0": 5 * day_ms}, default_ttl_ms=50 * day_ms
+    )
+    # max TTL = 50 days -> cutoff day base+150: days 10 and 100 drop
+    assert doomed and all(f"dt={base + 199}" not in p for p in doomed)
+    dropped_days = {p.rsplit("dt=", 1)[1] for p in doomed}
+    assert dropped_days == {str(base + 10), str(base + 100)}
+    for p in doomed:
+        assert os.path.isdir(p) and "metric_bucket=" in p

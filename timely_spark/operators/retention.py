@@ -64,6 +64,23 @@ def retention_delete_plan(
     doomed: list[str] = []
     if not os.path.isdir(store_path):
         return doomed
+    for bdir in sorted(os.listdir(store_path)):
+        # metric-bucketed layout: a bucket directory mixes metrics, so it
+        # may only drop once past EVERY metric's TTL (conservative =
+        # max over configured TTLs). The query-time ageoff_filter hides
+        # shorter-TTL metrics in the meantime; per-metric reclamation
+        # inside a bucket would be a row-level rewrite, deliberately not
+        # done at rest (compaction can fold it in if storage pressure
+        # demands).
+        if not bdir.startswith("metric_bucket="):
+            continue
+        ttl = max([default_ttl_ms, *ttls.values()]) if ttls else default_ttl_ms
+        cutoff_day = (now_ms - ttl) // 86_400_000
+        for ddir in sorted(os.listdir(os.path.join(store_path, bdir))):
+            if not ddir.startswith("dt="):
+                continue
+            if int(ddir.split("=", 1)[1]) < cutoff_day:
+                doomed.append(os.path.join(store_path, bdir, ddir))
     for mdir in sorted(os.listdir(store_path)):
         if not mdir.startswith("metric="):
             continue
