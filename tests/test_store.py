@@ -376,3 +376,27 @@ def test_retention_drops_bucketed_partitions(spark, tmp_path_factory):
     assert dropped_days == {str(base + 10), str(base + 100)}
     for p in doomed:
         assert os.path.isdir(p) and "metric_bucket=" in p
+
+
+def test_compaction_preserves_bucketed_layout(spark, tmp_path_factory):
+    """Compaction rewrites the store directory; the layout sidecar (and
+    with it bucket pruning + engine modulus discovery) must survive."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.sources.store import read_layout
+
+    b = 1_447_767_913_000
+    store = str(tmp_path_factory.mktemp("compact_bucketed") / "m")
+    eng = TimelyEngine(spark, store_path=store, bucket_metrics=2)
+    eng.put_lines([f"put m{m} {b + i * 1000} {float(i)} h=h1" for m in range(3) for i in range(10)])
+    before = eng.query(
+        {"start": b, "end": b + 60_000, "msResolution": True,
+         "queries": [{"aggregator": "sum", "metric": "m1", "downsample": "5s-avg", "tags": {}}]}
+    )
+    eng.compact()
+    assert read_layout(store) == {"bucket_metrics": 2}
+    fresh = TimelyEngine(spark, store_path=store)
+    assert fresh.bucket_metrics == 2
+    assert fresh.query(
+        {"start": b, "end": b + 60_000, "msResolution": True,
+         "queries": [{"aggregator": "sum", "metric": "m1", "downsample": "5s-avg", "tags": {}}]}
+    ) == before

@@ -245,7 +245,13 @@ def compact_partitions(
         .option("maxRecordsPerFile", 4_000_000)
         .parquet(tmp)
     )
+    import os
     import shutil
 
+    # the layout sidecar must survive the rewrite (bucketed-store
+    # pruning and engine modulus discovery read it)
+    sidecar = os.path.join(path, "_layout.json")
+    if os.path.exists(sidecar):
+        shutil.copy(sidecar, os.path.join(tmp, "_layout.json"))
     shutil.rmtree(path)
     shutil.move(tmp, path)
