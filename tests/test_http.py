@@ -271,3 +271,44 @@ def test_version_and_aggregators(spark, tmp_path):
         assert status == 200
         aggs = set(json.loads(body))
         assert {"avg", "sum", "min", "max", "count", "dev"} <= aggs
+
+
+def test_http_session_auths(spark, tmp_path):
+    """The facade's auths constructor arg is the session authorization
+    seam (the reference derives it from the client cert / login session,
+    OneWaySSLAnonAccess vs TwoWaySSL): an anonymous server hides labeled
+    series, an authorized one serves them."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.http_facade import TimelyHttpServer
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    anon = TimelyHttpServer(eng).start()
+    authed = None
+    try:
+        put_lines(
+            anon.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 tag1=value1",
+            f"sys.cpu.user {TEST_TIME + 1000} 2.0 tag1=value1 viz=(A|B)",
+        )
+        req = {
+            "start": TEST_TIME,
+            "end": TEST_TIME + 6000,
+            "msResolution": True,
+            "queries": [
+                {"aggregator": "max", "metric": "sys.cpu.user",
+                 "downsample": "1s-max", "tags": {}}
+            ],
+        }
+        status, body = post(anon.base_url + "/api/query", req)
+        assert json.loads(body)[0]["dps"] == {str(TEST_TIME): 1.0}
+
+        authed = TimelyHttpServer(eng, auths={"A"}).start()
+        status, body = post(authed.base_url + "/api/query", req)
+        assert json.loads(body)[0]["dps"] == {
+            str(TEST_TIME): 1.0,
+            str(TEST_TIME + 1000): 2.0,
+        }
+    finally:
+        anon.stop()
+        if authed:
+            authed.stop()
