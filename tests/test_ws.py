@@ -179,6 +179,21 @@ def test_websocket_full_api_ops(spark, tmp_path):
         out = recv_json()["responses"]
         assert len(out) == 1 and out[0]["tags"] == {"host": "h1"}
         assert out[0]["dps"] == {str(b + i * 1000): float(i) for i in range(4)}
+
+        send({"operation": "lookup", "query": "sys.cpu.user",
+              "tags": {"host": ".*"}, "limit": 25})
+        lk = recv_json()
+        assert lk["type"] == "LOOKUP" and lk["totalResults"] == 1
+        assert lk["results"] == [{"tags": {"host": "h1"}}]
+
+        send({"operation": "metrics"})
+        mets = recv_json()["metrics"]
+        assert [m["metric"] for m in mets] == ["sys.cpu.user"]
+        assert {"key": "host", "value": "h1"} in mets[0]["tags"]
+
+        send({"operation": "cache"})
+        st = recv_json()
+        assert st["oldestTs"] == b and st["newestTs"] == b + 3000
     finally:
         conn.close()
         srv.stop()
