@@ -122,3 +122,33 @@ def test_udp_put_datagrams(spark, tmp_path):
         }
     finally:
         srv.stop()
+
+
+def test_tcp_flatbuffers_frame(spark, tmp_path):
+    """TimelyTcpIT.testPutMultipleBinary:168-230 — a binary FlatBuffers
+    Metrics frame on the same TCP port, auto-detected by the TMFB
+    identifier, decodes into the same points the line protocol would."""
+    from timely_spark.sources.flatbuf import encode_metrics
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "m"))
+    srv = TimelyTcpServer(eng, flush_seconds=60).start()
+    try:
+        frame = encode_metrics(
+            [
+                ("sys.cpu.user", B, 1.0, {"tag1": "value1", "tag2": "value2"}),
+                ("sys.cpu.idle", B + 1000, 3.0, {"tag3": "value3", "tag4": "value4"}),
+            ]
+        )
+        with socket.create_connection((srv.host, srv.port), timeout=30) as sock:
+            sock.sendall(frame)
+            sock.shutdown(socket.SHUT_WR)
+            sock.recv(1)  # wait for server-side close (frame processed)
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and not _query_points(eng, "sys.cpu.user"):
+            time.sleep(0.5)
+        assert _query_points(eng, "sys.cpu.user") == {str(B): 1.0}
+        assert _query_points(eng, "sys.cpu.idle") == {str(B + 1000): 3.0}
+    finally:
+        srv.stop()

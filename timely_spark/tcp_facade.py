@@ -86,8 +86,24 @@ class TimelyTcpServer:
         self.buffer = _PutBuffer(engine, flush_lines, flush_seconds)
         buffer = self.buffer
 
+        engine_ref = engine
+
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
+                # FlatBuffers auto-detect, like the reference's pipeline
+                # (MetricsBufferDecoder checks the "TMFB" file identifier
+                # at offset 4): a binary connection carries one Metrics
+                # frame, drained to EOF. peek() doesn't consume, so the
+                # line path sees the same bytes. A frame's first TCP
+                # segment carries the 8-byte header in practice.
+                from .sources.flatbuf import has_identifier
+
+                head = self.rfile.peek(8)
+                if len(head) >= 8 and has_identifier(bytes(head[:8])):
+                    frame = self.rfile.read()
+                    if frame:
+                        engine_ref.put_flatbuffers([frame])
+                    return
                 for raw in self.rfile:
                     line = raw.decode("utf-8", errors="replace").strip()
                     if not line:
