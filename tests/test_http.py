@@ -201,6 +201,62 @@ def test_query_no_matching_tags_is_400(spark, tmp_path):
         assert "No matching tags" in exc.value.read().decode("utf-8")
 
 
+def test_query_matching_tags_empty_window_is_200(spark, tmp_path):
+    """Strict mode 400s only on a TRUE tag mismatch: the reference's
+    check consults the meta table (DataStore.java:938-941), so matching
+    tags over an empty time window return 200 with an empty list."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3 rack=r1",
+        )
+        status, body = post(
+            srv.base_url + "/api/query",
+            {
+                # window far before the only stored point
+                "start": TEST_TIME - 7_200_000,
+                "end": TEST_TIME - 3_600_000,
+                "queries": [
+                    {"metric": "sys.cpu.idle", "tags": {"rack": "r1"}}
+                ],
+            },
+        )
+        assert status == 200
+        assert json.loads(body) == []
+
+
+def test_query_get_bare_ms_flag(spark, tmp_path):
+    """A valueless `&ms` GET param must reach the parser as true
+    (parse_qs keep_blank_values): dps keys stay milliseconds."""
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.idle {TEST_TIME + 2} 1.0 tag3=value3",
+        )
+        status, body = get(
+            srv.base_url
+            + f"/api/query?start={TEST_TIME}&end={TEST_TIME + 6000}"
+            + "&m=max:sys.cpu.idle%7Btag3%3Dvalue3%7D&ms"
+        )
+        assert status == 200
+        dps = json.loads(body)[0]["dps"]
+        assert str(TEST_TIME + 2) in dps  # ms key, not floored seconds
+
+
+def test_engine_refuses_mixed_store_layout(spark, tmp_path):
+    """Explicit bucket_metrics over an existing unbucketed store (or a
+    different sidecar modulus) must raise instead of appending
+    metric_bucket=* dirs next to metric=* ones, which would break
+    partition discovery for every subsequent read."""
+    store = str(tmp_path / "metrics")
+    eng = TimelyEngine(spark, store_path=store)
+    eng.put_lines([f"put sys.cpu.idle {TEST_TIME} 1.0 host=h1"])
+    with pytest.raises(ValueError, match="mixed layout"):
+        TimelyEngine(spark, store_path=store, bucket_metrics=8)
+    # matching explicit layout still constructs
+    assert TimelyEngine(spark, store_path=store).bucket_metrics is None
+
+
 def test_query_get_mini_language(spark, tmp_path):
     """GET /api/query?m=... (QueryRequest.java:515-627) over HTTP."""
     with server(spark, tmp_path) as srv:

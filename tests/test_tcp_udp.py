@@ -152,3 +152,32 @@ def test_tcp_flatbuffers_frame(spark, tmp_path):
         assert _query_points(eng, "sys.cpu.idle") == {str(B + 1000): 3.0}
     finally:
         srv.stop()
+
+
+def test_tcp_flatbuffers_frame_segmented(spark, tmp_path):
+    """A FlatBuffers frame whose first TCP segment carries fewer than 8
+    bytes must still be classified as binary: _peek8 loops MSG_PEEK
+    across segments instead of trusting one rfile.peek (which sees only
+    the first segment and would silently drop the frame as garbage
+    line protocol)."""
+    import time
+
+    from timely_spark.sources.flatbuf import encode_metrics
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "m"))
+    srv = TimelyTcpServer(eng, flush_seconds=60).start()
+    try:
+        frame = encode_metrics([("sys.seg.test", B, 7.0, {"t": "v"})])
+        with socket.create_connection((srv.host, srv.port), timeout=30) as sock:
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock.sendall(frame[:3])  # short first segment
+            time.sleep(0.2)  # let the server peek before the rest lands
+            sock.sendall(frame[3:])
+            sock.shutdown(socket.SHUT_WR)
+            sock.recv(1)
+        deadline = time.time() + 60
+        while time.time() < deadline and not _query_points(eng, "sys.seg.test"):
+            time.sleep(0.5)
+        assert _query_points(eng, "sys.seg.test") == {str(B): 7.0}
+    finally:
+        srv.stop()

@@ -81,10 +81,29 @@ class TimelyEngine:
         self.promote_tags = promote_tags or []
         # metric-bucketed layout (>100k metric names, SCALE.md §1):
         # explicit for new stores, else discovered from the layout sidecar
-        if bucket_metrics is None:
-            from .sources.store import read_layout
+        from .sources.store import read_layout
 
-            bucket_metrics = read_layout(store_path).get("bucket_metrics")
+        sidecar = read_layout(store_path).get("bucket_metrics")
+        if bucket_metrics is None:
+            bucket_metrics = sidecar
+        else:
+            # an explicit bucket_metrics over an existing store with a
+            # different layout would append metric_bucket=*/dt=* dirs next
+            # to metric=*/dt=* ones; Spark partition discovery then fails
+            # on conflicting partition columns and every read of the store
+            # breaks. Validate against the sidecar / existing dirs instead.
+            import glob
+            import os
+
+            existing = sidecar
+            if existing is None and glob.glob(os.path.join(store_path, "metric=*")):
+                existing = 0  # unbucketed partition dirs already present
+            if existing is not None and existing != bucket_metrics:
+                raise ValueError(
+                    f"store {store_path!r} has layout bucket_metrics="
+                    f"{existing or None}; refusing to write a mixed layout "
+                    f"with bucket_metrics={bucket_metrics}"
+                )
         self.bucket_metrics = bucket_metrics
         self._hot = None  # optional recent-window tier (enable_hot_cache)
         # distinct viz-expression catalog (sidecar of the meta side-write):
@@ -258,6 +277,31 @@ class TimelyEngine:
                 }
         return self._viz_exprs
 
+    def _catalog_has_tags(self, q) -> bool:
+        """True iff the meta catalog holds a series matching the SubQuery's
+        metric + tag predicates. The reference's "No matching tags" check
+        consults the META table, not the query result (DataStore.java:
+        938-941): a matching-tags query over an empty time window is a
+        valid 200/empty response, never a 400. Runs only on the
+        strict+empty-result path, against the tiny meta table."""
+        from .parse import is_tag_regex
+
+        if q.tsuids:
+            return True  # tsuid SubQueries name series directly, no tag check
+        base = self.meta().filter(F.col("metric") == q.metric)
+        if not base.limit(1).take(1):
+            return False  # unknown metric
+        for k, v in {**q.tags, **q.filters}.items():
+            m = base.filter(F.col("tag_key") == k)
+            if v not in ("*", ".*"):
+                if is_tag_regex(v):
+                    m = m.filter(F.col("tag_value").rlike(f"^(?:{v})$"))
+                else:
+                    m = m.filter(F.col("tag_value") == v)
+            if not m.limit(1).take(1):
+                return False
+        return True
+
     def _run(self, req: QueryRequest, auths, strict: bool = False) -> list[dict]:
         eff = None if auths is ALL_AUTHS else set(auths or ())
         known = self._viz_known() if eff else None
@@ -270,9 +314,9 @@ class TimelyEngine:
             bucket_metrics=self.bucket_metrics,
         )
         out: list[dict] = []
-        for r in results:
+        for q, r in zip(req.queries, results):
             part = to_query_response(r, ms_resolution=req.ms_resolution)
-            if strict and not part:
+            if strict and not part and not self._catalog_has_tags(q):
                 raise NoMatchingTagsError("No matching tags")
             out.extend(part)
         return out

@@ -129,7 +129,15 @@ class TimelyHttpServer:
                 return json.loads(raw) if raw else None
 
             def _params(self, parsed) -> dict[str, str]:
-                return {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                # keep_blank_values: bare flags like `?ms` arrive as "" and
+                # must reach the parser (request.py treats "" as true);
+                # default parse_qs drops valueless params entirely
+                return {
+                    k: v[0]
+                    for k, v in parse_qs(
+                        parsed.query, keep_blank_values=True
+                    ).items()
+                }
 
             # -- dispatch ------------------------------------------------
             def do_GET(self):  # noqa: N802 (stdlib casing)
@@ -190,7 +198,7 @@ class TimelyHttpServer:
                 # parse_get_query consumes the raw multi-value mapping for
                 # repeated m=; re-parse to preserve duplicates
                 parsed = urlparse(self.path)
-                multi = parse_qs(parsed.query)
+                multi = parse_qs(parsed.query, keep_blank_values=True)
                 flat: dict = {
                     k: (v if len(v) > 1 else v[0]) for k, v in multi.items()
                 }

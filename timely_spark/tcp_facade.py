@@ -23,8 +23,34 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
+import time
 
 from .api import TimelyEngine
+
+
+def _peek8(conn: socket.socket, timeout: float = 1.0) -> bytes:
+    """Peek up to 8 bytes without consuming, looping across TCP segments.
+
+    A single ``rfile.peek``/``recv`` sees only the bytes of the first
+    queued segment, so a FlatBuffers frame whose first segment carries
+    fewer than 8 bytes would be misclassified under normal TCP
+    segmentation. MSG_PEEK re-reads the kernel buffer until 8 bytes are
+    queued, the peer closes, or ``timeout`` elapses (a live line-protocol
+    client may legitimately have sent a shorter first line)."""
+    head = b""
+    deadline = time.monotonic() + timeout
+    while len(head) < 8 and time.monotonic() < deadline:
+        try:
+            chunk = conn.recv(8, socket.MSG_PEEK)
+        except OSError:
+            break
+        if not chunk:
+            break  # EOF before 8 bytes: not a frame
+        if len(chunk) == len(head):
+            time.sleep(0.005)  # open connection, no new bytes queued yet
+            continue
+        head = chunk
+    return head
 
 
 class _PutBuffer:
@@ -93,12 +119,13 @@ class TimelyTcpServer:
                 # FlatBuffers auto-detect, like the reference's pipeline
                 # (MetricsBufferDecoder checks the "TMFB" file identifier
                 # at offset 4): a binary connection carries one Metrics
-                # frame, drained to EOF. peek() doesn't consume, so the
-                # line path sees the same bytes. A frame's first TCP
-                # segment carries the 8-byte header in practice.
+                # frame, drained to EOF. _peek8 loops MSG_PEEK on the raw
+                # socket (before rfile buffers anything) so short first
+                # TCP segments can't misclassify the frame; nothing is
+                # consumed, so the line path sees the same bytes.
                 from .sources.flatbuf import has_identifier
 
-                head = self.rfile.peek(8)
+                head = _peek8(self.connection)
                 if len(head) >= 8 and has_identifier(bytes(head[:8])):
                     frame = self.rfile.read()
                     if frame:

@@ -197,27 +197,35 @@ class TimelyWebSocketServer:
 
         def ws_sink(sub_id: str, metric: str):
             def sink(batch_df, batch_id: int) -> None:
-                rows = batch_df.limit(_BATCH_CAP).collect()
-                if not rows:
-                    return
-                push(
-                    {
-                        "responses": [
-                            {
-                                "metric": r["metric"],
-                                "timestamp": r["ts"],
-                                "value": r["value"],
-                                "tags": [
-                                    {"key": k, "value": v}
-                                    for k, v in sorted((r["tags"] or {}).items())
-                                ],
-                                "subscriptionId": sub_id,
-                                "complete": False,
-                            }
-                            for r in rows
-                        ]
-                    }
-                )
+                # Deliver EVERY row, flushed in frames of _BATCH_CAP
+                # responses — the reference flushes each subscriptionBatchSize
+                # but never drops (MetricScanner.java:211-224). toLocalIterator
+                # bounds driver memory to one partition at a time instead of
+                # collecting the whole micro-batch.
+                buf: list[dict] = []
+
+                def flush() -> None:
+                    if buf:
+                        push({"responses": list(buf)})
+                        buf.clear()
+
+                for r in batch_df.toLocalIterator():
+                    buf.append(
+                        {
+                            "metric": r["metric"],
+                            "timestamp": r["ts"],
+                            "value": r["value"],
+                            "tags": [
+                                {"key": k, "value": v}
+                                for k, v in sorted((r["tags"] or {}).items())
+                            ],
+                            "subscriptionId": sub_id,
+                            "complete": False,
+                        }
+                    )
+                    if len(buf) >= _BATCH_CAP:
+                        flush()
+                flush()
 
             return sink
 
