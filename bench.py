@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "ts_rate_bucketed",
     "ts_rate_counter",
     "ts_fir_ma5",
+    "ts_fir_bucketed",
     "ts_tag_regex",
     "ts_viz",
     "ts_meta",
@@ -180,6 +181,56 @@ def bench_store_query_tag(spark, store_path: str) -> tuple[float, int]:
     return dt, dps
 
 
+def bench_store_query_bucketed(spark, sf_dir: str):
+    """The series-bucketed layout through the FULL request pipeline:
+    engine.query() over a series_table engine. The rate stage is
+    plan-pinned at zero Exchange inside build_subquery (the 15m rollup
+    keeps the query's only shuffle) — the SCALE.md §2 lever available to
+    plain API callers, not just direct operator users."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from timely_spark.api import TimelyEngine
+    from timely_spark.plans.builder import build_subquery
+    from timely_spark.plans.request import SubQuery
+
+    table = entrymod._bucketed_points_table(spark, sf_dir)
+    eng = TimelyEngine(
+        spark, store_path=tempfile.mkdtemp(), series_table=table
+    )
+    bounds = eng.points().agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    sub = SubQuery(metric="click", aggregator="none", rate=True)
+    plan = (
+        build_subquery(eng.points(), sub, bounds["lo"], bounds["hi"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "bucketed engine rate path gained a shuffle"
+    t0 = time.time()
+    out = eng.query(
+        {
+            "start": bounds["lo"],
+            "end": bounds["hi"],
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "click",
+                    "downsample": "15m-avg",
+                    "rate": True,
+                }
+            ],
+        }
+    )
+    dt = time.time() - t0
+    return dt, sum(len(s["dps"]) for s in out)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -245,6 +296,16 @@ def main() -> int:
         )
     finally:
         shutil.rmtree(store_path, ignore_errors=True)
+    try:
+        bq_sec, bq_dps = bench_store_query_bucketed(spark, sf_dir)
+        times["store_query_bucketed"] = round(bq_sec, 3)
+        print(
+            f"  store_query_bucketed: {bq_sec:.3f}s ({bq_dps} dps)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # plan regression surfaces as a sentinel
+        print(f"bench store_query_bucketed failed: {e}", file=sys.stderr)
+        times["store_query_bucketed"] = -1.0
 
     total = round(sum(v for v in times.values() if v >= 0), 3)
     print(

@@ -66,9 +66,18 @@ class TimelyEngine:
         default_ttl_ms: int | None = None,
         promote_tags: list[str] | None = None,
         bucket_metrics: int | None = None,
+        series_table: str | None = None,
     ):
         self.spark = spark
         self.store_path = store_path
+        # series-bucketed durable tier (sources/store.write_points_bucketed):
+        # when named, points() reads this saveAsTable catalog table instead
+        # of the partitioned-Parquet path, and ingest appends into it. The
+        # materialized series_key column rides into the query pipeline, so
+        # per-series window stages (rate W1) run with zero Exchange straight
+        # through engine.query() — the 100x lever of SCALE.md §2 available
+        # on the full request path, not just the operator API.
+        self.series_table = series_table
         self.meta_path = meta_path or store_path.rstrip("/") + "_meta"
         self.default_visibility = default_visibility
         self.metric_blocklist = metric_blocklist or []
@@ -170,12 +179,17 @@ class TimelyEngine:
         ).collect()[0]
         n = stats["n"]
         if n:
-            write_points(
-                pts,
-                self.store_path,
-                promote_tags=self.promote_tags or None,
-                bucket_metrics=self.bucket_metrics,
-            )
+            if self.series_table is not None:
+                from .sources.store import write_points_bucketed
+
+                write_points_bucketed(pts, self.series_table, mode="append")
+            else:
+                write_points(
+                    pts,
+                    self.store_path,
+                    promote_tags=self.promote_tags or None,
+                    bucket_metrics=self.bucket_metrics,
+                )
             # meta side-write (DataStore.java:415-433)
             build_meta(pts).write.mode("append").parquet(self.meta_path)
             self._record_viz(pts)
@@ -206,7 +220,10 @@ class TimelyEngine:
         """Stored points with the query-time age-off guard applied
         (DataStoreCache.java:747-750). ``now_ms`` is injectable so tests
         and replays can pin the clock; defaults to wall time."""
-        df = read_points(self.spark, self.store_path)
+        if self.series_table is not None:
+            df = self.spark.table(self.series_table)
+        else:
+            df = read_points(self.spark, self.store_path)
         if self._hot is not None:
             df = self._hot.hybrid(df)
         if self.default_ttl_ms is not None:

@@ -104,7 +104,13 @@ def build_subquery(
         # (JSON path). Selects the listed series directly; the metric
         # predicate is skipped (metric is "" on these SubQueries).
         ids = [_decode_tsuid(t) for t in q.tsuids]
-        df = points.filter(series_id().isin(ids))
+        if "series_key" in points.columns:
+            # series-bucketed store: the materialized key is a plain string
+            # column, so the IN-list reaches PushedFilters and the
+            # (series_key, ts)-sorted row groups prune
+            df = points.filter(F.col("series_key").isin(ids))
+        else:
+            df = points.filter(series_id().isin(ids))
     else:
         df = points.filter(F.col("metric") == q.metric)
         if bucket_metrics and "metric_bucket" in df.columns:
@@ -146,7 +152,14 @@ def build_subquery(
             from dataclasses import replace
 
             opts = replace(opts, interval_ms=spec.period_ms)
-        df = rate(df, opts)
+        # series-bucketed store: window on the materialized series_key —
+        # the bucketed scan's HashPartitioning already satisfies the
+        # window distribution, so the rate stage adds NO Exchange
+        df = rate(
+            df,
+            opts,
+            series_col="series_key" if "series_key" in df.columns else None,
+        )
 
     group_keys = sorted(q.tags.keys())
 
