@@ -197,3 +197,86 @@ def test_websocket_full_api_ops(spark, tmp_path):
     finally:
         conn.close()
         srv.stop()
+
+
+def test_websocket_live_tail_follow(spark, tmp_path):
+    """VERDICT r3 item #3 — the MetricScanner tail-follow loop
+    (MetricScanner.java:202-281) over the real WS wire: a client
+    subscribes with NO endTime, drains the backfill, then NEW points
+    land in the store mid-stream and arrive as MetricResponses frames;
+    close finally yields complete:true."""
+    b = 1_447_767_913_000
+    store = str(tmp_path / "store")
+
+    def put(lo: int, hi: int) -> None:
+        lines = [f"put m {b + i * 1000} {float(i)} host=h1" for i in range(lo, hi)]
+        write_points(
+            parse_lines_df(
+                spark.createDataFrame([(l,) for l in lines], ["value"])
+            ),
+            store,
+        )
+
+    put(0, 4)  # backfill
+    srv = TimelyWebSocketServer(spark, store, flush_seconds=1).start()
+    conn = socket.create_connection((srv.host, srv.port), timeout=120)
+    try:
+        _handshake(conn, srv.host, srv.port)
+
+        def send(op: dict) -> None:
+            conn.sendall(_client_frame(json.dumps(op).encode("utf-8")))
+
+        send({"operation": "create", "subscriptionId": "s1"})
+        send(
+            {
+                "operation": "add",
+                "subscriptionId": "s1",
+                "metric": "m",
+                "tags": {"host": "h1"},
+                "startTime": b,
+                # no endTime: open-ended tail-follow
+            }
+        )
+
+        got, complete, wrote_live = [], False, False
+        deadline = time.time() + 180
+        conn.settimeout(5)
+        while not complete and time.time() < deadline:
+            try:
+                opcode, payload = read_frame(conn)
+            except (socket.timeout, TimeoutError):
+                if not wrote_live and {r["value"] for r in got} >= {
+                    float(i) for i in range(4)
+                }:
+                    # backfill fully drained -> land live points mid-stream
+                    put(4, 7)
+                    wrote_live = True
+                elif wrote_live and {r["value"] for r in got} >= {
+                    float(i) for i in range(7)
+                }:
+                    send({"operation": "close", "subscriptionId": "s1"})
+                continue
+            if opcode != 0x1:
+                continue
+            msg = json.loads(payload)
+            assert "error" not in msg, msg
+            for r in msg["responses"]:
+                assert r["subscriptionId"] == "s1"
+                if r["complete"]:
+                    complete = True
+                else:
+                    got.append(r)
+        assert wrote_live, "backfill never drained"
+        assert complete, "no complete:true frame after close"
+        # every backfill AND live point arrived exactly once
+        assert sorted(r["timestamp"] for r in got) == [
+            b + i * 1000 for i in range(7)
+        ]
+        assert {r["value"] for r in got} == {float(i) for i in range(7)}
+        conn.settimeout(120)
+        conn.sendall(_client_frame(b"", opcode=0x8))
+        opcode, _ = read_frame(conn)
+        assert opcode == 0x8
+    finally:
+        conn.close()
+        srv.stop()
