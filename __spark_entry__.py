@@ -883,10 +883,11 @@ def q_emb_knn_ivf(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal features with the REAL in-container codecs: BMP decode
-    (dimensions, mean luma, aHash) + PCM WAV decode (duration, rate,
+    """Multimodal features with the REAL in-container codecs: BMP and
+    PNG decode (dimensions, mean luma, aHash — PNG via stdlib zlib
+    inflate + scanline de-filtering) + PCM WAV decode (duration, rate,
     RMS), Arrow-batched over mapInPandas — no stub in this path
-    (rows-only check; compressed formats remain stubbed elsewhere)."""
+    (rows-only check; lossy formats remain stubbed elsewhere)."""
     from timely_spark.operators.multimodal import (
         extract_audio_features,
         extract_image_features,

@@ -96,3 +96,90 @@ def test_compressed_decode_is_explicitly_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_png_decode_roundtrip():
+    """Real PNG decode (stdlib zlib + filter reversal): exact dimensions
+    and channels per color type; luma matches the seeded ground-truth
+    pixels bit-exactly (the codec path is lossless); every filter type
+    0-4 is exercised (make_png cycles them per scanline)."""
+    import numpy as np
+
+    from timely_spark.operators.multimodal import _decode_png, make_png
+
+    for color_type, n_ch in [(0, 1), (2, 3), (6, 4)]:
+        w, h, ch, luma, phash = _decode_png(
+            make_png(23, 17, seed=11, color_type=color_type)
+        )
+        assert (w, h, ch) == (23, 17, n_ch)
+        # ground truth straight from the generator's rng
+        px = np.random.default_rng(11).integers(
+            0, 256, size=(17, 23, n_ch), dtype=np.uint8
+        ).astype("float64")
+        if n_ch == 1:
+            want = px[..., 0]
+        else:
+            want = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert abs(luma - float(want.mean()) / 255.0) < 1e-12
+    # deterministic + discriminating fingerprint
+    assert (
+        _decode_png(make_png(23, 17, seed=11))[4]
+        == _decode_png(make_png(23, 17, seed=11))[4]
+    )
+    assert (
+        _decode_png(make_png(23, 17, seed=11))[4]
+        != _decode_png(make_png(23, 17, seed=12))[4]
+    )
+    # unfiltered and filtered encodings of the SAME pixels decode equal
+    assert _decode_png(make_png(23, 17, seed=11, filters=False)) == _decode_png(
+        make_png(23, 17, seed=11, filters=True)
+    )
+
+
+def test_png_unsupported_variants_are_loud():
+    import struct
+    import zlib
+
+    import pytest
+
+    from timely_spark.operators.multimodal import _PNG_SIG, _decode_png
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    p = _PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(p)
+    # palette color type
+    ihdr_pal = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    p = _PNG_SIG + chunk(b"IHDR", ihdr_pal) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        _decode_png(p)
+
+
+def test_image_features_mixed_bmp_png(spark):
+    """synthetic_media now mixes BMP and PNG image rows; the feature
+    extractor dispatches per payload and decodes BOTH for real."""
+    from timely_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=24)
+    mimes = {
+        r["media_id"]: r["mime"]
+        for r in media.filter("kind = 'image'").select("media_id", "mime").collect()
+    }
+    assert set(mimes.values()) == {"image/bmp", "image/png"}
+    rows = extract_image_features(media).collect()
+    assert len(rows) == len(mimes)
+    for r in rows:
+        assert r["width"] > 0 and r["height"] > 0
+        assert 0.0 <= r["mean_luma"] <= 1.0

@@ -7,12 +7,14 @@ amortized per batch, never per row. Partitioning: media rows are fat —
 callers should ``repartition`` by a size-aware key so one task doesn't
 inhale a skewed shard of large blobs.
 
-Codecs: uncompressed BMP (24/32-bit BI_RGB) and PCM WAV decode for REAL
-— header parse + numpy pixel/sample math, no third-party codec library
-needed — including a real 8x8 average-hash perceptual hash and PCM RMS.
-Compressed formats (PNG/JPEG/MP3/MP4) stay STUBBED behind
-NotImplementedError unless ``fake=True`` (their codec libraries are not
-in this container); the Spark-side plumbing is identical either way.
+Codecs: uncompressed BMP (24/32-bit BI_RGB), non-interlaced 8-bit
+gray/RGB/RGBA PNG (stdlib zlib inflate + full filter reversal), and PCM
+WAV all decode for REAL — header parse + numpy pixel/sample math, no
+third-party codec library needed — including a real 8x8 average-hash
+perceptual hash and PCM RMS. Lossy formats (JPEG/MP3/MP4) stay STUBBED
+behind NotImplementedError unless ``fake=True`` (their codec libraries
+are not in this container); the Spark-side plumbing is identical either
+way.
 """
 
 from __future__ import annotations
@@ -45,6 +47,32 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _luma_stats(luma) -> tuple[float, int]:
+    """Shared tail of every real image decode: normalized mean luma and
+    an 8x8 average-hash (aHash) perceptual fingerprint over a 2-D luma
+    array in [0, 255]."""
+    import numpy as np
+
+    h, w = luma.shape
+    mean_luma = float(luma.mean()) / 255.0
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    blocks = np.array(
+        [
+            [luma[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean() for j in range(8)]
+            for i in range(8)
+        ]
+    )
+    bits = (blocks >= blocks.mean()).flatten()
+    phash = 0
+    for bit in bits:
+        phash = (phash << 1) | int(bit)
+    # to signed 64-bit (LongType)
+    if phash >= 1 << 63:
+        phash -= 1 << 64
+    return mean_luma, phash
+
+
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, int]:
     """Real decode of an uncompressed BI_RGB BMP: dimensions from the
     BITMAPINFOHEADER, mean luma over the BGR(A) pixel array, and a real
@@ -72,24 +100,93 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, int]:
         px = px[::-1]
     b, g, r = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
     luma = 0.114 * b + 0.587 * g + 0.299 * r
-    mean_luma = float(luma.mean()) / 255.0
-    # aHash: 8x8 block means -> threshold at their mean -> 64-bit int
-    ys = np.linspace(0, abs_h, 9, dtype=int)
-    xs = np.linspace(0, width, 9, dtype=int)
-    blocks = np.array(
-        [
-            [luma[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean() for j in range(8)]
-            for i in range(8)
-        ]
-    )
-    bits = (blocks >= blocks.mean()).flatten()
-    phash = 0
-    for bit in bits:
-        phash = (phash << 1) | int(bit)
-    # to signed 64-bit (LongType)
-    if phash >= 1 << 63:
-        phash -= 1 << 64
+    mean_luma, phash = _luma_stats(luma)
     return width, abs_h, channels, mean_luma, phash
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Reverse PNG per-scanline filtering (RFC 2083 §6): each row is a
+    filter-type byte then width*channels filtered bytes. Types 0-4
+    (None/Sub/Up/Average/Paeth) all supported."""
+    import numpy as np
+
+    rowbytes = width * channels
+    if len(raw) < height * (rowbytes + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=rowbytes, offset=pos + 1).astype(np.int32)
+        pos += rowbytes + 1
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: horizontal recurrence
+            cur = np.zeros(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = cur[x - channels] if x >= channels else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    cur[x] = (row[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth predictor
+                    c = prev[x - channels] if x >= channels else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, float, int]:
+    """Real decode of a non-interlaced 8-bit gray/RGB/RGBA PNG using only
+    stdlib zlib/struct + numpy: walk the chunk stream, inflate the
+    concatenated IDAT data, reverse the per-scanline filters, then the
+    same luma/aHash tail as BMP. Palette, 16-bit, and interlaced variants
+    stay NotImplementedError (RFC 2083; no codec library needed)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    n_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or n_ch is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant depth={depth} color_type={color_type} "
+            f"interlace={interlace} (only non-interlaced 8-bit gray/RGB/RGBA)"
+        )
+    px = _png_unfilter(zlib.decompress(idat), width, height, n_ch).astype("float64")
+    if color_type in (0, 4):  # gray / gray+alpha
+        luma = px[..., 0]
+    else:  # RGB / RGBA (alpha ignored for luma, like the BMP path)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    mean_luma, phash = _luma_stats(luma)
+    return width, height, n_ch, mean_luma, phash
 
 
 def _decode_wav(payload: bytes) -> tuple[float, int, int, float]:
@@ -132,6 +229,61 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     return header + info + body
+
+
+def make_png(width: int, height: int, seed: int = 0, color_type: int = 2,
+             filters: bool = True) -> bytes:
+    """Deterministic PNG fixture (8-bit gray/RGB/RGBA) built with stdlib
+    zlib/struct — exercises the real decoder, including non-trivial
+    scanline filters when ``filters=True`` (cycles None/Sub/Up/Average/
+    Paeth so every de-filter branch runs)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    n_ch = {0: 1, 2: 3, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(height, width, n_ch), dtype=np.uint8)
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    rowbytes = width * n_ch
+    prev = bytes(rowbytes)
+    for y in range(height):
+        cur = px[y].tobytes()
+        ftype = (y % 5) if filters else 0
+        raw.append(ftype)
+        if ftype == 0:
+            raw += cur
+        else:
+            for x in range(rowbytes):
+                a = cur[x - n_ch] if x >= n_ch else 0
+                b = prev[x]
+                c = prev[x - n_ch] if x >= n_ch else 0
+                pred = {1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ftype]
+                raw.append((cur[x] - pred) & 0xFF)
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(duration_s: float, sample_rate: int = 16_000, freq: float = 440.0,
@@ -193,11 +345,13 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     rows.append((int(mid), *_fake_decode(payload)))
                 elif payload is not None and bytes(payload[:2]) == b"BM":
                     rows.append((int(mid), *_decode_bmp(bytes(payload))))
+                elif payload is not None and bytes(payload[:8]) == _PNG_SIG:
+                    rows.append((int(mid), *_decode_png(bytes(payload))))
                 else:
                     raise NotImplementedError(
-                        "only uncompressed BMP decodes in-container; other image "
-                        "formats need a codec library (run with fake=True to "
-                        "exercise the pipeline)"
+                        "only uncompressed BMP and non-interlaced 8-bit PNG "
+                        "decode in-container; JPEG needs a codec library (run "
+                        "with fake=True to exercise the pipeline)"
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "mean_luma", "phash"]
@@ -317,7 +471,11 @@ def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if real and kind == "image":
+        if real and kind == "image" and (i // 3) % 2 == 1:
+            # every other image row is a real PNG (filtered scanlines)
+            payload = make_png(16 + i % 48, 16 + (i * 3) % 48, seed=i)
+            mime = "image/png"
+        elif real and kind == "image":
             payload = make_bmp(16 + i % 48, 16 + (i * 3) % 48, seed=i)
             mime = "image/bmp"
         elif real and kind == "audio":
