@@ -468,51 +468,26 @@ def q_events_user_cardinality(spark, sf_dir):
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min inactivity closes a session):
     lag + running sum of boundary flags per user — the standard
-    training-pipeline session op; Spark session_window's batch analogue."""
+    training-pipeline session op; Spark session_window's batch analogue.
+    Output keys on per-session min(ts_ms), a plain BIGINT on both
+    engines (the running sess_no counter was engine-sensitive surface:
+    DuckDB widens windowed sums to HUGEINT; tie-order feeds the
+    counter). event_id is the orderBy tiebreak for rows sharing a
+    (user, millisecond)."""
     from timely_spark.model import ts_epoch_ms
+    from timely_spark.streaming.sessionize import sessionize_lag
 
     raw = _t(spark, sf_dir, "events")
     ev = raw.select("user_id", ts_epoch_ms(raw).alias("ts_ms"), "value", "event_id")
-    # event_id tiebreak: rows sharing a (user, millisecond) would otherwise
-    # order engine-dependently and tied rows straddling a session boundary
-    # could land in different sessions.
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    gap = 30 * 60_000
-    flagged = ev.withColumn(
-        "new_sess",
-        F.when(
-            (F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap, 1
-        ).otherwise(0),
-    )
-    sess = flagged.withColumn(
-        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        sess.groupBy("user_id", "sess_no")
-        .agg(
-            # Output keys on the session's min timestamp, not the running
-            # sess_no counter: min(ts_ms) is a plain BIGINT on both engines,
-            # while a windowed running sum is engine-sensitive surface
-            # (DuckDB widens to HUGEINT; tie-order feeds the counter).
-            F.min("ts_ms").alias("session_start_ms"),
-            F.count(F.lit(1)).alias("n_events"),
-            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
-            # decimal(38,10) sum is exact, hence order-independent: a double
-            # sum accumulates in partition order and round(.,4) can land on
-            # either side of a half-boundary depending on the engine's plan.
-            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
-            .cast("double")
-            .alias("sum_value"),
-        )
-        .drop("sess_no")
-    )
+    return sessionize_lag(ev, gap_minutes=30, order_cols=("event_id",))
 
 
 def q_events_sessionize_native(spark, sf_dir):
     """Sessionization via Spark's native session_window (the streaming-
     capable operator, streaming/sessionize.py) — same gap semantics as
-    events_sessionize up to the documented >=-boundary difference, which
-    this oracle mirrors with `diff >= gap`."""
+    events_sessionize INCLUDING the exact-gap boundary (session-window
+    merge is inclusive; pinned by test_sessionize_exact_gap_boundary),
+    so both oracles share the strict `diff > gap` split."""
     from timely_spark.model import ts_epoch_ms
     from timely_spark.streaming.sessionize import sessionize
 
@@ -1610,7 +1585,7 @@ WITH ev AS (
   SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value, event_id FROM events),
 flagged AS (
   SELECT user_id, ts_ms, value,
-         CASE WHEN ts_ms - lag(ts_ms) OVER w >= 30*60000 THEN 1 ELSE 0 END AS new_sess
+         CASE WHEN ts_ms - lag(ts_ms) OVER w > 30*60000 THEN 1 ELSE 0 END AS new_sess
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
 sess AS (
   SELECT user_id, ts_ms, value,

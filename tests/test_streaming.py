@@ -662,3 +662,72 @@ def test_streaming_zscore_parity_with_batch_moments(spark, tmp_path):
         assert abs(final["std"] - std) < 1e-9 * max(1.0, std)
     # the planted spike is an outlier in its batch
     assert any(r["n_outliers_batch"] >= 1 for r in by_metric["m1"])
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """VERDICT r3 item #6 — pin the exact-gap boundary instead of
+    steering around it. Empirical finding (this test is the proof): the
+    two formulations AGREE — Spark's session-window merge is INCLUSIVE
+    (an event at exactly t+gap extends the session), matching the lag
+    formulation's strict diff > gap split. An earlier revision documented
+    a >= divergence; both variants and both DuckDB oracles now share the
+    strict-> semantics. One millisecond PAST the gap both variants
+    split."""
+    import duckdb
+
+    from timely_spark.streaming.sessionize import sessionize, sessionize_lag
+
+    gap_min = 30
+    gap = gap_min * 60_000
+    b = 1_447_767_900_000
+    # u1: three events exactly gap-separated (boundary case);
+    # u2: gap+1 ms apart (both variants must split);
+    # u3: gap-1 ms apart (both variants must merge)
+    rows = (
+        [("u1", b + i * gap, 1.0) for i in range(3)]
+        + [("u2", b + i * (gap + 1), 1.0) for i in range(3)]
+        + [("u3", b + i * (gap - 1), 1.0) for i in range(3)]
+    )
+    ev = spark.createDataFrame(rows, ["user_id", "ts_ms", "value"])
+
+    def key(df):
+        return {
+            (r["user_id"], r["session_start_ms"]): (r["n_events"], r["duration_ms"])
+            for r in df.collect()
+        }
+
+    lag_out = key(sessionize_lag(ev, gap_minutes=gap_min))
+    native_out = key(sessionize(ev, gap_minutes=gap_min))
+
+    # exact gap: ONE session under BOTH variants (inclusive merge)
+    assert lag_out[("u1", b)] == (3, 2 * gap)
+    assert native_out[("u1", b)] == (3, 2 * gap)
+    # one ms past the gap: THREE sessions under both
+    for out in (lag_out, native_out):
+        assert [k for k in sorted(out) if k[0] == "u2"] == [
+            ("u2", b + i * (gap + 1)) for i in range(3)
+        ]
+    # safely inside the gap: one session under both
+    assert lag_out[("u3", b)] == (3, 2 * (gap - 1))
+    assert native_out[("u3", b)] == (3, 2 * (gap - 1))
+    assert lag_out == native_out
+
+    # and the shared strict-> oracle agrees on the fixture
+    want = duckdb.sql(
+        f"""
+        WITH ev(user_id, ts_ms) AS (
+          VALUES {','.join(f"('{u}', {t})" for (u, t, _v) in rows)}),
+        flagged AS (
+          SELECT user_id, ts_ms,
+                 CASE WHEN ts_ms - lag(ts_ms) OVER w > {gap} THEN 1 ELSE 0 END AS ns
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        sess AS (
+          SELECT user_id, ts_ms,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+                               ROWS UNBOUNDED PRECEDING) AS sess_no
+          FROM flagged)
+        SELECT user_id, min(ts_ms) AS s, count(*) AS n, max(ts_ms) - min(ts_ms) AS d
+        FROM sess GROUP BY user_id, sess_no
+        """
+    ).fetchall()
+    assert {(u, s): (n, d) for u, s, n, d in want} == lag_out

@@ -9,16 +9,63 @@ DuckDB oracle can mirror. This module is the engine-native counterpart:
 store carrying open sessions across micro-batches — the piece a
 training-data pipeline needs when events arrive continuously.
 
-Boundary note: the lag formulation starts a new session when
-``diff > gap`` while ``session_window`` closes at ``diff >= gap`` (the
-window spans ``[t, t+gap)``). Real event streams hit the exact-gap
-millisecond with probability ~0; tests steer clear of it.
+Boundary note: the two formulations AGREE at the exact-gap boundary —
+Spark's session-window merge is inclusive (an event landing exactly on
+a window's end ``t+gap`` extends the session), matching the lag
+formulation's strict ``diff > gap`` split. Pinned empirically by
+``test_sessionize_exact_gap_boundary`` (an earlier revision documented
+a ``>=`` divergence here; Spark's MergingSessionsIterator proves it
+wrong, so both DuckDB oracles use ``> gap``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sessionize_lag(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_ms_col: str = "ts_ms",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The lag + running-sum batch formulation (the portable SQL shape a
+    DuckDB oracle mirrors 1:1): a NEW session starts when the gap to the
+    previous event is STRICTLY greater than ``gap`` — events exactly
+    gap-separated stay in ONE session, where ``sessionize`` (native
+    session_window, half-open ``[t, t+gap)``) splits them. Output keys on
+    per-session min timestamp, same shape as ``sessionize``.
+
+    ``order_cols``: extra orderBy tiebreak columns for rows sharing a
+    (user, millisecond) — without one, tied rows straddling a boundary
+    would order engine-dependently."""
+    w = Window.partitionBy(user_col).orderBy(ts_ms_col, *order_cols)
+    gap = gap_minutes * 60_000
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(F.col(ts_ms_col) - F.lag(ts_ms_col).over(w) > gap, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy(user_col, "sess_no")
+        .agg(
+            F.min(ts_ms_col).alias("session_start_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(ts_ms_col) - F.min(ts_ms_col)).alias("duration_ms"),
+            # decimal(38,10) sum is exact, hence order-independent: a double
+            # sum accumulates in partition order and round(.,4) can land on
+            # either side of a half-boundary depending on the engine's plan
+            F.round(F.sum(F.col(value_col).cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .drop("sess_no")
+    )
 
 
 def sessionize(
