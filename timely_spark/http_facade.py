@@ -70,9 +70,20 @@ class TimelyHttpServer:
         host: str = "127.0.0.1",
         port: int = 0,
         auths=None,
+        authenticator=None,
     ):
+        """``authenticator``: optional per-REQUEST auth source — a callable
+        ``(headers: dict) -> set[str] | None`` consulted on every query,
+        mirroring the reference's per-session model where
+        TimelyAuthenticationManager resolves the client certificate DN /
+        session cookie to that user's Accumulo authorizations
+        (TimelyAuthenticationManager.java, X509LoginRequestHandler.java).
+        The real login/JWT/X509 SOURCE stays a named scope-out
+        (SURVEY.md §2.1); this seam is where it would plug in. When unset,
+        the per-server ``auths`` applies to every request."""
         self.engine = engine
         self.auths = auths
+        self.authenticator = authenticator
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self.host, self.port = self._httpd.server_address[:2]
@@ -114,6 +125,14 @@ class TimelyHttpServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _request_auths(self):
+                """Per-request authorization set: the authenticator (keyed
+                off request headers, e.g. the client DN a TLS terminator
+                would forward) wins over the per-server default."""
+                if server.authenticator is not None:
+                    return server.authenticator(dict(self.headers))
+                return server.auths
 
             def _error(self, status: int, message: str) -> None:
                 # TimelyException JSON shape (TimelyExceptionHandler)
@@ -191,7 +210,7 @@ class TimelyHttpServer:
                 self._send(200, b"", JSON_TYPE)
 
             def _post_query(self, body) -> None:
-                out = server.engine.query(body, auths=server.auths, strict=True)
+                out = server.engine.query(body, auths=self._request_auths(), strict=True)
                 self._send(200, _compact(out), JSON_TYPE)
 
             def _get_query(self, params: dict[str, str]) -> None:
@@ -202,7 +221,7 @@ class TimelyHttpServer:
                 flat: dict = {
                     k: (v if len(v) > 1 else v[0]) for k, v in multi.items()
                 }
-                out = server.engine.query_get(flat, auths=server.auths, strict=True)
+                out = server.engine.query_get(flat, auths=self._request_auths(), strict=True)
                 self._send(200, _compact(out), JSON_TYPE)
 
             def _suggest(self, params: dict) -> None:
