@@ -450,3 +450,35 @@ def test_engine_query_over_series_table(spark, tmp_path):
         assert got == flat.query(req) and got[0]["dps"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_series_table_engine_with_hot_cache(spark, tmp_path):
+    """The hot tier over a series_table engine refreshes from the catalog
+    table (not the unused store path) and the hybrid read stays
+    consistent across an ingest that lands entirely in the hot window."""
+    from timely_spark.api import TimelyEngine
+
+    b = 1_447_765_200_000
+    table = "ts_engine_series_hot_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        eng = TimelyEngine(
+            spark, store_path=str(tmp_path / "unused"), series_table=table
+        )
+        eng.put_lines([f"put m {b + i * 1000} {float(i)} host=h1" for i in range(20)])
+        eng.enable_hot_cache(window_ms=10_000)
+        eng.put_lines(
+            [f"put m {b + i * 1000} {float(i)} host=h1" for i in range(20, 30)]
+        )
+        req = {
+            "start": b,
+            "end": b + 120_000,
+            "msResolution": True,
+            "queries": [{"aggregator": "none", "metric": "m"}],
+        }
+        got = {
+            int(k): v for s in eng.query(req) for k, v in s["dps"].items()
+        }
+        assert got == {b + i * 1000: float(i) for i in range(30)}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -195,9 +195,7 @@ class TimelyEngine:
             self._record_viz(pts)
             if self._hot is not None:
                 # cache append analogue (DataStoreCache.store:635-644)
-                self._hot.refresh(
-                    read_points(self.spark, self.store_path), now_ms=stats["hi"]
-                )
+                self._hot.refresh(self._durable_points(), now_ms=stats["hi"])
         return n
 
     # ----------------------------------------------------------- hot tier
@@ -210,20 +208,25 @@ class TimelyEngine:
 
         self._hot = HotCache(self.spark, window_ms)
         try:
-            self._hot.refresh(read_points(self.spark, self.store_path))
+            self._hot.refresh(self._durable_points())
         except Exception:
             pass  # empty store: first ingest will refresh
 
     # -------------------------------------------------------------- reads
 
+    def _durable_points(self) -> DataFrame:
+        """The durable tier, whichever layout backs it: the series-bucketed
+        catalog table (series_key column rides along) or the partitioned
+        Parquet path."""
+        if self.series_table is not None:
+            return self.spark.table(self.series_table)
+        return read_points(self.spark, self.store_path)
+
     def points(self, now_ms: int | None = None) -> DataFrame:
         """Stored points with the query-time age-off guard applied
         (DataStoreCache.java:747-750). ``now_ms`` is injectable so tests
         and replays can pin the clock; defaults to wall time."""
-        if self.series_table is not None:
-            df = self.spark.table(self.series_table)
-        else:
-            df = read_points(self.spark, self.store_path)
+        df = self._durable_points()
         if self._hot is not None:
             df = self._hot.hybrid(df)
         if self.default_ttl_ms is not None:
