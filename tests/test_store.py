@@ -448,6 +448,33 @@ def test_engine_query_over_series_table(spark, tmp_path):
         flat = TimelyEngine(spark, store_path=str(tmp_path / "flat"))
         flat.put_lines(lines)
         assert got == flat.query(req) and got[0]["dps"]
+
+        # two-stage path (downsample agg != combine agg): the per-series
+        # stage groups on series_key — 1 Exchange total (combine only)
+        req2 = {
+            "start": b,
+            "end": b + 120_000,
+            "msResolution": True,
+            "queries": [
+                {"aggregator": "sum", "metric": "m", "downsample": "10s-avg"}
+            ],
+        }
+        sub2 = SubQuery(metric="m", aggregator="sum",
+                        downsample="10s-avg")
+        plan2 = (
+            build_subquery(eng.points(), sub2, b, b + 120_000)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan2.count("Exchange") == 1
+        # fold order differs (materialized vs computed grouping key), so
+        # compare dps with float tolerance, not byte equality
+        got2, want2 = eng.query(req2), flat.query(req2)
+        assert len(got2) == len(want2) == 1
+        assert got2[0]["dps"].keys() == want2[0]["dps"].keys()
+        for k, v in want2[0]["dps"].items():
+            assert got2[0]["dps"][k] == pytest.approx(v, rel=1e-12)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 

@@ -197,8 +197,16 @@ def build_subquery(
             .select("metric", "tags", "bucket_ts", "value")
         )
 
-    # two-stage path: downsample agg differs from the cross-series agg
-    ds = downsample(df, spec, start_ms=start_ms)
+    # two-stage path: downsample agg differs from the cross-series agg.
+    # Over a series-bucketed store the per-series stage groups on the
+    # materialized series_key — HashPartitioning(series_key) satisfies the
+    # grouping distribution, so only the cross-series combine shuffles.
+    ds = downsample(
+        df,
+        spec,
+        start_ms=start_ms,
+        series_col="series_key" if "series_key" in df.columns else None,
+    )
     return combine_series(ds, group_keys, q.aggregator)
 
 
