@@ -509,3 +509,44 @@ def test_series_table_engine_with_hot_cache(spark, tmp_path):
         assert got == {b + i * 1000: float(i) for i in range(30)}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_series_table_retention_and_compaction(spark, tmp_path):
+    """F6 retention and S6 compaction on the series-bucketed tier: both
+    are table rewrites. Retention drops expired rows; compaction folds
+    the per-append file sets back to one sorted file set while values
+    and the zero-Exchange window property survive."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.operators.rate import rate
+
+    day = 86_400_000
+    now = 1_447_765_200_000 + 40 * day
+    table = "ts_engine_series_maint_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        eng = TimelyEngine(
+            spark,
+            store_path=str(tmp_path / "unused"),
+            series_table=table,
+            default_ttl_ms=30 * day,
+        )
+        old = [f"put m {now - 35 * day + i} {float(i)} host=h1" for i in range(5)]
+        live = [f"put m {now - i * 1000} {float(i)} host=h1" for i in range(5)]
+        eng.put_lines(old)
+        eng.put_lines(live)  # second append: two file sets per bucket
+        assert spark.table(table).count() == 10
+
+        doomed = eng.run_retention(now_ms=now)
+        assert doomed == [f"table:{table} rewrite"]
+        left = spark.table(table)
+        assert left.count() == 5  # expired rows physically gone
+        assert left.agg({"ts": "min"}).collect()[0][0] >= now - 30 * day
+
+        eng.compact()
+        t = spark.table(table)
+        assert t.count() == 5
+        # bucketed-scan window property survives the rewrites
+        r = rate(t, series_col="series_key")
+        assert "Exchange" not in r._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -385,20 +385,36 @@ class TimelyEngine:
     def run_retention(self, now_ms: int) -> list[str]:
         """Drop wholly-expired point partitions AND age off the meta
         catalog (F6/F7 as one maintenance job — MetricAgeOffIterator +
-        MetaAgeOffIterator)."""
+        MetaAgeOffIterator).
+
+        Series-bucketed tier: the catalog table carries no dt partitions
+        to drop, so age-off is a filtered REWRITE of the table — the
+        documented trade of that layout (query-time ageoff_filter keeps
+        results correct between maintenance runs either way)."""
         import shutil
 
         from .sources.store import compact_meta_with_cutoff
 
-        doomed = retention_delete_plan(
-            self.spark,
-            self.store_path,
-            now_ms,
-            self.ttls,
-            self.default_ttl_ms or 7 * 86_400_000,
-        )
-        for p in doomed:
-            shutil.rmtree(p, ignore_errors=True)
+        if self.series_table is not None:
+            doomed = [f"table:{self.series_table} rewrite"]
+            self._rewrite_series_table(
+                ageoff_filter(
+                    self.spark.table(self.series_table),
+                    now_ms=now_ms,
+                    ttls=self.ttls,
+                    default_ttl_ms=self.default_ttl_ms or 7 * 86_400_000,
+                )
+            )
+        else:
+            doomed = retention_delete_plan(
+                self.spark,
+                self.store_path,
+                now_ms,
+                self.ttls,
+                self.default_ttl_ms or 7 * 86_400_000,
+            )
+            for p in doomed:
+                shutil.rmtree(p, ignore_errors=True)
         compact_meta_with_cutoff(
             self.spark,
             self.meta_path,
@@ -408,5 +424,20 @@ class TimelyEngine:
         )
         return doomed
 
+    def _rewrite_series_table(self, rows: DataFrame) -> None:
+        """Overwrite the series-bucketed table with ``rows`` (which may
+        derive from the table itself — localCheckpoint pins the contents
+        before the overwrite truncates the source)."""
+        from .sources.store import write_points_bucketed
+
+        pinned = rows.drop("series_key").localCheckpoint(eager=True)
+        write_points_bucketed(pinned, self.series_table, mode="overwrite")
+
     def compact(self) -> None:
-        compact_partitions(self.spark, self.store_path)
+        """Fold small append files (S6 maintenance). Series-bucketed tier:
+        appends stack one file set per batch inside each bucket; a rewrite
+        restores one sorted file per bucket."""
+        if self.series_table is not None:
+            self._rewrite_series_table(self.spark.table(self.series_table))
+        else:
+            compact_partitions(self.spark, self.store_path)
