@@ -156,10 +156,10 @@ def test_tcp_flatbuffers_frame(spark, tmp_path):
 
 def test_tcp_flatbuffers_frame_segmented(spark, tmp_path):
     """A FlatBuffers frame whose first TCP segment carries fewer than 8
-    bytes must still be classified as binary: _peek8 loops MSG_PEEK
-    across segments instead of trusting one rfile.peek (which sees only
-    the first segment and would silently drop the frame as garbage
-    line protocol)."""
+    bytes must still be classified as binary: _read_head loops across
+    segments instead of trusting one recv (which sees only the first
+    segment and would silently drop the frame as garbage line
+    protocol)."""
     import time
 
     from timely_spark.sources.flatbuf import encode_metrics

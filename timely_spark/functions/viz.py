@@ -142,6 +142,12 @@ def viz_filter(
         return df.filter(c.isNull() | (c == ""))
     if known_exprs is not None:
         distinct = list(known_exprs)
+    elif df.isStreaming:
+        # a streaming plan can't run the distinct-exprs action; evaluate
+        # per batch with the Arrow-vectorized predicate (the subscription
+        # scan path — the reference's VisibilityFilter runs per-entry in
+        # the scan too, server/.../auth/ConfigurableVisibilityFilter.java)
+        return df.filter(_viz_pandas_udf(auths)(F.col(viz_col)))
     else:
         distinct = [
             r[0]

@@ -13,11 +13,22 @@ request class carries ``@Http(path=...)``) onto a stdlib
     GET /api/cache           netty/http/HttpCacheRequestHandler.java
     GET /version             HttpVersionRequestHandler.java (text/plain)
 
+    GET /login               netty/http/auth/X509LoginRequestHandler.java
+
 Transport only: every route delegates to the corresponding TimelyEngine
 method, so query semantics (and their oracle checks) live in one place.
-SSL/SPNEGO/login auth is a named scope-out (SURVEY.md §2.1); the
-``auths`` constructor arg supplies the session authorization set the
-reference would extract from the client certificate or session cookie.
+
+Auth: pass an :class:`~timely_spark.auth.AuthenticationService` to serve
+the reference's session model — ``GET /login`` authenticates the
+two-way-SSL client certificate and sets the ``TSESSIONID`` cookie
+(TimelyLoginRequestHandler.java:44-60); authenticated routes resolve
+``Authorization`` JWTs, session cookies, or the TLS client cert in the
+reference's priority order and fall back to anonymous only when
+``allow-anonymous-http-access`` is on (HttpRequestDecoder.java:113-157).
+The resolved principal's auths feed visibility filtering. TLS (one- or
+two-way) comes from ``ssl_context`` (see :mod:`timely_spark.tls`).
+Without an AuthenticationService the legacy per-server ``auths`` /
+per-request ``authenticator`` seams apply unchanged.
 
 A query whose SubQuery matches zero series returns HTTP 400
 "No matching tags" exactly like DataStore.java:939.
@@ -29,9 +40,11 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, quote, unquote, urlparse
 
 from .api import NoMatchingTagsError, TimelyEngine
+from .auth import AuthenticationService, UnauthorizedError
+from .tls import peer_dn_pair
 
 JSON_TYPE = "application/json"  # netty Constants.JSON_TYPE
 TEXT_TYPE = "text/plain"
@@ -71,6 +84,8 @@ class TimelyHttpServer:
         port: int = 0,
         auths=None,
         authenticator=None,
+        auth_service: AuthenticationService | None = None,
+        ssl_context=None,
     ):
         """``authenticator``: optional per-REQUEST auth source — a callable
         ``(headers: dict) -> set[str] | None`` consulted on every query,
@@ -84,14 +99,21 @@ class TimelyHttpServer:
         self.engine = engine
         self.auths = auths
         self.authenticator = authenticator
+        self.auth_service = auth_service
+        self.tls = ssl_context is not None
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
+        if ssl_context is not None:
+            self._httpd.socket = ssl_context.wrap_socket(
+                self._httpd.socket, server_side=True
+            )
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
     @property
     def base_url(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}"
 
     def start(self) -> "TimelyHttpServer":
         self._thread = threading.Thread(
@@ -126,10 +148,35 @@ class TimelyHttpServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _session_id(self) -> str | None:
+                # HttpRequestDecoder.getSessionId: first TSESSIONID cookie
+                for h in self.headers.get_all("Cookie") or []:
+                    for part in h.split(";"):
+                        name, _, val = part.strip().partition("=")
+                        if name == AuthenticationService.COOKIE_NAME and val:
+                            return unquote(val)
+                return None
+
+            def _client_cert_dn(self):
+                if hasattr(self.connection, "getpeercert"):
+                    return peer_dn_pair(self.connection)
+                return None
+
             def _request_auths(self):
-                """Per-request authorization set: the authenticator (keyed
-                off request headers, e.g. the client DN a TLS terminator
-                would forward) wins over the per-server default."""
+                """Per-request authorization set. An AuthenticationService
+                resolves JWT / session cookie / TLS client cert in the
+                reference's order; else the header authenticator seam;
+                else the per-server default."""
+                if server.auth_service is not None:
+                    principal = server.auth_service.enforce_access(
+                        auth_header=self.headers.get(
+                            AuthenticationService.AUTH_HEADER
+                        ),
+                        session_id=self._session_id(),
+                        client_cert_dn=self._client_cert_dn(),
+                        transport="http",
+                    )
+                    return set(principal.effective_auths)
                 if server.authenticator is not None:
                     return server.authenticator(dict(self.headers))
                 return server.auths
@@ -170,6 +217,7 @@ class TimelyHttpServer:
                         "/api/aggregators": self._aggregators,
                         "/api/cache": self._cache,
                         "/version": self._version,
+                        "/login": self._login,
                     }.get(parsed.path)
                     if route is None:
                         self._error(404, f"unknown path {parsed.path}")
@@ -177,6 +225,8 @@ class TimelyHttpServer:
                     route(self._params(parsed))
                 except NoMatchingTagsError as e:
                     self._error(400, str(e))
+                except UnauthorizedError as e:
+                    self._error(401, str(e))
                 except (KeyError, ValueError) as e:
                     self._error(400, str(e))
                 except Exception as e:  # pragma: no cover - defensive
@@ -197,12 +247,42 @@ class TimelyHttpServer:
                         self._error(404, f"unknown path {parsed.path}")
                 except NoMatchingTagsError as e:
                     self._error(400, str(e))
+                except UnauthorizedError as e:
+                    self._error(401, str(e))
                 except (KeyError, ValueError) as e:
                     self._error(400, str(e))
                 except Exception as e:  # pragma: no cover - defensive
                     self._error(500, str(e))
 
             # -- routes --------------------------------------------------
+            def _login(self, params: dict[str, str]) -> None:
+                """GET /login — X509LoginRequestHandler: authenticate the
+                two-way-SSL client certificate, mint a session, deliver
+                it as the TSESSIONID cookie (TimelyLoginRequestHandler
+                .java:44-60; cookie per Constants.COOKIE_NAME)."""
+                svc = server.auth_service
+                if svc is None:
+                    self._error(404, "login is not configured")
+                    return
+                dn = self._client_cert_dn()
+                if dn is None:
+                    # X509LoginRequestHandler.java:36 via TimelyException
+                    raise UnauthorizedError("No client certificate found")
+                session_id, _principal = svc.login(*dn)
+                cookie = (
+                    f"{AuthenticationService.COOKIE_NAME}={quote(session_id)}"
+                    f"; Max-Age={svc.session_max_age}; Path=/; HttpOnly"
+                )
+                if server.tls:
+                    cookie += "; Secure"
+                body = b""
+                self.send_response(200)
+                self.send_header("Content-Type", JSON_TYPE)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Set-Cookie", cookie)
+                self.end_headers()
+                self.wfile.write(body)
+
             def _put(self, body) -> None:
                 payloads = body if isinstance(body, list) else [body]
                 server.engine.put_json(payloads)

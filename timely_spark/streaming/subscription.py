@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.viz import viz_filter
 from ..model import METRIC_SCHEMA
 
 
@@ -111,8 +112,18 @@ class SubscriptionManager:
         tags: dict[str, str] | None = None,
         start_time_ms: int = 0,
         end_time_ms: int = 0,
+        viz_auths: set[str] | None = None,
+        viz_exprs: set[str] | None = None,
     ):
-        """Start the tail-follow stream for one metric (AddSubscription.java:8-55)."""
+        """Start the tail-follow stream for one metric (AddSubscription.java:8-55).
+
+        ``viz_auths``: the subscribing session's authorization set — the
+        reference scans subscriptions under the session's Accumulo auths,
+        so visibility filters inside the scan (MetricScanner scans with
+        the subscription's auths; ConfigurableVisibilityFilter.java).
+        None (no auth layer) leaves the stream unfiltered; a set filters
+        fail-closed. ``viz_exprs``: the store's distinct viz expressions
+        (TimelyEngine's catalog) so the filter stays a JVM predicate."""
         sub = self._subs[subscription_id]
         stream = (
             self.spark.readStream.schema(self._store_schema())
@@ -126,6 +137,12 @@ class SubscriptionManager:
             df = df.filter(F.col("ts") <= end_time_ms)
         for k, v in (tags or {}).items():
             df = df.filter(F.col("tags").getItem(k) == v)
+        if viz_auths is not None:
+            df = viz_filter(
+                df,
+                set(viz_auths),
+                known_exprs=None if viz_exprs is None else sorted(viz_exprs),
+            )
         # watermark = the reference's lag: exclude/settle the most recent
         # window so late arrivals aren't missed
         df = df.withColumn("event_time", F.timestamp_millis(F.col("ts"))).withWatermark(

@@ -28,28 +28,32 @@ import time
 from .api import TimelyEngine
 
 
-def _peek8(conn: socket.socket, timeout: float = 1.0) -> bytes:
-    """Peek up to 8 bytes without consuming, looping across TCP segments.
+def _read_head(conn: socket.socket, n: int = 8, timeout: float = 1.0) -> bytes:
+    """Consume up to ``n`` bytes, looping across TCP segments.
 
-    A single ``rfile.peek``/``recv`` sees only the bytes of the first
-    queued segment, so a FlatBuffers frame whose first segment carries
-    fewer than 8 bytes would be misclassified under normal TCP
-    segmentation. MSG_PEEK re-reads the kernel buffer until 8 bytes are
-    queued, the peer closes, or ``timeout`` elapses (a live line-protocol
-    client may legitimately have sent a shorter first line)."""
+    A single ``recv`` sees only the bytes of the first queued segment,
+    so a FlatBuffers frame whose first segment carries fewer than 8
+    bytes would be misclassified under normal TCP segmentation; loop
+    until ``n`` bytes, EOF, or ``timeout`` (a live line-protocol client
+    may legitimately have sent a shorter first line and be awaiting a
+    response). Consuming-then-pushing-back (rather than MSG_PEEK) keeps
+    the branch decision identical over TLS, where ``ssl.SSLSocket``
+    cannot peek the decrypted stream."""
     head = b""
     deadline = time.monotonic() + timeout
-    while len(head) < 8 and time.monotonic() < deadline:
+    while len(head) < n:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        conn.settimeout(remaining)
         try:
-            chunk = conn.recv(8, socket.MSG_PEEK)
-        except OSError:
+            chunk = conn.recv(n - len(head))
+        except (TimeoutError, OSError):
             break
         if not chunk:
-            break  # EOF before 8 bytes: not a frame
-        if len(chunk) == len(head):
-            time.sleep(0.005)  # open connection, no new bytes queued yet
-            continue
-        head = chunk
+            break  # EOF before n bytes: not a frame
+        head += chunk
+    conn.settimeout(None)
     return head
 
 
@@ -107,6 +111,7 @@ class TimelyTcpServer:
         port: int = 0,
         flush_lines: int = 5000,
         flush_seconds: float = 5.0,
+        ssl_context=None,
     ):
         self.engine = engine
         self.buffer = _PutBuffer(engine, flush_lines, flush_seconds)
@@ -114,37 +119,68 @@ class TimelyTcpServer:
 
         engine_ref = engine
 
-        class Handler(socketserver.StreamRequestHandler):
+        class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
                 # FlatBuffers auto-detect, like the reference's pipeline
                 # (MetricsBufferDecoder checks the "TMFB" file identifier
                 # at offset 4): a binary connection carries one Metrics
-                # frame, drained to EOF. _peek8 loops MSG_PEEK on the raw
-                # socket (before rfile buffers anything) so short first
-                # TCP segments can't misclassify the frame; nothing is
-                # consumed, so the line path sees the same bytes.
+                # frame, drained to EOF. _read_head loops across short
+                # first TCP segments so segmentation can't misclassify
+                # the frame; the consumed head is pushed back in front of
+                # whichever branch runs.
                 from .sources.flatbuf import has_identifier
 
-                head = _peek8(self.connection)
+                conn = self.request
+                head = _read_head(conn)
                 if len(head) >= 8 and has_identifier(bytes(head[:8])):
-                    frame = self.rfile.read()
-                    if frame:
-                        engine_ref.put_flatbuffers([frame])
+                    parts = [head]
+                    while True:
+                        chunk = conn.recv(65536)
+                        if not chunk:
+                            break
+                        parts.append(chunk)
+                    engine_ref.put_flatbuffers([b"".join(parts)])
                     return
-                for raw in self.rfile:
+                # line protocol: split on newlines over a pushback buffer
+                # seeded with the consumed head
+                pending = head
+
+                def lines():
+                    nonlocal pending
+                    while True:
+                        nl = pending.find(b"\n")
+                        if nl >= 0:
+                            line, pending = pending[:nl], pending[nl + 1 :]
+                            yield line
+                            continue
+                        try:
+                            chunk = conn.recv(65536)
+                        except OSError:
+                            chunk = b""
+                        if not chunk:
+                            if pending:
+                                yield pending
+                            return
+                        pending += chunk
+
+                for raw in lines():
                     line = raw.decode("utf-8", errors="replace").strip()
                     if not line:
                         continue
                     if line == "version":
-                        self.wfile.write(
-                            (TimelyEngine.version() + "\n").encode("utf-8")
-                        )
-                        self.wfile.flush()
+                        conn.sendall((TimelyEngine.version() + "\n").encode("utf-8"))
                     elif line.startswith("put "):
                         buffer.add(line)
                     # unknown ops are dropped, like the lenient TCP decoder
 
         self._srv = socketserver.ThreadingTCPServer((host, port), Handler)
+        if ssl_context is not None:
+            # handshake on accept; a failed two-way handshake is an
+            # OSError inside get_request, swallowed by serve_forever —
+            # kills that client, not the listener
+            self._srv.socket = ssl_context.wrap_socket(
+                self._srv.socket, server_side=True
+            )
         self._srv.daemon_threads = True
         self.host, self.port = self._srv.server_address[:2]
         self._thread: threading.Thread | None = None

@@ -31,7 +31,14 @@ response through one Netty channel; batches are capped like the
 reference's 1000-response flushes. The scale path for bulk consumers is
 the SubscriptionManager's default file-spool sink, not a socket.
 
-SSL/login auth stays a named scope-out (SURVEY.md §2.1).
+Auth: with an :class:`~timely_spark.auth.AuthenticationService`, the
+upgrade request authenticates like the HTTP decoder (Authorization JWT >
+TSESSIONID cookie > TLS client cert > anonymous-if-allowed,
+HttpRequestDecoder.java:113-157 with ``allow-anonymous-ws-access``), an
+op message carrying ``sessionId`` re-resolves per-op
+(AuthenticatedWebSocketRequest.java:18-27), and the session's auths
+visibility-filter both ``query`` ops and subscription streams. TLS comes
+from ``ssl_context`` (:mod:`timely_spark.tls`).
 """
 
 from __future__ import annotations
@@ -40,12 +47,15 @@ import base64
 import hashlib
 import json
 import socket
+import ssl
 import struct
 import threading
 
 from pyspark.sql import SparkSession
 
+from .auth import AuthenticationService, UnauthorizedError
 from .streaming.subscription import SubscriptionManager
+from .tls import peer_dn_pair
 
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 _BATCH_CAP = 1000  # WebsocketProperties.java:20 subscription batch size
@@ -113,6 +123,8 @@ class TimelyWebSocketServer:
         flush_seconds: int = 30,
         engine=None,
         auths=None,
+        auth_service: AuthenticationService | None = None,
+        ssl_context=None,
     ):
         from .api import TimelyEngine
 
@@ -120,12 +132,15 @@ class TimelyWebSocketServer:
         self.store_path = store_path
         self.engine = engine or TimelyEngine(spark, store_path=store_path)
         self.auths = auths
+        self.auth_service = auth_service
         self.lag_seconds = lag_seconds
         self.flush_seconds = flush_seconds
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
         self.host, self.port = self._sock.getsockname()
+        if ssl_context is not None:
+            self._sock = ssl_context.wrap_socket(self._sock, server_side=True)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -152,18 +167,44 @@ class TimelyWebSocketServer:
         while not self._stop.is_set():
             try:
                 conn, _ = self._sock.accept()
+            except ssl.SSLError:
+                # a failed TLS handshake (e.g. a two-way-SSL client with
+                # no certificate, TwoWaySSLFailureIT) kills that client,
+                # not the listener
+                continue
             except OSError:
                 return
             threading.Thread(
                 target=self._serve, args=(conn,), daemon=True
             ).start()
 
-    def _handshake(self, conn: socket.socket) -> bool:
+    def _session_auths(self, conn, headers: dict[str, str]):
+        """Resolve the upgrade request to a session auth set, the HTTP
+        decoder's priority order with the WS anonymous flag
+        (HttpRequestDecoder.java:113-137). Raises UnauthorizedError."""
+        if self.auth_service is None:
+            return self.auths
+        session_id = None
+        for part in (headers.get("cookie") or "").split(";"):
+            name, _, val = part.strip().partition("=")
+            if name == AuthenticationService.COOKIE_NAME and val:
+                session_id = val
+        cert_dn = peer_dn_pair(conn) if hasattr(conn, "getpeercert") else None
+        principal = self.auth_service.enforce_access(
+            auth_header=headers.get("authorization"),
+            session_id=session_id,
+            client_cert_dn=cert_dn,
+            transport="ws",
+        )
+        return set(principal.effective_auths)
+
+    def _handshake(self, conn: socket.socket):
+        """RFC 6455 upgrade; returns (ok, session_auths)."""
         data = b""
         while b"\r\n\r\n" not in data:
             chunk = conn.recv(4096)
             if not chunk:
-                return False
+                return False, None
             data += chunk
         headers = {}
         for line in data.decode("latin-1").split("\r\n")[1:]:
@@ -173,7 +214,18 @@ class TimelyWebSocketServer:
         key = headers.get("sec-websocket-key")
         if not key or "websocket" not in headers.get("upgrade", "").lower():
             conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
-            return False
+            return False, None
+        try:
+            conn_auths = self._session_auths(conn, headers)
+        except UnauthorizedError as e:
+            body = json.dumps({"message": str(e)}).encode("utf-8")
+            conn.sendall(
+                b"HTTP/1.1 401 Unauthorized\r\n"
+                b"Content-Type: application/json\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
+                + body
+            )
+            return False, None
         conn.sendall(
             (
                 "HTTP/1.1 101 Switching Protocols\r\n"
@@ -182,10 +234,11 @@ class TimelyWebSocketServer:
                 f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
             ).encode("ascii")
         )
-        return True
+        return True, conn_auths
 
     def _serve(self, conn: socket.socket) -> None:
-        if not self._handshake(conn):
+        ok, conn_auths = self._handshake(conn)
+        if not ok:
             conn.close()
             return
         wlock = threading.Lock()
@@ -271,7 +324,7 @@ class TimelyWebSocketServer:
                     continue
                 try:
                     msg = json.loads(payload)
-                    reply = self._dispatch(mgr, msg)
+                    reply = self._dispatch(mgr, msg, conn_auths)
                     if reply is not None:
                         push(reply)
                 except Exception as e:
@@ -283,11 +336,20 @@ class TimelyWebSocketServer:
                 mgr.close(sub_id)
             conn.close()
 
-    def _dispatch(self, mgr: SubscriptionManager, msg: dict) -> dict | None:
+    def _dispatch(
+        self, mgr: SubscriptionManager, msg: dict, auths=None
+    ) -> dict | None:
         """One op message -> optional response frame object. Subscription
         ops return None (their results stream); API ops return the same
-        shapes the HTTP handlers send."""
+        shapes the HTTP handlers send. ``auths``: the connection's
+        session auth set; an op carrying ``sessionId`` re-resolves
+        against the login cache (AuthenticatedWebSocketRequest)."""
         op = msg.get("operation")
+        if self.auth_service is not None and msg.get("sessionId"):
+            principal = self.auth_service.authenticate_request(
+                session_id=msg["sessionId"]
+            )
+            auths = set(principal.effective_auths)
         if op in ("create", "add", "remove", "close"):
             sub_id = msg.get("subscriptionId")
             if not sub_id:
@@ -302,6 +364,17 @@ class TimelyWebSocketServer:
                     tags=msg.get("tags") or None,
                     start_time_ms=int(msg.get("startTime") or 0),
                     end_time_ms=int(msg.get("endTime") or 0),
+                    # the reference scans subscriptions under the
+                    # session's auths (MetricScanner); no auth layer =
+                    # unfiltered, preserving the bare-transport contract
+                    viz_auths=(
+                        set(auths or ()) if self.auth_service is not None else None
+                    ),
+                    viz_exprs=(
+                        self.engine._viz_known()
+                        if self.auth_service is not None
+                        else None
+                    ),
                 )
             elif op == "remove":
                 mgr.remove(sub_id, msg["metric"])
@@ -316,7 +389,7 @@ class TimelyWebSocketServer:
             return None  # fire-and-forget, like the TCP put path
         if op == "query":
             body = {k: v for k, v in msg.items() if k != "operation"}
-            return {"responses": eng.query(body, auths=self.auths)}
+            return {"responses": eng.query(body, auths=auths)}
         if op == "suggest":
             return {
                 "suggestions": eng.suggest(
