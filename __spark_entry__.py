@@ -860,9 +860,10 @@ def q_emb_knn_ivf(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal features with the REAL in-container codecs: BMP and
     PNG decode (dimensions, mean luma, aHash — PNG via stdlib zlib
-    inflate + scanline de-filtering) + PCM WAV decode (duration, rate,
-    RMS), Arrow-batched over mapInPandas — no stub in this path
-    (rows-only check; lossy formats remain stubbed elsewhere)."""
+    inflate + scanline de-filtering), PCM WAV decode (duration, rate,
+    RMS), and MPEG-audio frame-header parse (duration/rate real, RMS
+    null — sample decode needs a codec lib), Arrow-batched over
+    mapInPandas (rows-only check)."""
     from timely_spark.operators.multimodal import (
         extract_audio_features,
         extract_image_features,

@@ -51,17 +51,74 @@ def test_image_features_real_decode(spark):
 
 
 def test_audio_features_real_decode(spark):
+    """Audio rows alternate PCM WAV (full decode incl. RMS) and MPEG
+    Layer III (real frame-header walk: duration/rate/channels; RMS null
+    — sample decode is the labeled stub)."""
     media = synthetic_media(spark, n=12)
     feats = extract_audio_features(media).collect()
     audio_ids = {r["media_id"] for r in feats}
     assert audio_ids == {i for i in range(12) if i % 3 == 1}
     for r in feats:
         i = r["media_id"]
-        assert r["sample_rate"] == 8000 + 1000 * (i % 3)
-        assert r["channels"] == 1
-        expected_dur = int((0.05 + (i % 10) / 100.0) * r["sample_rate"]) / r["sample_rate"]
-        assert abs(r["duration_s"] - expected_dur) < 1e-9
-        assert abs(r["rms"] - 0.5 / 2**0.5) < 0.02
+        if (i // 3) % 2 == 1:  # MP3 rows
+            assert r["sample_rate"] == (44100, 48000, 32000)[i % 3]
+            assert r["channels"] == 2
+            target = 0.2 + (i % 5) / 10.0
+            # duration quantizes to whole 1152-sample frames
+            assert abs(r["duration_s"] - target) < 1152 / r["sample_rate"]
+            assert r["rms"] is None  # NaN -> Arrow null on the pandas boundary
+        else:  # WAV rows
+            assert r["sample_rate"] == 8000 + 1000 * (i % 3)
+            assert r["channels"] == 1
+            expected_dur = (
+                int((0.05 + (i % 10) / 100.0) * r["sample_rate"]) / r["sample_rate"]
+            )
+            assert abs(r["duration_s"] - expected_dur) < 1e-9
+            assert abs(r["rms"] - 0.5 / 2**0.5) < 0.02
+
+
+def test_mp3_parser_shapes():
+    """Frame-accurate duration, resync past garbage, ID3 skip
+    (public MPEG framing rules)."""
+    from timely_spark.operators.multimodal import _decode_mp3, make_mp3
+
+    dur, rate, ch, rms = _decode_mp3(make_mp3(3.0))
+    assert rate == 44100 and ch == 2
+    assert abs(dur - 3.0) < 1152 / 44100
+    # mono, MPEG1 32 kHz, no ID3, junk prefix: parser must resync
+    raw = b"\x01\x02junk" + make_mp3(1.0, sample_rate=32000,
+                                     bitrate_kbps=64, channels=1, id3=False)
+    dur, rate, ch, _ = _decode_mp3(raw)
+    assert rate == 32000 and ch == 1 and abs(dur - 1.0) < 1152 / 32000
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_mp3(b"\x00" * 64)
+
+
+def test_mp4_parser_and_real_frame_sampling(spark):
+    """MP4 metadata comes from the true moov boxes; sample_video_frames
+    derives the frame timeline from the real container duration with a
+    null (stubbed) pixel payload."""
+    from timely_spark.operators.multimodal import _decode_mp4_meta, make_mp4
+
+    meta = _decode_mp4_meta(make_mp4(12.5, width=1280, height=720,
+                                     codec=b"hvc1", n_samples=300))
+    assert meta["duration_s"] == 12.5
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["codecs"] == ["hvc1"] and meta["n_samples"] == 300
+
+    media = synthetic_media(spark, n=12)
+    frames = sample_video_frames(media, every_n_seconds=1.0).collect()
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f["media_id"], []).append(f)
+        assert f["frame_payload"] is None  # pixel decode = labeled stub
+    for i in (2, 5, 8, 11):  # video rows: duration 1 + i % 7 seconds
+        assert len(by_id[i]) == 1 + i % 7
+        assert [f["ts_s"] for f in sorted(by_id[i], key=lambda x: x["frame_idx"])] == [
+            float(j) for j in range(1 + i % 7)
+        ]
 
 
 def test_fake_decode_still_available(spark):

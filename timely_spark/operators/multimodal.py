@@ -11,8 +11,11 @@ Codecs: uncompressed BMP (24/32-bit BI_RGB), non-interlaced 8-bit
 gray/RGB/RGBA PNG (stdlib zlib inflate + full filter reversal), and PCM
 WAV all decode for REAL — header parse + numpy pixel/sample math, no
 third-party codec library needed — including a real 8x8 average-hash
-perceptual hash and PCM RMS. Lossy formats (JPEG/MP3/MP4) stay STUBBED
-behind NotImplementedError unless ``fake=True`` (their codec libraries
+perceptual hash and PCM RMS. MPEG audio (MP3) and ISO BMFF (MP4)
+containers also parse for REAL (frame-header walk / box walk: duration,
+rates, dimensions, codec fourccs, sample counts); only their codec
+PAYLOAD decode (hybrid filterbank, H.264) plus JPEG entropy decode stay
+STUBBED behind NotImplementedError unless ``fake=True`` (codec libraries
 are not in this container); the Spark-side plumbing is identical either
 way.
 """
@@ -214,6 +217,140 @@ def _decode_wav(payload: bytes) -> tuple[float, int, int, float]:
     return duration, rate, channels, rms
 
 
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _decode_mp3(payload: bytes) -> tuple[float, int, int, float]:
+    """Real MPEG audio (Layer III) container parse — stdlib only.
+
+    Walks the frame headers (11-bit sync, version/layer/bitrate/
+    samplerate fields, per-frame length from the public MPEG framing
+    formula), skipping a leading ID3v2 tag, and sums frames ×
+    samples-per-frame / samplerate into the duration. Sample DECODE
+    (hybrid filterbank) would need a codec library, so RMS is NaN
+    (null after the Arrow boundary) — metadata is real, waveform
+    analysis is the labeled stub."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # synchsafe 28-bit tag size
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    frames = 0
+    duration = 0.0
+    rate = 0
+    channels = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1  # resync (garbage between frames)
+            continue
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3  # 1 = Layer III
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        rate = _MP3_RATES[version][sr_idx]
+        channels = 1 if mode == 3 else 2
+        if version == 3:
+            bitrate = _MP3_BITRATES_V1[br_idx] * 1000
+            samples, coeff = 1152, 144
+        else:
+            bitrate = _MP3_BITRATES_V2[br_idx] * 1000
+            samples, coeff = 576, 72
+        frame_len = coeff * bitrate // rate + padding
+        if frame_len <= 4:
+            pos += 1
+            continue
+        frames += 1
+        duration += samples / rate
+        pos += frame_len
+    if frames == 0:
+        raise NotImplementedError("no MPEG audio frames found")
+    return duration, rate, channels, float("nan")
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO BMFF boxes."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _decode_mp4_meta(payload: bytes) -> dict:
+    """Real MP4/ISO-BMFF container parse — stdlib struct only.
+
+    Walks ftyp/moov boxes for duration (mvhd timescale+duration),
+    presentation width/height (tkhd 16.16 fixed point), per-track
+    sample-entry codec fourccs (stsd), and sample count (stsz). Pixel
+    DECODE of the codec payload (H.264 etc.) stays the labeled stub."""
+    import struct
+
+    out: dict = {"codecs": []}
+    if payload[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO BMFF (MP4) file")
+
+    def walk(start: int, end: int) -> None:
+        for btype, body, bend in _mp4_boxes(payload, start, end):
+            if btype in _MP4_CONTAINERS:
+                walk(body, bend)
+            elif btype == b"mvhd":
+                version = payload[body]
+                if version == 1:
+                    timescale = struct.unpack_from(">I", payload, body + 20)[0]
+                    duration = struct.unpack_from(">Q", payload, body + 24)[0]
+                else:
+                    timescale = struct.unpack_from(">I", payload, body + 12)[0]
+                    duration = struct.unpack_from(">I", payload, body + 16)[0]
+                out["duration_s"] = duration / timescale if timescale else 0.0
+            elif btype == b"tkhd":
+                version = payload[body]
+                off = body + (88 if version == 1 else 76)
+                w = struct.unpack_from(">I", payload, off)[0] / 65536.0
+                h = struct.unpack_from(">I", payload, off + 4)[0] / 65536.0
+                if w and h:
+                    out.setdefault("width", int(w))
+                    out.setdefault("height", int(h))
+            elif btype == b"stsd":
+                for fmt, b2, _ in _mp4_boxes(payload, body + 8, bend):
+                    out["codecs"].append(fmt.decode("latin-1"))
+            elif btype == b"stsz":
+                count = struct.unpack_from(">I", payload, body + 8)[0]
+                out["n_samples"] = out.get("n_samples", 0) + count
+
+    walk(0, len(payload))
+    if "duration_s" not in out:
+        raise NotImplementedError("MP4 without a moov/mvhd box")
+    return out
+
+
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic 24-bit uncompressed BMP fixture (test/bench data)."""
     import struct
@@ -308,6 +445,77 @@ def make_wav(duration_s: float, sample_rate: int = 16_000, freq: float = 440.0,
     return buf.getvalue()
 
 
+def make_mp3(duration_s: float, sample_rate: int = 44100, bitrate_kbps: int = 128,
+             channels: int = 2, id3: bool = True) -> bytes:
+    """Valid MPEG-1 Layer III framing (headers + zeroed main data) for a
+    target duration — exercises the real container parser without an
+    encoder. Optionally prefixed with an empty ID3v2 tag."""
+    rate_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = _MP3_BITRATES_V1.index(bitrate_kbps)
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1 Layer III, no CRC
+            (br_idx << 4) | (rate_idx << 2),
+            0xC0 if channels == 1 else 0x00,
+        ]
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    n_frames = max(1, round(duration_s * sample_rate / 1152))
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x00" if id3 else b""
+    return tag + frame * n_frames
+
+
+def make_mp4(duration_s: float, width: int = 640, height: int = 360,
+             timescale: int = 1000, codec: bytes = b"avc1",
+             n_samples: int = 0) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, minf(stbl(stsd+stsz))))) with zero media payload —
+    exercises the real box parser without an encoder."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    dur = int(duration_s * timescale)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH2I", 0x00010000, 0x0100, 0, 0, 0)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    sample_entry = box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70)
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + sample_entry)
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_samples)
+               + struct.pack(">I", 0) * n_samples)
+    stbl = box(b"stbl", stsd + stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
     """Deterministic fake 'decode' derived from the payload bytes alone.
 
@@ -378,7 +586,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """audio rows -> AUDIO_FEATURES_SCHEMA via mapInPandas. PCM WAV
     payloads decode for REAL (``_decode_wav``: duration, sample rate,
-    channels, RMS); compressed audio stays stubbed behind ``fake``."""
+    channels, RMS); MPEG audio parses its real frame headers
+    (``_decode_mp3``: duration/rate/channels, RMS = NaN — the hybrid
+    filterbank needs a codec library); other formats stay stubbed
+    behind ``fake``."""
 
     def batches(it: Iterator) -> Iterator:
         import hashlib
@@ -388,13 +599,19 @@ def extract_audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if not fake and payload is not None and bytes(payload[:4]) == b"RIFF":
+                head = bytes(payload[:4]) if payload is not None else b""
+                if not fake and head == b"RIFF":
                     rows.append((int(mid), *_decode_wav(bytes(payload))))
+                elif not fake and (
+                    head[:3] == b"ID3"
+                    or (len(head) >= 2 and head[0] == 0xFF and head[1] & 0xE0 == 0xE0)
+                ):
+                    rows.append((int(mid), *_decode_mp3(bytes(payload))))
                 elif not fake:
                     raise NotImplementedError(
-                        "only PCM WAV decodes in-container; compressed audio "
-                        "needs a codec library (run with fake=True to exercise "
-                        "the pipeline)"
+                        "only PCM WAV and MPEG-audio containers parse "
+                        "in-container; other compressed audio needs a codec "
+                        "library (run with fake=True to exercise the pipeline)"
                     )
                 else:
                     h = hashlib.sha256(payload or b"").digest()
@@ -423,7 +640,14 @@ def sample_video_frames(
     media: DataFrame, every_n_seconds: float = 1.0, fake: bool = False
 ) -> DataFrame:
     """video rows -> one row per sampled frame (media_id, frame_idx, ts_s,
-    frame_payload). Frame extraction is the stubbed step."""
+    frame_payload).
+
+    MP4 containers parse for REAL (``_decode_mp4_meta``): the frame
+    timeline comes from the true mvhd duration, so frame_idx/ts_s are
+    real container timing; frame_payload is null because decoding codec
+    payload (H.264 etc.) needs a codec library — that single step is the
+    labeled stub. ``fake=True`` keeps the old fully-synthetic path for
+    non-ISO-BMFF inputs."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -439,13 +663,21 @@ def sample_video_frames(
         import pandas as pd
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires a codec library not present in this "
-                    "container; run with fake=True to exercise the pipeline"
-                )
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raw = bytes(payload) if payload is not None else b""
+                    if raw[4:8] != b"ftyp":
+                        raise NotImplementedError(
+                            "only ISO BMFF (MP4) containers parse in-container; "
+                            "run with fake=True for other formats"
+                        )
+                    meta = _decode_mp4_meta(raw)
+                    n = int(meta["duration_s"] / every_n_seconds)
+                    for i in range(n):
+                        # real container timing; pixel decode is the stub
+                        out.append((int(mid), i, i * every_n_seconds, None))
+                    continue
                 # fake: derive a deterministic duration & frames from bytes
                 h = hashlib.sha256(payload or b"").digest()
                 duration = 1 + h[0] % 10
@@ -465,9 +697,10 @@ def sample_video_frames(
 
 def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
     """Deterministic media table for tests/bench. ``real=True`` gives
-    image rows actual BMP payloads and audio rows actual PCM WAVs (both
-    decodable in-container); video payloads stay opaque seeded bytes
-    (frame extraction is the remaining stub)."""
+    image rows actual BMP/PNG payloads, audio rows alternating PCM WAV /
+    MPEG-framed MP3, and video rows real ISO BMFF (MP4) containers — all
+    parseable in-container; codec-payload pixel/sample decode is the
+    remaining labeled stub."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -478,9 +711,16 @@ def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
         elif real and kind == "image":
             payload = make_bmp(16 + i % 48, 16 + (i * 3) % 48, seed=i)
             mime = "image/bmp"
+        elif real and kind == "audio" and (i // 3) % 2 == 1:
+            payload = make_mp3(0.2 + (i % 5) / 10.0, sample_rate=(44100, 48000, 32000)[i % 3])
+            mime = "audio/mpeg"
         elif real and kind == "audio":
             payload = make_wav(0.05 + (i % 10) / 100.0, 8000 + 1000 * (i % 3), freq=200.0 + i)
             mime = "audio/wav"
+        elif real and kind == "video":
+            payload = make_mp4(1.0 + i % 7, width=320 + 16 * (i % 4),
+                               height=240 + 16 * (i % 3), n_samples=24 * (1 + i % 7))
+            mime = "video/mp4"
         else:
             payload = bytes([(i * 7 + j) % 256 for j in range(128)])
             mime = {"image": "image/png", "audio": "audio/mpeg", "video": "video/mp4"}[kind]
