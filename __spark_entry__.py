@@ -858,9 +858,10 @@ def q_emb_knn_ivf(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal features with the REAL in-container codecs: BMP and
-    PNG decode (dimensions, mean luma, aHash — PNG via stdlib zlib
-    inflate + scanline de-filtering), PCM WAV decode (duration, rate,
+    """Multimodal features with the REAL in-container codecs: BMP, PNG
+    (stdlib zlib inflate + scanline de-filtering) and baseline JPEG
+    (pure-numpy T.81 Huffman entropy decode + inverse DCT) image decode
+    (dimensions, mean luma, aHash), PCM WAV decode (duration, rate,
     RMS), and MPEG-audio frame-header parse (duration/rate real, RMS
     null — sample decode needs a codec lib), Arrow-batched over
     mapInPandas (rows-only check)."""

@@ -221,22 +221,58 @@ def test_png_unsupported_variants_are_loud():
         _decode_png(p)
 
 
-def test_image_features_mixed_bmp_png(spark):
-    """synthetic_media now mixes BMP and PNG image rows; the feature
-    extractor dispatches per payload and decodes BOTH for real."""
+def test_image_features_mixed_bmp_png_jpeg(spark):
+    """synthetic_media cycles BMP / PNG / baseline-JPEG image rows; the
+    feature extractor dispatches per payload and decodes ALL for real."""
     from timely_spark.operators.multimodal import (
         extract_image_features,
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=24)
+    media = synthetic_media(spark, n=30)
     mimes = {
         r["media_id"]: r["mime"]
         for r in media.filter("kind = 'image'").select("media_id", "mime").collect()
     }
-    assert set(mimes.values()) == {"image/bmp", "image/png"}
+    assert set(mimes.values()) == {"image/bmp", "image/png", "image/jpeg"}
     rows = extract_image_features(media).collect()
     assert len(rows) == len(mimes)
     for r in rows:
-        assert r["width"] > 0 and r["height"] > 0
+        i = r["media_id"]
+        assert (r["width"], r["height"]) == (16 + i % 48, 16 + (i * 3) % 48)
         assert 0.0 <= r["mean_luma"] <= 1.0
+
+
+def test_jpeg_codec_roundtrip_and_real_world_variants():
+    """The baseline JPEG decoder reconstructs the luma plane to within
+    quantization error across gray / 4:4:4 / 4:2:0 and restart-marker
+    streams, and rejects progressive scans loudly. Encoder and decoder
+    share only constant tables, so the roundtrip crosses two independent
+    T.81 implementations."""
+    import numpy as np
+    import pytest
+
+    from timely_spark.operators.jpeg import decode_jpeg_luma, encode_jpeg
+
+    yy, xx = np.mgrid[0:41, 0:57].astype(np.float64)
+    img = (128 + 80 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0)).clip(0, 255)
+    rgb = np.stack([img, img * 0.8, img * 0.5], axis=-1).astype(np.uint8)
+    src = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            w, h, nc, luma = decode_jpeg_luma(
+                encode_jpeg(rgb, subsampling=sub, restart_interval=ri)
+            )
+            assert (w, h, nc) == (57, 41, 3)
+            assert float(np.abs(luma - src).mean()) < 3.0
+    w, h, nc, luma = decode_jpeg_luma(
+        encode_jpeg(img.astype(np.uint8), subsampling="gray")
+    )
+    assert (w, h, nc) == (57, 41, 1)
+    assert float(np.abs(luma - img).mean()) < 3.0
+    # progressive (SOF2) is the labeled out-of-scope variant
+    data = bytearray(encode_jpeg(rgb))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg_luma(bytes(data))

@@ -8,16 +8,17 @@ callers should ``repartition`` by a size-aware key so one task doesn't
 inhale a skewed shard of large blobs.
 
 Codecs: uncompressed BMP (24/32-bit BI_RGB), non-interlaced 8-bit
-gray/RGB/RGBA PNG (stdlib zlib inflate + full filter reversal), and PCM
-WAV all decode for REAL — header parse + numpy pixel/sample math, no
-third-party codec library needed — including a real 8x8 average-hash
-perceptual hash and PCM RMS. MPEG audio (MP3) and ISO BMFF (MP4)
-containers also parse for REAL (frame-header walk / box walk: duration,
-rates, dimensions, codec fourccs, sample counts); only their codec
-PAYLOAD decode (hybrid filterbank, H.264) plus JPEG entropy decode stay
-STUBBED behind NotImplementedError unless ``fake=True`` (codec libraries
-are not in this container); the Spark-side plumbing is identical either
-way.
+gray/RGB/RGBA PNG (stdlib zlib inflate + full filter reversal), baseline
+JPEG (full T.81 Huffman entropy decode + inverse DCT of the luma plane,
+see :mod:`.jpeg`), and PCM WAV all decode for REAL — numpy + stdlib, no
+third-party codec library — including a real 8x8 average-hash perceptual
+hash and PCM RMS. MPEG audio (MP3) and ISO BMFF (MP4) containers also
+parse for REAL (frame-header walk / box walk: duration, rates,
+dimensions, codec fourccs, sample counts); only audio/video codec
+PAYLOAD decode (MP3 filterbank, H.264) and exotic image variants
+(progressive JPEG, interlaced PNG) stay STUBBED behind
+NotImplementedError unless ``fake=True``; the Spark-side plumbing is
+identical either way.
 """
 
 from __future__ import annotations
@@ -188,6 +189,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, float, int]:
         luma = px[..., 0]
     else:  # RGB / RGBA (alpha ignored for luma, like the BMP path)
         luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    mean_luma, phash = _luma_stats(luma)
+    return width, height, n_ch, mean_luma, phash
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, float, int]:
+    """Real decode of a baseline JPEG via :mod:`.jpeg` (pure numpy T.81
+    Huffman + inverse DCT); features come off the reconstructed luma
+    plane like the BMP/PNG paths."""
+    from .jpeg import decode_jpeg_luma
+
+    width, height, n_ch, luma = decode_jpeg_luma(payload)
     mean_luma, phash = _luma_stats(luma)
     return width, height, n_ch, mean_luma, phash
 
@@ -445,6 +457,25 @@ def make_wav(duration_s: float, sample_rate: int = 16_000, freq: float = 440.0,
     return buf.getvalue()
 
 
+def make_jpeg(width: int, height: int, seed: int = 0,
+              subsampling: str = "444") -> bytes:
+    """Deterministic baseline-JPEG fixture: a smooth seeded sine/gradient
+    field (JPEG-friendly, so luma survives quantization) encoded by the
+    independent :func:`.jpeg.encode_jpeg` path."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+    base = 128 + 70 * np.sin((xx + seed * 3) / 9.0) + 45 * np.cos((yy - seed) / 7.0)
+    if subsampling == "gray":
+        return encode_jpeg(base.clip(0, 255).astype(np.uint8), subsampling="gray")
+    rgb = np.stack(
+        [base, base * 0.8 + seed % 40, base * 0.6 + (2 * seed) % 40], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+    return encode_jpeg(rgb, subsampling=subsampling)
+
+
 def make_mp3(duration_s: float, sample_rate: int = 44100, bitrate_kbps: int = 128,
              channels: int = 2, id3: bool = True) -> bytes:
     """Valid MPEG-1 Layer III framing (headers + zeroed main data) for a
@@ -537,10 +568,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """media (MEDIA_SCHEMA) -> IMAGE_FEATURES_SCHEMA via mapInPandas.
 
-    Arrow batches flow in/out; per-batch Python overhead only. BMP
-    payloads decode for REAL (``_decode_bmp``: dimensions, mean luma,
-    aHash). Other formats raise NotImplementedError unless ``fake=True``
-    (no PNG/JPEG codec library in this container).
+    Arrow batches flow in/out; per-batch Python overhead only. BMP, PNG
+    and baseline JPEG payloads decode for REAL (dimensions, mean luma,
+    aHash). Other formats raise NotImplementedError unless ``fake=True``.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -555,11 +585,13 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     rows.append((int(mid), *_decode_bmp(bytes(payload))))
                 elif payload is not None and bytes(payload[:8]) == _PNG_SIG:
                     rows.append((int(mid), *_decode_png(bytes(payload))))
+                elif payload is not None and bytes(payload[:2]) == b"\xff\xd8":
+                    rows.append((int(mid), *_decode_jpeg(bytes(payload))))
                 else:
                     raise NotImplementedError(
-                        "only uncompressed BMP and non-interlaced 8-bit PNG "
-                        "decode in-container; JPEG needs a codec library (run "
-                        "with fake=True to exercise the pipeline)"
+                        "only BMP, non-interlaced 8-bit PNG, and baseline JPEG "
+                        "decode in-container (run with fake=True to exercise "
+                        "the pipeline for other formats)"
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "mean_luma", "phash"]
@@ -704,10 +736,14 @@ def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if real and kind == "image" and (i // 3) % 2 == 1:
-            # every other image row is a real PNG (filtered scanlines)
+        if real and kind == "image" and (i // 3) % 3 == 1:
+            # image rows cycle BMP / PNG / baseline-JPEG payloads
             payload = make_png(16 + i % 48, 16 + (i * 3) % 48, seed=i)
             mime = "image/png"
+        elif real and kind == "image" and (i // 3) % 3 == 2:
+            payload = make_jpeg(16 + i % 48, 16 + (i * 3) % 48, seed=i,
+                                subsampling=("444", "420", "gray")[(i // 9) % 3])
+            mime = "image/jpeg"
         elif real and kind == "image":
             payload = make_bmp(16 + i % 48, 16 + (i * 3) % 48, seed=i)
             mime = "image/bmp"
