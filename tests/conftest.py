@@ -33,3 +33,45 @@ def ramp_points(spark):
     df = parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"]))
     df.cache().count()
     return base, df
+
+
+# ----------------------------------------------------------------- TLS certs
+
+ALICE_SUBJ = "/C=US/O=Example Corp/OU=Example Developers/CN=Alice User"
+BOB_SUBJ = "/C=US/O=Example Corp/OU=Example Developers/CN=Bob User"
+
+
+def _openssl(*args):
+    import subprocess
+
+    subprocess.run(["openssl", *args], check=True, capture_output=True)
+
+
+@pytest.fixture(scope="session")
+def certs(tmp_path_factory):
+    """Session CA + server/alice/bob certs via the openssl CLI (the
+    reference's use-generated-keypair test mode)."""
+    d = tmp_path_factory.mktemp("certs")
+    ca_key, ca_pem = str(d / "ca.key"), str(d / "ca.pem")
+    _openssl(
+        "req", "-x509", "-newkey", "rsa:2048", "-nodes", "-keyout", ca_key,
+        "-out", ca_pem, "-days", "2",
+        "-subj", "/C=US/O=Example Corp/CN=Example Corp CA",
+    )
+    out = {"ca": ca_pem}
+    for name, subj in [
+        ("server", "/CN=localhost"),
+        ("alice", ALICE_SUBJ),
+        ("bob", BOB_SUBJ),
+    ]:
+        key, csr, pem = (str(d / f"{name}.{ext}") for ext in ("key", "csr", "pem"))
+        _openssl("req", "-newkey", "rsa:2048", "-nodes", "-keyout", key,
+                 "-out", csr, "-subj", subj)
+        ext = str(d / f"{name}.ext")
+        with open(ext, "w") as f:
+            f.write("subjectAltName=IP:127.0.0.1,DNS:localhost\n")
+        _openssl("x509", "-req", "-in", csr, "-CA", ca_pem, "-CAkey", ca_key,
+                 "-CAcreateserial", "-out", pem, "-days", "2", "-extfile", ext)
+        out[name] = pem
+        out[f"{name}.key"] = key
+    return out

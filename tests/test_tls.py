@@ -13,7 +13,6 @@ server/src/test/resources/config/application.yml).
 import json
 import socket
 import ssl
-import subprocess
 import time
 import urllib.error
 import urllib.request
@@ -32,38 +31,6 @@ BOB_SUBJ = "/C=US/O=Example Corp/OU=Example Developers/CN=Bob User"
 ALICE_DN = "CN=Alice User, OU=Example Developers, O=Example Corp, C=US"
 BOB_DN = "CN=Bob User, OU=Example Developers, O=Example Corp, C=US"
 CA_DN = "CN=Example Corp CA, O=Example Corp, C=US"
-
-
-def _openssl(*args):
-    subprocess.run(["openssl", *args], check=True, capture_output=True)
-
-
-@pytest.fixture(scope="session")
-def certs(tmp_path_factory):
-    d = tmp_path_factory.mktemp("certs")
-    ca_key, ca_pem = str(d / "ca.key"), str(d / "ca.pem")
-    _openssl(
-        "req", "-x509", "-newkey", "rsa:2048", "-nodes", "-keyout", ca_key,
-        "-out", ca_pem, "-days", "2",
-        "-subj", "/C=US/O=Example Corp/CN=Example Corp CA",
-    )
-    out = {"ca": ca_pem}
-    for name, subj in [
-        ("server", "/CN=localhost"),
-        ("alice", ALICE_SUBJ),
-        ("bob", BOB_SUBJ),
-    ]:
-        key, csr, pem = (str(d / f"{name}.{ext}") for ext in ("key", "csr", "pem"))
-        _openssl("req", "-newkey", "rsa:2048", "-nodes", "-keyout", key,
-                 "-out", csr, "-subj", subj)
-        ext = str(d / f"{name}.ext")
-        with open(ext, "w") as f:
-            f.write("subjectAltName=IP:127.0.0.1,DNS:localhost\n")
-        _openssl("x509", "-req", "-in", csr, "-CA", ca_pem, "-CAkey", ca_key,
-                 "-CAcreateserial", "-out", pem, "-days", "2", "-extfile", ext)
-        out[name] = pem
-        out[f"{name}.key"] = key
-    return out
 
 
 def _https_get(url, ctx, headers=None):

@@ -114,6 +114,7 @@ class SubscriptionManager:
         end_time_ms: int = 0,
         viz_auths: set[str] | None = None,
         viz_exprs: set[str] | None = None,
+        delay_seconds: float | None = None,
     ):
         """Start the tail-follow stream for one metric (AddSubscription.java:8-55).
 
@@ -163,7 +164,11 @@ class SubscriptionManager:
             # scanner's exhausted->sendCompletedResponse (MetricScanner.java:254-281)
             writer = writer.trigger(availableNow=True)
         else:
-            writer = writer.trigger(processingTime=f"{self.flush_seconds} seconds")
+            # delay_seconds: the subscriber's requested scan pacing
+            # (AddSubscription.delayTime, the MetricScanner sleep between
+            # tail scans); defaults to the server flush interval
+            pace = delay_seconds if delay_seconds else self.flush_seconds
+            writer = writer.trigger(processingTime=f"{pace} seconds")
         q = writer.start()
         sub.queries[metric] = q
         if end_time_ms:

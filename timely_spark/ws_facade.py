@@ -375,6 +375,11 @@ class TimelyWebSocketServer:
                         if self.auth_service is not None
                         else None
                     ),
+                    delay_seconds=(
+                        int(msg["delayTime"]) / 1000.0
+                        if msg.get("delayTime")
+                        else None
+                    ),
                 )
             elif op == "remove":
                 mgr.remove(sub_id, msg["metric"])
