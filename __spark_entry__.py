@@ -1007,6 +1007,18 @@ def q_doc_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(docs, group_col="source", top_n=3)
 
 
+def q_doc_bigram_novelty(spark, sf_dir):
+    """Corpus-LM quality screen with exact arithmetic: train a bigram
+    count model over the corpus (one map-side-combined agg), score each
+    doc by its rare-bigram fraction via a bigram-keyed join — the
+    CCNet-style boilerplate/novelty filter, integer-deterministic at any
+    parallelism (text.bigram_novelty)."""
+    from timely_spark.operators.text import bigram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_novelty(docs, rare_max_count=2)
+
+
 def q_emb_kmeans_assign(spark, sf_dir):
     """Deterministic Lloyd assignment step over the embedding corpus:
     centroid literals inlined (k-row driver seam), assignment is a pure
@@ -1144,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_ttr": q_doc_ttr,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_freq": q_doc_token_freq,
         # ---- entry 51+: green-for-two-rounds trivials and TPC-H demos ----
@@ -1571,7 +1584,11 @@ FROM sims WHERE cosine >= 0.4""",
     # same semantics as the unbucketed FIR query; only the physical plan differs
     d["ts_fir_bucketed"] = d["ts_fir_ma5"]
 
-    from timely_spark.operators.text import tfidf_top_terms_sql, ttr_sql
+    from timely_spark.operators.text import (
+        bigram_novelty_sql,
+        tfidf_top_terms_sql,
+        ttr_sql,
+    )
 
     d["tpch_q6ish"] = """
 SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)
@@ -1649,6 +1666,7 @@ SELECT metric,
 FROM z GROUP BY 1"""
     d["doc_ttr"] = f"SELECT doc_id, {ttr_sql('text')} FROM documents"
     d["doc_tfidf_terms"] = tfidf_top_terms_sql(group_col="source", top_n=3)
+    d["doc_bigram_novelty"] = bigram_novelty_sql(rare_max_count=2)
     d["emb_kmeans_assign"] = """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "doc_token_freq",
     "doc_ttr",
     "doc_tfidf_terms",
+    "doc_bigram_novelty",
     "doc_incremental_dedup",
     "doc_hash_sample",
     "doc_domains",

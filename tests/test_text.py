@@ -154,3 +154,28 @@ def test_extract_domains_and_blocklist(spark):
     assert doms[2] == ["evil.example.net"] and doms[3] == []
     kept = {r["doc_id"] for r in domain_blocklist_filter(docs, ["EVIL.example.net"]).collect()}
     assert kept == {1, 3}
+
+
+def test_bigram_novelty_screen(spark):
+    """Boilerplate docs (bigrams repeated across the corpus) score near
+    0; a one-off doc scores 1.0; exact integer ratios, no float drift."""
+    from timely_spark.operators.text import bigram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "completely original sentence with unique words here"),
+            (5, "one"),  # <2 tokens: no bigrams, no output row
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in bigram_novelty(docs, rare_max_count=2).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # boilerplate: every bigram occurs 3x in the corpus (> rare_max_count)
+    for d in (1, 2, 3):
+        assert rows[d]["n_rare"] == 0 and rows[d]["novelty"] == 0.0
+    # the unique doc: every bigram occurs exactly once
+    assert rows[4]["novelty"] == 1.0
+    assert rows[4]["n_bigrams"] == 6

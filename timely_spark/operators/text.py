@@ -400,6 +400,85 @@ def tfidf_top_terms(
     )
 
 
+def bigram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    rare_max_count: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram rarity score — the boilerplate/novelty
+    screen a training pipeline runs before sampling (CCNet-style LM
+    filtering, with exact count ratios instead of float log-probs so the
+    score is bit-deterministic at any cluster size).
+
+    Per doc: the fraction of its word bigrams seen at most
+    ``rare_max_count`` times in the WHOLE corpus. Low novelty =
+    boilerplate (every bigram is common); high = unique or gibberish.
+
+    Scale shape: one corpus-linear (bigram) count with map-side combine
+    trains the model; scoring re-joins docs' bigrams to the model on the
+    bigram key (shuffle join — the model is vocabulary-sized, AQE may
+    broadcast it); the final per-doc agg is integer-exact, so the single
+    rounded division per output row is order-independent.
+    """
+    # materialize the token array ONCE per row — referencing tokens()
+    # inside each transform element would re-run the regex split per
+    # bigram (O(tokens^2) per doc)
+    tk = docs.select(id_col, tokens(text_col).alias("t"))
+    t = F.col("t")
+    bg_arr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = tk.select(id_col, F.explode(bg_arr).alias("bigram"))
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c") <= rare_max_count, 1).otherwise(0)
+            ).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_bigrams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+def bigram_novelty_sql(
+    text_col: str = "text", rare_max_count: int = 2, id_col: str = "doc_id"
+) -> str:
+    """DuckDB equivalent of bigram_novelty over ``documents``."""
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH tok AS (SELECT {id_col}, {toks} AS t FROM documents),
+bg AS (
+  SELECT {id_col}, t[i] || ' ' || t[i + 1] AS bigram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+  WHERE len(t) >= 2),
+model AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+SELECT bg.{id_col} AS {id_col},
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c <= {rare_max_count} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+       round(CAST(sum(CASE WHEN c <= {rare_max_count} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM bg JOIN model USING (bigram)
+GROUP BY 1"""
+
+
 def tfidf_top_terms_sql(
     group_col: str = "source", text_col: str = "text", top_n: int = 3
 ) -> str:
