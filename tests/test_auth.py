@@ -231,3 +231,73 @@ def test_http_jwt_bearer_viz(spark, tmp_path):
         assert e.value.code == 401
     finally:
         srv.stop()
+
+
+# --------------------------------------------- proxied entity chains
+
+
+def test_split_proxied_dns():
+    from timely_spark.auth import split_proxied_dns
+
+    assert split_proxied_dns("cn=a") == ["cn=a"]
+    assert split_proxied_dns("<cn=a><cn=b>") == ["cn=a", "cn=b"]
+    # escaped brackets stay inside the DN (ProxiedEntityUtils escaping)
+    assert split_proxied_dns("<cn=a\\<x\\>><cn=b>") == ["cn=a<x>", "cn=b"]
+
+
+def test_proxied_chain_intersection_and_primary():
+    """X-ProxiedEntitiesChain: the TLS peer (GUI server) heads the
+    chain, the forwarded end user is primary, and effective auths are
+    the chain intersection (TimelyAuthenticationToken.java:35-69)."""
+    from timely_spark.auth import PROXIED_ENTITIES_HEADER
+
+    gui = TimelyUser(
+        subject_dn="CN=gui, OU=servers, O=example", issuer_dn="CN=example ca",
+        auths=frozenset({"A", "B"}), user_type="SERVER",
+    )
+    svc = AuthenticationService([gui, ALICE, BOB], server_ous={"servers"})
+    p = svc.authenticate_request(
+        client_cert_dn=(gui.subject_dn, gui.issuer_dn),
+        proxied_entities=f"<{BOB.subject_dn}>",
+        proxied_issuers=f"<{BOB.issuer_dn}>",
+    )
+    assert p.primary_user.subject_dn == BOB.subject_dn
+    # bob holds {A,B}, gui holds {A,B} -> intersection {A,B}
+    assert p.effective_auths == frozenset({"A", "B"})
+    # alice holds only {A}: the chain drops B
+    p2 = svc.authenticate_request(
+        client_cert_dn=(gui.subject_dn, gui.issuer_dn),
+        proxied_entities=f"<{ALICE.subject_dn}>",
+        proxied_issuers=f"<{ALICE.issuer_dn}>",
+    )
+    assert p2.effective_auths == frozenset({"A"})
+    # entities without issuers -> the reference's exact failure
+    with pytest.raises(UnauthorizedError, match="missing"):
+        svc.authenticate_request(
+            client_cert_dn=(gui.subject_dn, gui.issuer_dn),
+            proxied_entities=f"<{ALICE.subject_dn}>",
+        )
+    # unknown forwarded entity -> 401
+    with pytest.raises(UnauthorizedError, match="not configured"):
+        svc.authenticate_request(
+            client_cert_dn=(gui.subject_dn, gui.issuer_dn),
+            proxied_entities="<CN=mallory>",
+            proxied_issuers="<CN=example ca>",
+        )
+    assert PROXIED_ENTITIES_HEADER == "X-ProxiedEntitiesChain"
+
+
+def test_server_ou_retyping_picks_end_user_as_primary():
+    """A directory entry not marked SERVER still heads the chain as a
+    server when its OU is in the configured npe list (DnUtils.isServerDN)."""
+    gui = TimelyUser(
+        subject_dn="CN=gui, OU=ingest servers, O=example",
+        issuer_dn="CN=example ca", auths=frozenset({"A"}),
+    )
+    svc = AuthenticationService([gui, ALICE], server_ous={"ingest servers"})
+    p = svc.authenticate_request(
+        client_cert_dn=(gui.subject_dn, gui.issuer_dn),
+        proxied_entities=f"<{ALICE.subject_dn}>",
+        proxied_issuers=f"<{ALICE.issuer_dn}>",
+    )
+    assert p.primary_user.subject_dn == ALICE.subject_dn

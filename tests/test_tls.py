@@ -306,3 +306,54 @@ def test_peer_dn_pair_rfc2253_order(certs):
     t.join(timeout=10)
     wrapped.close()
     assert result["dn"] == (ALICE_DN, CA_DN)
+
+
+def test_proxied_entity_chain_over_https(spark, tmp_path, certs):
+    """A GUI server (its own client cert) forwards the end user via
+    X-ProxiedEntitiesChain/X-ProxiedIssuersChain; results are filtered
+    to the CHAIN intersection of auths (TimelyAuthenticationToken +
+    AuthenticationService.enforceAccess proxied-user authentication)."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.auth import TimelyUser as TU
+    from timely_spark.http_facade import TimelyHttpServer
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    eng.put_lines([
+        f"put sys.ssl.proxy {TEST_TIME + 1000} 1.0 host=h1 viz=A",
+        f"put sys.ssl.proxy {TEST_TIME + 2000} 2.0 host=h1 viz=B",
+        f"put sys.ssl.proxy {TEST_TIME + 3000} 3.0 host=h1",
+    ])
+    # bob's cert plays the GUI server (SERVER-type via OU config is
+    # covered in unit tests; here the directory marks it directly)
+    svc = AuthenticationService([
+        TimelyUser(subject_dn=BOB_DN, issuer_dn=CA_DN,
+                   auths=frozenset({"A", "B"}), user_type="SERVER"),
+        TU(subject_dn="CN=end user, O=Example Corp", issuer_dn=CA_DN,
+           auths=frozenset({"A"})),
+    ])
+    srv = TimelyHttpServer(
+        eng, auth_service=svc,
+        ssl_context=server_context(
+            certs["server"], certs["server.key"],
+            ca_certs=certs["ca"], require_client_cert=True,
+        ),
+    ).start()
+    try:
+        ctx = client_context(certs["ca"], certs["bob"], certs["bob.key"])
+        query = (
+            f"{srv.base_url}/api/query?start={TEST_TIME}&end={TEST_TIME + 10_000}"
+            "&m=none:sys.ssl.proxy"
+        )
+        _, body, _ = _https_get(query, ctx, {
+            "X-ProxiedEntitiesChain": "<CN=end user, O=Example Corp>",
+            "X-ProxiedIssuersChain": f"<{CA_DN}>",
+        })
+        vals = sorted(float(v) for sub in json.loads(body) for v in sub["dps"].values())
+        # chain intersection {A,B} & {A} = {A}: end user's clearance caps
+        assert vals == [1.0, 3.0]
+        # without the chain, the server's own auths apply
+        _, body, _ = _https_get(query, ctx)
+        vals = sorted(float(v) for sub in json.loads(body) for v in sub["dps"].values())
+        assert vals == [1.0, 2.0, 3.0]
+    finally:
+        srv.stop()

@@ -46,7 +46,34 @@ __all__ = [
     "TimelyUser",
     "UnauthorizedError",
     "dn_pair_name",
+    "split_proxied_dns",
 ]
+
+PROXIED_ENTITIES_HEADER = "X-ProxiedEntitiesChain"  # TimelyAuthenticationToken.java:21
+PROXIED_ISSUERS_HEADER = "X-ProxiedIssuersChain"
+
+
+def split_proxied_dns(proxied: str) -> list[str]:
+    """``<dn1><dn2>`` -> [dn1, dn2], splitting on unescaped angle
+    brackets and unescaping (ProxiedEntityUtils.splitProxiedDNs)."""
+    if "<" not in proxied:
+        return [proxied]
+    out: list[str] = []
+    cur: list[str] = []
+    prev = ""
+    for ch in proxied:
+        if ch in "<>" and prev != "\\":
+            piece = "".join(cur).strip()
+            if piece:
+                out.append(piece.replace("\\<", "<").replace("\\>", ">"))
+            cur = []
+        else:
+            cur.append(ch)
+        prev = ch
+    piece = "".join(cur).strip()
+    if piece:
+        out.append(piece.replace("\\<", "<").replace("\\>", ">"))
+    return out
 
 
 class UnauthorizedError(Exception):
@@ -298,7 +325,13 @@ class AuthenticationService:
         allow_anonymous_ws: bool = False,
         required_roles: set[str] | None = None,
         required_auths: set[str] | None = None,
+        server_ous: set[str] | None = None,
     ):
+        """``server_ous``: OU values identifying non-person (server)
+        entities in a DN — DnUtils.NpeUtils's configured
+        ``npe.ou.entries`` list; a chain's primary user is the first
+        entry NOT matching one (TimelyPrincipal.findPrimaryUser)."""
+        self.server_ous = {o.upper() for o in (server_ous or ())}
         self._users: dict[str, TimelyUser] = {}
         for u in authorized_users:
             # FileUserDetailsService.setUsers keys by full dn-pair name;
@@ -346,11 +379,70 @@ class AuthenticationService:
         self._cache.pop(session_id, None)
 
     # -- request authentication (HttpRequestDecoder.decode order) --------
+    def _lookup_user(self, subject: str, issuer: str | None) -> TimelyUser:
+        user = self._users.get(dn_pair_name(subject, issuer)) or self._users.get(
+            subject
+        )
+        if user is None:
+            raise UnauthorizedError(f"{subject} not configured.")
+        if self.server_ous and user.user_type == "USER":
+            # re-type by OU (DnUtils.isServerDN) so chain primary-user
+            # selection works even when the directory entry didn't say
+            ous = {
+                part.split("=", 1)[1].strip().upper()
+                for part in subject.split(",")
+                if part.strip().upper().startswith("OU=")
+            }
+            if ous & self.server_ous:
+                user = TimelyUser(
+                    subject_dn=user.subject_dn,
+                    issuer_dn=user.issuer_dn,
+                    auths=user.auths,
+                    roles=user.roles,
+                    user_type="SERVER",
+                    creation_time=user.creation_time,
+                    expiration_time=user.expiration_time,
+                )
+        return user
+
+    def _proxied_chain_principal(
+        self,
+        client_cert_dn: tuple[str, str | None],
+        proxied_entities: str,
+        proxied_issuers: str | None,
+    ) -> TimelyPrincipal:
+        """X-ProxiedEntitiesChain handling: the TLS peer (the proxying
+        server) heads the chain; each forwarded entity is authenticated
+        against the user directory and the combined principal's
+        effective auths are the chain intersection
+        (TimelyAuthenticationToken.java:35-69, AuthenticationService
+        enforceAccess authenticating every proxied user)."""
+        if proxied_issuers is None:
+            raise UnauthorizedError(
+                f"{PROXIED_ENTITIES_HEADER} supplied, but missing "
+                f"{PROXIED_ISSUERS_HEADER}"
+            )
+        subjects = split_proxied_dns(proxied_entities)
+        issuers = split_proxied_dns(proxied_issuers)
+        if len(subjects) != len(issuers):
+            raise UnauthorizedError(
+                "Proxied subjects and issuers don't match up. "
+                f"Subjects={proxied_entities} , Issuers={proxied_issuers}"
+            )
+        users = [self._lookup_user(*client_cert_dn)]
+        users += [self._lookup_user(s, i) for s, i in zip(subjects, issuers)]
+        principal = TimelyPrincipal.of(*users)
+        self._cache_put(principal.name, principal)
+        self._check_allowed_access(principal.primary_user)
+        return principal
+
     def authenticate_request(
         self,
         auth_header: str | None = None,
         session_id: str | None = None,
         client_cert_dn: tuple[str, str | None] | None = None,
+        proxied_entities: str | None = None,
+        proxied_issuers: str | None = None,
     ) -> TimelyPrincipal:
         """Resolve a request to a principal, in the reference's priority
         order (HttpRequestDecoder.java:117-137): Authorization header
@@ -377,6 +469,10 @@ class AuthenticationService:
             self._check_allowed_access(principal.primary_user)
             return principal
         if client_cert_dn is not None:
+            if proxied_entities is not None:
+                return self._proxied_chain_principal(
+                    client_cert_dn, proxied_entities, proxied_issuers
+                )
             subject, issuer = client_cert_dn
             cached = self._cache_get(dn_pair_name(subject, issuer))
             if cached is not None:
@@ -396,6 +492,8 @@ class AuthenticationService:
         session_id: str | None = None,
         client_cert_dn: tuple[str, str | None] | None = None,
         transport: str = "http",
+        proxied_entities: str | None = None,
+        proxied_issuers: str | None = None,
     ) -> TimelyPrincipal:
         """authenticate_request + the anonymous-access downgrade
         (HttpRequestDecoder.java:149-157: enforceAccess failures pass
@@ -404,7 +502,13 @@ class AuthenticationService:
             self.allow_anonymous_ws if transport == "ws" else self.allow_anonymous_http
         )
         try:
-            return self.authenticate_request(auth_header, session_id, client_cert_dn)
+            return self.authenticate_request(
+                auth_header,
+                session_id,
+                client_cert_dn,
+                proxied_entities=proxied_entities,
+                proxied_issuers=proxied_issuers,
+            )
         except UnauthorizedError:
             if allow_anon:
                 return TimelyPrincipal.anonymous()

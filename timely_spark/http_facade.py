@@ -168,6 +168,11 @@ class TimelyHttpServer:
                 reference's order; else the header authenticator seam;
                 else the per-server default."""
                 if server.auth_service is not None:
+                    from .auth import (
+                        PROXIED_ENTITIES_HEADER,
+                        PROXIED_ISSUERS_HEADER,
+                    )
+
                     principal = server.auth_service.enforce_access(
                         auth_header=self.headers.get(
                             AuthenticationService.AUTH_HEADER
@@ -175,6 +180,8 @@ class TimelyHttpServer:
                         session_id=self._session_id(),
                         client_cert_dn=self._client_cert_dn(),
                         transport="http",
+                        proxied_entities=self.headers.get(PROXIED_ENTITIES_HEADER),
+                        proxied_issuers=self.headers.get(PROXIED_ISSUERS_HEADER),
                     )
                     return set(principal.effective_auths)
                 if server.authenticator is not None:
