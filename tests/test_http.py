@@ -427,3 +427,67 @@ def test_per_request_authenticator_filters_viz(spark, tmp_path):
         assert query_as("cn=mallory") == {3.0}
     finally:
         srv.stop()
+
+
+def test_cors_preflight_and_response_headers(spark, tmp_path):
+    """CorsProperties semantics (Netty CorsHandler in Server.java:498-510):
+    allowed origin gets Access-Control-* on preflight and echo on real
+    responses (credentials mode echoes the concrete origin); a
+    non-allowed origin gets NO CORS headers."""
+    import http.client
+
+    from timely_spark.http_facade import CorsConfig
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    srv = TimelyHttpServer(
+        eng,
+        cors=CorsConfig(
+            allowed_origins=["https://grafana.example"],
+            allow_credentials=True,
+        ),
+    ).start()
+    try:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+        # preflight
+        conn.request("OPTIONS", "/api/query", headers={
+            "Origin": "https://grafana.example",
+            "Access-Control-Request-Method": "POST",
+        })
+        r = conn.getresponse(); r.read()
+        assert r.status == 200
+        assert r.getheader("Access-Control-Allow-Origin") == "https://grafana.example"
+        assert r.getheader("Access-Control-Allow-Credentials") == "true"
+        assert "POST" in r.getheader("Access-Control-Allow-Methods")
+        # real request carries the echo
+        conn.request("GET", "/version", headers={"Origin": "https://grafana.example"})
+        r = conn.getresponse(); r.read()
+        assert r.getheader("Access-Control-Allow-Origin") == "https://grafana.example"
+        # disallowed origin: no CORS headers at all
+        conn.request("GET", "/version", headers={"Origin": "https://evil.example"})
+        r = conn.getresponse(); r.read()
+        assert r.getheader("Access-Control-Allow-Origin") is None
+        conn.close()
+    finally:
+        srv.stop()
+
+
+def test_strict_transport_redirect_path(spark, tmp_path):
+    """GET/POST the configured redirect-path -> 404 with the
+    Strict-Transport-Security header (HttpRequestDecoder.java:87-90 ->
+    StrictTransportHandler.java:20-27; test config uses /secure-me)."""
+    import http.client
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    srv = TimelyHttpServer(eng, strict_transport_max_age=604800).start()
+    try:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+        for method in ("GET", "POST"):
+            conn.request(method, "/secure-me")
+            r = conn.getresponse()
+            body = r.read()
+            assert r.status == 404
+            assert r.getheader("Strict-Transport-Security") == "max-age=604800"
+            assert b"Strict Transport Security" in body
+        conn.close()
+    finally:
+        srv.stop()

@@ -49,6 +49,61 @@ from .tls import peer_dn_pair
 JSON_TYPE = "application/json"  # netty Constants.JSON_TYPE
 TEXT_TYPE = "text/plain"
 HTML_TYPE = "text/html"
+HSTS_HEADER = "Strict-Transport-Security"  # StrictTransportHandler.java:12
+
+
+class CorsConfig:
+    """The reference's ``timely.http.cors`` block (CorsProperties.java,
+    applied by Netty's CorsHandler in Server.createHttpChannel): origin
+    allow-list or any-origin, null-origin, credentials, allowed
+    methods/headers. Browser clients (the Grafana datasource) need
+    this."""
+
+    def __init__(
+        self,
+        allow_any_origin: bool = False,
+        allowed_origins: list[str] | None = None,
+        allow_null_origin: bool = False,
+        allow_credentials: bool = False,
+        allowed_methods: list[str] | None = None,
+        allowed_headers: list[str] | None = None,
+        max_age: int = 86400,
+    ):
+        self.allow_any_origin = allow_any_origin
+        self.allowed_origins = set(allowed_origins or ())
+        self.allow_null_origin = allow_null_origin
+        self.allow_credentials = allow_credentials
+        self.allowed_methods = allowed_methods or [
+            "DELETE", "GET", "HEAD", "OPTIONS", "PUT", "POST",
+        ]
+        self.allowed_headers = allowed_headers or ["content-type"]
+        self.max_age = max_age
+
+    def origin_allowed(self, origin: str | None) -> bool:
+        if origin is None:
+            return False
+        if origin == "null":
+            return self.allow_null_origin
+        return self.allow_any_origin or origin in self.allowed_origins
+
+    def response_headers(self, origin: str) -> list[tuple[str, str]]:
+        # credentials mode requires echoing the concrete origin
+        allow = (
+            "*"
+            if self.allow_any_origin and not self.allow_credentials
+            else origin
+        )
+        out = [("Access-Control-Allow-Origin", allow)]
+        if self.allow_credentials:
+            out.append(("Access-Control-Allow-Credentials", "true"))
+        return out
+
+    def preflight_headers(self, origin: str) -> list[tuple[str, str]]:
+        return self.response_headers(origin) + [
+            ("Access-Control-Allow-Methods", ",".join(self.allowed_methods)),
+            ("Access-Control-Allow-Headers", ",".join(self.allowed_headers)),
+            ("Access-Control-Max-Age", str(self.max_age)),
+        ]
 
 
 def _compact(obj) -> bytes:
@@ -86,6 +141,9 @@ class TimelyHttpServer:
         authenticator=None,
         auth_service: AuthenticationService | None = None,
         ssl_context=None,
+        cors: CorsConfig | None = None,
+        redirect_path: str = "/secure-me",
+        strict_transport_max_age: int = 604800,
     ):
         """``authenticator``: optional per-REQUEST auth source — a callable
         ``(headers: dict) -> set[str] | None`` consulted on every query,
@@ -100,6 +158,12 @@ class TimelyHttpServer:
         self.auths = auths
         self.authenticator = authenticator
         self.auth_service = auth_service
+        self.cors = cors
+        # HttpProperties.redirectPath + strictTransportMaxAge: a request
+        # for the redirect path answers 404 with the HSTS header
+        # (HttpRequestDecoder.java:87-90 -> StrictTransportHandler.java)
+        self.redirect_path = redirect_path
+        self.strict_transport_max_age = strict_transport_max_age
         self.tls = ssl_context is not None
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -141,12 +205,50 @@ class TimelyHttpServer:
                 pass
 
             # -- plumbing ------------------------------------------------
-            def _send(self, status: int, body: bytes, ctype: str) -> None:
+            def _send(
+                self, status: int, body: bytes, ctype: str, extra=()
+            ) -> None:
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in extra:
+                    self.send_header(k, v)
+                origin = self.headers.get("Origin")
+                if server.cors is not None and server.cors.origin_allowed(origin):
+                    for k, v in server.cors.response_headers(origin):
+                        self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_OPTIONS(self):  # noqa: N802
+                """CORS preflight (Netty CorsHandler semantics: allowed
+                origin gets the allow-* set; others get no CORS headers
+                and the browser blocks)."""
+                origin = self.headers.get("Origin")
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                if server.cors is not None and server.cors.origin_allowed(origin):
+                    for k, v in server.cors.preflight_headers(origin):
+                        self.send_header(k, v)
+                self.end_headers()
+
+            def _strict_transport(self) -> bool:
+                """GET <redirect-path> -> 404 + HSTS header, telling the
+                client to come back over TLS (StrictTransportHandler)."""
+                self._send(
+                    404,
+                    _compact(
+                        {
+                            "message": "Returning HTTP Strict Transport Security response",
+                            "detailMessage": None,
+                        }
+                    ),
+                    JSON_TYPE,
+                    extra=[
+                        (HSTS_HEADER, f"max-age={server.strict_transport_max_age}")
+                    ],
+                )
+                return True
 
             def _session_id(self) -> str | None:
                 # HttpRequestDecoder.getSessionId: first TSESSIONID cookie
@@ -215,6 +317,9 @@ class TimelyHttpServer:
             # -- dispatch ------------------------------------------------
             def do_GET(self):  # noqa: N802 (stdlib casing)
                 parsed = urlparse(self.path)
+                if parsed.path == server.redirect_path:
+                    self._strict_transport()
+                    return
                 try:
                     route = {
                         "/api/query": self._get_query,
@@ -241,6 +346,9 @@ class TimelyHttpServer:
 
             def do_POST(self):  # noqa: N802
                 parsed = urlparse(self.path)
+                if parsed.path == server.redirect_path:
+                    self._strict_transport()
+                    return
                 try:
                     if parsed.path == "/api/put":
                         self._put(self._body_json())
