@@ -491,3 +491,48 @@ def test_strict_transport_redirect_path(spark, tmp_path):
         conn.close()
     finally:
         srv.stop()
+
+
+def test_static_file_server(spark, tmp_path):
+    """HttpStaticFileServerHandler parity: /webapp-prefixed GETs serve
+    files (content type by extension), traversal and hidden paths 403,
+    missing files 404, If-Modified-Since revalidation 304."""
+    import http.client
+
+    web = tmp_path / "web"
+    web.mkdir()
+    (web / "index.html").write_text("<html>timely ui</html>")
+    (web / "app.js").write_text("console.log('ui')")
+    (web / ".secret").write_text("nope")
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    srv = TimelyHttpServer(eng, static_root=str(web)).start()
+    try:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+
+        def req(path, headers=None):
+            conn.request("GET", path, headers=headers or {})
+            r = conn.getresponse()
+            return r.status, r.read(), dict(r.getheaders())
+
+        status, body, headers = req("/webapp/index.html")
+        assert status == 200 and b"timely ui" in body
+        assert headers["Content-Type"].startswith("text/html")
+        status, body, headers = req("/webapp/app.js")
+        assert status == 200 and "javascript" in headers["Content-Type"]
+        # directory -> index.html (HttpStaticFileServerHandler.java:159-166)
+        status, body, _ = req("/webapp/")
+        assert status == 200 and b"timely ui" in body
+        # revalidation
+        lm = headers["Last-Modified"]
+        status, _, _ = req("/webapp/app.js", {"If-Modified-Since": lm})
+        assert status == 304
+        # 404 and 403 branches
+        assert req("/webapp/missing.css")[0] == 404
+        assert req("/webapp/.secret")[0] == 403
+        assert req("/webapp/../conftest.py")[0] == 403
+        # API routes unaffected
+        assert req("/version")[0] == 200
+        conn.close()
+    finally:
+        srv.stop()

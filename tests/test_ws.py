@@ -280,3 +280,21 @@ def test_websocket_live_tail_follow(spark, tmp_path):
     finally:
         conn.close()
         srv.stop()
+
+
+def test_ws_idle_timeout_closes_session(spark, tmp_path):
+    """IdleStateHandler analogue (Server.java:583, websocket.timeout):
+    a silent client receives a server-initiated close frame after the
+    idle window."""
+    store = str(tmp_path / "m")
+    srv = TimelyWebSocketServer(spark, store, idle_timeout=1.0).start()
+    try:
+        conn = socket.create_connection((srv.host, srv.port), timeout=30)
+        _handshake(conn, srv.host, srv.port)
+        time.sleep(1.5)
+        opcode, payload = read_frame(conn)
+        assert opcode == 0x8  # close
+        assert b"idle" in payload
+        conn.close()
+    finally:
+        srv.stop()

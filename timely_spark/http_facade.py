@@ -144,6 +144,8 @@ class TimelyHttpServer:
         cors: CorsConfig | None = None,
         redirect_path: str = "/secure-me",
         strict_transport_max_age: int = 604800,
+        static_root: str | None = None,
+        static_prefix: str = "/webapp",
     ):
         """``authenticator``: optional per-REQUEST auth source — a callable
         ``(headers: dict) -> set[str] | None`` consulted on every query,
@@ -164,6 +166,10 @@ class TimelyHttpServer:
         # (HttpRequestDecoder.java:87-90 -> StrictTransportHandler.java)
         self.redirect_path = redirect_path
         self.strict_transport_max_age = strict_transport_max_age
+        # HttpStaticFileServerHandler.java: GET-only file serving under
+        # the /webapp prefix (the UI bundle), traversal-proof
+        self.static_root = static_root
+        self.static_prefix = static_prefix.rstrip("/")
         self.tls = ssl_context is not None
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -321,6 +327,11 @@ class TimelyHttpServer:
                     self._strict_transport()
                     return
                 try:
+                    if server.static_root is not None and parsed.path.startswith(
+                        server.static_prefix
+                    ):
+                        self._static(parsed.path)
+                        return
                     route = {
                         "/api/query": self._get_query,
                         "/api/suggest": self._suggest,
@@ -370,6 +381,54 @@ class TimelyHttpServer:
                     self._error(500, str(e))
 
             # -- routes --------------------------------------------------
+            def _static(self, path: str) -> None:
+                """Static file serving under the /webapp prefix
+                (HttpStaticFileServerHandler.java:125-205): GET only,
+                sanitized path (403 on traversal/hidden), 404 on
+                missing, If-Modified-Since -> 304."""
+                import email.utils
+                import mimetypes
+                import os
+
+                rel = path[len(server.static_prefix) :].lstrip("/")
+                root = os.path.abspath(server.static_root)
+                full = os.path.abspath(os.path.join(root, rel))
+                if (
+                    not full.startswith(root + os.sep) and full != root
+                ) or any(p.startswith(".") for p in rel.split("/") if p):
+                    self._error(403, "Forbidden")
+                    return
+                if os.path.isdir(full):
+                    full = os.path.join(full, "index.html")
+                if not os.path.isfile(full):
+                    self._error(404, "Not Found")
+                    return
+                mtime = int(os.path.getmtime(full))
+                ims = self.headers.get("If-Modified-Since")
+                if ims:
+                    try:
+                        if int(email.utils.parsedate_to_datetime(ims).timestamp()) == mtime:
+                            self.send_response(304)
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                    except (TypeError, ValueError):
+                        pass
+                with open(full, "rb") as f:
+                    body = f.read()
+                ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+                self._send(
+                    200,
+                    body,
+                    ctype,
+                    extra=[
+                        (
+                            "Last-Modified",
+                            email.utils.formatdate(mtime, usegmt=True),
+                        )
+                    ],
+                )
+
             def _login(self, params: dict[str, str]) -> None:
                 """GET /login — X509LoginRequestHandler: authenticate the
                 two-way-SSL client certificate, mint a session, deliver

@@ -125,7 +125,12 @@ class TimelyWebSocketServer:
         auths=None,
         auth_service: AuthenticationService | None = None,
         ssl_context=None,
+        idle_timeout: float | None = None,
     ):
+        """``idle_timeout``: seconds of client silence before the server
+        closes the session — the reference's IdleStateHandler on the WS
+        pipeline (Server.java:583, websocket.timeout, 20 s default
+        there; None = never)."""
         from .api import TimelyEngine
 
         self.spark = spark
@@ -135,6 +140,7 @@ class TimelyWebSocketServer:
         self.auth_service = auth_service
         self.lag_seconds = lag_seconds
         self.flush_seconds = flush_seconds
+        self.idle_timeout = idle_timeout
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -310,8 +316,17 @@ class TimelyWebSocketServer:
             on_complete=on_complete,
         )
         try:
+            if self.idle_timeout:
+                conn.settimeout(self.idle_timeout)
             while not self._stop.is_set():
-                opcode, payload = read_frame(conn)
+                try:
+                    opcode, payload = read_frame(conn)
+                except TimeoutError:
+                    # IdleStateHandler analogue: server-initiated close
+                    # after idle_timeout seconds of client silence
+                    with wlock:
+                        conn.sendall(make_frame(b"\x03\xe9idle", opcode=0x8))
+                    return
                 if opcode == 0x8:  # close
                     with wlock:
                         conn.sendall(make_frame(payload, opcode=0x8))
