@@ -390,6 +390,58 @@ def q_ts_engine_query(spark, sf_dir):
     )
 
 
+def q_ts_hybrid_cache(spark, sf_dir):
+    """Hybrid hot-cache + store read through the FULL engine path
+    (S7/X3, DataStore.java:655-690 split-and-merge): a 7-day hot window
+    over a 30-day store means the query unions the pinned recent tier
+    with the pruned cold scan at the cache cutoff — and the result must
+    be byte-identical to a single-tier scan, which is exactly what the
+    DuckDB oracle computes."""
+    import os
+    import shutil
+
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+    from timely_spark.sources.store import write_points
+
+    store = os.path.join(
+        "/root/repo/.engine_stores",
+        os.path.basename(sf_dir.rstrip("/")) + "_hybrid",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    write_points(_points(spark, sf_dir), store)
+    eng = TimelyEngine(spark, store_path=store, meta_path=store + "_meta")
+    eng.enable_hot_cache(window_ms=7 * 86_400_000)
+    out = eng.query(
+        {
+            "start": 1,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "view",
+                    "downsample": "1h-avg",
+                    "tags": {"user": "2\\d"},  # users 20-29
+                }
+            ],
+        },
+        auths=ALL_AUTHS,
+    )
+    rows = [
+        (s["metric"], s["tags"]["user"], int(ts), v)
+        for s in out
+        for ts, v in s["dps"].items()
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, tag_user string, bucket_ts long, value double"
+    )
+    return df.select(
+        "metric",
+        "tag_user",
+        "bucket_ts",
+        (F.round("value", 4) + F.lit(0.0)).alias("avg_value"),
+    )
+
+
 def q_ts_none_raw(spark, sf_dir):
     """A9 'none' aggregator (Aggregator.java:40-59, DownsampleIterator.java:161-169):
     no downsample, no cross-series combine — raw points with the queried
@@ -1125,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_summarize": q_ts_summarize,
         "ts_multiquery": q_ts_multiquery,
         "ts_engine_query": q_ts_engine_query,
+        "ts_hybrid_cache": q_ts_hybrid_cache,
         "ts_none_raw": q_ts_none_raw,
         "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
@@ -1392,6 +1445,14 @@ r AS (SELECT metric, tag_user, ts,
 ds AS (SELECT metric, tag_user, ts - ts % 900000 AS bucket_ts, avg(rate) AS v
        FROM r GROUP BY 1, 2, 3)
 SELECT metric, tag_user, bucket_ts, round(sum(v), 4) + 0.0 AS avg_rate
+FROM ds GROUP BY 1, 2, 3""",
+        "ts_hybrid_cache": f"""
+WITH pts AS ({PTS}),
+f AS (SELECT metric, tag_user, ts, value FROM pts
+      WHERE metric = 'view' AND regexp_matches(tag_user, '^(?:2\\d)$')),
+ds AS (SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts, avg(value) AS v
+       FROM f GROUP BY 1, 2, 3)
+SELECT metric, tag_user, bucket_ts, round(sum(v), 4) + 0.0 AS avg_value
 FROM ds GROUP BY 1, 2, 3""",
         "ts_multiquery": f"""
 WITH pts AS ({PTS})

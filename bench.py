@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "ts_rate_counter",
     "ts_fir_ma5",
     "ts_fir_bucketed",
+    "ts_hybrid_cache",
     "ts_tag_regex",
     "ts_viz",
     "ts_meta",
