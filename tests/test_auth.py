@@ -301,3 +301,30 @@ def test_server_ou_retyping_picks_end_user_as_primary():
         proxied_issuers=f"<{ALICE.issuer_dn}>",
     )
     assert p.primary_user.subject_dn == ALICE.subject_dn
+
+
+def test_authenticated_routes_401_without_session(spark, tmp_path):
+    """Every AuthenticatedRequest route (suggest, lookup, metrics,
+    aggregators, cache — AggregatorsRequest.java:14 et al.) answers 401
+    without credentials when anonymous access is off; /version stays
+    open (VersionRequest is not authenticated)."""
+    from timely_spark.api import TimelyEngine
+    from timely_spark.http_facade import TimelyHttpServer
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    srv = TimelyHttpServer(eng, auth_service=AuthenticationService([])).start()
+    try:
+        for path in (
+            "/api/suggest?m=x",
+            "/api/search/lookup?m=x",
+            "/api/metrics",
+            "/api/aggregators",
+            "/api/cache",
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(srv.base_url + path, timeout=60)
+            assert e.value.code == 401, path
+        with urllib.request.urlopen(srv.base_url + "/version", timeout=60) as r:
+            assert r.status == 200
+    finally:
+        srv.stop()

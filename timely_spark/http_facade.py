@@ -153,9 +153,9 @@ class TimelyHttpServer:
         TimelyAuthenticationManager resolves the client certificate DN /
         session cookie to that user's Accumulo authorizations
         (TimelyAuthenticationManager.java, X509LoginRequestHandler.java).
-        The real login/JWT/X509 SOURCE stays a named scope-out
-        (SURVEY.md §2.1); this seam is where it would plug in. When unset,
-        the per-server ``auths`` applies to every request."""
+        ``auth_service`` supersedes it with the real login/JWT/X509
+        source (see :mod:`timely_spark.auth`). When neither is set, the
+        per-server ``auths`` applies to every request."""
         self.engine = engine
         self.auths = auths
         self.authenticator = authenticator
@@ -479,6 +479,7 @@ class TimelyHttpServer:
                 self._send(200, _compact(out), JSON_TYPE)
 
             def _suggest(self, params: dict) -> None:
+                self._request_auths()  # SuggestRequest is authenticated
                 q = params.get("m") or params.get("q") or ""
                 kind = params.get("type", "metrics")
                 max_results = int(params.get("max", 25))
@@ -486,6 +487,7 @@ class TimelyHttpServer:
                 self._send(200, _compact(out), JSON_TYPE)
 
             def _lookup(self, params: dict[str, str]) -> None:
+                self._request_auths()  # SearchLookupRequest is authenticated
                 m = params.get("m", "")
                 limit = int(params.get("limit", 25))
                 metric, tags = _parse_metric_braces(m)
@@ -494,6 +496,7 @@ class TimelyHttpServer:
                 )
 
             def _post_lookup(self, body: dict) -> None:
+                self._request_auths()
                 metric = body.get("metric", "")
                 tags = dict(body.get("tags", {}))
                 limit = int(body.get("limit", 25))
@@ -504,6 +507,7 @@ class TimelyHttpServer:
                 )
 
             def _metrics(self, params: dict[str, str]) -> None:
+                self._request_auths()  # MetricsRequest is authenticated
                 accept = self.headers.get("Accept", "")
                 rows = server.engine.metrics()
                 if JSON_TYPE in accept:
@@ -535,9 +539,11 @@ class TimelyHttpServer:
                 self._send(200, "\n".join(body).encode("utf-8"), HTML_TYPE)
 
             def _aggregators(self, params: dict[str, str]) -> None:
+                self._request_auths()  # AggregatorsRequest is authenticated
                 self._send(200, _compact(server.engine.aggregators()), JSON_TYPE)
 
             def _cache(self, params: dict[str, str]) -> None:
+                self._request_auths()  # CacheRequest is authenticated
                 self._send(200, _compact(server.engine.cache_status()), JSON_TYPE)
 
             def _version(self, params: dict[str, str]) -> None:
