@@ -276,3 +276,48 @@ def test_jpeg_codec_roundtrip_and_real_world_variants():
     data[sof + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_luma(bytes(data))
+
+
+def test_jpeg_codec_property_random_images():
+    """Property test: arbitrary dimensions (1..25), content, and
+    subsampling modes roundtrip with dims exact and mean luma within
+    aggressive-quantization tolerance."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timely_spark.operators.jpeg import decode_jpeg_luma, encode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 25),
+        h=st.integers(1, 25),
+        seed=st.integers(0, 2**31 - 1),
+        sub=st.sampled_from(["gray", "444", "420"]),
+        smooth=st.booleans(),
+    )
+    def check(w, h, seed, sub, smooth):
+        rng = np.random.default_rng(seed)
+        if smooth:
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+            img = (128 + 70 * np.sin(xx / 9.0 + seed % 7)
+                   + 40 * np.cos(yy / 6.0)).clip(0, 255)
+        else:
+            img = rng.integers(0, 256, (h, w)).astype(np.float64)
+        if sub == "gray":
+            arr = img.astype(np.uint8)
+            src = img
+        else:
+            rgb = np.stack([img, img * 0.7 + 20, img * 0.5 + 40], -1)
+            arr = rgb.clip(0, 255).astype(np.uint8)
+            src = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                   + 0.114 * arr[..., 2])
+        W, H, nc, luma = decode_jpeg_luma(encode_jpeg(arr, subsampling=sub))
+        assert (W, H) == (w, h)
+        assert nc == (1 if sub == "gray" else 3)
+        # mean luma survives quantization; rough content bound per-pixel
+        assert abs(float(luma.mean()) - float(src.mean())) < 3.0
+        tol = 6.0 if smooth else 40.0  # random noise loses high freq
+        assert float(np.abs(luma - src).mean()) < tol
+
+    check()
