@@ -1059,6 +1059,17 @@ def q_doc_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(docs, group_col="source", top_n=3)
 
 
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-prune) over the embedding corpus:
+    shuffle-free centroid assignment, then exact cosine pruning within
+    each cluster only — sum(|cluster|^2) pair work instead of
+    corpus-squared (similarity.semantic_dedup)."""
+    from timely_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=32, threshold=0.4)
+
+
 def q_doc_bigram_novelty(spark, sf_dir):
     """Corpus-LM quality screen with exact arithmetic: train a bigram
     count model over the corpus (one map-side-combined agg), score each
@@ -1188,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": q_emb_knn,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         # rows-only (no SQL oracle)
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -1198,7 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_fingerprint": q_doc_fingerprint,
-        "doc_token_count": q_doc_token_count,
+        # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
+        # in the tail to keep evidence-needing queries inside the
+        # driver-checked 50-entry prefix (test_registry_order contract)
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
@@ -1216,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_domains": q_doc_domains,
+        "doc_token_count": q_doc_token_count,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -1728,6 +1743,39 @@ FROM z GROUP BY 1"""
     d["doc_ttr"] = f"SELECT doc_id, {ttr_sql('text')} FROM documents"
     d["doc_tfidf_terms"] = tfidf_top_terms_sql(group_col="source", top_n=3)
     d["doc_bigram_novelty"] = bigram_novelty_sql(rare_max_count=2)
+    d["emb_semantic_dedup"] = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+cents AS (SELECT * FROM ex WHERE vec_id < 32),
+cdots AS (
+  SELECT e.vec_id AS vid, c.vec_id AS cid, sum(e.x * c.x) AS dot
+  FROM ex e JOIN cents c USING (i) GROUP BY 1, 2),
+csims AS (
+  SELECT vid, cid, round(dot / (ne.n * nc.n), 6) AS cos
+  FROM cdots JOIN nrm ne ON ne.vec_id = vid JOIN nrm nc ON nc.vec_id = cid),
+asg AS (
+  SELECT vid, cid AS centroid_id
+  FROM (SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS r
+        FROM csims) WHERE r = 1),
+pdots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b USING (i)
+  JOIN asg aa ON aa.vid = a.vec_id JOIN asg ab ON ab.vid = b.vec_id
+  WHERE b.vec_id < a.vec_id AND aa.centroid_id = ab.centroid_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a_id, b_id, aa.centroid_id,
+         round(dot / (na.n * nb.n), 6) AS cosine
+  FROM pdots JOIN nrm na ON na.vec_id = a_id JOIN nrm nb ON nb.vec_id = b_id
+  JOIN asg aa ON aa.vid = a_id
+  WHERE round(dot / (na.n * nb.n), 6) >= 0.4)
+SELECT a_id AS vec_id, centroid_id, min(b_id) AS dup_of,
+       round(arg_min(cosine, b_id), 4) AS cosine
+FROM pairs GROUP BY 1, 2"""
     d["emb_kmeans_assign"] = """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "doc_ttr",
     "doc_tfidf_terms",
     "doc_bigram_novelty",
+    "emb_semantic_dedup",
     "doc_incremental_dedup",
     "doc_hash_sample",
     "doc_domains",

@@ -92,3 +92,36 @@ def test_kmeans_assign_plan_and_partition(spark):
     # deterministic
     again = {r["centroid_id"]: (r["n_assigned"], r["mean_cosine"]) for r in kmeans_assign(emb, k=4).collect()}
     assert again == {r["centroid_id"]: (r["n_assigned"], r["mean_cosine"]) for r in rows}
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup cluster-then-prune: planted near-identical vectors are
+    pruned toward the lowest id; distinct directions survive; pruning
+    never crosses clusters."""
+    import numpy as np
+
+    from timely_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    # ids 0..3: orthogonal-ish anchors (also the k=4 centroids)
+    for i in range(4):
+        rows.append((i, [float(x) for x in base[i]]))
+    # ids 4..7: near-copies of anchor 0..3 (tiny jitter -> cosine ~1)
+    for i in range(4):
+        v = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append((4 + i, [float(x) for x in v]))
+    # id 8: its own direction, far from everything
+    rows.append((8, [float(x) for x in rng.normal(size=16) * 3 + 50]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, k=4, threshold=0.95).collect()}
+    # each near-copy pruned in favor of its anchor
+    assert set(out) == {4, 5, 6, 7}
+    for i in range(4):
+        assert out[4 + i]["dup_of"] == i
+        assert out[4 + i]["cosine"] >= 0.95
+    # deterministic across runs
+    again = {r["vec_id"]: r for r in semantic_dedup(emb, k=4, threshold=0.95).collect()}
+    assert again == out

@@ -266,12 +266,9 @@ def kmeans_assign(
         ]
     )
     # array_max on (cos, negid): max cosine, then max(-id) = min id
-    best = F.array_max(scored)
     return (
-        emb.select(
-            (-best["negid"]).alias("centroid_id"),
-            best["cos"].alias("cos"),
-        )
+        _assignments(emb, scored)
+        .select("centroid_id", "cos")
         .groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).alias("n_assigned"),
@@ -284,3 +281,101 @@ def kmeans_assign(
             ).alias("mean_cosine"),
         )
     )
+
+
+def _assignments(emb: DataFrame, scored) -> DataFrame:
+    """Per-vector nearest-centroid rows (keeps all input columns)."""
+    best = F.array_max(scored)
+    return emb.select(
+        "*",
+        (-best["negid"]).alias("centroid_id"),
+        best["cos"].alias("cos"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup: coarse k-means clustering,
+    then exact cosine pruning WITHIN each cluster only (Abbas et al.
+    2023's cluster-then-prune recipe). A vector is a duplicate when a
+    LOWER-id vector in its cluster is above ``threshold``; the kept
+    representative is the lowest such id — fully deterministic.
+
+    Scale shape: assignment is the shuffle-free centroid-literal column
+    expression of :func:`kmeans_assign`; the only join is the
+    within-cluster self-join, whose cost is sum(|cluster|^2) — bounded
+    by k (at 100 TB, k grows with the corpus so clusters stay ~1e4
+    vectors, the published SemDeDup operating point), never the
+    corpus-squared blowup of a global pair join.
+
+    Output: (vec_id, centroid_id, dup_of, cosine) — one row per PRUNED
+    vector, cosine to its keeper rounded to 4.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = (
+        emb.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    # centroid matrix rides the task closure (k x d floats — tiny),
+    # NOT a k*d-literal Catalyst expression: at k=32 the literal tree's
+    # per-query analysis cost dwarfed the actual execution
+    cmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cent_ids = np.array([int(r[id_col]) for r in cents], dtype=np.int64)
+
+    def assign(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ cmat.T, 6)
+            # centroids are id-ordered, argmax returns the FIRST max:
+            # ties break to the lowest centroid id, like the oracle's
+            # ORDER BY cos DESC, cid
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["centroid_id"] = cent_ids[sims.argmax(axis=1)]
+            yield pdf
+
+    asg = emb.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, centroid_id long"
+    )
+
+    out_schema = (
+        f"{id_col} long, centroid_id long, dup_of long, cosine double"
+    )
+
+    def cluster_prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        """Within ONE cluster: normalized GEMM gives every pairwise
+        cosine at once (the vectorized math emb_near_dup's blocked GEMM
+        established); round to 6 then threshold/argmin, matching the
+        Catalyst/oracle arithmetic."""
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        rows = []
+        cid = int(pdf["centroid_id"].iloc[0])
+        for ai in range(1, len(ids)):
+            hits = np.nonzero(sims[ai, :ai] >= threshold)[0]
+            if hits.size:
+                bi = int(hits[0])  # ids sorted: first hit = lowest id
+                rows.append(
+                    (int(ids[ai]), cid, int(ids[bi]), round(float(sims[ai, bi]), 4))
+                )
+        return pd.DataFrame(
+            rows, columns=[id_col, "centroid_id", "dup_of", "cosine"]
+        )
+
+    return asg.groupBy("centroid_id").applyInPandas(cluster_prune, out_schema)
