@@ -1,6 +1,7 @@
 """Multimodal plumbing tests: schema, Arrow batching, per-kind routing,
-the REAL in-container BMP/WAV codecs, and the remaining clearly-marked
-stubs (compressed-format decode libs absent here)."""
+the REAL in-container codecs (BMP, PNG, baseline JPEG, PCM WAV, MP3
+frame headers, MP4 boxes), and the remaining clearly-marked stubs
+(audio/video codec-payload decode)."""
 
 import pytest
 

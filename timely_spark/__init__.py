@@ -16,6 +16,12 @@ Layout
 - ``plans``      : OpenTSDB-style QueryRequest -> DataFrame builder
 - ``sources``    : ingest (line protocol batch/stream) and the Parquet store
 - ``streaming``  : subscriptions (tail-follow) and summarization job
+- ``auth``       : login sessions, JWT, X509 DNs, proxied entity chains
+- ``tls``        : one-way / two-way SSL contexts for every listener
+- ``client``     : TCP/UDP/HTTP/WS-subscription client library
+- ``http_facade``/``ws_facade``/``tcp_facade`` : the literal network
+                   transports (HTTP API + CORS/HSTS/static, RFC 6455 WS
+                   subscriptions, TCP/UDP put listeners)
 
 Reference parity citations use ``file:line`` relative to the studied repo
 (see SURVEY.md).
