@@ -536,3 +536,93 @@ def test_static_file_server(spark, tmp_path):
         conn.close()
     finally:
         srv.stop()
+
+
+def test_grafana_datasource_contract(spark, tmp_path):
+    """Replay the Grafana datasource backend's exact request shapes.
+
+    The Go plugin (grafana/timely-datasource/backend/datasource.go:370-430,
+    types.go:63-80) POSTs /api/query with msResolution/globalAnnotations,
+    a filters array (groupBy flag), always-marshaled rateOptions int32
+    zero-values, a downsample string with a fill-policy suffix
+    ("60000ms-avg-nan"), and tsuids:null; it proxies GET /api/suggest and
+    /api/aggregators verbatim, and the query editor asks for the full
+    metric list with max=-1 (TimelyDataSource.ts:228). parseResponse
+    requires a JSON array of {metric, tags, aggregatedTags, dps}.
+    """
+    with server(spark, tmp_path) as srv:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 100.0 host=h1 rack=r1",
+            f"sys.cpu.user {TEST_TIME + 60_000} 160.0 host=h1 rack=r1",
+            f"sys.cpu.user {TEST_TIME + 120_000} 40.0 host=h1 rack=r1",
+            f"sys.cpu.user {TEST_TIME} 1.0 host=h2 rack=r1",
+            f"sys.cpu.idle {TEST_TIME} 1.0 host=h1",
+        )
+        # exact TimelyRequest wire shape (datasource.go createRequest)
+        status, body = post(
+            srv.base_url + "/api/query",
+            {
+                "msResolution": True,
+                "globalAnnotations": True,
+                "start": TEST_TIME,
+                "end": TEST_TIME + 180_000,
+                "queries": [
+                    {
+                        "metric": "sys.cpu.user",
+                        "aggregator": "avg",
+                        "rate": True,
+                        "rateOptions": {
+                            "counter": True,
+                            "interval": "",
+                            "counterMax": 0,
+                            "resetValue": 0,
+                        },
+                        "downsample": "60000ms-avg-nan",
+                        "tags": {},
+                        "filters": [
+                            {
+                                "type": "literal_or",
+                                "tagk": "host",
+                                "filter": "h1",
+                                "groupBy": True,
+                            }
+                        ],
+                        "tsuids": None,
+                    }
+                ],
+            },
+        )
+        assert status == 200
+        response = json.loads(body)
+        assert len(response) == 1
+        r = response[0]
+        # parseResponse unmarshal targets (types.go TimelyResponse)
+        assert set(r) >= {"metric", "tags", "aggregatedTags", "dps"}
+        assert r["metric"] == "sys.cpu.user" and r["tags"] == {"host": "h1"}
+        # counterMax=0 means NO max (RateIterator.java:79): the 160->40
+        # decrease wraps by adding the PREV value (160), dv=+40; the rate
+        # interval defaults to the downsample period (60000ms,
+        # DataStore.java:713-721) so dps are per-minute deltas
+        assert r["dps"] == {
+            str(TEST_TIME + 60_000): 60.0,
+            str(TEST_TIME + 120_000): 40.0,
+        }
+
+        # metric-list population: GET /api/suggest?type=metrics&max=-1
+        status, body = get(
+            srv.base_url + "/api/suggest?type=metrics&max=-1&q="
+        )
+        assert status == 200
+        assert json.loads(body) == ["sys.cpu.idle", "sys.cpu.user"]
+        # postResource('/api/suggest', params) path (TimelyDataSource.ts:131)
+        status, body = post(
+            srv.base_url + "/api/suggest",
+            {"type": "metrics", "m": "sys", "max": "-1"},
+        )
+        assert status == 200
+        assert json.loads(body) == ["sys.cpu.idle", "sys.cpu.user"]
+        # proxied GET /api/aggregators (datasource.go:102)
+        status, body = get(srv.base_url + "/api/aggregators")
+        assert status == 200
+        assert "avg" in json.loads(body)

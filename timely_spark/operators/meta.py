@@ -35,15 +35,21 @@ def build_meta(points: DataFrame) -> DataFrame:
 def suggest(
     meta: DataFrame, q: str, kind: str = "metrics", max_results: int = 25
 ) -> DataFrame:
-    """Substring search, sorted ascending, capped (DataStore.java:536-573)."""
+    """Substring search, sorted ascending, capped (DataStore.java:536-573).
+
+    A negative ``max_results`` means unlimited — the reference caps only
+    when ``request.getMax() >= 0`` (DataStore.java:538,551,567), and the
+    Grafana datasource relies on it (``max: '-1'`` for the metric list,
+    grafana/timely-datasource/src/TimelyDataSource.ts:228).
+    """
     col = {"metrics": "metric", "tagk": "tag_key", "tagv": "tag_value"}[kind]
-    return (
+    out = (
         meta.filter(F.col(col).contains(q))
         .select(F.col(col).alias("suggestion"))
         .distinct()
         .orderBy("suggestion")
-        .limit(max_results)
     )
+    return out.limit(max_results) if max_results >= 0 else out
 
 
 def search_lookup(

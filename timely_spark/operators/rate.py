@@ -83,8 +83,16 @@ def rate(
     dv = F.col(value_col) - prev_v
 
     if opt.counter:
-        # RateIterator.java:60-82: on decrease, add counterMax (or prev value)
-        wrap_add = F.lit(float(opt.counter_max)) if opt.counter_max is not None else prev_v
+        # RateIterator.java:60-82: on decrease, add counterMax (or prev
+        # value). The unset test is maxCounter > 0 (RateIterator.java:79),
+        # NOT presence: the Grafana backend always marshals counterMax
+        # (int32 zero-value, grafana/timely-datasource/backend/types.go:59),
+        # so 0 must mean "no max" here too.
+        wrap_add = (
+            F.lit(float(opt.counter_max))
+            if opt.counter_max is not None and opt.counter_max > 0
+            else prev_v
+        )
         dv = F.when(dv < 0, dv + wrap_add).otherwise(dv)
 
     interval = F.lit(float(opt.interval_ms if opt.interval_ms is not None else 1000))

@@ -18,7 +18,12 @@ import re
 from dataclasses import dataclass, field
 
 _UNIT_MS = {"ms": 1, "s": 1_000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
-_SPEC_RE = re.compile(r"^(\d+)(ms|s|m|h|d)-(\w+)$")
+# An optional third "-<fillpolicy>" segment (OpenTSDB "1m-avg-nan", sent by
+# the Grafana datasource backend when a fill policy is configured,
+# grafana/timely-datasource/backend/datasource.go:417-423) is accepted and
+# ignored: the reference splits on "-" and reads only parts[0]/parts[1]
+# (DownsampleIterator.java:167-175).
+_SPEC_RE = re.compile(r"^(\d+)(ms|s|m|h|d)-(\w+?)(?:-\w+)?$")
 _PLAIN_VALUE_RE = re.compile(r"^\w+$")
 
 
