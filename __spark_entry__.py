@@ -759,6 +759,17 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_gopher_rules(spark, sf_dir):
+    """Gopher hard accept/reject rules (Rae et al. 2021 A1.1): word-count
+    bounds, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, required-stopword floor — the
+    first-pass document screen of a pretraining pipeline. Pure column
+    expressions, zero Exchanges."""
+    from timely_spark.operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_token_freq(spark, sf_dir):
     """Corpus-wide top-50 token frequencies (vocabulary head audit):
     explode + map-side-combined count + deterministic top-k."""
@@ -1214,8 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
         "doc_bpe_tokens": q_doc_bpe_tokens,
-        "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
+        "doc_gopher_rules": q_doc_gopher_rules,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -1227,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_freq": q_doc_token_freq,
         # ---- entry 51+: green-for-two-rounds trivials and TPC-H demos ----
+        "doc_lang_id": q_doc_lang_id,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_domains": q_doc_domains,
@@ -1255,6 +1267,12 @@ def _pii_scrub_oracle() -> str:
 WITH aug AS (SELECT doc_id, {aug} AS t FROM documents)
 SELECT doc_id, {counts}, md5({pii_scrub_sql('t')}) AS scrubbed_md5
 FROM aug"""
+
+
+def _gopher_oracle() -> str:
+    from timely_spark.operators.text import gopher_rules_sql
+
+    return gopher_rules_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1559,6 +1577,7 @@ SELECT doc_id, {BPE_TOKEN_COUNT_SQL.format(c=c)} AS n_pieces FROM documents""",
         "doc_lang_id": f"""
 SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
+        "doc_gopher_rules": _gopher_oracle(),
         "doc_ngram_jaccard": ngram_jaccard,
         "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_repetition": f"""

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "doc_bpe_tokens",
     "doc_lang_id",
     "doc_quality",
+    "doc_gopher_rules",
     "doc_ngram_jaccard",
     "doc_decontaminate",
     "doc_pii_scrub",

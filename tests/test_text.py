@@ -179,3 +179,39 @@ def test_bigram_novelty_screen(spark):
     # the unique doc: every bigram occurs exactly once
     assert rows[4]["novelty"] == 1.0
     assert rows[4]["n_bigrams"] == 6
+
+
+def test_gopher_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) exercised by a targeted doc."""
+    from timely_spark.operators.text import gopher_rules
+
+    filler = " ".join(
+        ["the be to of and that have with"] + ["word"] * 52
+    )  # 60 words, all stopword rules satisfied
+    docs = spark.createDataFrame(
+        [
+            (1, filler),  # passes everything
+            (2, "too short but the stopwords be of and here"),  # n_words < 50
+            (3, " ".join(["###"] * 30 + ["the be word"] * 20)),  # symbol ratio
+            (4, "\n".join(["- bullet line"] * 10) + "\nthe be"),  # bullets
+            (5, " ".join(["123"] * 55) + " the be"),  # alpha fraction
+            (6, " ".join(["word"] * 60)),  # no required stopwords
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["n_words"] == 60 and rows[1]["stop_hits"] == 8
+    assert rows[2]["gopher_pass"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["symbol_word_ratio"] > 0.1 and not rows[3]["gopher_pass"]
+    assert rows[4]["bullet_line_frac"] == round(10 / 11, 4)
+    assert not rows[4]["gopher_pass"]  # bullet frac ok (<=0.9) but words < 50
+    assert rows[5]["alpha_word_frac"] < 0.8 and not rows[5]["gopher_pass"]
+    assert rows[6]["stop_hits"] == 0 and not rows[6]["gopher_pass"]
+    # ellipsis-line rule: 2 of 4 lines end with ...
+    docs2 = spark.createDataFrame(
+        [(7, "read more...\nplain line\nand then…\nanother plain")],
+        ["doc_id", "text"],
+    )
+    r7 = gopher_rules(docs2).collect()[0]
+    assert r7["ellipsis_line_frac"] == 0.5 and not r7["gopher_pass"]

@@ -500,3 +500,125 @@ ranked AS (
   FROM scored)
 SELECT grp AS {group_col}, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {top_n}"""
+
+
+# Required-stopword list from the Gopher rules (Rae et al. 2021, A1.1):
+# a document must contain at least 2 of these to pass.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher quality-filter signals + pass flag (Rae et al. 2021, A1.1).
+
+    Pure Column expressions over the scan — no shuffle at any corpus
+    size. Complements ``quality_features`` (soft score) and
+    ``repetition_signals`` (dup-line / top-2-gram): these are the hard
+    document-level accept/reject rules a pretraining pipeline runs first:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10] (whitespace words, punctuation kept)
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - <= 90% of lines starting with a bullet, <= 30% ending in ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of GOPHER_REQUIRED_STOPWORDS present
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    mean_len = F.when(
+        n_words > 0, F.length(F.regexp_replace(c, r"\s", "")) / nw
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0)))
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / nw).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.filter(F.split(c, "\n"), lambda l: l != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text_col)),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_len >= 3)
+        & (mean_len <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+def gopher_rules_sql(c: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB equivalent of ``gopher_rules`` over ``documents``."""
+    wl = "[" + ",".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS) + "]"
+    toks = TOKENS_SQL.format(c=c)
+    return f"""
+WITH feats AS (
+  SELECT {id_col},
+    len(list_filter(string_split_regex({c}, '\\s+'), w -> w <> '')) AS n_words,
+    len(list_filter(string_split_regex({c}, '\\n'), l -> l <> '')) AS n_lines,
+    length(regexp_replace({c}, '\\s', '', 'g')) AS n_nonspace,
+    length({c}) - length(replace({c}, '#', '')) AS n_hash,
+    len(regexp_extract_all({c}, '\\.\\.\\.|…')) AS n_ellipsis,
+    len(list_filter(string_split_regex({c}, '\\n'),
+        l -> l <> '' AND regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet_lines,
+    len(list_filter(string_split_regex({c}, '\\n'),
+        l -> l <> '' AND regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ellipsis_lines,
+    len(list_filter(string_split_regex({c}, '\\s+'),
+        w -> w <> '' AND regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+    len(list_intersect(list_distinct({toks}), {wl})) AS stop_hits
+  FROM documents),
+ratios AS (
+  SELECT {id_col}, n_words, stop_hits,
+    CASE WHEN n_words > 0 THEN n_nonspace / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / CAST(n_words AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN n_lines > 0 THEN n_bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+    CASE WHEN n_lines > 0 THEN n_ellipsis_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac,
+    CASE WHEN n_words > 0 THEN n_alpha_words / CAST(n_words AS DOUBLE) ELSE 0.0 END AS alpha_word_frac
+  FROM feats)
+SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
+  round(mean_word_len, 4) AS mean_word_len,
+  round(symbol_word_ratio, 4) AS symbol_word_ratio,
+  round(bullet_line_frac, 4) AS bullet_line_frac,
+  round(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+  round(alpha_word_frac, 4) AS alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+    AND stop_hits >= 2 AS gopher_pass
+FROM ratios"""
