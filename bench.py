@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "doc_quality",
     "doc_gopher_rules",
+    "doc_chunk_dedup",
     "doc_ngram_jaccard",
     "doc_decontaminate",
     "doc_pii_scrub",

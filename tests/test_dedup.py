@@ -185,3 +185,33 @@ def test_connected_components_chain_and_singletons(spark):
     out = {r["doc_id"]: r for r in dedup_cluster_assignment(docs, pairs).collect()}
     assert out[30]["cluster_id"] == 30 and out[30]["is_keeper"]
     assert sum(1 for r in out.values() if r["is_keeper"]) == 3  # 0, 20, 30
+
+
+def test_chunk_dedup_shared_spans(spark):
+    """Sub-document boilerplate: a 16-token license block shared by two
+    otherwise-different docs is flagged; unique docs report 0."""
+    from timely_spark.operators.dedup import chunk_dedup
+
+    block = " ".join(f"lic{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " " + " ".join(f"a{i}" for i in range(16))),
+            (2, block + " " + " ".join(f"b{i}" for i in range(16))),
+            (3, " ".join(f"c{i}" for i in range(32))),
+            (4, ""),  # zero tokens -> omitted
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d]["n_chunks"] == 2
+        assert rows[d]["n_shared_chunks"] == 1
+        assert rows[d]["shared_chunk_frac"] == 0.5
+    assert rows[3]["n_shared_chunks"] == 0 and rows[3]["shared_chunk_frac"] == 0.0
+    # identical docs share every chunk, including the short tail chunk
+    dup = spark.createDataFrame(
+        [(1, "x y z " * 7), (2, "x y z " * 7)], ["doc_id", "text"]
+    )
+    r = chunk_dedup(dup).collect()
+    assert all(x["shared_chunk_frac"] == 1.0 and x["n_chunks"] == 2 for x in r)

@@ -635,3 +635,81 @@ def dedup_cluster_assignment(
         .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
         .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------- chunk-level (shared spans)
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Shared-span detection: per-doc fraction of non-overlapping
+    ``chunk_tokens``-token chunks that also occur in another document.
+
+    The sub-document analogue of :func:`exact_dedup` — catches documents
+    stitched from boilerplate (headers, license blocks, templated spans)
+    that whole-text or near-dup hashing misses. Chunking/hashing are
+    per-row column expressions; the corpus-wide visibility count shuffles
+    only 128-bit chunk hashes, never text, so the plan is corpus-linear:
+    explode -> groupBy(hash) -> hash-join back -> groupBy(doc).
+
+    Docs with zero tokens produce no chunks and are omitted.
+    Output: (id_col, n_chunks, n_shared_chunks, shared_chunk_frac).
+    """
+    from .text import tokens
+
+    toks = tokens(text_col)
+    ct = chunk_tokens
+    idx = F.sequence(
+        F.lit(0), F.ceil(F.size(toks) / F.lit(float(ct))).cast("int") - 1
+    )
+    chunks = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * ct + 1, ct)))
+        )
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(F.when(F.size(toks) > 0, chunks)).alias("__h"))
+    )
+    counts = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        exploded.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .withColumn(
+            "shared_chunk_frac",
+            F.round(F.col("n_shared_chunks") / F.col("n_chunks").cast("double"), 4),
+        )
+    )
+
+
+def chunk_dedup_sql(
+    c: str = "text", id_col: str = "doc_id", chunk_tokens: int = 16
+) -> str:
+    """DuckDB equivalent of :func:`chunk_dedup` over ``documents``."""
+    from .text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(c=c)
+    ct = chunk_tokens
+    return f"""
+WITH tok AS (SELECT {id_col}, {toks} AS ts FROM documents),
+chunks AS (
+  SELECT {id_col}, list_distinct(list_transform(
+    range(0, CAST(ceil(len(ts) / {ct}.0) AS BIGINT)),
+    i -> md5(array_to_string(ts[(i*{ct}+1):(i*{ct}+{ct})], ' ')))) AS hs
+  FROM tok WHERE len(ts) > 0),
+ex AS (SELECT {id_col}, unnest(hs) AS h FROM chunks),
+cnt AS (SELECT h, count(*) AS n_docs FROM ex GROUP BY 1)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+  round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+    AS shared_chunk_frac
+FROM ex JOIN cnt USING (h) GROUP BY 1"""
