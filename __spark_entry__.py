@@ -759,6 +759,16 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_seq_pack(spark, sf_dir):
+    """Concat-and-chop sequence packing: each doc's span in the packed
+    training stream (pack indices + offset) via a two-phase distributed
+    prefix sum — per-bucket window cumsum + broadcast bucket offsets,
+    never a single-partition global sort."""
+    from timely_spark.operators.pack import seq_pack
+
+    return seq_pack(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_chunk_dedup(spark, sf_dir):
     """Shared-span (boilerplate) detection: fraction of each doc's
     non-overlapping 16-token chunks that occur in another document —
@@ -1236,12 +1246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_seq_pack": q_doc_seq_pack,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_repetition": q_doc_repetition,
-        "doc_ttr": q_doc_ttr,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1249,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entry 51+: green-for-two-rounds trivials and TPC-H demos ----
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_domains": q_doc_domains,
@@ -1289,6 +1300,12 @@ def _chunk_dedup_oracle() -> str:
     from timely_spark.operators.dedup import chunk_dedup_sql
 
     return chunk_dedup_sql()
+
+
+def _seq_pack_oracle() -> str:
+    from timely_spark.operators.pack import seq_pack_sql
+
+    return seq_pack_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1595,6 +1612,7 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_gopher_rules": _gopher_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
+        "doc_seq_pack": _seq_pack_oracle(),
         "doc_ngram_jaccard": ngram_jaccard,
         "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_repetition": f"""

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_gopher_rules",
     "doc_chunk_dedup",
+    "doc_seq_pack",
     "doc_ngram_jaccard",
     "doc_decontaminate",
     "doc_pii_scrub",

@@ -215,3 +215,32 @@ def test_gopher_rules(spark):
     )
     r7 = gopher_rules(docs2).collect()[0]
     assert r7["ellipsis_line_frac"] == 0.5 and not r7["gopher_pass"]
+
+
+def test_seq_pack_concat_and_chop(spark):
+    """Packing is a prefix sum: spans, offsets, and boundary splits are
+    exact, and bucket boundaries don't perturb the stream."""
+    from timely_spark.operators.pack import seq_pack
+
+    # doc i has i+1 words -> i+2 units with EOS
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in seq_pack(docs, seq_len=8, bucket_docs=3).collect()}
+    cum = 0
+    for i in range(10):
+        n = i + 2
+        assert rows[i]["n_units"] == n
+        assert rows[i]["pack_first"] == cum // 8
+        assert rows[i]["pack_offset"] == cum % 8
+        cum += n
+        assert rows[i]["pack_last"] == (cum - 1) // 8
+    # doc 0 (2 units) and doc 1 (3 units) share pack 0; doc 2 (4 units,
+    # stream positions 5..9) crosses the pack-0/1 boundary
+    assert rows[0]["pack_first"] == rows[1]["pack_first"] == 0
+    assert rows[2]["pack_first"] == 0 and rows[2]["pack_last"] == 1
+    # bucket size must not affect placement (two-phase scan correctness)
+    alt = {r["doc_id"]: r for r in seq_pack(docs, seq_len=8, bucket_docs=1000).collect()}
+    for i in range(10):
+        assert tuple(alt[i]) == tuple(rows[i])
