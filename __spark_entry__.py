@@ -759,6 +759,15 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_domain_mixture(spark, sf_dir):
+    """Temperature-2 domain mixture resampling: per-source rates
+    sqrt(n_min/n_d) + deterministic md5-prefix keep decisions. One tiny
+    domain-count agg broadcast back; corpus scanned once."""
+    from timely_spark.operators.mixture import domain_mixture
+
+    return domain_mixture(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_seq_pack(spark, sf_dir):
     """Concat-and-chop sequence packing: each doc's span in the packed
     training stream (pack indices + offset) via a two-phase distributed
@@ -1242,11 +1251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
-        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_quality": q_doc_quality,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
+        "doc_domain_mixture": q_doc_domain_mixture,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -1259,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entry 51+: green-for-two-rounds trivials and TPC-H demos ----
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
@@ -1306,6 +1316,12 @@ def _seq_pack_oracle() -> str:
     from timely_spark.operators.pack import seq_pack_sql
 
     return seq_pack_sql()
+
+
+def _mixture_oracle() -> str:
+    from timely_spark.operators.mixture import domain_mixture_sql
+
+    return domain_mixture_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1613,6 +1629,7 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_gopher_rules": _gopher_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
         "doc_seq_pack": _seq_pack_oracle(),
+        "doc_domain_mixture": _mixture_oracle(),
         "doc_ngram_jaccard": ngram_jaccard,
         "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_repetition": f"""

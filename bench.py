@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "doc_gopher_rules",
     "doc_chunk_dedup",
     "doc_seq_pack",
+    "doc_domain_mixture",
     "doc_ngram_jaccard",
     "doc_decontaminate",
     "doc_pii_scrub",

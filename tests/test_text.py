@@ -244,3 +244,32 @@ def test_seq_pack_concat_and_chop(spark):
     alt = {r["doc_id"]: r for r in seq_pack(docs, seq_len=8, bucket_docs=1000).collect()}
     for i in range(10):
         assert tuple(alt[i]) == tuple(rows[i])
+
+
+def test_domain_mixture_rates(spark):
+    """T=2 closed form: rate_d = sqrt(n_min/n_d); rarest domain keeps
+    all; realized keep fractions track the rates; decisions reproducible."""
+    from timely_spark.operators.mixture import domain_mixture
+
+    rows = [(i, "web") for i in range(400)]
+    rows += [(1000 + i, "books") for i in range(100)]
+    rows += [(2000 + i, "code") for i in range(25)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"]).withColumn(
+        "text", F.lit("x")
+    )
+    out = domain_mixture(docs, temperature=2.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert {r["rate"] for r in by_src["code"]} == {1.0}
+    assert all(r["kept"] for r in by_src["code"])
+    assert {r["rate"] for r in by_src["books"]} == {0.5}
+    assert {r["rate"] for r in by_src["web"]} == {0.25}
+    kept_web = sum(r["kept"] for r in by_src["web"]) / 400
+    kept_books = sum(r["kept"] for r in by_src["books"]) / 100
+    assert abs(kept_web - 0.25) < 0.1 and abs(kept_books - 0.5) < 0.15
+    # deterministic across invocations
+    again = domain_mixture(docs, temperature=2.0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        domain_mixture(docs, temperature=1.0)

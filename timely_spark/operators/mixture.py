@@ -1,0 +1,90 @@
+"""Temperature-based domain mixture resampling.
+
+Pretraining corpora are rebalanced across domains (web / code / books /
+...) by sampling domain ``d`` with probability proportional to
+``p_d^(1/T)`` instead of its natural share ``p_d`` — T=1 keeps the
+natural mixture, T→∞ approaches uniform. Downsampling-only rates (no
+domain is upsampled) have the closed form::
+
+    r_d = (n_min / n_d) ^ (1 - 1/T)
+
+where ``n_min`` is the rarest domain's count: the rarest domain keeps
+everything, over-represented domains shrink toward the tempered share.
+
+At T=2 the exponent is 1/2 and the rate is ``sqrt(n_min/n_d)`` — IEEE
+sqrt is correctly rounded in both Spark and DuckDB, so the default
+temperature is engine-exact (general T goes through ``pow``, which may
+differ by an ulp across libm implementations).
+
+Scale shape: one tiny groupBy(domain) count (broadcast back), then a
+pure-Column deterministic accept test — the corpus is scanned once, and
+the md5-prefix accept keeps identical decisions across runs, engines,
+and cluster sizes (same property as ``text.hash_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPAN = 4294967296.0  # 16^8: accept granularity of the 8-hex-char prefix
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Per-doc sampling rate + deterministic keep decision for a
+    temperature-``T`` domain mixture. Output: (id, domain, rate, kept).
+    """
+    if temperature <= 1.0:
+        raise ValueError("temperature must be > 1 (T=1 is the natural mix)")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    counts = counts.withColumn(
+        "__n_min", F.min("__n_d").over(Window.partitionBy())
+    )
+    ratio = F.col("__n_min") / F.col("__n_d").cast("double")
+    exponent = 1.0 - 1.0 / temperature
+    rate = F.sqrt(ratio) if temperature == 2.0 else F.pow(ratio, F.lit(exponent))
+    rates = counts.select(domain_col, rate.alias("__rate"))
+
+    key = F.concat(F.col(domain_col), F.lit(":"), F.col(id_col).cast("string"))
+    # fixed-width lowercase hex compare == numeric compare; rate >= 1
+    # short-circuits so the 9-hex-digit threshold case never arises
+    threshold = F.lpad(
+        F.lower(F.hex(F.floor(F.col("__rate") * F.lit(_HASH_SPAN)).cast("long"))),
+        8,
+        "0",
+    )
+    kept = F.when(F.col("__rate") >= 1.0, F.lit(True)).otherwise(
+        F.substring(F.md5(key), 1, 8) < threshold
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.round("__rate", 9).alias("rate"),
+            kept.alias("kept"),
+        )
+    )
+
+
+def domain_mixture_sql(
+    domain_col: str = "source", id_col: str = "doc_id"
+) -> str:
+    """DuckDB equivalent of :func:`domain_mixture` at T=2 over ``documents``."""
+    return f"""
+WITH cnt AS (SELECT {domain_col}, count(*) AS n_d FROM documents GROUP BY 1),
+rates AS (
+  SELECT {domain_col},
+    sqrt((SELECT min(n_d) FROM cnt) / CAST(n_d AS DOUBLE)) AS rate
+  FROM cnt)
+SELECT d.{id_col}, d.{domain_col}, round(r.rate, 9) AS rate,
+  CASE WHEN r.rate >= 1.0 THEN TRUE
+       ELSE substr(md5(d.{domain_col} || ':' || CAST(d.{id_col} AS VARCHAR)), 1, 8)
+            < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+  END AS kept
+FROM documents d JOIN rates r USING ({domain_col})"""
