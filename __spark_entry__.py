@@ -923,6 +923,21 @@ def q_doc_simhash(spark, sf_dir):
     return simhash(docs).select("doc_id", "simhash")
 
 
+def q_emb_pq_ann(spark, sf_dir):
+    """Product-quantization ADC ANN (Jegou et al. 2011): corpus encoded
+    to m=8 sub-codebook indices (16 centroids each, deterministic
+    hash-sample k-means), queries scored via per-subspace lookup tables.
+    Approximate + mapInPandas encode — rows-only check; recall floor
+    pinned in test_goldens_nooracle."""
+    from timely_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return pq_topk(emb, q, dim=64, k=10, m=8, ksub=16)
+
+
 def q_emb_knn_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (approximate — rows-only check)."""
     from timely_spark.operators.similarity import lsh_topk
@@ -1241,12 +1256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         # rows-only (no SQL oracle)
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_pq_ann": q_emb_pq_ann,
         "emb_knn_ivf": q_emb_knn_ivf,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "media_features": q_media_features,
         # oracle-backed document pipeline
-        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
@@ -1269,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,

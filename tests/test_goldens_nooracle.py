@@ -200,3 +200,35 @@ def test_ivf_topk_recall_floor(spark, planted):
     exact = _pairs(cosine_topk(corpus, queries, k=5))
     approx = _pairs(ivf_topk(corpus, queries, k=5, ncells=8, nprobe=4))
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_pq_topk_recall_floor(spark, planted):
+    """PQ-ADC (m=8 sub-quantizers of 4 dims, 16 centroids each): >=60%
+    of exact top-5 recovered on the planted corpus and every ~0.99-cosine
+    planted neighbor found — code compression keeps coarse geometry."""
+    from timely_spark.operators.similarity import cosine_topk, pq_topk
+
+    corpus, queries = planted
+    exact = _pairs(cosine_topk(corpus, queries, k=5))
+    approx = _pairs(
+        pq_topk(corpus, queries, dim=32, k=5, m=8, ksub=16, sample=205)
+    )
+    assert len(approx & exact) / len(exact) >= 0.6
+    assert all((q, 1000 + q) in approx for q in range(5))
+    # deterministic end to end (no RNG anywhere in train/encode/score)
+    again = _pairs(pq_topk(corpus, queries, dim=32, k=5, m=8, ksub=16, sample=205))
+    assert approx == again
+
+
+def test_pq_encode_shapes(spark, planted):
+    """Codes are m ints in [0, ksub); every corpus row is encoded."""
+    from timely_spark.operators.similarity import pq_encode, pq_train_codebooks
+
+    corpus, _ = planted
+    books = pq_train_codebooks(corpus, dim=32, m=4, ksub=8, sample=205)
+    assert books.shape == (4, 8, 8)
+    codes = pq_encode(corpus, books).collect()
+    assert len(codes) == corpus.count()
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])

@@ -379,3 +379,161 @@ def semantic_dedup(
         )
 
     return asg.groupBy("centroid_id").applyInPandas(cluster_prune, out_schema)
+
+
+# ---------------------------------------------------------------- product quantization
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train PQ codebooks: per-subspace k-means over a deterministic
+    corpus sample (smallest xxhash64(id) — the IVF centroid idiom, no
+    stored model / no RNG). Returns an ``m x ksub x dim//m`` numpy array.
+
+    The sample collect is the PQ training seam — identical in role to
+    FAISS's ``train()``; at 100 TB the sample is still ``sample`` rows.
+    Vectors are L2-normalized first so ADC inner products approximate
+    cosine.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rows = (
+        corpus.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if len(X) < ksub:
+        raise ValueError(f"sample {len(X)} smaller than ksub {ksub}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:ksub].copy()  # deterministic init: sample is hash-ordered
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(ksub):
+                pts = Xs[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` sub-codebook indices (Arrow-batched
+    numpy argmin — this is the compression pass: dim floats -> m bytes,
+    the reason PQ scales where raw vectors don't)."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    m, ksub, dsub = codebooks.shape
+    dim = m * dsub
+    schema = f"{id_col} long, codes array<int>"
+    books = codebooks  # captured; broadcast by task serialization (small)
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pdf[[id_col]].assign(codes=list(codes))
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ-ADC approximate top-k (Jegou et al. 2011): corpus compressed to
+    ``m`` byte-ish codes, queries scored against codes via per-subspace
+    lookup tables (asymmetric distance computation).
+
+    Scale story: the scan side touches only the code column (m ints vs
+    dim floats — 32x smaller at dim=64/m=8), and scoring is m
+    ``element_at`` lookups per candidate, JVM-side. Composes with IVF
+    cell pruning for the full FAISS-style index; here the LUT join is a
+    broadcast crossJoin like brute force, isolating the PQ contract.
+
+    Output: (query_id, vec_id, adc_score, rank) — adc_score approximates
+    cosine (vectors L2-normalized before encoding/LUT build).
+    """
+    import numpy as np
+
+    books = pq_train_codebooks(
+        corpus, dim, m=m, ksub=ksub, sample=sample, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    dsub = dim // m
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        luts = [
+            [
+                round(float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j])), 9)
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        lut_rows.append((r[query_id_col], luts))
+    spark = corpus.sparkSession
+    qluts = F.broadcast(
+        spark.createDataFrame(
+            lut_rows, f"{query_id_col} long, luts array<array<double>>"
+        )
+    )
+
+    scored = codes.crossJoin(qluts).filter(F.col(id_col) != F.col(query_id_col))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("luts"),
+            F.col("codes"),
+            lambda lut, cde: F.element_at(lut, cde + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("adc_score", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_score", "rank")
+    )
