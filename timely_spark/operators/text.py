@@ -377,9 +377,14 @@ def tfidf_top_terms(
     )
     tf = tok.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_groups = docs.select(group_col).distinct().count()  # scalar seam
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df = groups containing the term = rows per term in the (grp, term)
+    # aggregate. A count window over that aggregate beats a groupBy +
+    # broadcast-join back: one fewer Exchange AND the tf branch isn't
+    # recomputed for a second scan (the window runs over vocab x groups
+    # rows, never the corpus)
     scored = (
-        tf.join(F.broadcast(df_.filter(F.col("df") >= min_df)), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .filter(F.col("df") >= min_df)
         .withColumn(
             "tfidf",
             F.round(F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("df")), 4),
