@@ -588,6 +588,48 @@ def q_events_top_users(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-active day; per (cohort,
+    day-offset) the fraction still active. The distinct (user, day) frame
+    shrinks the corpus before any window; cohort sizes come free as the
+    offset-0 row (every member is active on day 0 by construction), so
+    no separate cohort-size scan. Day numbers are epoch-ms DIV 86400000
+    — integer math, timezone-proof, identical in both engines."""
+    from timely_spark.model import ts_epoch_ms
+
+    raw = _t(spark, sf_dir, "events")
+    days = (
+        raw.select(
+            "user_id",
+            (ts_epoch_ms(raw) - F.pmod(ts_epoch_ms(raw), F.lit(86400000)))
+            .cast("long")
+            .alias("__day_ms"),
+        )
+        .select("user_id", F.expr("__day_ms div 86400000").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    coh = days.withColumn("cohort_day", F.min("day").over(w))
+    per = coh.groupBy(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = per.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        per.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1250,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
         "events_user_cardinality": q_events_user_cardinality,
+        "events_retention": q_events_retention,
         "emb_knn": q_emb_knn,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
@@ -1266,7 +1309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
-        "doc_quality": q_doc_quality,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
@@ -1285,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_quality": q_doc_quality,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
@@ -1597,6 +1640,21 @@ GROUP BY 1""",
 SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
 FROM events GROUP BY 1
 ORDER BY total_value DESC, user_id LIMIT 20""",
+        "events_retention": """
+WITH ev AS (
+  SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000) // 86400000 AS day
+  FROM events),
+coh AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ev),
+per AS (
+  SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+  FROM coh GROUP BY 1, 2),
+sz AS (SELECT cohort_day, n_active AS n_cohort FROM per WHERE day_offset = 0)
+SELECT p.cohort_day, CAST(p.day_offset AS BIGINT) AS day_offset,
+  CAST(p.n_active AS BIGINT) AS n_active, CAST(s.n_cohort AS BIGINT) AS n_cohort,
+  round(p.n_active / CAST(s.n_cohort AS DOUBLE), 4) AS retention
+FROM per p JOIN sz s USING (cohort_day)""",
         "events_user_cardinality": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        count(*) AS n_events

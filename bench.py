@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_anomaly",
     "events_user_cardinality",
+    "events_retention",
     "doc_exact_dedup",
     "doc_stratified_sample",
     "doc_fingerprint",

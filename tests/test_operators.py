@@ -321,3 +321,31 @@ def test_counter_negative_rate_not_clamped(spark):
     pts2 = parse_lines_df(spark.createDataFrame([(l,) for l in lines2], ["value"]))
     r2 = rate(pts2, RateOptions(counter=True, counter_max=5000, reset_value=100)).collect()
     assert len(r2) == 1 and r2[0]["value"] == 0.0
+
+
+def test_events_retention_cohorts(spark, tmp_path):
+    """Hand-built cohorts: day numbers, offsets, and rates are exact."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    day = 86_400_000
+    rows = []
+    # cohort day 0: users 1,2,3 -> day0; 1,2 return day1; 1 returns day2
+    for u, ds in [(1, [0, 1, 2]), (2, [0, 1]), (3, [0])]:
+        rows += [(u, d * day + 1000 * u) for d in ds]
+    # cohort day 1: user 4 active day1 and day3
+    rows += [(4, 1 * day + 5), (4, 3 * day + 5)]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_ms"]).select(
+        "user_id", F.timestamp_millis(F.col("ts_ms")).alias("ts")
+    )
+    path = str(tmp_path / "events.parquet")
+    ev.write.parquet(path)
+    out = {
+        (r["cohort_day"], r["day_offset"]): r
+        for r in e.q_events_retention(spark, str(tmp_path)).collect()
+    }
+    assert out[(0, 0)]["n_cohort"] == 3 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 2 and out[(0, 1)]["retention"] == round(2 / 3, 4)
+    assert out[(0, 2)]["n_active"] == 1
+    assert out[(1, 0)]["n_cohort"] == 1 and out[(1, 2)]["n_active"] == 1
+    assert set(out) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 2)}
