@@ -980,6 +980,19 @@ def q_emb_pq_ann(spark, sf_dir):
     return pq_topk(emb, q, dim=64, k=10, m=8, ksub=16)
 
 
+def q_emb_ivfpq_ann(spark, sf_dir):
+    """IVF + PQ composed (FAISS IVFADC shape): one Arrow pass assigns
+    coarse cell + PQ code; queries probe nprobe cells; ADC scoring.
+    Rows-only; recall floor pinned in test_goldens_nooracle."""
+    from timely_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivfpq_topk(emb, q, dim=64, k=10, m=8, ksub=16, ncells=32, nprobe=8)
+
+
 def q_emb_knn_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (approximate — rows-only check)."""
     from timely_spark.operators.similarity import lsh_topk
@@ -1300,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle)
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_pq_ann": q_emb_pq_ann,
+        "emb_ivfpq_ann": q_emb_ivfpq_ann,
         "emb_knn_ivf": q_emb_knn_ivf,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
@@ -1315,7 +1329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
-        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_repetition": q_doc_repetition,
         "doc_tfidf_terms": q_doc_tfidf_terms,
@@ -1328,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "emb_kmeans_assign",
     "emb_knn_lsh",
     "emb_pq_ann",
+    "emb_ivfpq_ann",
     "emb_knn_ivf",
     "emb_near_dup",
 ]

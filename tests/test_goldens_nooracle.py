@@ -232,3 +232,25 @@ def test_pq_encode_shapes(spark, planted):
     for r in codes:
         assert len(r["codes"]) == 4
         assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_ivfpq_topk_recall_floor(spark, planted):
+    """IVF pruning + PQ codes composed: planted ~0.99 neighbors survive
+    both the cell pruning and the code quantization; deterministic."""
+    from timely_spark.operators.similarity import ivfpq_topk
+
+    corpus, queries = planted
+    approx = _pairs(
+        ivfpq_topk(
+            corpus, queries, dim=32, k=5, m=8, ksub=16,
+            ncells=16, nprobe=8, sample=205,
+        )
+    )
+    assert all((q, 1000 + q) in approx for q in range(5))
+    again = _pairs(
+        ivfpq_topk(
+            corpus, queries, dim=32, k=5, m=8, ksub=16,
+            ncells=16, nprobe=8, sample=205,
+        )
+    )
+    assert approx == again

@@ -537,3 +537,108 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_score", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    ncells: int = 64,
+    nprobe: int = 8,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF + PQ composed (FAISS IVFADC shape): one Arrow pass assigns
+    each vector its coarse cell AND its PQ code, queries probe their
+    ``nprobe`` nearest cells, candidates score via ADC lookup tables.
+
+    This is the full 100 TB ANN architecture: the scan side carries
+    (cell, m-int code) per vector; the cell join prunes the corpus
+    ~ncells/nprobe-fold before any scoring; scoring is m lookups
+    JVM-side. Plan: scan -> mapInPandas encode -> broadcast cell join ->
+    window top-k — one Python stage, one broadcast, one shuffle.
+
+    Simplification vs FAISS: codes quantize the raw (normalized) vector,
+    not the cell residual — recall is slightly lower at equal m but no
+    per-cell codebooks are needed. Centroids/codebooks/probes all derive
+    deterministically (hash-ordered sample, no RNG).
+    """
+    import numpy as np
+
+    books = pq_train_codebooks(
+        corpus, dim, m=m, ksub=ksub, sample=sample, id_col=id_col, vec_col=vec_col
+    )
+    cent_rows = (
+        corpus.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(ncells)
+        .collect()
+    )
+    C = np.array([r[0] for r in cent_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cells = (X @ C.T).argmax(1).astype("int64")
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pdf[[id_col]].assign(cell_id=cells, codes=list(codes))
+
+    enc = corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, cell_id long, codes array<int>"
+    )
+
+    lut_rows = []
+    for r in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
+        qv = np.asarray(r[vec_col], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        probes = np.argsort(-(C @ qv))[:nprobe]
+        luts = [
+            [
+                round(float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j])), 9)
+                for j in range(ksub)
+            ]
+            for s in range(m)
+        ]
+        for cell in probes:
+            lut_rows.append((r[query_id_col], int(cell), luts))
+    spark = corpus.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            lut_rows,
+            f"{query_id_col} long, cell_id long, luts array<array<double>>",
+        )
+    )
+
+    scored = enc.join(qdf, "cell_id").filter(F.col(id_col) != F.col(query_id_col))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("luts"),
+            F.col("codes"),
+            lambda lut, cde: F.element_at(lut, cde + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("adc_score", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_score", "rank")
+    )
