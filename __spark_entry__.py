@@ -613,20 +613,19 @@ def q_events_retention(spark, sf_dir):
     per = coh.groupBy(
         "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
     ).agg(F.count(F.lit(1)).alias("n_active"))
-    sizes = per.filter(F.col("day_offset") == 0).select(
-        "cohort_day", F.col("n_active").alias("n_cohort")
-    )
-    return (
-        per.join(F.broadcast(sizes), "cohort_day")
-        .select(
-            "cohort_day",
-            "day_offset",
-            "n_active",
-            "n_cohort",
-            F.round(F.col("n_active") / F.col("n_cohort").cast("double"), 4).alias(
-                "retention"
-            ),
-        )
+    # cohort size = the offset-0 row, lifted by a window over the tiny
+    # (cohort, offset) aggregate — a self-join here re-executes the whole
+    # distinct+window+agg chain on both sides (6 Exchanges / 2 scans vs
+    # 4 / 1 measured)
+    n_cohort = F.max(
+        F.when(F.col("day_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_day"))
+    return per.select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        n_cohort.alias("n_cohort"),
+        F.round(F.col("n_active") / n_cohort.cast("double"), 4).alias("retention"),
     )
 
 
