@@ -828,6 +828,15 @@ def q_doc_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_oov_rate(spark, sf_dir):
+    """Per-doc OOV rate vs the corpus top-100 vocabulary (tokenizer-fit
+    audit). Vocabulary aggregate inlined as an array literal; per-doc
+    pass is a pure column expression."""
+    from timely_spark.operators.text import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_gopher_rules(spark, sf_dir):
     """Gopher hard accept/reject rules (Rae et al. 2021 A1.1): word-count
     bounds, mean word length, symbol ratio, bullet/ellipsis line
@@ -1323,13 +1332,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
         "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_oov_rate": q_doc_oov_rate,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_dedup_clusters": q_doc_dedup_clusters,
-        "doc_repetition": q_doc_repetition,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1341,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_quality": q_doc_quality,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_repetition": q_doc_repetition,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
@@ -1376,6 +1386,12 @@ def _gopher_oracle() -> str:
     from timely_spark.operators.text import gopher_rules_sql
 
     return gopher_rules_sql()
+
+
+def _oov_oracle() -> str:
+    from timely_spark.operators.text import oov_rate_sql
+
+    return oov_rate_sql()
 
 
 def _chunk_dedup_oracle() -> str:
@@ -1714,6 +1730,7 @@ SELECT doc_id, {BPE_TOKEN_COUNT_SQL.format(c=c)} AS n_pieces FROM documents""",
 SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_gopher_rules": _gopher_oracle(),
+        "doc_oov_rate": _oov_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
         "doc_seq_pack": _seq_pack_oracle(),
         "doc_domain_mixture": _mixture_oracle(),

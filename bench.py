@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "doc_lang_id",
     "doc_quality",
     "doc_gopher_rules",
+    "doc_oov_rate",
     "doc_chunk_dedup",
     "doc_seq_pack",
     "doc_domain_mixture",

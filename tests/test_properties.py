@@ -361,3 +361,41 @@ def test_m_language_reference_examples():
 
     s = _parse_m("sum:rate:m")  # bare rate, defaults
     assert s.rate and s.rate_options.interval_ms is None
+
+
+# ------------------------------------------------------------------ packing
+
+
+@given(
+    lens=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    seq_len=st.integers(4, 64),
+    bucket_docs=st.integers(1, 7),
+)
+@settings(**SETTINGS)
+def test_seq_pack_matches_python_scan(spark, lens, seq_len, bucket_docs):
+    """seq_pack == a plain running-total model, for any doc lengths,
+    sequence length, and bucket size (the two-phase scan must be
+    invisible)."""
+    from timely_spark.operators.pack import seq_pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(lens)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_units"], r["pack_first"], r["pack_last"], r["pack_offset"])
+        for r in seq_pack(
+            docs, seq_len=seq_len, bucket_docs=bucket_docs
+        ).collect()
+    }
+    cum = 0
+    for i, n in enumerate(lens):
+        units = n + 1  # EOS
+        expect = (
+            units,
+            cum // seq_len,
+            (cum + units - 1) // seq_len,
+            cum % seq_len,
+        )
+        assert got[i] == expect, (i, got[i], expect)
+        cum += units

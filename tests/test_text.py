@@ -273,3 +273,24 @@ def test_domain_mixture_rates(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(ValueError):
         domain_mixture(docs, temperature=1.0)
+
+
+def test_oov_rate_against_vocab(spark):
+    """Top-k vocab covers the frequent tokens; rare tokens count as OOV
+    at occurrence level; empty docs rate 0."""
+    from timely_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),     # cc is rank 3
+            (2, "aa bb zz qq"),           # zz qq are singletons
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    # vocab_k=2 -> vocab = {aa, bb}
+    rows = {r["doc_id"]: r for r in oov_rate(docs, vocab_k=2).collect()}
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_oov"] == 1
+    assert rows[1]["oov_rate"] == round(1 / 6, 4)
+    assert rows[2]["n_oov"] == 2 and rows[2]["oov_rate"] == 0.5
+    assert rows[3]["n_tokens"] == 0 and rows[3]["oov_rate"] == 0.0

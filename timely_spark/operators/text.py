@@ -627,3 +627,55 @@ SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
     AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
     AND stop_hits >= 2 AS gopher_pass
 FROM ratios"""
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-``vocab_k``
+    vocabulary — the tokenizer-fit audit (a doc full of tokens the
+    tokenizer's vocabulary head never saw trains badly and costs more
+    pieces per word).
+
+    The vocabulary is one map-side-combined aggregate collapsed to
+    ``vocab_k`` rows and inlined as an array literal (the k-means
+    centroid seam) — the per-doc pass is then a pure column expression:
+    no join, no second shuffle touching the corpus.
+    """
+    vocab_rows = token_frequencies(df, text_col=text_col, k=vocab_k).collect()
+    vocab = F.array(*[F.lit(r["token"]) for r in vocab_rows])
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_oov = F.size(F.filter(toks, lambda t: ~F.array_contains(vocab, t)))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(
+            F.when(n > 0, n_oov / n.cast("double")).otherwise(F.lit(0.0)), 4
+        ).alias("oov_rate"),
+    )
+
+
+def oov_rate_sql(
+    vocab_k: int = 100, c: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB equivalent of :func:`oov_rate` over ``documents``."""
+    toks = TOKENS_SQL.format(c=c)
+    return f"""
+WITH ex AS (SELECT unnest({toks}) AS token FROM documents),
+freq AS (
+  SELECT token, count(*) AS n FROM ex GROUP BY 1
+  ORDER BY n DESC, token LIMIT {vocab_k}),
+v AS (SELECT list(token) AS vl FROM freq),
+per AS (
+  SELECT {id_col}, {toks} AS ts FROM documents)
+SELECT {id_col}, CAST(len(ts) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(ts, t -> NOT list_contains(v.vl, t))) AS BIGINT) AS n_oov,
+  round(CASE WHEN len(ts) > 0
+    THEN len(list_filter(ts, t -> NOT list_contains(v.vl, t))) / CAST(len(ts) AS DOUBLE)
+    ELSE 0.0 END, 4) AS oov_rate
+FROM per CROSS JOIN v"""
