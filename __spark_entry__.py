@@ -1001,6 +1001,18 @@ def q_emb_ivfpq_ann(spark, sf_dir):
     return ivfpq_topk(emb, q, dim=64, k=10, m=8, ksub=16, ncells=32, nprobe=8)
 
 
+def q_emb_pca_project(spark, sf_dir):
+    """PCA projection to 8 components: basis trained on a deterministic
+    hash-ordered sample (numpy eigh, sign-canonicalized), projection as
+    literal-array dot products — zero shuffle, zero Python executor
+    stages. Rows-only; numpy-parity golden in test_goldens_nooracle."""
+    from timely_spark.operators.similarity import pca_components, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mu, comps, _ = pca_components(emb, dim=64, r=8)
+    return pca_project(emb, mu, comps)
+
+
 def q_emb_knn_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (approximate — rows-only check)."""
     from timely_spark.operators.similarity import lsh_topk
@@ -1322,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_pq_ann": q_emb_pq_ann,
         "emb_ivfpq_ann": q_emb_ivfpq_ann,
+        "emb_pca_project": q_emb_pca_project,
         "emb_knn_ivf": q_emb_knn_ivf,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
@@ -1337,7 +1350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_seq_pack": q_doc_seq_pack,
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_decontaminate": q_doc_decontaminate,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_novelty": q_doc_bigram_novelty,
@@ -1351,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
+        "doc_decontaminate": q_doc_decontaminate,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "emb_knn_lsh",
     "emb_pq_ann",
     "emb_ivfpq_ann",
+    "emb_pca_project",
     "emb_knn_ivf",
     "emb_near_dup",
 ]

@@ -254,3 +254,26 @@ def test_ivfpq_topk_recall_floor(spark, planted):
         )
     )
     assert approx == again
+
+
+def test_pca_project_matches_numpy(spark, planted):
+    """Components orthonormal, variance-ordered, sign-canonical; the
+    Spark projection equals the numpy projection of the same basis."""
+    import numpy as np
+
+    from timely_spark.operators.similarity import pca_components, pca_project
+
+    corpus, _ = planted
+    mu, comps, evr = pca_components(corpus, dim=32, r=4, sample=205)
+    assert comps.shape == (4, 32)
+    g = comps @ comps.T
+    assert np.allclose(g, np.eye(4), atol=1e-9)          # orthonormal
+    assert all(evr[i] >= evr[i + 1] - 1e-12 for i in range(3))  # ordered
+    for row in comps:                                     # sign convention
+        assert row[np.abs(row).argmax()] > 0
+    out = {r["vec_id"]: [r[f"pc{i}"] for i in range(4)]
+           for r in pca_project(corpus, mu, comps).collect()}
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+    for vid, vec in list(X.items())[:20]:
+        want = (vec - mu) @ comps.T
+        assert np.allclose(out[vid], np.round(want, 6), atol=1e-6), vid

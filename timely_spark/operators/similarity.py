@@ -642,3 +642,79 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_score", "rank")
     )
+
+
+# ---------------------------------------------------------------- PCA projection
+
+
+def pca_components(
+    corpus: DataFrame,
+    dim: int,
+    r: int = 8,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train a PCA basis on a deterministic hash-ordered sample (the
+    PQ/IVF training seam — fixed-size regardless of corpus scale).
+
+    Returns (mean, components r x dim, explained_variance_ratio). Signs
+    are canonicalized (largest-|x| coefficient positive) so the basis is
+    unique — eigenvectors are otherwise sign-ambiguous across BLAS
+    builds.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([row[0] for row in rows], dtype=np.float64)
+    mu = X.mean(0)
+    Xc = X - mu
+    cov = (Xc.T @ Xc) / max(len(X) - 1, 1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:r]
+    comps = V[:, order].T.copy()
+    for i in range(r):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    evr = (w[order] / max(float(w.sum()), 1e-300)).tolist()
+    return mu, comps, evr
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project vectors onto the PCA basis — mean and components inlined
+    as array literals, each coordinate a zip_with/aggregate dot product:
+    pure JVM column expressions, zero shuffle, zero Python (the
+    kmeans_assign centroid-literal idiom; at r=8 x dim=64 the literal
+    budget is ~1/4 of the k-means case the plan audit already clears).
+
+    Output: (id, pc0..pc{r-1}) — the compressed representation used for
+    whitening, visualization pre-reduction, or cheap pre-filtering in
+    front of exact cosine.
+    """
+    mu_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mu_lit, lambda a, b: a.cast("double") - b
+    )
+    cols = []
+    for i, comp in enumerate(components):
+        c_lit = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(centered, c_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(dot, round_to).alias(f"pc{i}"))
+    return corpus.select(F.col(id_col), *cols)
