@@ -828,6 +828,36 @@ def q_doc_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_url_dedup(spark, sf_dir):
+    """URL-level dedup for web corpora: three synthetic spellings of the
+    same page (www/port/fragment/tracking-param/trailing-slash variants)
+    collapse to one canonical URL; keep the lowest doc_id. Shuffles the
+    canonical-url hash only."""
+    from timely_spark.operators.text import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.expr("doc_id div 3").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://WWW.Example.com/path/"), page, F.lit("/?utm_source=x&b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://example.com/path/"), page, F.lit("?a=1&b=2#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com:443/path/"), page, F.lit("/?b=2&a=1&fbclid=zz")),
+        )
+    )
+    aug = docs.select("doc_id", url.alias("url"))
+    return (
+        aug.withColumn("canonical_url", canonical_url("url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
 def q_doc_oov_rate(spark, sf_dir):
     """Per-doc OOV rate vs the corpus top-100 vocabulary (tokenizer-fit
     audit). Vocabulary aggregate inlined as an array literal; per-doc
@@ -1346,11 +1376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-checked 50-entry prefix (test_registry_order contract)
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_oov_rate": q_doc_oov_rate,
+        "doc_url_dedup": q_doc_url_dedup,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1363,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
@@ -1405,6 +1436,25 @@ def _oov_oracle() -> str:
     from timely_spark.operators.text import oov_rate_sql
 
     return oov_rate_sql()
+
+
+def _url_dedup_oracle() -> str:
+    from timely_spark.operators.text import canonical_url_sql
+
+    canon = canonical_url_sql("url")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN
+      'https://WWW.Example.com/path/' || CAST(doc_id // 3 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+    WHEN doc_id % 3 = 1 THEN
+      'https://example.com/path/' || CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2#frag'
+    ELSE
+      'https://example.com:443/path/' || CAST(doc_id // 3 AS VARCHAR) || '/?b=2&a=1&fbclid=zz'
+    END AS url
+  FROM documents)
+SELECT {canon} AS canonical_url, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM aug GROUP BY 1"""
 
 
 def _chunk_dedup_oracle() -> str:
@@ -1744,6 +1794,7 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_quality": quality,
         "doc_gopher_rules": _gopher_oracle(),
         "doc_oov_rate": _oov_oracle(),
+        "doc_url_dedup": _url_dedup_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
         "doc_seq_pack": _seq_pack_oracle(),
         "doc_domain_mixture": _mixture_oracle(),

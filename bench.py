@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_gopher_rules",
     "doc_oov_rate",
+    "doc_url_dedup",
     "doc_chunk_dedup",
     "doc_seq_pack",
     "doc_domain_mixture",

@@ -731,3 +731,54 @@ def test_sessionize_exact_gap_boundary(spark):
         """
     ).fetchall()
     assert {(u, s): (n, d) for u, s, n, d in want} == lag_out
+
+
+def test_streaming_quality_screen_batch_parity(spark, tmp_path):
+    """The stateless document screens (Gopher rules + quality features)
+    compose into a stream unchanged: streaming availableNow output ==
+    the batch operator over the union of all micro-batch files."""
+    import json
+
+    from timely_spark.operators.text import gopher_rules
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    filler = " ".join(["the be to of and that have with"] + ["word"] * 52)
+    batches = [
+        [
+            {"doc_id": 1, "text": filler},
+            {"doc_id": 2, "text": "too short the be"},
+        ],
+        [
+            {"doc_id": 3, "text": " ".join(["###"] * 30 + ["the be word"] * 20)},
+            {"doc_id": 4, "text": filler + " extra"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        (src / f"b{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        gopher_rules(stream)
+        .writeStream.format("memory")
+        .queryName("screen_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in spark.sql("select * from screen_out").collect()
+    }
+    batch_df = spark.read.schema("doc_id long, text string").json(str(src))
+    want = {r["doc_id"]: tuple(r) for r in gopher_rules(batch_df).collect()}
+    assert got == want and set(got) == {1, 2, 3, 4}
+    assert spark.sql(
+        "select doc_id from screen_out where gopher_pass"
+    ).count() == 2

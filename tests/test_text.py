@@ -294,3 +294,28 @@ def test_oov_rate_against_vocab(spark):
     assert rows[1]["oov_rate"] == round(1 / 6, 4)
     assert rows[2]["n_oov"] == 2 and rows[2]["oov_rate"] == 0.5
     assert rows[3]["n_tokens"] == 0 and rows[3]["oov_rate"] == 0.0
+
+
+def test_canonical_url_variants(spark):
+    """All spellings of the same page canonicalize identically; distinct
+    pages stay distinct."""
+    from timely_spark.operators.text import canonical_url
+
+    urls = [
+        (1, "https://WWW.Example.com/path/?utm_source=x&b=2&a=1"),
+        (2, "https://example.com/path?a=1&b=2#frag"),
+        (3, "https://example.com:443/path/?b=2&a=1&fbclid=zz"),
+        (4, "http://example.com:80/"),
+        (5, "http://example.com"),
+        (6, "https://example.com/other"),
+        (7, "https://example.com/path?a=2&b=2"),  # different param VALUE
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonical_url("url").alias("c")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "https://example.com/path?a=1&b=2"
+    assert got[4] == got[5] == "http://example.com/"
+    assert got[6] == "https://example.com/other"
+    assert got[7] != got[1]

@@ -679,3 +679,80 @@ SELECT {id_col}, CAST(len(ts) AS BIGINT) AS n_tokens,
     THEN len(list_filter(ts, t -> NOT list_contains(v.vl, t))) / CAST(len(ts) AS DOUBLE)
     ELSE 0.0 END, 4) AS oov_rate
 FROM per CROSS JOIN v"""
+
+
+# URL query params that identify tracking, not content (web-corpus dedup
+# convention); kept as a regex alternation usable by both engines
+_TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
+
+
+def canonical_url(url_col: str | Column = "url") -> Column:
+    """Canonicalize a URL for web-corpus dedup: lowercase scheme/host,
+    strip ``www.`` and default ports, drop the fragment and tracking
+    params (utm_*, gclid, fbclid, ref), sort remaining query params,
+    normalize the trailing slash. Pure column expressions.
+
+    Crawled corpora cite the same page under many spellings; URL-level
+    dedup collapses them before any content pass runs (cheaper than
+    hashing bodies, and catches pages whose body changed between crawls).
+    """
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host0 = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host1 = F.regexp_replace(host0, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host1, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host1, r":443$", "")).otherwise(host1)
+    )
+    path0 = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path1 = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    path = F.when(
+        (path1 != "/") & path1.endswith("/"),
+        F.regexp_replace(path1, r"/$", ""),
+    ).otherwise(path1)
+    q0 = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q_parts = F.array_sort(
+        F.filter(
+            F.split(q0, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    q = F.concat_ws("&", q_parts)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(c: str = "url") -> str:
+    """DuckDB rendering of :func:`canonical_url` (keep in lock-step)."""
+    scheme = f"lower(regexp_extract({c}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host1 = (
+        f"regexp_replace(lower(regexp_extract({c}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '')"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host1}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host1}, ':443$', '') "
+        f"ELSE {host1} END"
+    )
+    path1 = (
+        f"CASE WHEN regexp_extract({c}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/' "
+        f"ELSE regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END"
+    )
+    path = (
+        f"CASE WHEN {path1} <> '/' AND {path1} LIKE '%/' "
+        f"THEN regexp_replace({path1}, '/$', '') ELSE {path1} END"
+    )
+    q = (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split(regexp_extract({c}, '\\?([^#]*)', 1), '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END"
+    )
