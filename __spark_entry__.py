@@ -828,6 +828,33 @@ def q_doc_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_normalize(spark, sf_dir):
+    """Unicode normalization pre-pass (curly quotes/dashes/ellipsis ->
+    ASCII, exotic spaces -> space, zero-width/control strip, whitespace
+    collapse): documents augmented with deterministic unicode junk, the
+    pass must fold them back; output hashes prove byte-exact parity."""
+    from timely_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    junk = F.concat(
+        F.lit("\u201cq\u201d "),
+        F.col("text"),
+        F.lit(" \u2013tail\u2026\u200b"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\u00a0even")).otherwise(F.lit("\todd")),
+    )
+    aug = docs.select("doc_id", junk.alias("text"))
+    # materialize the 8-regex normalization ONCE per row (md5 + length
+    # both consume it; inlining it twice doubles the regex work)
+    staged = aug.select(
+        "doc_id", F.length("text").alias("__raw_len"), normalize_text("text").alias("__n")
+    )
+    return staged.select(
+        "doc_id",
+        F.md5("__n").alias("norm_md5"),
+        (F.col("__raw_len") - F.length("__n")).cast("long").alias("len_delta"),
+    )
+
+
 def q_doc_url_dedup(spark, sf_dir):
     """URL-level dedup for web corpora: three synthetic spellings of the
     same page (www/port/fragment/tracking-param/trailing-slash variants)
@@ -1377,10 +1404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_url_dedup": q_doc_url_dedup,
+        "doc_normalize": q_doc_normalize,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_domain_mixture": q_doc_domain_mixture,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1394,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
@@ -1436,6 +1464,22 @@ def _oov_oracle() -> str:
     from timely_spark.operators.text import oov_rate_sql
 
     return oov_rate_sql()
+
+
+def _normalize_oracle() -> str:
+    from timely_spark.operators.text import normalize_text_sql
+
+    junk = (
+        "chr(8220) || 'q' || chr(8221) || ' ' || text || ' ' || chr(8211) || "
+        "'tail' || chr(8230) || chr(8203) || "
+        "CASE WHEN doc_id % 2 = 0 THEN chr(160) || 'even' ELSE chr(9) || 'odd' END"
+    )
+    norm = normalize_text_sql("t")
+    return f"""
+WITH aug AS (SELECT doc_id, {junk} AS t FROM documents)
+SELECT doc_id, md5({norm}) AS norm_md5,
+  CAST(length(t) - length({norm}) AS BIGINT) AS len_delta
+FROM aug"""
 
 
 def _url_dedup_oracle() -> str:
@@ -1795,6 +1839,7 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_gopher_rules": _gopher_oracle(),
         "doc_oov_rate": _oov_oracle(),
         "doc_url_dedup": _url_dedup_oracle(),
+        "doc_normalize": _normalize_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
         "doc_seq_pack": _seq_pack_oracle(),
         "doc_domain_mixture": _mixture_oracle(),

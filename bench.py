@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "doc_gopher_rules",
     "doc_oov_rate",
     "doc_url_dedup",
+    "doc_normalize",
     "doc_chunk_dedup",
     "doc_seq_pack",
     "doc_domain_mixture",

@@ -319,3 +319,26 @@ def test_canonical_url_variants(spark):
     assert got[4] == got[5] == "http://example.com/"
     assert got[6] == "https://example.com/other"
     assert got[7] != got[1]
+
+
+def test_normalize_text_folds_unicode(spark):
+    """Curly quotes/dashes/ellipsis fold to ASCII; exotic and zero-width
+    spaces collapse; control chars strip; idempotent."""
+    from timely_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a’b “c”  x–y… e f​ g\x07h"),
+            (2, "already plain text"),
+            (3, "  nb sp 　ideo  "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == "a'b \"c\" x-y... e f gh"
+    assert got[2] == "already plain text"
+    assert got[3] == "nb sp ideo"
+    # idempotent: normalizing the normalized output is a no-op
+    df2 = spark.createDataFrame([(k, v) for k, v in got.items()], ["doc_id", "text"])
+    again = {r["doc_id"]: r["n"] for r in df2.select("doc_id", normalize_text("text").alias("n")).collect()}
+    assert again == got

@@ -756,3 +756,41 @@ def canonical_url_sql(c: str = "url") -> str:
         f"{scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END"
     )
+
+
+# Unicode punctuation folded to ASCII before hashing/dedup — each pair is
+# (regex class, replacement). Classes use real code points (via \u
+# escapes) so Java regex and DuckDB RE2 read them identically; the
+# control-char class uses \x escapes, which both engines support.
+_NORMALIZE_STEPS: list[tuple[str, str]] = [
+    ("[\u2018\u2019\u201a\u201b]", "'"),        # curly single quotes
+    ("[\u201c\u201d\u201e\u201f]", '"'),        # curly double quotes
+    ("[\u2010\u2011\u2012\u2013\u2014\u2015]", "-"),  # dashes
+    ("\u2026", "..."),                             # ellipsis
+    ("[\u00a0\u2000-\u200a\u202f\u205f\u3000]", " "),  # exotic spaces
+    ("[\u200b\u200c\u200d\ufeff]", ""),         # zero-width
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),  # control (keep tab/lf/cr)
+]
+
+
+def normalize_text(text_col: str | Column = "text") -> Column:
+    """Normalization pre-pass before hashing/dedup: fold curly quotes /
+    dashes / ellipsis to ASCII, map exotic Unicode spaces to plain
+    space, strip zero-width and control characters, collapse whitespace
+    runs, trim. Chained regexp_replace — JVM-side, no Python."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in _NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(c: str = "text") -> str:
+    """DuckDB rendering of :func:`normalize_text` (keep in lock-step)."""
+    expr = c
+    for pat, rep in _NORMALIZE_STEPS:
+        rep_sql = rep.replace("'", "''")
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    expr = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
+    return f"trim({expr})"
