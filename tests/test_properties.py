@@ -399,3 +399,45 @@ def test_seq_pack_matches_python_scan(spark, lens, seq_len, bucket_docs):
         )
         assert got[i] == expect, (i, got[i], expect)
         cum += units
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk_tokens=st.integers(1, 5),
+)
+@settings(**SETTINGS)
+def test_chunk_dedup_matches_python_model(spark, docs, chunk_tokens):
+    """chunk_dedup == a dict-of-sets Python model for any corpus and
+    chunk size (distinct chunk hashes per doc; shared = seen in >1 doc)."""
+    from timely_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_shared_chunks"])
+        for r in chunk_dedup(df, chunk_tokens=chunk_tokens).collect()
+    }
+    # python model
+    per_doc: dict[int, set] = {}
+    for i, toks in enumerate(docs):
+        chunks = {
+            " ".join(toks[j : j + chunk_tokens])
+            for j in range(0, len(toks), chunk_tokens)
+        }
+        if toks:
+            per_doc[i] = chunks
+    counts: dict[str, int] = {}
+    for chunks in per_doc.values():
+        for ch in chunks:
+            counts[ch] = counts.get(ch, 0) + 1
+    want = {
+        i: (len(chunks), sum(1 for ch in chunks if counts[ch] > 1))
+        for i, chunks in per_doc.items()
+    }
+    assert got == want
