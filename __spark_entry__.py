@@ -828,6 +828,54 @@ def q_doc_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_curation(spark, sf_dir):
+    """The curation pipeline as ONE Catalyst plan: unicode-normalized
+    exact dedup (min-id keeper via an md5-window), Gopher hard screen,
+    and temperature-2 domain mixture, composed and rolled up per source.
+    Keep decisions reuse doc_domain_mixture's md5 key, so the two
+    queries agree doc-for-doc. Shuffles: norm-md5 window + tiny source
+    aggs — never the text."""
+    from timely_spark.operators.text import gopher_signals, normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = gopher_signals("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        sig["gopher_pass"].alias("gpass"),
+        F.md5(normalize_text("text")).alias("nmd5"),
+    )
+    base = base.withColumn(
+        "is_keeper",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("nmd5")),
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
+    counts = counts.withColumn("n_min", F.min("n_d").over(Window.partitionBy()))
+    rates = counts.select(
+        "source", F.sqrt(F.col("n_min") / F.col("n_d").cast("double")).alias("rate")
+    )
+    joined = base.join(F.broadcast(rates), "source")
+    key = F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))),
+        8,
+        "0",
+    )
+    kept = F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(
+        F.substring(F.md5(key), 1, 8) < thr
+    )
+    fin = joined.withColumn("kept_mix", kept).withColumn(
+        "survivor", F.col("gpass") & F.col("is_keeper") & F.col("kept_mix")
+    )
+    return fin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("gpass").cast("long")).alias("n_gopher_pass"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        F.sum(F.col("kept_mix").cast("long")).alias("n_kept_mixture"),
+        F.sum(F.col("survivor").cast("long")).alias("n_survivors"),
+    )
+
+
 def q_doc_normalize(spark, sf_dir):
     """Unicode normalization pre-pass (curly quotes/dashes/ellipsis ->
     ASCII, exotic spaces -> space, zero-width/control strip, whitespace
@@ -1405,10 +1453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         "doc_url_dedup": q_doc_url_dedup,
         "doc_normalize": q_doc_normalize,
+        "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_domain_mixture": q_doc_domain_mixture,
-        "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_freq": q_doc_token_freq,
@@ -1422,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
@@ -1464,6 +1513,38 @@ def _oov_oracle() -> str:
     from timely_spark.operators.text import oov_rate_sql
 
     return oov_rate_sql()
+
+
+def _curation_oracle() -> str:
+    from timely_spark.operators.text import gopher_rules_sql, normalize_text_sql
+
+    norm = normalize_text_sql("text")
+    g = gopher_rules_sql()
+    return f"""
+WITH g AS (SELECT doc_id, gopher_pass FROM ({g})),
+base AS (
+  SELECT d.doc_id, d.source, g.gopher_pass AS gpass, md5({norm}) AS nmd5
+  FROM documents d JOIN g USING (doc_id)),
+keep AS (
+  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY nmd5) AS is_keeper
+  FROM base),
+cnt AS (SELECT source, count(*) AS n_d FROM documents GROUP BY 1),
+rates AS (
+  SELECT source, sqrt((SELECT min(n_d) FROM cnt) / CAST(n_d AS DOUBLE)) AS rate
+  FROM cnt),
+fin AS (
+  SELECT k.*, CASE WHEN r.rate >= 1.0 THEN TRUE
+    ELSE substr(md5(k.source || ':' || CAST(k.doc_id AS VARCHAR)), 1, 8)
+         < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+  END AS kept_mix
+  FROM keep k JOIN rates r USING (source))
+SELECT source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN gpass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+  CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+  CAST(sum(CASE WHEN kept_mix THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_mixture,
+  CAST(sum(CASE WHEN gpass AND is_keeper AND kept_mix THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_survivors
+FROM fin GROUP BY 1"""
 
 
 def _normalize_oracle() -> str:
@@ -1840,6 +1921,7 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_oov_rate": _oov_oracle(),
         "doc_url_dedup": _url_dedup_oracle(),
         "doc_normalize": _normalize_oracle(),
+        "doc_curation": _curation_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
         "doc_seq_pack": _seq_pack_oracle(),
         "doc_domain_mixture": _mixture_oracle(),

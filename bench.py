@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "doc_oov_rate",
     "doc_url_dedup",
     "doc_normalize",
+    "doc_curation",
     "doc_chunk_dedup",
     "doc_seq_pack",
     "doc_domain_mixture",

@@ -342,3 +342,31 @@ def test_normalize_text_folds_unicode(spark):
     df2 = spark.createDataFrame([(k, v) for k, v in got.items()], ["doc_id", "text"])
     again = {r["doc_id"]: r["n"] for r in df2.select("doc_id", normalize_text("text").alias("n")).collect()}
     assert again == got
+
+
+def test_curation_pipeline_composition(spark, tmp_path):
+    """The one-plan curation rollup: unicode variants dedup together
+    (normalize feeds the keeper hash), component counts bound survivors,
+    and mixture decisions match doc_domain_mixture's md5 convention."""
+    import __spark_entry__ as e
+
+    filler = " ".join(["the be to of and that have with"] + ["word"] * 52)
+    rows = [
+        (1, "web", filler + " it’s fine"),    # curly apostrophe
+        (2, "web", filler + " it's fine"),    # ASCII twin -> same nmd5
+        (3, "web", "too short the be"),
+        (4, "books", filler),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"]).withColumn(
+        "lang", F.lit("en")
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in e.q_doc_curation(spark, str(tmp_path)).collect()}
+    web, books = out["web"], out["books"]
+    assert web["n_docs"] == 3 and web["n_keepers"] == 2  # 1 and 2 merged
+    assert web["n_gopher_pass"] == 2  # doc 3 too short
+    assert books["n_docs"] == 1 and books["n_kept_mixture"] == 1  # rarest: rate 1
+    for r in out.values():
+        assert r["n_survivors"] <= min(
+            r["n_gopher_pass"], r["n_keepers"], r["n_kept_mixture"]
+        )

@@ -529,7 +529,25 @@ def gopher_rules(
     - >= 80% of words contain an alphabetic character
     - >= 2 of GOPHER_REQUIRED_STOPWORDS present
     """
-    c = F.col(text_col)
+    sig = gopher_signals(text_col)
+    return df.select(
+        F.col(id_col),
+        sig["n_words"].cast("long").alias("n_words"),
+        F.round(sig["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(sig["symbol_word_ratio"], 4).alias("symbol_word_ratio"),
+        F.round(sig["bullet_line_frac"], 4).alias("bullet_line_frac"),
+        F.round(sig["ellipsis_line_frac"], 4).alias("ellipsis_line_frac"),
+        F.round(sig["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        sig["stop_hits"].cast("long").alias("stop_hits"),
+        sig["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+def gopher_signals(text_col: str | Column = "text") -> dict[str, Column]:
+    """The raw (unrounded) Gopher signal/pass expressions, for composing
+    into larger single-plan pipelines (see ``gopher_rules`` for the
+    per-query projection)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     nw = n_words.cast("double")
@@ -574,17 +592,16 @@ def gopher_rules(
         & (alpha_frac >= 0.8)
         & (stop_hits >= 2)
     )
-    return df.select(
-        F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
-        stop_hits.cast("long").alias("stop_hits"),
-        gopher_pass.alias("gopher_pass"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "gopher_pass": gopher_pass,
+    }
 
 
 def gopher_rules_sql(c: str = "text", id_col: str = "doc_id") -> str:
