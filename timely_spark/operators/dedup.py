@@ -674,10 +674,14 @@ def chunk_dedup(
     exploded = (
         df.select(F.col(id_col), F.explode(F.when(F.size(toks) > 0, chunks)).alias("__h"))
     )
-    counts = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__n_docs"))
+    # per-chunk visibility via a count window over the exploded frame —
+    # the groupBy + join-back formulation re-ran the tokenize/explode
+    # branch for BOTH join sides (2 scans) and paid an extra Exchange
+    counts = exploded.withColumn(
+        "__n_docs", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    )
     return (
-        exploded.join(counts, "__h")
-        .groupBy(id_col)
+        counts.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(F.when(F.col("__n_docs") > 1, 1).otherwise(0)).alias(
