@@ -8,7 +8,7 @@ keep the two in lock-step when editing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
@@ -420,11 +420,12 @@ def bigram_novelty(
     ``rare_max_count`` times in the WHOLE corpus. Low novelty =
     boilerplate (every bigram is common); high = unique or gibberish.
 
-    Scale shape: one corpus-linear (bigram) count with map-side combine
-    trains the model; scoring re-joins docs' bigrams to the model on the
-    bigram key (shuffle join — the model is vocabulary-sized, AQE may
-    broadcast it); the final per-doc agg is integer-exact, so the single
-    rounded division per output row is order-independent.
+    Scale shape: the model IS a count window over the exploded (doc,
+    bigram) frame — training and scoring share one shuffle on the
+    bigram key, and the exploded branch executes once (the earlier
+    aggregate + join-back re-ran it on both join sides: 2 scans). The
+    final per-doc agg is integer-exact, so the single rounded division
+    per output row is order-independent.
     """
     # materialize the token array ONCE per row — referencing tokens()
     # inside each transform element would re-run the regex split per
@@ -441,10 +442,11 @@ def bigram_novelty(
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = tk.select(id_col, F.explode(bg_arr).alias("bigram"))
-    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    scored = bg.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+    )
     return (
-        bg.join(model, "bigram")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(
