@@ -674,17 +674,27 @@ def chunk_dedup(
     exploded = (
         df.select(F.col(id_col), F.explode(F.when(F.size(toks) > 0, chunks)).alias("__h"))
     )
-    # per-chunk visibility via a count window over the exploded frame —
-    # the groupBy + join-back formulation re-ran the tokenize/explode
-    # branch for BOTH join sides (2 scans) and paid an extra Exchange
-    counts = exploded.withColumn(
-        "__n_docs", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    # Skew-safe shape: the SHARED set ({hash: in >1 doc} — only
+    # duplicated boilerplate, small in real corpora) aggregates with
+    # map-side combine and broadcasts back. A count window over the
+    # exploded frame would be one scan cheaper locally but sends every
+    # occurrence of a hot chunk (exactly what this operator hunts) to a
+    # single task — a straggler at scale. Both aggs here partial-combine;
+    # the probe join is broadcast, so no exploded row ever shuffles on
+    # the hash key. If the shared set outgrows the broadcast threshold,
+    # Spark falls back to a shuffle join that AQE skew-splits.
+    shared = (
+        exploded.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .filter(F.col("__n_docs") > 1)
+        .select("__h", F.lit(1).alias("__is_shared"))
     )
+    flagged = exploded.join(F.broadcast(shared), "__h", "left")
     return (
-        counts.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("__n_docs") > 1, 1).otherwise(0)).alias(
+            F.sum(F.coalesce(F.col("__is_shared"), F.lit(0))).alias(
                 "n_shared_chunks"
             ),
         )

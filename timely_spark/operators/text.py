@@ -420,10 +420,12 @@ def bigram_novelty(
     ``rare_max_count`` times in the WHOLE corpus. Low novelty =
     boilerplate (every bigram is common); high = unique or gibberish.
 
-    Scale shape: the model IS a count window over the exploded (doc,
-    bigram) frame — training and scoring share one shuffle on the
-    bigram key, and the exploded branch executes once (the earlier
-    aggregate + join-back re-ran it on both join sides: 2 scans). The
+    Scale shape: rarity inverts Zipf — the COMMON set (count >
+    ``rare_max_count``, the vocabulary head) is small, so it aggregates
+    with map-side combine and broadcasts back; a doc's rare count is
+    bigrams minus common-hits. No exploded row ever shuffles on the
+    bigram key (a per-bigram window would funnel every "of the" in the
+    corpus to one task), and both aggregations partial-combine. The
     final per-doc agg is integer-exact, so the single rounded division
     per output row is order-independent.
     """
@@ -442,15 +444,19 @@ def bigram_novelty(
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = tk.select(id_col, F.explode(bg_arr).alias("bigram"))
-    scored = bg.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+    common = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > rare_max_count)
+        .select("bigram", F.lit(1).alias("__is_common"))
     )
+    flagged = bg.join(F.broadcast(common), "bigram", "left")
     return (
-        scored.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(
-                F.when(F.col("c") <= rare_max_count, 1).otherwise(0)
+                F.lit(1) - F.coalesce(F.col("__is_common"), F.lit(0))
             ).cast("bigint").alias("n_rare"),
         )
         .select(
