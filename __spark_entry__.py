@@ -845,9 +845,19 @@ def q_doc_curation(spark, sf_dir):
         sig["gopher_pass"].alias("gpass"),
         F.md5(normalize_text("text")).alias("nmd5"),
     )
-    base = base.withColumn(
+    # keeper via the dup head set, not a min-window on nmd5: a window
+    # would funnel every copy of a mass-duplicated text to one task.
+    # Hashes with one member are trivially keepers; the dup set is small
+    # and broadcasts (chunk_dedup's skew-safe shape).
+    dups = (
+        base.groupBy("nmd5")
+        .agg(F.min("doc_id").alias("__keep_id"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("nmd5", "__keep_id")
+    )
+    base = base.join(F.broadcast(dups), "nmd5", "left").withColumn(
         "is_keeper",
-        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("nmd5")),
+        F.col("__keep_id").isNull() | (F.col("doc_id") == F.col("__keep_id")),
     )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
     counts = counts.withColumn("n_min", F.min("n_d").over(Window.partitionBy()))
