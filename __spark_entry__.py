@@ -1042,15 +1042,23 @@ def q_emb_knn(spark, sf_dir):
     joined = emb.select("vec_id", "embedding").crossJoin(q).filter(
         F.col("vec_id") != F.col("query_id")
     )
+    from timely_spark.operators.similarity import per_query_topk
+
     sim = cosine_similarity_col(F.col("embedding"), F.col("qvec"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("cosine"), 6)), F.col("vec_id")
+    # two-phase salted top-k (similarity.per_query_topk): the single
+    # per-query window would funnel the whole corpus' candidates for a
+    # query into one task at scale
+    scored = joined.withColumn("cosine", sim).withColumn(
+        "__score_r", F.round(F.col("cosine"), 6)
     )
     return (
-        joined.withColumn("cosine", sim)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rnk")
+        per_query_topk(scored, 10, "__score_r", "query_id", "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rnk"),
+        )
     )
 
 

@@ -63,12 +63,47 @@ def cosine_topk(
     # exclude self-matches when the query set is drawn from the corpus
     joined = joined.filter(F.col(id_col) != F.col(query_id_col))
     sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return per_query_topk(
+        joined.withColumn("cosine", sim), k, "cosine", query_id_col, id_col
+    ).select(query_id_col, id_col, "cosine", "rank")
+
+
+
+def per_query_topk(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact two-phase per-query top-k without a corpus-wide window.
+
+    ``Window.partitionBy(query)`` funnels EVERY candidate for a query
+    into one task — corpus-sized for brute-force/PQ scans, a straggler
+    at scale. Phase 1 ranks within (query, id-hash salt) slices
+    (parallel, ~candidates/salt_buckets rows each) and keeps k per
+    slice; phase 2 ranks the surviving <= k * salt_buckets rows per
+    query. The (score desc, id asc) ordering is total, so the output is
+    EXACTLY the single-window result — oracle-checked via emb_knn.
+    Returns the input columns plus ``rank``, filtered to rank <= k.
+    """
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(query_id_col, "__salt").orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    pruned = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
     return (
-        joined.withColumn("cosine", sim)
-        .withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
+        .drop("__salt", "__r1")
     )
 
 
@@ -151,13 +186,9 @@ def lsh_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        joined.withColumn("cosine", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return per_query_topk(
+        joined.withColumn("cosine", sim), k, "cosine", query_id_col, id_col
+    ).select(query_id_col, id_col, "cosine", "rank")
 
 
 def ivf_topk(
@@ -213,13 +244,9 @@ def ivf_topk(
         F.col(id_col) != F.col(query_id_col)
     )
     sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
-    return (
-        joined.withColumn("cosine", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return per_query_topk(
+        joined.withColumn("cosine", sim), k, "cosine", query_id_col, id_col
+    ).select(query_id_col, id_col, "cosine", "rank")
 
 
 def kmeans_assign(
@@ -528,15 +555,9 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("adc_score"), F.col(id_col)
-    )
-    return (
-        scored.withColumn("adc_score", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc_score", "rank")
-    )
+    return per_query_topk(
+        scored.withColumn("adc_score", adc), k, "adc_score", query_id_col, id_col
+    ).select(query_id_col, id_col, "adc_score", "rank")
 
 
 def ivfpq_topk(
@@ -633,15 +654,9 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("adc_score"), F.col(id_col)
-    )
-    return (
-        scored.withColumn("adc_score", adc)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "adc_score", "rank")
-    )
+    return per_query_topk(
+        scored.withColumn("adc_score", adc), k, "adc_score", query_id_col, id_col
+    ).select(query_id_col, id_col, "adc_score", "rank")
 
 
 # ---------------------------------------------------------------- PCA projection
