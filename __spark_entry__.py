@@ -1161,6 +1161,36 @@ def q_emb_knn_ivf(spark, sf_dir):
     return ivf_topk(emb, q, k=10, ncells=16, nprobe=4)
 
 
+def q_media_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs across modalities' codecs: decode BMP
+    payloads to 8x8 aHash perceptual fingerprints (real codec), then the
+    generalized pigeonhole Hamming join (`dedup.hamming_near_dups`, the
+    SimHash blocking machinery applied to an IMAGE hash). Planted
+    near-dups are byte-perturbed copies of real images (one pixel
+    brightened) — the operator must pair each with its original and
+    nothing else. Rows-only (perceptual hash not SQL-expressible)."""
+    from timely_spark.operators.dedup import hamming_near_dups
+    from timely_spark.operators.multimodal import (
+        extract_image_features,
+        make_bmp,
+        MEDIA_SCHEMA,
+    )
+
+    rows = []
+    for i in range(24):
+        payload = make_bmp(24 + i % 16, 24 + (i * 3) % 16, seed=i)
+        rows.append((i, "image", "image/bmp", payload, None))
+        if i % 4 == 0:  # planted near-dup: brighten one pixel byte
+            p = bytearray(payload)
+            p[60] = (p[60] + 40) % 256
+            rows.append((1000 + i, "image", "image/bmp", bytes(p), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_image_features(media).select("media_id", "phash")
+    return hamming_near_dups(
+        feats, "phash", id_col="media_id", max_hamming=3
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal features with the REAL in-container codecs: BMP, PNG
     (stdlib zlib inflate + scanline de-filtering) and baseline JPEG
@@ -1462,8 +1492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "media_features": q_media_features,
+        "media_near_dup": q_media_near_dup,
         # oracle-backed document pipeline
-        "doc_incremental_dedup": q_doc_incremental_dedup,
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
@@ -1486,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_repetition": q_doc_repetition,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_tfidf_terms": q_doc_tfidf_terms,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "emb_pca_project",
     "emb_knn_ivf",
     "emb_near_dup",
+    "media_near_dup",
 ]
 
 

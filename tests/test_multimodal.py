@@ -322,3 +322,14 @@ def test_jpeg_codec_property_random_images():
         assert float(np.abs(luma - src).mean()) < tol
 
     check()
+
+
+def test_media_near_dup_pairs_planted(spark):
+    """aHash Hamming blocking over real BMP decodes: each perturbed copy
+    pairs with exactly its original; distinct images don't pair."""
+    import __spark_entry__ as e
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             e.q_media_near_dup(spark, "/root/testdata/sf0.001").collect()}
+    assert set(pairs) == {(i, 1000 + i) for i in range(24) if i % 4 == 0}
+    assert all(h <= 3 for h in pairs.values())

@@ -261,44 +261,68 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     return df.withColumn("simhash", fingerprint)
 
 
-def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+def hamming_near_dups(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit chunks.
+    """Near-dup pairs over ANY 64-bit perceptual/locality hash column by
+    Hamming distance, blocked on equal-width bit chunks.
 
-    Pigeonhole: distance <= 3 over 4 chunks => at least one chunk equal, so
-    join on each chunk and verify — avoids the all-pairs O(n^2) join.
+    Pigeonhole: distance <= max_hamming < chunks => at least one chunk
+    equal, so join on each chunk and verify — never the all-pairs
+    O(n^2) join, and EXACT recall (``chunks=None`` auto-picks the
+    smallest 64-divisor > max_hamming; the earlier fixed-4-chunk form
+    silently lost recall past distance 3). Works for text SimHash and
+    image aHash alike. More chunks = shorter keys = bigger buckets:
+    the usual banding recall/cost dial.
     """
-    sh = simhash(df, text_col).select(id_col, "simhash")
-    chunk_idx = F.sequence(F.lit(0), F.lit(3))
+    if chunks is None:
+        chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
+    if max_hamming >= chunks or 64 % chunks:
+        raise ValueError("need max_hamming < chunks and chunks | 64")
+    bits = 64 // chunks
+    mask = (1 << bits) - 1
+    sh = hashed.select(F.col(id_col), F.col(hash_col).alias("__hh"))
+    chunk_idx = F.sequence(F.lit(0), F.lit(chunks - 1))
     blocked = sh.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col("__hh"),
         F.explode(
             F.transform(
                 chunk_idx,
                 lambda i: F.struct(
                     i.alias("chunk"),
-                    F.call_function("shiftright", F.col("simhash"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.call_function("shiftright", F.col("__hh"), i * bits)
+                    .bitwiseAND(F.lit(mask))
                     .alias("key"),
                 ),
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.key")
+    ).select(id_col, "__hh", "c.chunk", "c.key")
     a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
+    return (
         a.join(b, ["chunk", "key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__hh").bitwiseXOR(F.col("b.__hh"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit
+    chunks (see :func:`hamming_near_dups` for the pigeonhole argument)."""
+    sh = simhash(df, text_col).select(id_col, "simhash")
+    return hamming_near_dups(sh, "simhash", id_col, max_hamming)
 
 
 # ---------------------------------------------------------------- embedding near-dup
