@@ -1011,6 +1011,17 @@ def q_doc_domains(spark, sf_dir):
     )
 
 
+def q_doc_classifier_score(spark, sf_dir):
+    """Linear bag-of-hashed-words classifier filter (fasttext-style
+    quality gate): weight vector inlined as an array literal, md5-bucket
+    feature hashing, logistic p(keep) — zero shuffles. Tail registry
+    slot this round (prefix full of first-evidence queries); local
+    oracle + pytest cover it."""
+    from timely_spark.operators.text import classifier_score
+
+    return classifier_score(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_length_stats(spark, sf_dir):
     """Per-source token-length distribution (exact interpolated
     percentiles — the corpus audit before length filtering). Spark
@@ -1509,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_token_freq": q_doc_token_freq,
         # ---- entry 51+: green-for-two-rounds trivials and TPC-H demos ----
+        "doc_classifier_score": q_doc_classifier_score,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1594,6 +1606,12 @@ SELECT source, count(*) AS n_docs,
   CAST(sum(CASE WHEN gpass AND is_keeper AND kept_mix THEN 1 ELSE 0 END) AS BIGINT)
     AS n_survivors
 FROM fin GROUP BY 1"""
+
+
+def _classifier_oracle() -> str:
+    from timely_spark.operators.text import classifier_score_sql
+
+    return classifier_score_sql()
 
 
 def _normalize_oracle() -> str:
@@ -1970,6 +1988,7 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_oov_rate": _oov_oracle(),
         "doc_url_dedup": _url_dedup_oracle(),
         "doc_normalize": _normalize_oracle(),
+        "doc_classifier_score": _classifier_oracle(),
         "doc_curation": _curation_oracle(),
         "doc_chunk_dedup": _chunk_dedup_oracle(),
         "doc_seq_pack": _seq_pack_oracle(),

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_url_dedup",
     "doc_normalize",
     "doc_curation",
+    "doc_classifier_score",
     "doc_chunk_dedup",
     "doc_seq_pack",
     "doc_domain_mixture",

@@ -370,3 +370,28 @@ def test_curation_pipeline_composition(spark, tmp_path):
         assert r["n_survivors"] <= min(
             r["n_gopher_pass"], r["n_keepers"], r["n_kept_mixture"]
         )
+
+
+def test_classifier_score_hashed_features(spark):
+    """Custom weights: docs full of the positive token score near 1,
+    negative near 0, empty exactly 0.5; bucket arithmetic matches the
+    Python md5 reference."""
+    import hashlib
+
+    from timely_spark.operators.text import classifier_score
+
+    D = 64
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % D
+    w = [0.0] * D
+    w[bucket("good")] = 1.0
+    w[bucket("bad")] = -1.0
+    assert bucket("good") != bucket("bad")
+    docs = spark.createDataFrame(
+        [(1, "good " * 20), (2, "bad " * 20), (3, ""), (4, "good bad")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in classifier_score(docs, weights=w).collect()}
+    assert rows[1]["mean_score"] == 1.0 and rows[1]["p_keep"] > 0.9
+    assert rows[2]["mean_score"] == -1.0 and rows[2]["p_keep"] < 0.1
+    assert rows[3]["mean_score"] == 0.0 and rows[3]["p_keep"] == 0.5
+    assert rows[4]["mean_score"] == 0.0

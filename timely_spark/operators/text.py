@@ -819,3 +819,81 @@ def normalize_text_sql(c: str = "text") -> str:
         expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
     expr = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
     return f"trim({expr})"
+
+
+# ---------------------------------------------------------------- linear classifier scoring
+
+_CLF_DIM = 1024  # hashed feature space (fasttext-bucket analogue)
+
+
+def _clf_weights(dim: int = _CLF_DIM) -> list[float]:
+    """Deterministic synthetic weight vector (Knuth-hash formula, rounded
+    to 6dp so both engines inline the identical literals). A real
+    pipeline loads trained weights; the Spark-side plumbing is the
+    point here."""
+    out = []
+    for j in range(dim):
+        h = (j * 2654435761) % (1 << 32)
+        out.append(round(h / float(1 << 31) - 1.0, 6))
+    return out
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear bag-of-hashed-words quality score (the fasttext-classifier
+    filtering stage of GPT-3/LLaMA-style pipelines) as pure column
+    expressions: each token indexes the weight vector via an md5-derived
+    bucket, scores sum per doc, and a logistic squash yields p(keep).
+
+    The weight vector inlines as an array literal (model broadcast by
+    plan, not by join); scoring is corpus-linear with ZERO shuffles.
+    md5-bucket hashing (not xxhash64) keeps the oracle engine-exact.
+    """
+    w = weights if weights is not None else _clf_weights()
+    warr = F.array(*[F.lit(float(x)) for x in w])
+    d = len(w)
+    toks = tokens(text_col)
+    # md5 hex prefix -> bucket: identical arithmetic in DuckDB
+    idx = lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(d))  # noqa: E731
+    score = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(warr, (idx(t) + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n = F.size(toks)
+    mean_score = F.when(n > 0, score / n.cast("double")).otherwise(F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_score * 4))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(p, 6).alias("p_keep"),
+    )
+
+
+def classifier_score_sql(
+    weights: list[float] | None = None, c: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB equivalent of :func:`classifier_score` over ``documents``."""
+    w = weights if weights is not None else _clf_weights()
+    wl = "[" + ",".join(repr(x) for x in w) + "]"
+    d = len(w)
+    toks = TOKENS_SQL.format(c=c)
+    idx = (
+        f"CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER % {d}"
+    )
+    return f"""
+WITH per AS (
+  SELECT {id_col}, {toks} AS ts, {wl}::DOUBLE[] AS w FROM documents),
+scored AS (
+  SELECT {id_col}, len(ts) AS n,
+    list_sum(list_transform(ts, t -> w[({idx}) + 1])) AS s
+  FROM per)
+SELECT {id_col}, CAST(n AS BIGINT) AS n_tokens,
+  round(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS mean_score,
+  round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END) * 4)), 6) AS p_keep
+FROM scored"""
