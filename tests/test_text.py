@@ -395,3 +395,31 @@ def test_classifier_score_hashed_features(spark):
     assert rows[2]["mean_score"] == -1.0 and rows[2]["p_keep"] < 0.1
     assert rows[3]["mean_score"] == 0.0 and rows[3]["p_keep"] == 0.5
     assert rows[4]["mean_score"] == 0.0
+
+
+def test_write_packed_corpus_shards(spark, tmp_path):
+    """Shard directories partition the pack space; read-back placement
+    equals seq_pack's answer."""
+    from timely_spark.operators.pack import seq_pack, write_packed_corpus
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 30)) for i in range(40)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "packed")
+    n_shards = write_packed_corpus(
+        docs, out, seq_len=64, packs_per_shard=4
+    )
+    # 40 docs x 31 units = 1240 units -> 20 packs of 64 -> 5 shards of 4
+    assert n_shards == 5
+    back = spark.read.parquet(out)
+    want = {
+        r["doc_id"]: (r["pack_first"], r["pack_offset"])
+        for r in seq_pack(docs, seq_len=64).collect()
+    }
+    got = {
+        r["doc_id"]: (r["pack_first"], r["pack_offset"]) for r in back.collect()
+    }
+    assert got == want
+    # shard column consistent with pack_first
+    for r in back.collect():
+        assert r["shard"] == r["pack_first"] // 4

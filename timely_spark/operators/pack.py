@@ -97,3 +97,44 @@ SELECT {id_col}, CAST(n_units AS BIGINT) AS n_units,
   CAST((cum_end - 1) // {seq_len} AS BIGINT) AS pack_last,
   CAST((cum_end - n_units) % {seq_len} AS BIGINT) AS pack_offset
 FROM cum"""
+
+
+def write_packed_corpus(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    packs_per_shard: int = 64,
+    bucket_docs: int = 4096,
+) -> int:
+    """Materialize the packed corpus as shard-partitioned Parquet — the
+    sink half of :func:`seq_pack`.
+
+    Each doc lands in ``shard = pack_first // packs_per_shard``; a
+    training loader then reads one shard directory per worker and
+    reconstructs sequences locally (docs are sorted by id within a
+    shard, and the pack/offset columns say exactly where each doc's
+    tokens sit). Writing is ``partitionBy(shard)`` — Spark's writer
+    creates one directory per shard, and because shard ids are
+    monotone in doc id, each input partition feeds few shards (no
+    write-side shuffle storm).
+
+    Returns the shard count.
+    """
+    spans = seq_pack(
+        df, text_col=text_col, id_col=id_col, seq_len=seq_len, bucket_docs=bucket_docs
+    )
+    packed = (
+        df.select(id_col, text_col)
+        .join(spans, id_col)
+        .withColumn(
+            "shard", F.expr(f"pack_first DIV {packs_per_shard}").cast("int")
+        )
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    import os
+
+    return sum(
+        1 for d in os.listdir(path) if d.startswith("shard=")
+    )
