@@ -423,3 +423,27 @@ def test_write_packed_corpus_shards(spark, tmp_path):
     # shard column consistent with pack_first
     for r in back.collect():
         assert r["shard"] == r["pack_first"] // 4
+
+
+def test_curate_cli_pipeline(spark, tmp_path):
+    """tools/curate.py end-to-end: planted exact dup collapses, stats
+    stage counts are consistent, shards written and readable."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    rows = [(i, "web", filler + f" unique{i}") for i in range(20)]
+    rows.append((100, "web", filler + " unique3"))  # exact dup of doc 3
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0)
+    assert stats["n_input"] == 21
+    assert stats["stage_pass"]["dedup_keeper"] == 20  # dup lost its slot
+    assert stats["n_survivors"] <= 20 and stats["n_survivors"] > 0
+    assert stats["n_shards"] >= 1
+    back = spark.read.parquet(out)
+    assert back.count() == stats["n_survivors"]
+    assert 100 not in {r["doc_id"] for r in back.collect()}

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""End-to-end corpus curation CLI — the library driven as a product.
+
+Reads ``documents.parquet`` from a scale-factor directory, runs the
+screen pipeline (unicode normalization, Gopher hard rules, linear
+classifier filter, normalized-text exact dedup, temperature-2 domain
+mixture), writes the surviving documents as a shard-partitioned packed
+corpus (``write_packed_corpus``), and prints ONE JSON line of stats.
+
+Usage:
+    python tools/curate.py [--sf-dir DIR] [--out DIR] [--seq-len N]
+                           [--min-p-keep P]
+
+Every stage is a column expression or hash-keyed aggregate from
+``timely_spark.operators`` — the whole run is three Spark jobs (screen +
+count, dup head set, packed write), no collect of document data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float = 0.4,
+           gopher: bool = False):
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.dedup import exact_dup_groups
+    from timely_spark.operators.mixture import domain_mixture
+    from timely_spark.operators.pack import write_packed_corpus
+    from timely_spark.operators.text import (
+        classifier_score,
+        gopher_signals,
+        normalize_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_input = docs.count()
+
+    sig = gopher_signals("text")
+    normed = docs.select(
+        "doc_id", "source", normalize_text("text").alias("text"),
+        sig["gopher_pass"].alias("gopher_pass"),
+    )
+    clf = classifier_score(normed).select("doc_id", "p_keep")
+    mix = domain_mixture(docs).select("doc_id", "kept")
+
+    dups = exact_dup_groups(normed).select(
+        F.col("content_hash"), F.col("keep_id")
+    )
+    hashed = normed.withColumn("content_hash", F.md5("text"))
+    keepers = hashed.join(F.broadcast(dups), "content_hash", "left").withColumn(
+        "is_keeper",
+        F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id")),
+    )
+
+    staged = keepers.join(clf, "doc_id").join(mix, "doc_id")
+    keep = (
+        F.col("is_keeper") & F.col("kept") & (F.col("p_keep") >= min_p_keep)
+    )
+    if gopher:
+        # the Gopher stopword/word-count rules assume natural-language
+        # prose; off by default so synthetic/code corpora survive
+        keep = keep & F.col("gopher_pass")
+    # one job: per-stage pass counts + the final decision
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_gopher"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
+        F.sum(F.col("kept").cast("long")).alias("n_mixture"),
+        F.sum((F.col("p_keep") >= min_p_keep).cast("long")).alias("n_clf"),
+        F.sum(keep.cast("long")).alias("n_out"),
+    ).collect()[0]
+    survivors = staged.filter(keep).select("doc_id", "text")
+    n_out = int(agg["n_out"])
+    n_shards = write_packed_corpus(survivors, out, seq_len=seq_len) if n_out else 0
+    return {
+        "n_input": n_input,
+        "stage_pass": {
+            "gopher": int(agg["n_gopher"]),
+            "dedup_keeper": int(agg["n_keepers"]),
+            "mixture": int(agg["n_mixture"]),
+            "classifier": int(agg["n_clf"]),
+        },
+        "gopher_gate": gopher,
+        "n_survivors": n_out,
+        "keep_rate": round(n_out / n_input, 4) if n_input else 0.0,
+        "n_shards": n_shards,
+        "seq_len": seq_len,
+        "out": out,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--min-p-keep", type=float, default=0.4)
+    ap.add_argument("--gopher", action="store_true",
+                    help="also require the Gopher natural-language rules")
+    args = ap.parse_args()
+    out = args.out or tempfile.mkdtemp(prefix="curated_")
+
+    from timely_spark.session import get_spark
+
+    spark = get_spark("timely-curate")
+    stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep, args.gopher)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
