@@ -550,3 +550,66 @@ def test_series_table_retention_and_compaction(spark, tmp_path):
         assert "Exchange" not in r._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_read_jsonl_documents(spark, tmp_path):
+    import json
+
+    from timely_spark.sources.corpus import read_jsonl_documents
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"text": "hello world", "src": "web"},
+                {"text": "second doc", "src": "books"},
+                {"text": None},
+            ]
+        )
+    )
+    df = read_jsonl_documents(spark, str(p), source_field="src")
+    rows = sorted(df.collect(), key=lambda r: r["text"])
+    assert [r["text"] for r in rows] == ["", "hello world", "second doc"]
+    assert rows[1]["source"] == "web" and rows[2]["source"] == "books"
+    assert rows[0]["source"] == "jsonl"  # null src -> default
+    assert rows[1]["n_chars"] == 11
+    # layout-stable ids: re-read gives identical ids
+    again = {r["doc_id"] for r in read_jsonl_documents(spark, str(p), source_field="src").collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_read_warc_documents(spark, tmp_path):
+    """Plain and gzip-member WARC files parse to the documents shape;
+    request records are skipped; HTML strips to text."""
+    from timely_spark.sources.corpus import (
+        make_warc,
+        parse_warc_records,
+        read_warc_documents,
+    )
+
+    records = [
+        ("https://example.com/a", b"<html><body>Alpha <b>beta</b> gamma</body></html>"),
+        ("https://other.org/b", b"<p>Second   document</p>"),
+    ]
+    plain = make_warc(records)
+    gz = make_warc(records, gzip_members=True)
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "a.warc").write_bytes(plain)
+    (tmp_path / "w" / "b.warc.gz").write_bytes(gz)
+
+    # stdlib parser sees both layouts identically
+    assert len(list(parse_warc_records(plain))) == 2
+    assert len(list(parse_warc_records(gz))) == 2
+
+    df = read_warc_documents(spark, str(tmp_path / "w"))
+    rows = df.collect()
+    assert len(rows) == 4  # 2 records x 2 files
+    texts = {r["text"] for r in rows}
+    assert texts == {"Alpha beta gamma", "Second document"}
+    assert {r["source"] for r in rows} == {"example.com", "other.org"}
+    # non-response records skipped
+    noise = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    assert list(parse_warc_records(noise))[0][0]["warc-type"] == "request"

@@ -1,0 +1,180 @@
+"""Document-corpus sources: JSON-lines and WARC (ISO 28500).
+
+Web-scale training corpora arrive as JSONL shards or WARC crawls
+(CommonCrawl). Both readers land rows in the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) so every downstream operator
+(dedup, screens, packing, ...) runs unchanged.
+
+Scale notes:
+- JSONL goes through ``spark.read.json`` — splittable, predicate-
+  prunable, the native path.
+- WARC is a concatenated-record format with no built-in Spark reader;
+  records parse from whole files read as binary (``binaryFile``), with
+  the gzip member-per-record variant handled via ``zlib``. Whole-file
+  granularity means parallelism = number of WARC files — CommonCrawl
+  ships ~1 GB segments by the tens of thousands, so file-level
+  parallelism is the real-world unit; one segment must fit an executor.
+- Document ids are content-derived (xxhash64 of source + position +
+  text) so re-reading the same crawl yields the same ids on any cluster
+  layout — the determinism contract every dedup/sampling op relies on.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_VERSION_PREFIXES = (b"WARC/1.0", b"WARC/1.1")
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    source_field: str | None = None,
+    default_source: str = "jsonl",
+) -> DataFrame:
+    """JSONL shards -> documents shape. Ids derive from (file, text)
+    content hashing, not row order, so they are layout-stable."""
+    raw = spark.read.json(path)
+    text = F.coalesce(F.col(text_field).cast("string"), F.lit(""))
+    src = (
+        F.coalesce(F.col(source_field).cast("string"), F.lit(default_source))
+        if source_field and source_field in raw.columns
+        else F.lit(default_source)
+    )
+    return raw.select(
+        F.xxhash64(F.input_file_name(), text).alias("doc_id"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        src.alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def parse_warc_records(payload: bytes):
+    """Yield (headers: dict, body: bytes) per WARC record.
+
+    Handles plain concatenated records and the per-record-gzip-member
+    layout CommonCrawl uses (each record its own gzip stream). Pure
+    stdlib; tolerant of trailing garbage (stops).
+    """
+    if payload[:2] == b"\x1f\x8b":
+        # gzip members: decompress one member at a time
+        out = []
+        pos = 0
+        while pos < len(payload) and payload[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out.append(d.decompress(payload[pos:]))
+            consumed = len(payload) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        payload = b"".join(out)
+
+    buf = io.BytesIO(payload)
+    while True:
+        line = buf.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue
+        if not line.startswith(WARC_VERSION_PREFIXES):
+            return  # desynchronized: stop rather than guess
+        headers: dict[str, str] = {}
+        while True:
+            h = buf.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
+                )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return
+        body = buf.read(length)
+        yield headers, body
+        buf.readline()  # record separator CRLFs
+        buf.readline()
+
+
+_TAG_RE = r"<[^>]+>"
+
+
+def read_warc_documents(
+    spark: SparkSession, path: str, default_source: str = "warc"
+) -> DataFrame:
+    """WARC files -> documents shape (response records only).
+
+    Whole files arrive via ``binaryFile``; records parse in an Arrow
+    batch (one Python pass per file); HTTP headers are stripped from
+    response bodies and a naive tag-strip yields text (a real pipeline
+    swaps in trafilatura/jusText here — the Spark plumbing is the
+    contract). Ids hash (target-uri, position, text) — layout-stable.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, payload in zip(pdf["path"], pdf["content"]):
+                for i, (headers, body) in enumerate(
+                    parse_warc_records(bytes(payload))
+                ):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    uri = headers.get("warc-target-uri", "")
+                    # strip the HTTP response header block if present
+                    if body[:5] in (b"HTTP/",):
+                        sep = body.find(b"\r\n\r\n")
+                        if sep >= 0:
+                            body = body[sep + 4 :]
+                    text = body.decode("utf-8", "replace")
+                    rows.append((uri, i, text))
+            yield pd.DataFrame(rows, columns=["uri", "pos", "raw"])
+
+    parsed = files.select("path", "content").mapInPandas(
+        parse, "uri string, pos int, raw string"
+    )
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace("raw", _TAG_RE, " "), r"\s+", " ")
+    )
+    return parsed.select(
+        F.xxhash64("uri", "pos", "raw").alias("doc_id"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.coalesce(
+            F.regexp_extract("uri", r"https?://([^/]+)", 1), F.lit(default_source)
+        ).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def make_warc(records: list[tuple[str, bytes]], gzip_members: bool = False) -> bytes:
+    """Build a WARC file for tests: one response record per (uri, body),
+    each with an HTTP header block, optionally one gzip member each
+    (the CommonCrawl layout)."""
+    import gzip as _gzip
+
+    out = []
+    for uri, body in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n"
+            + http
+            + b"\r\n\r\n"
+        )
+        out.append(_gzip.compress(rec) if gzip_members else rec)
+    return b"".join(out)
