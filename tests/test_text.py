@@ -447,3 +447,29 @@ def test_curate_cli_pipeline(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == stats["n_survivors"]
     assert 100 not in {r["doc_id"] for r in back.collect()}
+
+
+def test_curate_cli_warc_input(spark, tmp_path):
+    """The curation CLI runs off a raw WARC crawl end to end."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    from timely_spark.sources.corpus import make_warc
+
+    body = ("<html><body>" + "sample words here " * 40 + "</body></html>").encode()
+    warc = make_warc(
+        [(f"https://site{i % 3}.example.com/p{i}", body + str(i).encode()) for i in range(9)],
+        gzip_members=True,
+    )
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "seg.warc.gz").write_bytes(warc)
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path / "crawl"), out,
+        seq_len=256, min_p_keep=0.0, fmt="warc",
+    )
+    assert stats["n_input"] == 9 and stats["n_survivors"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == stats["n_survivors"]

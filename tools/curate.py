@@ -27,8 +27,23 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def load_documents(spark, path: str, fmt: str = "parquet"):
+    """documents table from any supported corpus source."""
+    if fmt == "parquet":
+        return spark.read.parquet(f"{path}/documents.parquet")
+    if fmt == "jsonl":
+        from timely_spark.sources.corpus import read_jsonl_documents
+
+        return read_jsonl_documents(spark, path, source_field="source")
+    if fmt == "warc":
+        from timely_spark.sources.corpus import read_warc_documents
+
+        return read_warc_documents(spark, path)
+    raise ValueError(f"unknown corpus format: {fmt}")
+
+
 def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float = 0.4,
-           gopher: bool = False):
+           gopher: bool = False, fmt: str = "parquet"):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -40,7 +55,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         normalize_text,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir, fmt)
     n_input = docs.count()
 
     sig = gopher_signals("text")
@@ -108,13 +123,16 @@ def main() -> int:
     ap.add_argument("--min-p-keep", type=float, default=0.4)
     ap.add_argument("--gopher", action="store_true",
                     help="also require the Gopher natural-language rules")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "warc"],
+                    help="corpus source format (parquet expects <dir>/documents.parquet)")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
     from timely_spark.session import get_spark
 
     spark = get_spark("timely-curate")
-    stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep, args.gopher)
+    stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep, args.gopher, args.format)
     print(json.dumps(stats))
     return 0
 
