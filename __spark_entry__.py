@@ -855,26 +855,17 @@ def q_doc_curation(spark, sf_dir):
         .filter(F.col("__n") > 1)
         .select("nmd5", "__keep_id")
     )
-    base = base.join(F.broadcast(dups), "nmd5", "left").withColumn(
+    base = base.join(dups, "nmd5", "left").withColumn(
         "is_keeper",
         F.col("__keep_id").isNull() | (F.col("doc_id") == F.col("__keep_id")),
     )
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_d"))
-    counts = counts.withColumn("n_min", F.min("n_d").over(Window.partitionBy()))
-    rates = counts.select(
-        "source", F.sqrt(F.col("n_min") / F.col("n_d").cast("double")).alias("rate")
-    )
+    from timely_spark.operators.mixture import mixture_kept_col, mixture_rates
+
+    rates = mixture_rates(docs)
     joined = base.join(F.broadcast(rates), "source")
-    key = F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
-    thr = F.lpad(
-        F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))),
-        8,
-        "0",
-    )
-    kept = F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(
-        F.substring(F.md5(key), 1, 8) < thr
-    )
-    fin = joined.withColumn("kept_mix", kept).withColumn(
+    fin = joined.withColumn(
+        "kept_mix", mixture_kept_col("source", "doc_id")
+    ).withColumn(
         "survivor", F.col("gpass") & F.col("is_keeper") & F.col("kept_mix")
     )
     return fin.groupBy("source").agg(

@@ -473,3 +473,37 @@ def test_curate_cli_warc_input(spark, tmp_path):
     assert stats["n_input"] == 9 and stats["n_survivors"] > 0
     back = spark.read.parquet(out)
     assert back.count() == stats["n_survivors"]
+
+
+def test_canonical_url_fragment_with_question_mark(spark):
+    """A '?' inside a fragment is NOT a query: fragment strips first."""
+    from timely_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "https://example.com/p#sec?x=1"), (2, "https://example.com/p")],
+        ["doc_id", "url"],
+    )
+    got = {r["doc_id"]: r["c"] for r in df.select("doc_id", canonical_url("url").alias("c")).collect()}
+    assert got[1] == got[2] == "https://example.com/p"
+
+
+def test_tokens_null_text_is_empty(spark):
+    """NULL text counts as zero tokens (not Spark's size()=-1), and the
+    Gopher screen treats it as an empty doc."""
+    from timely_spark.operators.text import gopher_rules, token_count
+
+    df = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got == {1: 0, 2: 2}
+    g = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert g[1]["n_words"] == 0 and g[1]["gopher_pass"] is False
+
+
+def test_jsonl_duplicate_rows_get_unique_ids(spark, tmp_path):
+    from timely_spark.sources.corpus import read_jsonl_documents
+
+    p = tmp_path / "dup.jsonl"
+    p.write_text('{"text": "same"}\n{"text": "same"}\n{"text": "same"}\n')
+    rows = read_jsonl_documents(spark, str(p)).collect()
+    assert len(rows) == 3
+    assert len({r["doc_id"] for r in rows}) == 3  # unique despite identical text

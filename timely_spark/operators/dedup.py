@@ -280,9 +280,9 @@ def hamming_near_dups(
     the usual banding recall/cost dial.
     """
     if chunks is None:
-        chunks = next(c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming)
-    if max_hamming >= chunks or 64 % chunks:
-        raise ValueError("need max_hamming < chunks and chunks | 64")
+        chunks = next((c for c in (2, 4, 8, 16, 32, 64) if c > max_hamming), None)
+    if chunks is None or max_hamming >= chunks or 64 % chunks:
+        raise ValueError("need max_hamming < chunks <= 64 and chunks | 64")
     bits = 64 // chunks
     mask = (1 << bits) - 1
     sh = hashed.select(F.col(id_col), F.col(hash_col).alias("__hh"))
@@ -700,20 +700,20 @@ def chunk_dedup(
     )
     # Skew-safe shape: the SHARED set ({hash: in >1 doc} — only
     # duplicated boilerplate, small in real corpora) aggregates with
-    # map-side combine and broadcasts back. A count window over the
-    # exploded frame would be one scan cheaper locally but sends every
-    # occurrence of a hot chunk (exactly what this operator hunts) to a
-    # single task — a straggler at scale. Both aggs here partial-combine;
-    # the probe join is broadcast, so no exploded row ever shuffles on
-    # the hash key. If the shared set outgrows the broadcast threshold,
-    # Spark falls back to a shuffle join that AQE skew-splits.
+    # map-side combine and joins back UNHINTED: AQE broadcasts it while
+    # it is small and degrades to a skew-split shuffle join when a
+    # boilerplate-heavy corpus grows it past the threshold (a forced
+    # F.broadcast hint would have no fallback and OOM the driver). A
+    # count window over the exploded frame would be one scan cheaper
+    # locally but sends every occurrence of a hot chunk (exactly what
+    # this operator hunts) to a single task — a straggler at scale.
     shared = (
         exploded.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n_docs"))
         .filter(F.col("__n_docs") > 1)
         .select("__h", F.lit(1).alias("__is_shared"))
     )
-    flagged = exploded.join(F.broadcast(shared), "__h", "left")
+    flagged = exploded.join(shared, "__h", "left")
     return (
         flagged.groupBy(id_col)
         .agg(

@@ -30,15 +30,11 @@ from pyspark.sql import functions as F
 _HASH_SPAN = 4294967296.0  # 16^8: accept granularity of the 8-hex-char prefix
 
 
-def domain_mixture(
-    df: DataFrame,
-    domain_col: str = "source",
-    id_col: str = "doc_id",
-    temperature: float = 2.0,
+def mixture_rates(
+    df: DataFrame, domain_col: str = "source", temperature: float = 2.0
 ) -> DataFrame:
-    """Per-doc sampling rate + deterministic keep decision for a
-    temperature-``T`` domain mixture. Output: (id, domain, rate, kept).
-    """
+    """The tiny per-domain rate table: (domain, __rate) with
+    rate = (n_min/n_d)^(1-1/T). One row per domain — broadcastable."""
     if temperature <= 1.0:
         raise ValueError("temperature must be > 1 (T=1 is the natural mix)")
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_d"))
@@ -48,26 +44,48 @@ def domain_mixture(
     ratio = F.col("__n_min") / F.col("__n_d").cast("double")
     exponent = 1.0 - 1.0 / temperature
     rate = F.sqrt(ratio) if temperature == 2.0 else F.pow(ratio, F.lit(exponent))
-    rates = counts.select(domain_col, rate.alias("__rate"))
+    return counts.select(domain_col, rate.alias("__rate"))
 
+
+def mixture_kept_col(
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    rate_col: str = "__rate",
+):
+    """The deterministic keep decision as a Column, given the joined
+    rate: md5-prefix test against the rate's fixed-width hex threshold.
+    Shared by ``domain_mixture`` and the curation pipeline so their
+    decisions agree doc-for-doc by construction."""
     key = F.concat(F.col(domain_col), F.lit(":"), F.col(id_col).cast("string"))
     # fixed-width lowercase hex compare == numeric compare; rate >= 1
     # short-circuits so the 9-hex-digit threshold case never arises
     threshold = F.lpad(
-        F.lower(F.hex(F.floor(F.col("__rate") * F.lit(_HASH_SPAN)).cast("long"))),
+        F.lower(F.hex(F.floor(F.col(rate_col) * F.lit(_HASH_SPAN)).cast("long"))),
         8,
         "0",
     )
-    kept = F.when(F.col("__rate") >= 1.0, F.lit(True)).otherwise(
+    return F.when(F.col(rate_col) >= 1.0, F.lit(True)).otherwise(
         F.substring(F.md5(key), 1, 8) < threshold
     )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Per-doc sampling rate + deterministic keep decision for a
+    temperature-``T`` domain mixture. Output: (id, domain, rate, kept).
+    """
+    rates = mixture_rates(df, domain_col, temperature)
     return (
         df.join(F.broadcast(rates), domain_col)
         .select(
             F.col(id_col),
             F.col(domain_col),
             F.round("__rate", 9).alias("rate"),
-            kept.alias("kept"),
+            mixture_kept_col(domain_col, id_col).alias("kept"),
         )
     )
 

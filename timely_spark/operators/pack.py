@@ -132,9 +132,8 @@ def write_packed_corpus(
             "shard", F.expr(f"pack_first DIV {packs_per_shard}").cast("int")
         )
     )
+    n_shards = packed.agg(
+        F.countDistinct("shard").alias("n")
+    ).collect()[0]["n"]
     packed.write.mode("overwrite").partitionBy("shard").parquet(path)
-    import os
-
-    return sum(
-        1 for d in os.listdir(path) if d.startswith("shard=")
-    )
+    return int(n_shards)

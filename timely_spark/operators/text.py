@@ -22,6 +22,10 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 def tokens(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # NULL text tokenizes to an EMPTY array, not NULL: Spark's size(NULL)
+    # is -1, which would leak as a token count; DuckDB's len(NULL) is
+    # NULL — coalescing here keeps both engines at 0
+    c = F.coalesce(c, F.lit(""))
     return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
 
 
@@ -121,7 +125,8 @@ def fingerprint(text_col: str | Column = "text") -> Column:
 # ------------------------- DuckDB SQL renderings (oracle parity) ---------
 
 TOKENS_SQL = (
-    "list_filter(string_split_regex(lower({c}), '[^a-z0-9'']+'), t -> t <> '')"
+    "list_filter(string_split_regex(lower(coalesce({c}, '')), '[^a-z0-9'']+'), "
+    "t -> t <> '')"
 )
 TOKEN_COUNT_SQL = f"CAST(len({TOKENS_SQL}) AS BIGINT)"
 FINGERPRINT_SQL = (
@@ -450,7 +455,10 @@ def bigram_novelty(
         .filter(F.col("c") > rare_max_count)
         .select("bigram", F.lit(1).alias("__is_common"))
     )
-    flagged = bg.join(F.broadcast(common), "bigram", "left")
+    # no broadcast HINT: a hint is mandatory (no fallback) and the common
+    # set grows with the corpus; unhinted, AQE broadcasts it while small
+    # and degrades to a skew-split shuffle join when it is not
+    flagged = bg.join(common, "bigram", "left")
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -556,6 +564,7 @@ def gopher_signals(text_col: str | Column = "text") -> dict[str, Column]:
     into larger single-plan pipelines (see ``gopher_rules`` for the
     per-query projection)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.coalesce(c, F.lit(""))  # NULL text = empty doc, both engines
     words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     nw = n_words.cast("double")
@@ -722,6 +731,7 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     hashing bodies, and catches pages whose body changed between crawls).
     """
     u = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(u, "#.*$", "")  # fragment first: '#sec?x' is no query
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host0 = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     host1 = F.regexp_replace(host0, r"^www\.", "")
@@ -734,7 +744,7 @@ def canonical_url(url_col: str | Column = "url") -> Column:
         (path1 != "/") & path1.endswith("/"),
         F.regexp_replace(path1, r"/$", ""),
     ).otherwise(path1)
-    q0 = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q0 = F.regexp_extract(u, r"\?(.*)$", 1)
     q_parts = F.array_sort(
         F.filter(
             F.split(q0, "&"),
@@ -753,6 +763,7 @@ def canonical_url(url_col: str | Column = "url") -> Column:
 
 def canonical_url_sql(c: str = "url") -> str:
     """DuckDB rendering of :func:`canonical_url` (keep in lock-step)."""
+    c = f"regexp_replace({c}, '#.*$', '')"  # fragment first, as in Spark
     scheme = f"lower(regexp_extract({c}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     host1 = (
         f"regexp_replace(lower(regexp_extract({c}, "
@@ -774,7 +785,7 @@ def canonical_url_sql(c: str = "url") -> str:
     )
     q = (
         f"array_to_string(list_sort(list_filter("
-        f"string_split(regexp_extract({c}, '\\?([^#]*)', 1), '&'), "
+        f"string_split(regexp_extract({c}, '\\?(.*)$', 1), '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))), '&')"
     )
     return (

@@ -39,6 +39,8 @@ def read_jsonl_documents(
 ) -> DataFrame:
     """JSONL shards -> documents shape. Ids derive from (file, text)
     content hashing, not row order, so they are layout-stable."""
+    from pyspark.sql import Window
+
     raw = spark.read.json(path)
     text = F.coalesce(F.col(text_field).cast("string"), F.lit(""))
     src = (
@@ -46,12 +48,25 @@ def read_jsonl_documents(
         if source_field and source_field in raw.columns
         else F.lit(default_source)
     )
-    return raw.select(
-        F.xxhash64(F.input_file_name(), text).alias("doc_id"),
+    base = raw.select(
+        F.xxhash64(F.input_file_name(), text).alias("__h"),
         text.alias("text"),
         F.lit(None).cast("string").alias("lang"),
         src.alias("source"),
         F.length(text).cast("long").alias("n_chars"),
+    )
+    # identical rows hash identically — disambiguate with a per-hash
+    # row number so doc_id is UNIQUE (downstream joins key on it). The
+    # copies are byte-identical, so which copy gets which sub-id is
+    # immaterial; the id SET is layout-stable. Window partitions are
+    # duplicate groups (tiny).
+    rn = F.row_number().over(Window.partitionBy("__h").orderBy("__h"))
+    return base.select(
+        F.xxhash64(F.col("__h"), rn).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
     )
 
 
@@ -151,9 +166,11 @@ def read_warc_documents(
         F.xxhash64("uri", "pos", "raw").alias("doc_id"),
         text.alias("text"),
         F.lit(None).cast("string").alias("lang"),
-        F.coalesce(
-            F.regexp_extract("uri", r"https?://([^/]+)", 1), F.lit(default_source)
-        ).alias("source"),
+        # regexp_extract yields '' (not NULL) on no match — when() it
+        F.when(
+            F.regexp_extract("uri", r"https?://([^/]+)", 1) != "",
+            F.regexp_extract("uri", r"https?://([^/]+)", 1),
+        ).otherwise(F.lit(default_source)).alias("source"),
         F.length(text).cast("long").alias("n_chars"),
     )
 

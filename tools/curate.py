@@ -70,7 +70,9 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         F.col("content_hash"), F.col("keep_id")
     )
     hashed = normed.withColumn("content_hash", F.md5("text"))
-    keepers = hashed.join(F.broadcast(dups), "content_hash", "left").withColumn(
+    # unhinted: AQE broadcasts the dup set while small, shuffle-joins
+    # (skew-split) when a mass-duplicated corpus grows it
+    keepers = hashed.join(dups, "content_hash", "left").withColumn(
         "is_keeper",
         F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id")),
     )
