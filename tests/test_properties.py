@@ -441,3 +441,77 @@ def test_chunk_dedup_matches_python_model(spark, docs, chunk_tokens):
         for i, chunks in per_doc.items()
     }
     assert got == want
+
+
+# ------------------------------------------------------------------ URLs
+
+
+def _py_canonical(u: str) -> str:
+    """Independent Python model of canonical_url's spec."""
+    import re
+
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    scheme = m.group(1).lower() if m else ""
+    hm = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", u)
+    host = (hm.group(1).lower() if hm else "")
+    host = re.sub(r"^www\.", "", host)
+    if scheme == "http":
+        host = re.sub(r":80$", "", host)
+    elif scheme == "https":
+        host = re.sub(r":443$", "", host)
+    pm = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
+    path = pm.group(1) if pm else ""
+    path = path or "/"
+    if path != "/" and path.endswith("/"):
+        path = re.sub(r"/$", "", path)
+    qm = re.search(r"\?(.*)$", u)
+    parts = [
+        p
+        for p in (qm.group(1) if qm else "").split("&")
+        if p and not re.match(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=", p)
+    ]
+    q = "&".join(sorted(parts))
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, www, host, port, path, slash, params, frag: (
+                f"{scheme}://{'www.' if www else ''}{host}"
+                + (f":{port}" if port else "")
+                + path
+                + ("/" if slash else "")
+                + ("?" + "&".join(params) if params else "")
+                + (f"#{frag}" if frag is not None else "")
+            ),
+            scheme=st.sampled_from(["http", "https", "HTTP"]),
+            www=st.booleans(),
+            host=st.sampled_from(["Example.com", "a-b.org", "x.y.z.net"]),
+            port=st.sampled_from([None, "80", "443", "8080"]),
+            path=st.sampled_from(["", "/p", "/a/b.html", "/d/"]),
+            slash=st.booleans(),
+            params=st.lists(
+                st.sampled_from(
+                    ["a=1", "b=2", "utm_source=x", "gclid=z", "ref=r", "c=3"]
+                ),
+                max_size=4,
+            ),
+            frag=st.sampled_from([None, "sec", "sec?x=1", ""]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_canonical_url_matches_python_model(spark, urls):
+    from timely_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(list(enumerate(urls)), ["i", "url"])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url("url").alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonical(u), (u, got[i], _py_canonical(u))

@@ -613,3 +613,25 @@ def test_read_warc_documents(spark, tmp_path):
         b"WARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
     )
     assert list(parse_warc_records(noise))[0][0]["warc-type"] == "request"
+
+
+def test_warc_parser_corruption_tolerance():
+    """Truncated, desynchronized, and garbage inputs terminate cleanly
+    (no hang, no exception) — crawls contain all three."""
+    from timely_spark.sources.corpus import make_warc, parse_warc_records
+
+    good = make_warc([("https://a/x", b"<p>body one</p>")])
+    # truncated mid-body: one (short) record, no hang or exception
+    trunc = list(parse_warc_records(good[: len(good) - 10]))
+    assert len(trunc) == 1 and len(trunc[0][1]) < len(b"<p>body one</p>") + 50
+    # garbage prefix -> desynchronized: stops, yields nothing
+    assert list(parse_warc_records(b"NOT-A-WARC\r\n" + good)) == []
+    # garbage suffix after a full record: first record survives
+    recs = list(parse_warc_records(good + b"\xde\xad\xbe\xef"))
+    assert len(recs) == 1 and recs[0][0]["warc-type"] == "response"
+    # bad content-length header: stops without raising
+    bad = good.replace(b"Content-Length: ", b"Content-Length: x")
+    assert list(parse_warc_records(bad)) == []
+    # empty and tiny inputs
+    assert list(parse_warc_records(b"")) == []
+    assert list(parse_warc_records(b"\x1f\x8b")) == []
