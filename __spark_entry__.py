@@ -849,15 +849,12 @@ def q_doc_curation(spark, sf_dir):
     # would funnel every copy of a mass-duplicated text to one task.
     # Hashes with one member are trivially keepers; the dup set is small
     # and broadcasts (chunk_dedup's skew-safe shape).
-    dups = (
-        base.groupBy("nmd5")
-        .agg(F.min("doc_id").alias("__keep_id"), F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("nmd5", "__keep_id")
-    )
+    from timely_spark.operators.dedup import dup_groups_by_hash
+
+    dups = dup_groups_by_hash(base, "nmd5").select("nmd5", "keep_id")
     base = base.join(dups, "nmd5", "left").withColumn(
         "is_keeper",
-        F.col("__keep_id").isNull() | (F.col("doc_id") == F.col("__keep_id")),
+        F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id")),
     )
     from timely_spark.operators.mixture import mixture_kept_col, mixture_rates
 

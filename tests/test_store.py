@@ -605,6 +605,9 @@ def test_read_warc_documents(spark, tmp_path):
     df = read_warc_documents(spark, str(tmp_path / "w"))
     rows = df.collect()
     assert len(rows) == 4  # 2 records x 2 files
+    # re-shipped duplicate segments still get UNIQUE doc_ids (file
+    # identity is in the hash) — downstream joins key on doc_id
+    assert len({r["doc_id"] for r in rows}) == 4
     texts = {r["text"] for r in rows}
     assert texts == {"Alpha beta gamma", "Second document"}
     assert {r["source"] for r in rows} == {"example.com", "other.org"}
@@ -635,3 +638,12 @@ def test_warc_parser_corruption_tolerance():
     # empty and tiny inputs
     assert list(parse_warc_records(b"")) == []
     assert list(parse_warc_records(b"\x1f\x8b")) == []
+    # bit-flipped gzip member: zlib.error must NOT escape; prior intact
+    # members survive
+    from timely_spark.sources.corpus import make_warc as _mk
+
+    gz2 = _mk([("https://a/1", b"one"), ("https://a/2", b"two")], gzip_members=True)
+    corrupt = bytearray(gz2)
+    corrupt[len(gz2) // 2 + 20] ^= 0xFF  # inside the second member
+    got = list(parse_warc_records(bytes(corrupt)))
+    assert 0 <= len(got) <= 2  # terminates cleanly, no exception

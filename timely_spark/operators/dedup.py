@@ -32,15 +32,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups with >1 member: (hash, survivor id, dup_count)."""
-    h = F.md5(F.col(text_col))
+def dup_groups_by_hash(
+    df: DataFrame, hash_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate head set over a precomputed content-hash column:
+    (hash_col, keep_id, dup_count) for groups with >1 member. The
+    single source of min-id keeper selection — exact_dedup's groupBy,
+    the curation pipeline, and the CLI all derive from it."""
     return (
-        df.withColumn("content_hash", h)
-        .groupBy("content_hash")
+        df.groupBy(hash_col)
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 member: (content_hash, keep_id, dup_count)."""
+    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    return dup_groups_by_hash(hashed, "content_hash", id_col)
 
 
 # ---------------------------------------------------------------- shingles / tokens

@@ -132,8 +132,12 @@ def write_packed_corpus(
             "shard", F.expr(f"pack_first DIV {packs_per_shard}").cast("int")
         )
     )
-    n_shards = packed.agg(
-        F.countDistinct("shard").alias("n")
-    ).collect()[0]["n"]
-    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    packed = packed.persist()  # shard count + write share one compute
+    try:
+        n_shards = packed.agg(
+            F.countDistinct("shard").alias("n")
+        ).collect()[0]["n"]
+        packed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    finally:
+        packed.unpersist()
     return int(n_shards)

@@ -623,6 +623,7 @@ def gopher_signals(text_col: str | Column = "text") -> dict[str, Column]:
 
 def gopher_rules_sql(c: str = "text", id_col: str = "doc_id") -> str:
     """DuckDB equivalent of ``gopher_rules`` over ``documents``."""
+    c = f"coalesce({c}, '')"  # NULL text = empty doc, like gopher_signals
     wl = "[" + ",".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS) + "]"
     toks = TOKENS_SQL.format(c=c)
     return f"""
@@ -813,8 +814,11 @@ def normalize_text(text_col: str | Column = "text") -> Column:
     """Normalization pre-pass before hashing/dedup: fold curly quotes /
     dashes / ellipsis to ASCII, map exotic Unicode spaces to plain
     space, strip zero-width and control characters, collapse whitespace
-    runs, trim. Chained regexp_replace — JVM-side, no Python."""
+    runs, trim. Chained regexp_replace — JVM-side, no Python. NULL text
+    normalizes to '' (not NULL) so content hashes of NULL docs group
+    consistently in both engines."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.coalesce(c, F.lit(""))
     for pat, rep in _NORMALIZE_STEPS:
         c = F.regexp_replace(c, pat, rep)
     c = F.regexp_replace(c, r"\s+", " ")
@@ -823,7 +827,7 @@ def normalize_text(text_col: str | Column = "text") -> Column:
 
 def normalize_text_sql(c: str = "text") -> str:
     """DuckDB rendering of :func:`normalize_text` (keep in lock-step)."""
-    expr = c
+    expr = f"coalesce({c}, '')"
     for pat, rep in _NORMALIZE_STEPS:
         rep_sql = rep.replace("'", "''")
         pat_sql = pat.replace("'", "''")

@@ -83,7 +83,10 @@ def parse_warc_records(payload: bytes):
         pos = 0
         while pos < len(payload) and payload[pos : pos + 2] == b"\x1f\x8b":
             d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            out.append(d.decompress(payload[pos:]))
+            try:
+                out.append(d.decompress(payload[pos:]))
+            except zlib.error:
+                break  # corrupted member: keep what decoded, stop here
             consumed = len(payload) - pos - len(d.unused_data)
             if consumed <= 0:
                 break
@@ -153,17 +156,20 @@ def read_warc_documents(
                         if sep >= 0:
                             body = body[sep + 4 :]
                     text = body.decode("utf-8", "replace")
-                    rows.append((uri, i, text))
-            yield pd.DataFrame(rows, columns=["uri", "pos", "raw"])
+                    rows.append((fpath, uri, i, text))
+            yield pd.DataFrame(rows, columns=["path", "uri", "pos", "raw"])
 
     parsed = files.select("path", "content").mapInPandas(
-        parse, "uri string, pos int, raw string"
+        parse, "path string, uri string, pos int, raw string"
     )
     text = F.trim(
         F.regexp_replace(F.regexp_replace("raw", _TAG_RE, " "), r"\s+", " ")
     )
+    # file identity in the id: re-shipped duplicate segments must get
+    # DISTINCT ids (downstream joins key on doc_id); stable for a fixed
+    # directory layout, like the JSONL reader's input_file_name
     return parsed.select(
-        F.xxhash64("uri", "pos", "raw").alias("doc_id"),
+        F.xxhash64("path", "uri", "pos", "raw").alias("doc_id"),
         text.alias("text"),
         F.lit(None).cast("string").alias("lang"),
         # regexp_extract yields '' (not NULL) on no match — when() it

@@ -77,7 +77,10 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id")),
     )
 
-    staged = keepers.join(clf, "doc_id").join(mix, "doc_id")
+    # one materialization of the screen DAG: the stage agg, the survivor
+    # filter, and the packed write all consume `staged` — unpersisted it
+    # recomputes the normalize/classifier/dedup plan per action
+    staged = keepers.join(clf, "doc_id").join(mix, "doc_id").persist()
     keep = (
         F.col("is_keeper") & F.col("kept") & (F.col("p_keep") >= min_p_keep)
     )
@@ -96,7 +99,12 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     ).collect()[0]
     survivors = staged.filter(keep).select("doc_id", "text")
     n_out = int(agg["n_out"])
-    n_shards = write_packed_corpus(survivors, out, seq_len=seq_len) if n_out else 0
+    try:
+        n_shards = (
+            write_packed_corpus(survivors, out, seq_len=seq_len) if n_out else 0
+        )
+    finally:
+        staged.unpersist()
     return {
         "n_input": n_input,
         "stage_pass": {
