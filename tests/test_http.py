@@ -626,3 +626,25 @@ def test_grafana_datasource_contract(spark, tmp_path):
         status, body = get(srv.base_url + "/api/aggregators")
         assert status == 200
         assert "avg" in json.loads(body)
+
+
+def test_metrics_report_ignored_tags(spark, tmp_path):
+    """MetricsResponseTestIT.testGenerateHtmlWithIgnoredTags: configured
+    tags are hidden from the /api/metrics report in both the HTML and
+    JSON branches; other tags survive."""
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "metrics"))
+    srv = TimelyHttpServer(eng, metrics_ignored_tags=["instance"]).start()
+    try:
+        put_lines(
+            srv.base_url,
+            f"sys.cpu.user {TEST_TIME} 1.0 host=localhost instance=0",
+            f"sys.cpu.idle {TEST_TIME} 1.0 host=localhost instance=0",
+        )
+        status, html = get(srv.base_url + "/api/metrics", accept="text/html")
+        assert status == 200
+        assert "<td>sys.cpu.idle</td>" in html and "<td>sys.cpu.user</td>" in html
+        assert "host=localhost" in html and "instance=" not in html
+        status, body = get(srv.base_url + "/api/metrics", accept="application/json")
+        assert status == 200 and "instance" not in body
+    finally:
+        srv.stop()

@@ -146,6 +146,7 @@ class TimelyHttpServer:
         strict_transport_max_age: int = 604800,
         static_root: str | None = None,
         static_prefix: str = "/webapp",
+        metrics_ignored_tags: list[str] | None = None,
     ):
         """``authenticator``: optional per-REQUEST auth source — a callable
         ``(headers: dict) -> set[str] | None`` consulted on every query,
@@ -170,6 +171,9 @@ class TimelyHttpServer:
         # the /webapp prefix (the UI bundle), traversal-proof
         self.static_root = static_root
         self.static_prefix = static_prefix.rstrip("/")
+        # TimelyProperties.getMetricsReportIgnoredTags(): tags hidden from
+        # the /api/metrics report (MetricsResponseTestIT.testGenerateHtmlWithIgnoredTags)
+        self.metrics_ignored_tags = list(metrics_ignored_tags or [])
         self.tls = ssl_context is not None
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -509,7 +513,9 @@ class TimelyHttpServer:
             def _metrics(self, params: dict[str, str]) -> None:
                 self._request_auths()  # MetricsRequest is authenticated
                 accept = self.headers.get("Accept", "")
-                rows = server.engine.metrics()
+                rows = server.engine.metrics(
+                    ignored_tags=server.metrics_ignored_tags or None
+                )
                 if JSON_TYPE in accept:
                     out = {
                         "metrics": [
