@@ -55,3 +55,11 @@ def test_metrics_dump(spark):
     assert d["sys.cpu.user"] == ["host=h001", "host=h002", "rack=r1"]
     d2 = {r["metric"]: r["tags"] for r in metrics_dump(m, ignored_tags=["rack"]).collect()}
     assert "rack=r1" not in d2["sys.cpu.user"]
+    # a metric whose tags are ALL ignored still appears with tags=[]
+    # (MetricsResponse.generateJson keeps the metric, omits the tags)
+    d3 = {
+        r["metric"]: r["tags"]
+        for r in metrics_dump(m, ignored_tags=["instance"]).collect()
+    }
+    assert d3["app.req.count"] == []
+    assert set(d3) == set(d)  # no metric disappears

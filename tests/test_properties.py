@@ -450,7 +450,11 @@ def _py_canonical(u: str) -> str:
     """Independent Python model of canonical_url's spec."""
     import re
 
+    raw = u
     u = re.sub(r"#.*$", "", u)
+    # degenerate guard: no scheme://host match -> input passes through
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", u):
+        return raw
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
     scheme = m.group(1).lower() if m else ""
     hm = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", u)
@@ -477,7 +481,21 @@ def _py_canonical(u: str) -> str:
 
 @given(
     urls=st.lists(
-        st.builds(
+        st.one_of(
+            # degenerate forms a real crawl emits: protocol-relative,
+            # scheme-less, mailto, bare path — all must pass through
+            st.sampled_from(
+                [
+                    "example.com/a",
+                    "other.org/b?x=1#frag",
+                    "mailto:user@example.com",
+                    "/relative/path",
+                    "//proto-relative.example.com/x",
+                    "javascript:void(0)",
+                    "",
+                ]
+            ),
+            st.builds(
             lambda scheme, www, host, port, path, slash, params, frag: (
                 f"{scheme}://{'www.' if www else ''}{host}"
                 + (f":{port}" if port else "")
@@ -498,7 +516,8 @@ def _py_canonical(u: str) -> str:
                 ),
                 max_size=4,
             ),
-            frag=st.sampled_from([None, "sec", "sec?x=1", ""]),
+                frag=st.sampled_from([None, "sec", "sec?x=1", ""]),
+            ),
         ),
         min_size=1,
         max_size=25,

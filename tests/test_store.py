@@ -579,6 +579,24 @@ def test_read_jsonl_documents(spark, tmp_path):
     assert again == {r["doc_id"] for r in rows}
 
 
+def test_read_jsonl_documents_missing_text_field(spark, tmp_path):
+    """A shard where NO row carries the text field (spark.read.json
+    infers no such column) must yield empty-text rows, not an
+    unresolved-column AnalysisException."""
+    import json
+
+    from timely_spark.sources.corpus import read_jsonl_documents
+
+    p = tmp_path / "notext.jsonl"
+    p.write_text(
+        "\n".join(json.dumps(r) for r in [{"src": "web"}, {"src": "books"}])
+    )
+    rows = read_jsonl_documents(spark, str(p), source_field="src").collect()
+    assert len(rows) == 2
+    assert all(r["text"] == "" and r["n_chars"] == 0 for r in rows)
+    assert {r["source"] for r in rows} == {"web", "books"}
+
+
 def test_read_warc_documents(spark, tmp_path):
     """Plain and gzip-member WARC files parse to the documents shape;
     request records are skipped; HTML strips to text."""

@@ -321,6 +321,44 @@ def test_canonical_url_variants(spark):
     assert got[7] != got[1]
 
 
+def test_canonical_url_degenerate_passthrough(spark):
+    """Scheme-less / relative / mailto URLs — where no '<scheme>://<host>'
+    matches — pass through UNCHANGED instead of collapsing to a shared
+    '://'-prefixed value (which would merge unrelated docs when used as a
+    dedup key). Spark and DuckDB renderings agree."""
+    import duckdb
+
+    from timely_spark.operators.text import canonical_url, canonical_url_sql
+
+    urls = [
+        (1, "example.com/a"),
+        (2, "other.org/b"),
+        (3, "mailto:user@example.com"),
+        (4, "/relative/path?x=1"),
+        (5, "//proto-relative.example.com/x"),
+        (6, ""),
+        (7, "https://real.example.com/p/"),  # control: still canonicalizes
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "url"])
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", canonical_url("url").alias("c")).collect()
+    }
+    for i, u in urls[:6]:
+        assert got[i] == u, (i, u, got[i])
+    assert len({got[i] for i, _ in urls}) == len(urls)  # nothing merged
+    assert got[7] == "https://real.example.com/p"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(doc_id INT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", urls)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {canonical_url_sql('url')} FROM u"
+        ).fetchall()
+    )
+    assert duck == got
+
+
 def test_normalize_text_folds_unicode(spark):
     """Curly quotes/dashes/ellipsis fold to ASCII; exotic and zero-width
     spaces collapse; control chars strip; idempotent."""

@@ -105,16 +105,20 @@ def search_lookup_or(
 
 
 def metrics_dump(meta: DataFrame, ignored_tags: list[str] | None = None) -> DataFrame:
-    """/api/metrics: metric -> sorted list of known tag k=v pairs."""
-    m = meta
+    """/api/metrics: metric -> sorted list of known tag k=v pairs.
+
+    Ignored tag KEYS drop from the lists but never drop the metric: the
+    reference (MetricsResponse.generateJson/generateHtml) reports every
+    known metric and only omits the ignored tags, so a metric whose tags
+    are ALL ignored still appears with ``tags=[]``. collect_set skips
+    NULLs, so the conditional inside the aggregate does exactly that
+    without a second scan or join-back.
+    """
+    kv = F.concat_ws("=", "tag_key", "tag_value")
     if ignored_tags:
-        m = m.filter(~F.col("tag_key").isin(ignored_tags))
+        kv = F.when(~F.col("tag_key").isin(ignored_tags), kv)
     return (
-        m.groupBy("metric")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.concat_ws("=", "tag_key", "tag_value"))
-            ).alias("tags")
-        )
+        meta.groupBy("metric")
+        .agg(F.array_sort(F.collect_set(kv)).alias("tags"))
         .orderBy("metric")
     )

@@ -45,7 +45,12 @@ def seq_pack(
 
     ids = F.col(id_col)
     n = (token_count(text_col) + F.lit(1)).alias("n_units")
-    t = df.select(ids, n, (ids / F.lit(bucket_docs)).cast("long").alias("__b"))
+    # integer DIV for the bucket key too: full-range 64-bit ids (xxhash64
+    # doc ids from curate.py) lose precision through a double division;
+    # ordering survives but boundaries drift vs any integer-math layout
+    t = df.select(
+        ids, n, F.expr(f"{id_col} DIV {int(bucket_docs)}").alias("__b")
+    )
 
     w = (
         Window.partitionBy("__b")

@@ -731,8 +731,8 @@ def canonical_url(url_col: str | Column = "url") -> Column:
     dedup collapses them before any content pass runs (cheaper than
     hashing bodies, and catches pages whose body changed between crawls).
     """
-    u = F.col(url_col) if isinstance(url_col, str) else url_col
-    u = F.regexp_replace(u, "#.*$", "")  # fragment first: '#sec?x' is no query
+    raw = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(raw, "#.*$", "")  # fragment first: '#sec?x' is no query
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host0 = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     host1 = F.regexp_replace(host0, r"^www\.", "")
@@ -753,17 +753,24 @@ def canonical_url(url_col: str | Column = "url") -> Column:
         )
     )
     q = F.concat_ws("&", q_parts)
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+    # Degenerate guard: relative / mailto / protocol-less URLs have no
+    # '<scheme>://<host>' match, so scheme/host extract as '' and EVERY
+    # such URL would collapse to the same '://'-prefixed canonical value
+    # — fatal when this feeds a dedup key (unrelated docs merged and
+    # dropped). Pass those through unchanged instead.
+    return F.when(host0 == "", raw).otherwise(canon)
 
 
 def canonical_url_sql(c: str = "url") -> str:
     """DuckDB rendering of :func:`canonical_url` (keep in lock-step)."""
+    raw = c
     c = f"regexp_replace({c}, '#.*$', '')"  # fragment first, as in Spark
     scheme = f"lower(regexp_extract({c}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     host1 = (
@@ -789,9 +796,12 @@ def canonical_url_sql(c: str = "url") -> str:
         f"string_split(regexp_extract({c}, '\\?(.*)$', 1), '&'), "
         f"p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))), '&')"
     )
+    host0 = f"lower(regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    # degenerate-URL passthrough: see canonical_url
     return (
+        f"CASE WHEN {host0} = '' THEN {raw} ELSE "
         f"{scheme} || '://' || {host} || {path} || "
-        f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END"
+        f"CASE WHEN {q} <> '' THEN '?' || {q} ELSE '' END END"
     )
 
 

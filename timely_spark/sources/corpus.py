@@ -42,7 +42,14 @@ def read_jsonl_documents(
     from pyspark.sql import Window
 
     raw = spark.read.json(path)
-    text = F.coalesce(F.col(text_field).cast("string"), F.lit(""))
+    # existence-guard BOTH fields: a shard where no row carries the text
+    # field infers no such column, and an unguarded F.col would raise an
+    # unresolved-column AnalysisException instead of empty-text rows
+    text = (
+        F.coalesce(F.col(text_field).cast("string"), F.lit(""))
+        if text_field in raw.columns
+        else F.lit("")
+    )
     src = (
         F.coalesce(F.col(source_field).cast("string"), F.lit(default_source))
         if source_field and source_field in raw.columns
