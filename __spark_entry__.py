@@ -590,15 +590,20 @@ def q_events_top_users(spark, sf_dir):
 
 def q_events_retention(spark, sf_dir):
     """Cohort retention: users grouped by first-active day; per (cohort,
-    day-offset) the fraction still active. The distinct (user, day) frame
-    shrinks the corpus before any window; cohort sizes come free as the
-    offset-0 row (every member is active on day 0 by construction), so
-    no separate cohort-size scan. Day numbers are epoch-ms DIV 86400000
-    — integer math, timezone-proof, identical in both engines."""
+    day-offset) the fraction still active. ONE user-keyed aggregate
+    (min day + the distinct-day set, both map-side combinable) replaces
+    the r4 distinct-then-window chain — no per-user window sort, and the
+    separate distinct exchange folds into the same groupBy, so the plan
+    drops 4 -> 3 Exchanges / 1 scan. The day-set per user is bounded by
+    the corpus' day span (collect_set dedups in the partial aggregate),
+    so executor state stays flat no matter how many events a user has.
+    Cohort sizes still come free as the offset-0 row (every member is
+    active on day 0 by construction). Day numbers are epoch-ms DIV
+    86400000 — integer math, timezone-proof, identical in both engines."""
     from timely_spark.model import ts_epoch_ms
 
     raw = _t(spark, sf_dir, "events")
-    days = (
+    per_user = (
         raw.select(
             "user_id",
             (ts_epoch_ms(raw) - F.pmod(ts_epoch_ms(raw), F.lit(86400000)))
@@ -606,11 +611,14 @@ def q_events_retention(spark, sf_dir):
             .alias("__day_ms"),
         )
         .select("user_id", F.expr("__day_ms div 86400000").alias("day"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("cohort_day"),
+            F.collect_set("day").alias("__days"),
+        )
     )
-    w = Window.partitionBy("user_id")
-    coh = days.withColumn("cohort_day", F.min("day").over(w))
-    per = coh.groupBy(
+    ex = per_user.select("cohort_day", F.explode("__days").alias("day"))
+    per = ex.groupBy(
         "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
     ).agg(F.count(F.lit(1)).alias("n_active"))
     # cohort size = the offset-0 row, lifted by a window over the tiny
