@@ -436,22 +436,48 @@ def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
         sc.setJobGroup("", "")
 
 
+# Multi-round-green, plan-stable rows explicitly rotated out of the
+# driver-checked prefix (r5): each was green in r2+r3+r4 with an
+# unchanged plan, and the committed full-sweep artifact
+# (CORRECTNESS_LOCAL.json, tools/check_oracle.py) still re-verifies
+# them every round. STANDING RULE (see queries() comment): any query
+# whose plan changes in a round must rotate back into slots <= 50.
+ROTATED_TO_TAIL = {"ts_downsample_sum_tag", "ts_downsample_minmax", "ts_suggest", "ts_lookup"}
+
+# Queries whose PLAN changed this round — the standing rule pins them
+# inside the driver-checked prefix. Update per round.
+PLAN_CHANGED_THIS_ROUND = {
+    "events_retention",   # window -> user-keyed day-set aggregate
+    "doc_url_dedup",      # canonical_url degenerate-passthrough guard
+    "doc_seq_pack",       # integer-DIV bucket key
+    "ts_meta",            # metrics_dump all-ignored-metric fix (shared op)
+    "doc_classifier_score",  # rotated in: first-ever driver evidence
+    "doc_tfidf_terms",    # rotated in: r4 rewrite needs a driver row
+    "doc_corpus_ingest",  # new this round
+    "media_caption_dedup",  # new this round
+}
+
+
 def test_registry_order_puts_evidence_in_first_50():
     """The external driver's correctness artifact covers exactly the
-    FIRST 50 queries() entries (r2: 48 of 48; r3: first 50 of 58 in dict
-    order). Pin the ordering contract so future additions can't silently
+    FIRST 50 queries() entries in dict order (r2: 48 of 48; r3/r4: first
+    50). Pin the ordering contract so future additions can't silently
     push survey-inventory evidence past the cap: every ts_*/events_*/
-    emb_* query and the rows-only entries sit inside the first 50;
-    only TPC-H demos and two-round-green trivial GROUP BYs may trail."""
+    emb_*/media_* query sits inside the first 50 unless explicitly
+    rotated out (ROTATED_TO_TAIL — plan-stable, three rounds green, and
+    still covered by the committed full-sweep artifact); every query
+    whose plan changed this round must hold a checked slot."""
     import __spark_entry__ as e
 
     names = list(e.queries())
     first50, tail = set(names[:50]), names[50:]
     for n in names:
-        if n.startswith(("ts_", "events_", "emb_", "media_")):
+        if n.startswith(("ts_", "events_", "emb_", "media_")) and n not in ROTATED_TO_TAIL:
             assert n in first50, f"{n} fell out of the driver-checked prefix"
+    for n in PLAN_CHANGED_THIS_ROUND:
+        assert n in first50, f"plan-changed {n} must occupy a checked slot"
     assert all(
-        t.startswith(("tpch_", "doc_")) for t in tail
+        t.startswith(("tpch_", "doc_")) or t in ROTATED_TO_TAIL for t in tail
     ), f"unexpected tail entries: {tail}"
     # every oracle key maps to a registered query and vice versa for the
     # oracle-backed set

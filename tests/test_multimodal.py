@@ -333,3 +333,26 @@ def test_media_near_dup_pairs_planted(spark):
              e.q_media_near_dup(spark, "/root/testdata/sf0.001").collect()}
     assert set(pairs) == {(i, 1000 + i) for i in range(24) if i % 4 == 0}
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_media_caption_dedup_composition(spark):
+    """Media->documents composition: the near-dup loser of each planted
+    image pair (2k, 2k+1) kills its caption doc; survivors are exactly
+    the even doc_ids < 48, rolled up per source."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    got = {
+        (r["source"], r["n_kept_docs"], r["first_kept_id"])
+        for r in e.q_media_caption_dedup(spark, "/root/testdata/sf0.01").collect()
+    }
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            "SELECT source, count(*) AS n, min(doc_id) AS f "
+            "FROM '/root/testdata/sf0.01/documents.parquet' "
+            "WHERE doc_id < 48 AND doc_id % 2 = 0 GROUP BY source"
+        ).fetchall()
+    }
+    assert got == want and got
