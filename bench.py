@@ -248,6 +248,61 @@ def bench_store_query_bucketed(spark, sf_dir: str):
     return dt, sum(len(s["dps"]) for s in out)
 
 
+def bench_streaming_summarize(spark, sf_dir: str):
+    """A11 at volume: drain the full sf events backlog through the REAL
+    streaming summarization plan (readStream -> watermark -> event-time
+    windowed agg -> parquet sink) via availableNow — the batch-drain
+    execution of the Flink job's shape (SummarizationJob.java:40-105).
+    Also surfaces the state-store footprint (rows / bytes from stream
+    progress) so the stateful cost is recorded alongside wall time:
+    state is bounded by open (series, window) pairs, not input volume."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.streaming.summarize import summarization_query
+
+    srcdir = tempfile.mkdtemp(prefix="timely_bench_stream_src_")
+    ck = tempfile.mkdtemp(prefix="timely_bench_stream_ck_")
+    out = tempfile.mkdtemp(prefix="timely_bench_stream_out_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(srcdir, "events.parquet"),
+        )
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        ev = spark.readStream.schema(schema).parquet(srcdir)
+        pts = ev.select(
+            F.col("event_type").alias("metric"),
+            ts_epoch_ms(ev).alias("ts"),
+            F.col("value"),
+            F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias(
+                "tags"
+            ),
+        )
+        t0 = time.time()
+        q = summarization_query(
+            pts,
+            window_seconds=3600,
+            checkpoint=ck,
+            out_path=out,
+            watermark_seconds=120,
+            exact=False,  # percentile_approx: the 100 TB path
+            available_now=True,
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        state_rows = state_bytes = 0
+        for p in q.recentProgress:
+            for so in p.get("stateOperators") or []:
+                state_rows = max(state_rows, so.get("numRowsTotal") or 0)
+                state_bytes = max(state_bytes, so.get("memoryUsedBytes") or 0)
+        n_out = spark.read.parquet(out).count()
+        return dt, n_out, state_rows, state_bytes
+    finally:
+        for d in (srcdir, ck, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -323,7 +378,36 @@ def main() -> int:
     except Exception as e:  # plan regression surfaces as a sentinel
         print(f"bench store_query_bucketed failed: {e}", file=sys.stderr)
         times["store_query_bucketed"] = -1.0
+    try:
+        ss_sec, ss_rows, ss_state_rows, ss_state_bytes = None, 0, 0, 0
+        for _ in range(BENCH_REPEATS):
+            s, r, sr, sb = bench_streaming_summarize(spark, sf_dir)
+            if ss_sec is None or s < ss_sec:
+                ss_sec, ss_rows, ss_state_rows, ss_state_bytes = s, r, sr, sb
+        times["streaming_summarize"] = round(ss_sec, 3)
+        print(
+            f"  streaming_summarize: {ss_sec:.3f}s ({ss_rows} rows, "
+            f"state {ss_state_rows} rows / {ss_state_bytes} B)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"bench streaming_summarize failed: {e}", file=sys.stderr)
+        times["streaming_summarize"] = -1.0
+        ss_state_rows = ss_state_bytes = 0
 
+    # per-entry gate ratios vs the committed first-green/re-baseline gate
+    # table (BENCH_GATES.json) — so the headline total stops conflating
+    # coverage growth with speed (VERDICT r4 item #9). Entries without a
+    # gate yet are listed, not silently skipped.
+    gates_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_GATES.json"
+    )
+    gates = json.load(open(gates_path)) if os.path.exists(gates_path) else {}
+    ratios = sorted(
+        round(v / gates[k], 3)
+        for k, v in times.items()
+        if v > 0 and gates.get(k, 0) > 0
+    )
     total = round(sum(v for v in times.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -333,6 +417,13 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "gate_ratio_max": ratios[-1] if ratios else None,
+                "gate_ratio_median": ratios[len(ratios) // 2] if ratios else None,
+                "ungated": sorted(
+                    k for k, v in times.items() if v > 0 and not gates.get(k)
+                ),
+                "streaming_state_rows": ss_state_rows,
+                "streaming_state_bytes": ss_state_bytes,
             }
         )
     )

@@ -7,7 +7,14 @@ and exact values after sorting columns by name and rows by value — the
 same shape as CORRECTNESS_r{N}.json. Also reports max float deviation so
 rounding adequacy is visible.
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [--json PATH] [query ...]
+
+With ``--json PATH`` the full per-query result set is also written in
+the CORRECTNESS_r{N}.json shape (rows/schema/hash matches + row counts).
+The committed ``CORRECTNESS_LOCAL.json`` is the full-registry sweep —
+the driver checks only the first 50 entries, so this artifact is the
+per-round evidence for the tail (refresh it every round:
+``python tools/check_oracle.py --json CORRECTNESS_LOCAL.json``).
 """
 
 from __future__ import annotations
@@ -43,6 +50,17 @@ def normalize(rows: list[tuple], cols: list[str]):
     return [c for c in sorted(cols)], out
 
 
+def _row(spark_rows: int | None = None, err: str | None = None) -> dict:
+    return {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": spark_rows,
+        "oracle_rows": None,
+        "err": err,
+    }
+
+
 def main() -> int:
     import duckdb
 
@@ -50,7 +68,14 @@ def main() -> int:
     from timely_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
+    report: dict[str, dict] = {}
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -73,11 +98,13 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            report[name] = _row(err=f"spark: {e}")
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 print(f"  WARN {name}: 0 rows")
+            report[name] = _row(spark_rows=len(srows), err="no_oracle")
             continue
         try:
             res = con.execute(oracles[name])
@@ -86,6 +113,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            report[name] = _row(spark_rows=len(srows), err=f"oracle: {e}")
             continue
         sc, sr = normalize(srows, scols)
         oc, orr = normalize(orows, ocols)
@@ -130,6 +158,21 @@ def main() -> int:
             print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+        report[name] = {
+            "rows_match": len(sr) == len(orr),
+            "schema_match": sc == oc,
+            "hash_match": ok,
+            "spark_rows": len(sr),
+            "oracle_rows": len(orr),
+            "err": None,
+        }
+
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} queries)")
 
     print()
     if failures:
