@@ -639,12 +639,20 @@ def test_metrics_report_ignored_tags(spark, tmp_path):
             srv.base_url,
             f"sys.cpu.user {TEST_TIME} 1.0 host=localhost instance=0",
             f"sys.cpu.idle {TEST_TIME} 1.0 host=localhost instance=0",
+            f"sys.net.rx {TEST_TIME} 1.0 instance=0",  # ONLY ignored tags
         )
         status, html = get(srv.base_url + "/api/metrics", accept="text/html")
         assert status == 200
         assert "<td>sys.cpu.idle</td>" in html and "<td>sys.cpu.user</td>" in html
         assert "host=localhost" in html and "instance=" not in html
+        # a metric whose tags are ALL ignored still appears, with no tags
+        # (MetricsResponse.generateHtml keeps the metric row)
+        assert "<td>sys.net.rx</td>" in html
         status, body = get(srv.base_url + "/api/metrics", accept="application/json")
         assert status == 200 and "instance" not in body
+        assert any(
+            m["metric"] == "sys.net.rx" and m["tags"] == []
+            for m in json.loads(body)["metrics"]
+        )
     finally:
         srv.stop()

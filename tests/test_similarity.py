@@ -125,3 +125,40 @@ def test_semantic_dedup_planted_duplicates(spark):
     # deterministic across runs
     again = {r["vec_id"]: r for r in semantic_dedup(emb, k=4, threshold=0.95).collect()}
     assert again == out
+
+
+def test_pq_codebook_plan_size_contract(spark):
+    """Memory-bounded ANN model contract: PQ codebooks ride the task
+    CLOSURE (pq_encode) and per-query LUTs ride a k-row broadcast
+    DataFrame (pq_topk) — never Catalyst literal expression trees. The
+    semantic_dedup lesson: a k*d literal tree cost seconds of ANALYSIS
+    per query and approaches Catalyst expression limits as the model
+    grows. Pin it: the analyzed-plan text must NOT grow with the
+    codebook size (dim*ksub*m up 16x => plan roughly constant)."""
+    from timely_spark.operators.similarity import pq_topk
+
+    emb = _vecs(spark, n=80, dim=64)
+    q = _queries(emb)
+
+    def plan_chars(m, ksub):
+        out = pq_topk(emb, q, dim=64, k=5, m=m, ksub=ksub, sample=80)
+        return len(
+            out._jdf.queryExecution().analyzed().toString()
+        )
+
+    small = plan_chars(m=4, ksub=4)     # 4*4*16  = 256 codebook floats
+    big = plan_chars(m=8, ksub=64)      # 8*64*8  = 4096 floats (16x)
+    assert big <= small * 1.2, (
+        f"plan grew with codebook size: {small} -> {big} chars — a "
+        "codebook leaked into the expression tree as literals"
+    )
+
+
+def test_pq_train_sample_floor_is_loud(spark):
+    """The trainer refuses a sample smaller than ksub instead of
+    degenerating to duplicate centroids."""
+    from timely_spark.operators.similarity import pq_train_codebooks
+
+    emb = _vecs(spark, n=10, dim=8)
+    with pytest.raises(ValueError, match="sample"):
+        pq_train_codebooks(emb, dim=8, m=2, ksub=16, sample=10)

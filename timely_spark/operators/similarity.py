@@ -429,6 +429,14 @@ def pq_train_codebooks(
     FAISS's ``train()``; at 100 TB the sample is still ``sample`` rows.
     Vectors are L2-normalized first so ADC inner products approximate
     cosine.
+
+    Model-shipping contract (pinned by
+    test_pq_codebook_plan_size_contract): the returned codebooks must
+    ride task CLOSURES (pq_encode) or a k-row broadcast DataFrame
+    (pq_topk's LUTs) — never Catalyst literal expression trees. A
+    ``dim*ksub*m``-literal tree costs seconds of ANALYSIS per query and
+    approaches Catalyst expression limits as the model grows (the
+    semantic_dedup centroid fix, same failure mode).
     """
     import numpy as np
 
