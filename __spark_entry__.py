@@ -1298,6 +1298,37 @@ def q_media_caption_dedup(spark, sf_dir):
     )
 
 
+def q_doc_global_shuffle(spark, sf_dir):
+    """Deterministic global training shuffle: md5(seed:id) order key,
+    dense global position, shard + in-shard position per doc — the
+    reproducible pre-training corpus shuffle. Spark side is the
+    two-phase bucketed rank (order-aligned md5-prefix buckets + tiny
+    offset table, never a global sort); the oracle is the plain
+    single-window form, proving the two-phase plan is value-identical."""
+    from timely_spark.operators.pack import global_shuffle
+
+    return global_shuffle(
+        _t(spark, sf_dir, "documents"), seed="r5", docs_per_shard=64
+    )
+
+
+def q_doc_token_budget(spark, sf_dir):
+    """Per-source token-budget curation: classifier-quality-ranked docs
+    kept greedily until each source's 1200-token budget fills — the
+    data-mixing step where every source contributes a bounded, best-first
+    token share. Ranking is (p_keep DESC, md5(id), id) — fully
+    deterministic; the running total is the two-phase banded cumsum
+    (per-(source, score-band) windows + tiny band-offset table), never
+    one window over a whole domain. Oracle: the plain window form."""
+    from timely_spark.operators.mixture import token_budget_subset
+    from timely_spark.operators.text import classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = classifier_score(docs).select("doc_id", "n_tokens", "p_keep")
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    return token_budget_subset(j, budget=1200)
+
+
 def q_tpch_q6ish(spark, sf_dir):
     """TPC-H Q6 forecasting-revenue-change: pure scan-shaped filter+agg —
     every predicate reaches PushedFilters, zero joins; the canonical
@@ -1526,10 +1557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   row is the silent-regression channel (r4 verdict, doc_tfidf_terms).
     # r5 rotation: doc_classifier_score (never driver-checked) and
     # doc_tfidf_terms (plan rewritten r4) move INTO the prefix, plus the
-    # new doc_corpus_ingest / media_caption_dedup; four three-round-green
-    # trivial-plan rows (ts_downsample_sum_tag, ts_downsample_minmax,
-    # ts_suggest, ts_lookup — unchanged since r2) rotate to the tail,
-    # where the full-sweep CORRECTNESS_LOCAL.json still covers them.
+    # new doc_corpus_ingest / media_caption_dedup / doc_global_shuffle /
+    # doc_token_budget; six three-round-green trivial-plan rows
+    # (ts_downsample_sum_tag, ts_downsample_minmax, ts_suggest,
+    # ts_lookup, events_top_users, events_user_cardinality — unchanged
+    # since r2) rotate to the tail, where the full-sweep
+    # CORRECTNESS_LOCAL.json still covers them.
     return {
         "ts_downsample_avg": q_ts_downsample_avg,
         "ts_dev": q_ts_dev,
@@ -1548,12 +1581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
         "ts_none_raw": q_ts_none_raw,
-        "events_top_users": q_events_top_users,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
-        "events_user_cardinality": q_events_user_cardinality,
         "events_retention": q_events_retention,
         "emb_knn": q_emb_knn,
         "emb_kmeans_assign": q_emb_kmeans_assign,
@@ -1577,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_ingest": q_doc_corpus_ingest,
         "doc_classifier_score": q_doc_classifier_score,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_global_shuffle": q_doc_global_shuffle,
+        "doc_token_budget": q_doc_token_budget,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_url_dedup": q_doc_url_dedup,
@@ -1595,6 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_downsample_minmax": q_ts_downsample_minmax,
         "ts_suggest": q_ts_suggest,
         "ts_lookup": q_ts_lookup,
+        "events_top_users": q_events_top_users,
+        "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -2319,6 +2354,26 @@ SELECT * FROM (VALUES
    least(md5('zeta eta theta iota'), md5('kappa lambda'))),
   ('warc', CAST(1 AS BIGINT), CAST(10 AS BIGINT), md5('omicron pi'))
 ) AS t(source, n_docs, total_chars, min_text_md5)"""
+    from timely_spark.operators.pack import global_shuffle_sql
+    from timely_spark.operators.text import classifier_score_sql
+
+    d["doc_global_shuffle"] = global_shuffle_sql(seed="r5", docs_per_shard=64)
+    # token-budget subset: plain window form of the banded two-phase
+    # cumsum (ordering: p_keep DESC, md5(id), id — engine-exact since the
+    # classifier oracle hash-matches its rounded doubles)
+    d["doc_token_budget"] = f"""
+WITH s AS ({classifier_score_sql()}),
+j AS (SELECT s.doc_id, dd.source, s.n_tokens, s.p_keep
+      FROM s JOIN documents dd USING (doc_id)),
+c AS (SELECT doc_id, source, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source
+             ORDER BY p_keep DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+          AS cum_tokens_before
+      FROM j)
+SELECT doc_id, source, n_tokens, cum_tokens_before,
+       cum_tokens_before < 1200 AS kept
+FROM c"""
     return d
 
 

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "doc_classifier_score",
     "doc_chunk_dedup",
     "doc_seq_pack",
+    "doc_global_shuffle",
+    "doc_token_budget",
     "doc_domain_mixture",
     "doc_ngram_jaccard",
     "doc_decontaminate",

@@ -442,7 +442,14 @@ def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
 # (CORRECTNESS_LOCAL.json, tools/check_oracle.py) still re-verifies
 # them every round. STANDING RULE (see queries() comment): any query
 # whose plan changes in a round must rotate back into slots <= 50.
-ROTATED_TO_TAIL = {"ts_downsample_sum_tag", "ts_downsample_minmax", "ts_suggest", "ts_lookup"}
+ROTATED_TO_TAIL = {
+    "ts_downsample_sum_tag",
+    "ts_downsample_minmax",
+    "ts_suggest",
+    "ts_lookup",
+    "events_top_users",
+    "events_user_cardinality",
+}
 
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
@@ -455,6 +462,8 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_tfidf_terms",    # rotated in: r4 rewrite needs a driver row
     "doc_corpus_ingest",  # new this round
     "media_caption_dedup",  # new this round
+    "doc_global_shuffle",  # new this round
+    "doc_token_budget",  # new this round
 }
 
 

@@ -534,3 +534,94 @@ def test_canonical_url_matches_python_model(spark, urls):
     }
     for i, u in enumerate(urls):
         assert got[i] == _py_canonical(u), (u, got[i], _py_canonical(u))
+
+
+# ------------------------------------------------------- global shuffle
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    docs_per_shard=st.sampled_from([1, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_global_shuffle_matches_python_sort(spark, ids, docs_per_shard):
+    """The two-phase bucketed rank == a plain python sort by
+    (md5(seed:id), id), for any id set and shard size."""
+    import hashlib
+
+    from timely_spark.operators.pack import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["pos"], r["shard"], r["pos_in_shard"])
+        for r in global_shuffle(
+            df, seed="s", docs_per_shard=docs_per_shard
+        ).collect()
+    }
+    order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"s:{i}".encode()).hexdigest(), i)
+    )
+    want = {
+        i: (p, p // docs_per_shard, p % docs_per_shard)
+        for p, i in enumerate(order)
+    }
+    assert got == want
+
+
+# --------------------------------------------------- token-budget subset
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                  # domain
+            st.integers(min_value=0, max_value=100),      # score percent
+            st.integers(min_value=0, max_value=50),       # tokens
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=0, max_value=300),
+)
+@settings(**SETTINGS)
+def test_token_budget_matches_python_greedy(spark, rows, budget):
+    """The banded two-phase cumsum == a plain python per-domain greedy
+    scan ordered by (score DESC, md5(id), id), for any score/token mix
+    (including band-boundary ties and zero-token docs)."""
+    import hashlib
+    from collections import defaultdict
+
+    from timely_spark.operators.mixture import token_budget_subset
+
+    data = [
+        (i, dom, sp / 100.0, n) for i, (dom, sp, n) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, source string, p_keep double, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["cum_tokens_before"], r["kept"])
+        for r in token_budget_subset(df, budget=budget, bands=10).collect()
+    }
+    by_dom = defaultdict(list)
+    for i, dom, s, n in data:
+        by_dom[dom].append((i, s, n))
+    want = {}
+    for dom, docs in by_dom.items():
+        docs.sort(
+            key=lambda t: (
+                -t[1],
+                hashlib.md5(str(t[0]).encode()).hexdigest(),
+                t[0],
+            )
+        )
+        cum = 0
+        for i, _s, n in docs:
+            want[i] = (cum, cum < budget)
+            cum += n
+    assert got == want

@@ -106,3 +106,70 @@ SELECT d.{id_col}, d.{domain_col}, round(r.rate, 9) AS rate,
             < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
   END AS kept
 FROM documents d JOIN rates r USING ({domain_col})"""
+
+
+def token_budget_subset(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "p_keep",
+    tokens_col: str = "n_tokens",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    bands: int = 100,
+) -> DataFrame:
+    """Quality-ranked token-budget subset: per domain, keep the
+    highest-scoring documents until ``budget`` tokens are reached — the
+    data-mixing step where each source contributes a fixed token budget
+    and only its best documents make the cut. A doc is kept iff the
+    total tokens of all strictly-better docs in its domain is still
+    under budget (greedy prefix; the boundary doc may overshoot).
+
+    Ordering is fully deterministic and engine-exact: (score DESC,
+    md5(id), id) — score ties break by hash, never by layout.
+
+    Scale shape: the per-domain running total is NOT one window over the
+    whole domain (a giant domain would sort in one task). Scores band
+    into ``bands`` coarse buckets (band = monotone function of score, so
+    band-DESC-then-within-band order IS the global score order); the
+    cumsum runs per (domain, band), and band totals — ``bands`` rows per
+    domain — get their own tiny prefix sum, broadcast back: seq_pack's
+    two-phase scan keyed by quality instead of id. If a domain's score
+    distribution concentrates into few bands, raise ``bands`` (the
+    banding dial); band width never changes the result, only the
+    parallelism.
+
+    Output: (id, domain, n_tokens, cum_tokens_before, kept).
+    """
+    sc = F.col(score_col)
+    t = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        sc.alias("__s"),
+        F.col(tokens_col).cast("long").alias("__n"),
+        F.least(F.floor(sc * bands), F.lit(bands - 1)).cast("long").alias("__band"),
+        F.md5(F.col(id_col).cast("string")).alias("__tb"),
+    )
+    w = (
+        Window.partitionBy(domain_col, "__band")
+        .orderBy(F.col("__s").desc(), "__tb", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("__local_end", F.sum("__n").over(w))
+    totals = t.groupBy(domain_col, "__band").agg(F.sum("__n").alias("__tot"))
+    wb = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("__band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = totals.withColumn(
+        "__start", F.sum("__tot").over(wb) - F.col("__tot")
+    ).select(domain_col, "__band", "__start")
+    j = local.join(F.broadcast(offs), [domain_col, "__band"])
+    before = F.col("__start") + F.col("__local_end") - F.col("__n")
+    return j.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("__n").alias(tokens_col),
+        before.alias("cum_tokens_before"),
+        (before < F.lit(int(budget))).alias("kept"),
+    )

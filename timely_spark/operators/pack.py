@@ -146,3 +146,74 @@ def write_packed_corpus(
     finally:
         packed.unpersist()
     return int(n_shards)
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: str = "shuffle",
+    docs_per_shard: int = 1024,
+    id_col: str = "doc_id",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a
+    pseudo-random global position, shard id and in-shard position —
+    the "shuffle the corpus once before training" step, reproducible
+    across runs, engines and cluster layouts (no RNG: the order key is
+    ``md5(seed:id)``, engine-exact in Spark and DuckDB).
+
+    Scale shape: the global rank is NEVER a single global sort. The md5
+    key's leading ``bucket_hex`` hex chars form ``16^bucket_hex``
+    ORDER-ALIGNED buckets (a hash prefix is uniform, so buckets balance
+    by construction — no skew mitigation needed); rank within bucket via
+    a per-bucket window, bucket offsets via a prefix sum over the tiny
+    bucket-count table (one row per bucket), broadcast back. Same
+    two-phase scan as :func:`seq_pack`; raise ``bucket_hex`` to 3-4 at
+    100 TB (4096-65536 buckets).
+
+    Output: (id, pos, shard, pos_in_shard), pos dense in [0, n).
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    t = df.select(F.col(id_col), key.alias("__k")).withColumn(
+        "__b", F.conv(F.substring("__k", 1, bucket_hex), 16, 10).cast("long")
+    )
+    w = Window.partitionBy("__b").orderBy("__k", id_col)
+    local = t.withColumn("__r", F.row_number().over(w).cast("long"))
+    counts = t.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    wb = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = counts.withColumn(
+        "__start", F.sum("__n").over(wb) - F.col("__n")
+    ).select("__b", "__start")
+    pos = local.join(F.broadcast(offs), "__b").select(
+        id_col, (F.col("__start") + F.col("__r") - 1).alias("pos")
+    )
+    # integer DIV/% — positions exceed 2^53 long before 100 TB
+    return pos.select(
+        id_col,
+        "pos",
+        F.expr(f"pos DIV {int(docs_per_shard)}").alias("shard"),
+        F.expr(f"pos % {int(docs_per_shard)}").alias("pos_in_shard"),
+    )
+
+
+def global_shuffle_sql(
+    seed: str = "shuffle",
+    docs_per_shard: int = 1024,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB equivalent of :func:`global_shuffle` over ``documents``
+    (plain single-window form — the semantics, not the scale shape)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, md5('{seed}:' || CAST({id_col} AS VARCHAR)) AS k
+  FROM documents),
+r AS (
+  SELECT {id_col},
+         row_number() OVER (ORDER BY k, {id_col}) - 1 AS pos
+  FROM t)
+SELECT {id_col}, pos, pos // {int(docs_per_shard)} AS shard,
+       pos % {int(docs_per_shard)} AS pos_in_shard
+FROM r"""
