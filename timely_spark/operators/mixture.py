@@ -155,6 +155,13 @@ def token_budget_subset(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = t.withColumn("__local_end", F.sum("__n").over(w))
+    # band totals from t, not the windowed frame: partial aggregation
+    # shuffles one row per (domain, band); a local-sourced variant would
+    # re-shuffle the corpus through the window (no exchange reuse —
+    # column pruning diverges the subtrees; see seq_pack's note). This
+    # branch does re-run the upstream scoring expressions on the second
+    # scan — if the caller's score column is expensive, persist the
+    # input frame before calling.
     totals = t.groupBy(domain_col, "__band").agg(F.sum("__n").alias("__tot"))
     wb = (
         Window.partitionBy(domain_col)

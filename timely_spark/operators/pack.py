@@ -59,6 +59,13 @@ def seq_pack(
     )
     local = t.withColumn("__local_end", F.sum("n_units").over(w))
 
+    # totals from t, NOT from the windowed frame: groupBy partial-
+    # aggregates map-side, so this branch shuffles one row per bucket.
+    # Aggregating max(__local_end) off `local` looks like it would reuse
+    # the window's exchange, but column pruning diverges the subtrees
+    # (measured: no ReusedExchange) and the branch then re-shuffles the
+    # FULL corpus through the window — the 2nd column-pruned scan here
+    # is far cheaper than a 2nd corpus shuffle at 100 TB.
     totals = t.groupBy("__b").agg(F.sum("n_units").alias("__tot"))
     wb = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -180,6 +187,10 @@ def global_shuffle(
     )
     w = Window.partitionBy("__b").orderBy("__k", id_col)
     local = t.withColumn("__r", F.row_number().over(w).cast("long"))
+    # counts from t, not the windowed frame: the partial-agg branch
+    # shuffles one row per bucket; a local-sourced max(__r) would
+    # re-shuffle the corpus through the window (no exchange reuse —
+    # column pruning diverges the subtrees; see seq_pack's note)
     counts = t.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
     wb = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
