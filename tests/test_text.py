@@ -487,6 +487,45 @@ def test_curate_cli_pipeline(spark, tmp_path):
     assert 100 not in {r["doc_id"] for r in back.collect()}
 
 
+def test_curate_cli_budget_and_shuffle(spark, tmp_path):
+    """--token-budget trims each source to its quality-ranked token
+    budget; --shuffle-seed packs by deterministic shuffled position
+    (dense pos ids, identical layout across runs with the same seed)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    rows = [
+        (i, "web" if i % 2 == 0 else "books", filler + f" unique{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+        token_budget=300, shuffle_seed="s1",
+    )
+    assert stats["stage_pass"]["screen"] == 20
+    assert 0 < stats["n_survivors"] < 20  # budget actually cut
+    back = spark.read.parquet(out)
+    assert back.count() == stats["n_survivors"]
+    poss = sorted(r["pos"] for r in back.collect())
+    assert poss == list(range(len(poss)))  # dense shuffled positions
+    out2 = str(tmp_path / "packed2")
+    curate(
+        spark, str(tmp_path), out2, seq_len=128, min_p_keep=0.0,
+        token_budget=300, shuffle_seed="s1",
+    )
+    layout = lambda p: sorted(  # noqa: E731
+        (r["pos"], r["pack_first"], r["text"][:40])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert layout(out) == layout(out2)
+
+
 def test_curate_cli_warc_input(spark, tmp_path):
     """The curation CLI runs off a raw WARC crawl end to end."""
     import sys

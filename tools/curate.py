@@ -4,12 +4,16 @@
 Reads ``documents.parquet`` from a scale-factor directory, runs the
 screen pipeline (unicode normalization, Gopher hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
-mixture), writes the surviving documents as a shard-partitioned packed
-corpus (``write_packed_corpus``), and prints ONE JSON line of stats.
+mixture), optionally trims each source to a quality-ranked token budget
+(``token_budget_subset``) and packs in deterministic shuffled order
+(``global_shuffle``), then writes the surviving documents as a
+shard-partitioned packed corpus (``write_packed_corpus``) and prints
+ONE JSON line of stats.
 
 Usage:
     python tools/curate.py [--sf-dir DIR] [--out DIR] [--seq-len N]
-                           [--min-p-keep P]
+                           [--min-p-keep P] [--token-budget N]
+                           [--shuffle-seed S]
 
 Every stage is a column expression or hash-keyed aggregate from
 ``timely_spark.operators`` — the whole run is three Spark jobs (screen +
@@ -43,7 +47,8 @@ def load_documents(spark, path: str, fmt: str = "parquet"):
 
 
 def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float = 0.4,
-           gopher: bool = False, fmt: str = "parquet"):
+           gopher: bool = False, fmt: str = "parquet",
+           token_budget: int | None = None, shuffle_seed: str | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -63,7 +68,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "doc_id", "source", normalize_text("text").alias("text"),
         sig["gopher_pass"].alias("gopher_pass"),
     )
-    clf = classifier_score(normed).select("doc_id", "p_keep")
+    clf = classifier_score(normed).select("doc_id", "n_tokens", "p_keep")
     mix = domain_mixture(docs).select("doc_id", "kept")
 
     dups = exact_dup_groups(normed).select(
@@ -97,11 +102,39 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         F.sum((F.col("p_keep") >= min_p_keep).cast("long")).alias("n_clf"),
         F.sum(keep.cast("long")).alias("n_out"),
     ).collect()[0]
-    survivors = staged.filter(keep).select("doc_id", "text")
+    survivors = staged.filter(keep).select(
+        "doc_id", "source", "n_tokens", "p_keep", "text"
+    )
     n_out = int(agg["n_out"])
     try:
+        if token_budget and n_out:
+            # per-source quality-ranked token budget over the screen
+            # survivors (token_budget_subset's banded two-phase cumsum)
+            from timely_spark.operators.mixture import token_budget_subset
+
+            tb = token_budget_subset(
+                survivors.select("doc_id", "source", "p_keep", "n_tokens"),
+                budget=token_budget,
+            )
+            survivors = survivors.join(
+                tb.filter("kept").select("doc_id"), "doc_id"
+            )
+            n_out = survivors.count()
+        pack_input = survivors.select("doc_id", "text")
+        pack_id = "doc_id"
+        if shuffle_seed is not None and n_out:
+            # deterministic global shuffle: pack by shuffled position so
+            # the training stream order is seed-reproducible, not
+            # id-ordered (global_shuffle's two-phase bucketed rank)
+            from timely_spark.operators.pack import global_shuffle
+
+            gs = global_shuffle(survivors.select("doc_id"), seed=shuffle_seed)
+            pack_input = pack_input.join(gs.select("doc_id", "pos"), "doc_id")
+            pack_id = "pos"
         n_shards = (
-            write_packed_corpus(survivors, out, seq_len=seq_len) if n_out else 0
+            write_packed_corpus(pack_input, out, id_col=pack_id, seq_len=seq_len)
+            if n_out
+            else 0
         )
     finally:
         staged.unpersist()
@@ -112,8 +145,11 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             "dedup_keeper": int(agg["n_keepers"]),
             "mixture": int(agg["n_mixture"]),
             "classifier": int(agg["n_clf"]),
+            "screen": int(agg["n_out"]),
         },
         "gopher_gate": gopher,
+        "token_budget": token_budget,
+        "shuffle_seed": shuffle_seed,
         "n_survivors": n_out,
         "keep_rate": round(n_out / n_input, 4) if n_input else 0.0,
         "n_shards": n_shards,
@@ -136,13 +172,18 @@ def main() -> int:
     ap.add_argument("--format", default="parquet",
                     choices=["parquet", "jsonl", "warc"],
                     help="corpus source format (parquet expects <dir>/documents.parquet)")
+    ap.add_argument("--token-budget", type=int, default=None,
+                    help="per-source token budget (quality-ranked greedy subset)")
+    ap.add_argument("--shuffle-seed", default=None,
+                    help="pack in deterministic shuffled order under this seed")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
     from timely_spark.session import get_spark
 
     spark = get_spark("timely-curate")
-    stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep, args.gopher, args.format)
+    stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep,
+                   args.gopher, args.format, args.token_budget, args.shuffle_seed)
     print(json.dumps(stats))
     return 0
 
