@@ -492,3 +492,30 @@ def test_registry_order_puts_evidence_in_first_50():
     # oracle-backed set
     oracles = e.oracle_sql()
     assert set(oracles) <= set(names)
+
+
+def test_correctness_local_artifact_fresh():
+    """The committed full-sweep artifact (CORRECTNESS_LOCAL.json) must
+    cover EXACTLY the current registry with zero recorded failures —
+    adding or rewriting a query without refreshing the sweep
+    (`python tools/check_oracle.py --json CORRECTNESS_LOCAL.json`)
+    fails here instead of rotting silently."""
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_LOCAL.json")
+    d = json.load(open(path))
+    assert set(d) == set(e.queries()), (
+        "registry changed: refresh CORRECTNESS_LOCAL.json "
+        f"(missing={sorted(set(e.queries()) - set(d))}, "
+        f"stale={sorted(set(d) - set(e.queries()))})"
+    )
+    for name, row in d.items():
+        assert row["err"] in (None, "no_oracle"), (name, row["err"])
+        if row["err"] is None:
+            assert (
+                row["rows_match"] and row["schema_match"] and row["hash_match"]
+            ), f"{name} recorded a mismatch"
+        assert (row["spark_rows"] or 0) > 0, f"{name} recorded 0 rows"

@@ -625,3 +625,40 @@ def test_token_budget_matches_python_greedy(spark, rows, budget):
             want[i] = (cum, cum < budget)
             cum += n
     assert got == want
+
+
+# ----------------------------------------------------------- WARC parser
+
+
+@given(
+    records=st.lists(
+        st.tuples(
+            st.from_regex(r"https?://[a-z]{1,8}\.example\.com/[a-z0-9]{0,10}", fullmatch=True),
+            st.binary(max_size=200),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    gzip_members=st.booleans(),
+    cut=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**SETTINGS)
+def test_warc_parser_roundtrip_and_truncation(records, gzip_members, cut):
+    """make_warc -> parse_warc_records is the identity on any record set
+    (arbitrary binary bodies, both layouts), and a truncated payload
+    never raises — it yields a prefix of the records."""
+    from timely_spark.sources.corpus import make_warc, parse_warc_records
+
+    payload = make_warc(records, gzip_members=gzip_members)
+    parsed = list(parse_warc_records(payload))
+    assert len(parsed) == len(records)
+    http_prefix = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    for (uri, body), (headers, got) in zip(records, parsed):
+        assert headers["warc-target-uri"] == uri
+        assert headers["warc-type"] == "response"
+        assert got == http_prefix + body
+    # truncation tolerance: parse of any prefix yields a record prefix
+    part = list(parse_warc_records(payload[: min(cut, len(payload))]))
+    assert len(part) <= len(records)
+    for (uri, _b), (headers, _g) in zip(records, part):
+        assert headers["warc-target-uri"] == uri
