@@ -464,6 +464,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "media_caption_dedup",  # new this round
     "doc_global_shuffle",  # new this round
     "doc_token_budget",  # new this round
+    "ts_streaming_summarize",  # new this round: first streaming oracle row
 }
 
 
