@@ -388,6 +388,52 @@ def q_ts_streaming_summarize(spark, sf_dir):
     )
 
 
+def q_events_streaming_sessionize(spark, sf_dir):
+    """Gap sessionization through the REAL streaming engine — the second
+    streaming oracle row: readStream over the events backlog ->
+    watermark(120 s) -> native session_window(30 min) per user ->
+    append-mode parquet sink drained via availableNow, read back and
+    filtered to sessions whose window end (last event + gap) sits
+    strictly below the final watermark — a provably closed, emitted,
+    deterministic set the DuckDB oracle states with the lag +
+    running-sum formulation plus the same HAVING cutoff. Session-merge
+    state handling (MergingSessionsIterator) is now oracle-verified,
+    not just batch-parity-tested. Same per-run temp sink/ckpt protocol
+    as ts_streaming_summarize."""
+    import os
+    import tempfile
+
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.streaming.sessionize import sessionize_stream
+
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srcdir = tempfile.mkdtemp(prefix="timely_sess_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(srcdir, "events.parquet"),
+    )
+    raw = spark.readStream.schema(ev_batch.schema).parquet(srcdir)
+    ev = raw.select("user_id", ts_epoch_ms(raw).alias("ts_ms"), "value")
+    ck = tempfile.mkdtemp(prefix="timely_sess_ck_")
+    out = tempfile.mkdtemp(prefix="timely_sess_out_")
+    q = sessionize_stream(
+        ev,
+        checkpoint=ck,
+        out_path=out,
+        gap_minutes=30,
+        watermark_seconds=120,
+        available_now=True,
+    )
+    q.awaitTermination()
+    mx = ev_batch.agg(F.max(ts_epoch_ms(ev_batch)).alias("m")).collect()[0]["m"]
+    cutoff = int(mx) - 120_000 - 1  # strictly below the final watermark
+    gap_ms = 30 * 60_000
+    sink = spark.read.parquet(out)
+    return sink.filter(
+        F.col("session_start_ms") + F.col("duration_ms") + gap_ms <= cutoff
+    ).select("user_id", "session_start_ms", "n_events", "duration_ms", "sum_value")
+
+
 def q_ts_multiquery(spark, sf_dir):
     """§2.4 multi-SubQuery union (QueryRequest.java:370-372,
     DataStore.java:645): avg(click) 1h + max(error) 1h, one result set."""
@@ -1653,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_none_raw": q_ts_none_raw,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
+        "events_streaming_sessionize": q_events_streaming_sessionize,
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
         "events_retention": q_events_retention,
@@ -1690,7 +1737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_token_freq": q_doc_token_freq,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1716,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_sample": q_doc_hash_sample,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
+        "doc_token_freq": q_doc_token_freq,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2321,6 +2368,28 @@ SELECT user_id, min(ts_ms) AS session_start_ms, count(*) AS n_events,
        max(ts_ms) - min(ts_ms) AS duration_ms,
        CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, sess_no"""
+    # streaming sessionize: same session set, restricted to sessions whose
+    # window end (last event + 30 min gap) sits strictly below the final
+    # watermark (max ts - 120 s - 1 ms) — exactly the provably-emitted set
+    # the append-mode streaming sink must contain
+    d["events_streaming_sessionize"] = """
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events),
+mx AS (SELECT max(ts_ms) AS m FROM ev),
+flagged AS (
+  SELECT user_id, ts_ms, value,
+         CASE WHEN ts_ms - lag(ts_ms) OVER w > 30*60000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+sess AS (
+  SELECT user_id, ts_ms, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged)
+SELECT user_id, min(ts_ms) AS session_start_ms, count(*) AS n_events,
+       max(ts_ms) - min(ts_ms) AS duration_ms,
+       CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sess_no
+HAVING max(ts_ms) + 30*60000 <= (SELECT m - 120000 - 1 FROM mx)"""
     d["tpch_q10ish"] = """
 SELECT c_custkey, c_name, n_name,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -465,6 +465,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_global_shuffle",  # new this round
     "doc_token_budget",  # new this round
     "ts_streaming_summarize",  # new this round: first streaming oracle row
+    "events_streaming_sessionize",  # new this round: session-window streaming oracle
 }
 
 
