@@ -868,6 +868,21 @@ def q_doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, n=8)
 
 
+def q_doc_bloom_decontaminate(spark, sf_dir):
+    """Decontamination for the LARGE-benchmark regime: a Bloom bitset of
+    the bench 8-gram hashes broadcasts (~10x smaller than the exact-join
+    hash table), prunes the corpus probe side map-side inside codegen,
+    and a non-broadcast exact confirm join removes the false positives —
+    so the answer is byte-identical to the exact operator and the same
+    SQL oracle verifies it. Bench = doc_id % 20 (2.5x the exact row's
+    set, the regime argument made concrete)."""
+    from timely_spark.operators.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return bloom_decontaminate(docs, bench, n=8)
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII scrub pass: per-doc counts of email/ipv4/phone matches and the
     scrubbed text's md5 (regexes restricted to the Java-regex/RE2 common
@@ -1675,9 +1690,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (ts_downsample_sum_tag, ts_downsample_minmax, ts_suggest,
     # ts_lookup, events_top_users, events_user_cardinality — unchanged
     # since r2) rotate to the tail, where the full-sweep
-    # CORRECTNESS_LOCAL.json still covers them. ts_streaming_summarize
-    # (first streaming oracle row) additionally displaces
-    # doc_bigram_novelty (green r4, plan unchanged) to slot 51.
+    # CORRECTNESS_LOCAL.json still covers them. The r5 additions
+    # (ts_streaming_summarize, events_streaming_sessionize,
+    # doc_bloom_decontaminate) displace doc_token_freq,
+    # doc_stratified_sample, doc_domain_mixture, doc_bigram_novelty and
+    # doc_oov_rate (all green r4, plans unchanged) to the tail.
     return {
         "ts_downsample_avg": q_ts_downsample_avg,
         "ts_dev": q_ts_dev,
@@ -1728,15 +1745,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_global_shuffle": q_doc_global_shuffle,
         "doc_token_budget": q_doc_token_budget,
         "doc_gopher_rules": q_doc_gopher_rules,
-        "doc_oov_rate": q_doc_oov_rate,
         "doc_url_dedup": q_doc_url_dedup,
         "doc_normalize": q_doc_normalize,
         "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
-        "doc_domain_mixture": q_doc_domain_mixture,
-        "doc_bigram_novelty": q_doc_bigram_novelty,
-        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1763,6 +1777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_domain_mixture": q_doc_domain_mixture,
+        "doc_bigram_novelty": q_doc_bigram_novelty,
+        "doc_oov_rate": q_doc_oov_rate,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2307,6 +2325,22 @@ sh AS (SELECT doc_id,
                                            i -> array_to_string(t[i:i+7], ' '))) AS s
        FROM tk),
 bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT d.doc_id, count(*) AS ngram_hits
+         FROM (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN bench USING (g)
+         GROUP BY 1)
+SELECT sh.doc_id, CAST(COALESCE(hits.ngram_hits, 0) AS BIGINT) AS ngram_hits,
+       COALESCE(hits.ngram_hits, 0) > 0 AS contaminated
+FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
+        # bloom prefilter + exact confirm join == the exact answer (no
+        # false negatives; FPs die in the confirm join) — same SQL, the
+        # % 20 bench set
+        "doc_bloom_decontaminate": f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 6, 1)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS s
+       FROM tk),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
 hits AS (SELECT d.doc_id, count(*) AS ngram_hits
          FROM (SELECT doc_id, unnest(s) AS g FROM sh) d JOIN bench USING (g)
          GROUP BY 1)

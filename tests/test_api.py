@@ -466,6 +466,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_token_budget",  # new this round
     "ts_streaming_summarize",  # new this round: first streaming oracle row
     "events_streaming_sessionize",  # new this round: session-window streaming oracle
+    "doc_bloom_decontaminate",  # new this round: bloom-prefilter decontamination
 }
 
 

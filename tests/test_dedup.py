@@ -165,6 +165,72 @@ def test_ngram_decontaminate(spark):
     assert out[3]["contaminated"] and out[3]["ngram_hits"] == 6
 
 
+def test_bloom_decontaminate_matches_exact(spark):
+    """Bloom prefilter + confirm join returns EXACTLY the exact-join
+    answer (no false negatives; confirm join kills false positives) on
+    both physical paths — codegen literal bitset and the pandas-UDF
+    closure path (forced via max_literal_words=0)."""
+    from timely_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated text about spark plans and shuffles"),
+            (2, "i saw the quick brown fox jumps over stuff yesterday"),
+            (3, "the quick brown fox jumps over the lazy dog indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        map(tuple, ngram_decontaminate(docs, bench, n=4).collect())
+    )
+    got_lit = sorted(
+        map(tuple, bloom_decontaminate(docs, bench, n=4).collect())
+    )
+    got_udf = sorted(
+        map(
+            tuple,
+            bloom_decontaminate(
+                docs, bench, n=4, max_literal_words=0
+            ).collect(),
+        )
+    )
+    assert got_lit == want
+    assert got_udf == want
+    assert want[1][2] and want[2][2] and not want[0][2]
+
+
+def test_bloom_bitset_shape(spark):
+    """Bitset sizing: m rounds to a 64-bit word multiple, k in [1,16],
+    and every bench shingle tests positive (zero false negatives by
+    construction)."""
+    from timely_spark.operators.dedup import (
+        _bloom_filter_hashes,
+        _shingle_hashes,
+        bloom_bitset,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, BASE), (1, FAR)], "doc_id long, text string"
+    )
+    words, m_bits, k = bloom_bitset(bench, n=4, fpp=0.01)
+    assert m_bits % 64 == 0 and len(words) == m_bits // 64
+    assert 1 <= k <= 16
+    sh = bench.select(
+        F.explode(_shingle_hashes("text", 4)).alias("__h")
+    ).distinct()
+    n_all = sh.count()
+    for mlw in (65536, 0):  # both physical paths
+        kept = _bloom_filter_hashes(sh, "__h", words, m_bits, k, mlw).count()
+        assert kept == n_all
+
+
 def test_connected_components_chain_and_singletons(spark):
     """Pointer-jumping min-label CC: a 10-node chain collapses to one
     cluster (within the O(log n) round budget), separate components keep

@@ -585,6 +585,179 @@ def ngram_decontaminate(
     )
 
 
+# ------------------------------------------------------- bloom decontamination
+
+
+def bloom_bitset(
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    fpp: float = 0.01,
+    max_k: int = 16,
+) -> tuple[list[int], int, int]:
+    """Build a Bloom bitset over the benchmark's DISTINCT shingle hashes.
+
+    Returns ``(words, m_bits, k)`` — ``words`` is the bitset as signed
+    64-bit longs (little-endian bit order within each word), sized for
+    the requested false-positive rate.
+
+    The build is distributed: each bench shingle explodes to its k bit
+    positions, and the set bits aggregate map-side via
+    ``groupBy(pos DIV 64).agg(bit_or(1 << pos%64))`` — the driver
+    collects at most m/64 (word, bits) rows, i.e. exactly the broadcast
+    payload, never the raw shingle set. At 100M bench n-grams / 1% fpp
+    that is ~15M longs (~120 MB) — broadcastable where an exact-join
+    hash table of the same keys (~10x with object overhead) is not;
+    that regime is this operator's reason to exist.
+    """
+    import math
+
+    b = bench.select(
+        F.explode(_shingle_hashes(text_col, n)).alias("__h")
+    ).distinct()
+    cnt = b.count()  # 1-scalar driver seam
+    eff = max(cnt, 1)
+    m_bits = max(64, int(math.ceil(-eff * math.log(fpp) / (math.log(2) ** 2))))
+    m_bits = ((m_bits + 63) // 64) * 64
+    k = min(max_k, max(1, round(m_bits / eff * math.log(2))))
+    pos = [
+        F.pmod(F.xxhash64(F.col("__h"), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    rows = (
+        b.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("w"),
+            # SQL shiftleft takes a column shift; the F.shiftleft wrapper
+            # is int-only
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words, m_bits, k
+
+
+def _bloom_filter_hashes(
+    d: DataFrame,
+    hash_col: str,
+    words: list[int],
+    m_bits: int,
+    k: int,
+    max_literal_words: int = 65536,
+) -> DataFrame:
+    """Keep rows whose ``hash_col`` might be in the Bloom set.
+
+    Two physical paths sharing the SAME JVM-computed positions (so the
+    probe always matches the build exactly):
+
+    - bitset <= ``max_literal_words`` longs (default 512 KB): the bitset
+      is one array literal bound ONCE as a column, and the k bit tests
+      are whole-stage-codegen'd expressions — zero Python.
+    - larger: the k positions are still computed JVM-side into an
+      ``array<long>`` column; an Arrow pandas UDF closes over the numpy
+      bitset and does only the vectorized bit lookups (same contract as
+      the PQ codebook literal/closure dual path, similarity.py).
+    """
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(hash_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    if len(words) <= max_literal_words:
+        d = d.withColumn("__bloom", F.lit(words))  # literal bound once
+        d = d.withColumns({f"__p{i}": p for i, p in enumerate(pos_cols)})
+        # SQL shiftright takes a column shift; the F.shiftright wrapper
+        # is int-only
+        test = " AND ".join(
+            f"((shiftright(element_at(__bloom, "
+            f"CAST(shiftright(__p{i}, 6) AS INT) + 1), "
+            f"CAST(__p{i} % 64 AS INT)) & CAST(1 AS BIGINT)) != 0)"
+            for i in range(k)
+        )
+        return d.filter(F.expr(test)).drop(
+            "__bloom", *[f"__p{i}" for i in range(k)]
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as _F
+
+    np_words = np.array(words, dtype=np.int64).view(np.uint64)
+
+    def _mc(pos):
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.stack(pos.to_numpy()).astype(np.int64).view(np.uint64)
+        w = np_words[(mat >> np.uint64(6)).astype(np.int64)]
+        bits = (w >> (mat & np.uint64(63))) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    # live annotations: the module's `from __future__ import annotations`
+    # would stringify inline hints beyond pandas_udf's resolver (pd is a
+    # function-local import, not a module global)
+    _mc.__annotations__ = {"pos": pd.Series, "return": pd.Series}
+    might_contain = _F.pandas_udf(_mc, "boolean")
+
+    return (
+        d.withColumn("__pos", F.array(*pos_cols))
+        .filter(might_contain(F.col("__pos")))
+        .drop("__pos")
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    fpp: float = 0.01,
+    max_literal_words: int = 65536,
+) -> DataFrame:
+    """Benchmark decontamination for the LARGE-benchmark regime:
+    Bloom-prefilter + exact confirm join.
+
+    Output is IDENTICAL to ``ngram_decontaminate`` (same schema, same
+    values): the Bloom filter has no false negatives, and the exact
+    join removes its false positives — so the filter only prunes probe
+    rows, never changes the answer, and the same SQL oracle verifies
+    both operators.
+
+    Scale rationale: ``ngram_decontaminate`` broadcasts the benchmark's
+    distinct shingle set as a join hash table — fine to ~10M n-grams.
+    Past that (full benchmark suites + their train splits), the exact
+    set no longer broadcasts and the fallback shuffle join moves EVERY
+    corpus shingle. Here the ~10x-smaller bitset broadcasts instead,
+    the corpus side drops non-members map-side inside codegen (true
+    hits + fpp of the corpus survive), and the confirm join — kept as a
+    shuffle join on purpose, its probe side now being tiny — shuffles
+    only the pruned remainder plus the bench set itself.
+    """
+    words, m_bits, k = bloom_bitset(bench, text_col, n, fpp)
+    d = docs.select(
+        F.col(id_col), F.explode(_shingle_hashes(text_col, n)).alias("__h")
+    )
+    d = _bloom_filter_hashes(d, "__h", words, m_bits, k, max_literal_words)
+    b = bench.select(
+        F.explode(_shingle_hashes(text_col, n)).alias("__h")
+    ).distinct()
+    hits = d.join(b, "__h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("ngram_hits")
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn("ngram_hits", F.coalesce(F.col("ngram_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("ngram_hits") > 0)
+    )
+
+
 # ---------------------------------------------------------------- dedup clusters
 
 
