@@ -868,6 +868,20 @@ def q_doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, n=8)
 
 
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (Xie et al. 2023): score every
+    raw doc by log p_target(f)/p_raw(f) summed over its unigram+bigram
+    occurrences, add-1 smoothing, target = sources src0/src1. String
+    features here (the SQL-expressible oracle seam); the production
+    hashed-bucket mode (feature table <= B rows, always broadcastable)
+    shares the whole plan and is pinned by parity tests."""
+    from timely_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return dsir_log_weights(docs, target, hash_buckets=None)
+
+
 def q_doc_bloom_decontaminate(spark, sf_dir):
     """Decontamination for the LARGE-benchmark regime: a Bloom bitset of
     the bench 8-gram hashes broadcasts (~10x smaller than the exact-join
@@ -1746,11 +1760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": q_doc_token_budget,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_url_dedup": q_doc_url_dedup,
-        "doc_normalize": q_doc_normalize,
         "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "doc_dsir_weights": q_doc_dsir_weights,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1781,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_oov_rate": q_doc_oov_rate,
+        "doc_normalize": q_doc_normalize,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2331,6 +2346,34 @@ hits AS (SELECT d.doc_id, count(*) AS ngram_hits
 SELECT sh.doc_id, CAST(COALESCE(hits.ngram_hits, 0) AS BIGINT) AS ngram_hits,
        COALESCE(hits.ngram_hits, 0) > 0 AS contaminated
 FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
+        # DSIR: string-feature mode, exact value compare; the decimal
+        # cast before the sum makes accumulation order irrelevant
+        "doc_dsir_weights": f"""
+WITH tk AS (SELECT doc_id, source, {toks} AS t FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(t) AS f FROM tk
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+  FROM tk),
+qc AS (SELECT f, count(*) AS c FROM feats GROUP BY 1),
+pc AS (SELECT f, count(*) AS cp FROM feats
+       WHERE source IN ('src0', 'src1') GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM qc) AS tq,
+               (SELECT count(*) FROM qc) AS v,
+               (SELECT coalesce(sum(cp), 0) FROM pc) AS tp),
+fw AS (SELECT qc.f,
+              ln((coalesce(pc.cp, 0) + 1.0) / (tot.tp + tot.v))
+              - ln((qc.c + 1.0) / (tot.tq + tot.v)) AS lw
+       FROM qc LEFT JOIN pc ON qc.f = pc.f CROSS JOIN tot),
+scored AS (
+  SELECT feats.doc_id, count(*) AS n_feats,
+         CAST(round(sum(CAST(lw AS DECIMAL(38,12))), 4) AS DOUBLE) AS log_weight
+  FROM feats JOIN fw ON feats.f = fw.f GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
         # bloom prefilter + exact confirm join == the exact answer (no
         # false negatives; FPs die in the confirm join) — same SQL, the
         # % 20 bench set

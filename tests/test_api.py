@@ -467,6 +467,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "ts_streaming_summarize",  # new this round: first streaming oracle row
     "events_streaming_sessionize",  # new this round: session-window streaming oracle
     "doc_bloom_decontaminate",  # new this round: bloom-prefilter decontamination
+    "doc_dsir_weights",  # new this round: DSIR importance-resampling weights
 }
 
 

@@ -349,3 +349,52 @@ def test_events_retention_cohorts(spark, tmp_path):
     assert out[(0, 2)]["n_active"] == 1
     assert out[(1, 0)]["n_cohort"] == 1 and out[(1, 2)]["n_active"] == 1
     assert set(out) == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 2)}
+
+
+def test_dsir_weights_string_and_hashed(spark):
+    """DSIR: target-like docs outscore off-domain docs in BOTH feature
+    modes; identical docs get identical weights; n_feats is the exact
+    unigram+bigram occurrence count; empty docs score 0; dsir_select
+    keeps the top-k deterministically."""
+    from timely_spark.operators.dsir import dsir_log_weights, dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "spark shuffles partition data across executors"),
+         (101, "partition pruning keeps spark scans small")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles partition data across executors"),  # on-domain
+         (2, "the cat sat on the warm windowsill all day"),      # off-domain
+         (3, "spark shuffles partition data across executors"),  # dup of 1
+         (4, "")],                                                # empty
+        "doc_id long, text string",
+    )
+    for hb in (None, 997):
+        out = {r["doc_id"]: r for r in
+               dsir_log_weights(docs, target, hash_buckets=hb).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1]["log_weight"] > out[2]["log_weight"]
+        assert out[1]["log_weight"] == out[3]["log_weight"]
+        assert out[1]["n_feats"] == out[3]["n_feats"] == 6 + 5
+        assert out[2]["n_feats"] == 9 + 8
+        assert out[4]["n_feats"] == 0 and out[4]["log_weight"] == 0.0
+        want = sorted(out, key=lambda i: (-out[i]["log_weight"], i))[:2]
+        top = dsir_select(docs, target, keep_n=2, hash_buckets=hb).collect()
+        assert [r["doc_id"] for r in top] == want
+
+
+def test_dsir_hashed_feature_table_bounded(spark):
+    """Hashed mode: the feature-weight table never exceeds B rows (the
+    broadcastability contract that makes the scoring join corpus-linear
+    at any scale)."""
+    from timely_spark.operators.dsir import _feature_counts
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id, ' tok', id + 1, ' tok', id * 7 % 50) AS text",
+    )
+    b = 31
+    assert _feature_counts(docs, "text", b).count() <= b
+    distinct_f = _feature_counts(docs, "text", None).count()
+    assert distinct_f > b  # the bound actually bit
