@@ -868,6 +868,22 @@ def q_doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, n=8)
 
 
+def q_doc_bpe_encode(spark, sf_dir):
+    """Real BPE tokenization (Sennrich 2016): merge table trained on a
+    deterministic hash-ordered 128-doc sample (tokenizer training is a
+    driver seam by design — production tokenizers ship static merge
+    tables), then applied corpus-wide in ONE Arrow mapInPandas pass
+    with per-batch word memoization. Rows-only: iterative greedy
+    merging is genuinely non-SQL-expressible; value-level parity is
+    pinned by an independent sequential-merge model in
+    tests/test_goldens_nooracle.py."""
+    from timely_spark.operators.bpe import bpe_encode, train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, num_merges=150, sample_docs=128)
+    return bpe_encode(docs, merges)
+
+
 def q_doc_dsir_weights(spark, sf_dir):
     """DSIR importance-resampling weights (Xie et al. 2023): score every
     raw doc by log p_target(f)/p_raw(f) summed over its unigram+bigram
@@ -1758,13 +1774,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_global_shuffle": q_doc_global_shuffle,
         "doc_token_budget": q_doc_token_budget,
-        "doc_gopher_rules": q_doc_gopher_rules,
         "doc_url_dedup": q_doc_url_dedup,
         "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_bpe_encode": q_doc_bpe_encode,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1796,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_novelty": q_doc_bigram_novelty,
         "doc_oov_rate": q_doc_oov_rate,
         "doc_normalize": q_doc_normalize,
+        "doc_gopher_rules": q_doc_gopher_rules,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,

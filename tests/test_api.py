@@ -468,6 +468,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "events_streaming_sessionize",  # new this round: session-window streaming oracle
     "doc_bloom_decontaminate",  # new this round: bloom-prefilter decontamination
     "doc_dsir_weights",  # new this round: DSIR importance-resampling weights
+    "doc_bpe_encode",  # new this round: real BPE tokenization (rows-only)
 }
 
 

@@ -277,3 +277,73 @@ def test_pca_project_matches_numpy(spark, planted):
     for vid, vec in list(X.items())[:20]:
         want = (vec - mu) @ comps.T
         assert np.allclose(out[vid], np.round(want, 6), atol=1e-6), vid
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def test_bpe_encode_matches_sequential_model(spark):
+    """The operator's greedy lowest-rank merge loop == an independent
+    sequential-merge model (apply each learned merge everywhere, in
+    training order) — the two classic, provably-equivalent BPE apply
+    formulations implemented separately; plus reconstruction: joining a
+    word's tokens (minus the end marker) reproduces the word."""
+    from timely_spark.operators.bpe import (
+        _END,
+        _words,
+        bpe_encode,
+        train_bpe_merges,
+    )
+
+    rows = [
+        (0, "the lowest lower newest widest low low lower newest"),
+        (1, "completely unrelated wording with apostrophe's too"),
+        (2, "the the the lowest newest widest"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe_merges(docs, num_merges=40, sample_docs=10)
+    assert merges and all(isinstance(a, str) and isinstance(b, str) for a, b in merges)
+
+    def model_encode(word):
+        syms = list(word) + [_END]
+        for a, b in merges:  # sequential application, training order
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    import hashlib
+
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in rows:
+        toks = []
+        for w in _words(text):
+            enc = model_encode(w)
+            assert "".join(enc).removesuffix(_END) == w  # reconstruction
+            toks.extend(enc)
+        want_md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[doc_id]["bpe_md5"] == want_md5
+        assert got[doc_id]["n_bpe_tokens"] == len(toks)
+        assert got[doc_id]["n_words"] == len(_words(text))
+    # merging strictly compresses the repeated-word doc
+    assert got[2]["n_bpe_tokens"] < sum(len(w) + 1 for w in _words(rows[2][1]))
+
+
+def test_bpe_training_deterministic(spark):
+    """Same corpus -> identical merge table across runs (hash-ordered
+    sample + lexicographic tiebreak)."""
+    from timely_spark.operators.bpe import train_bpe_merges
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id", "concat('alpha beta gamma tok', id % 11) AS text"
+    )
+    m1 = train_bpe_merges(docs, num_merges=30, sample_docs=20)
+    m2 = train_bpe_merges(docs, num_merges=30, sample_docs=20)
+    assert m1 == m2 and 0 < len(m1) <= 30  # small vocab may exhaust
