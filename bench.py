@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     "emb_knn_ivf",
     "emb_near_dup",
     "media_near_dup",
+    # r5 additions (ts_streaming_summarize rides under the dedicated
+    # streaming_summarize entry — same engine plan at approx-percentile)
+    "events_streaming_sessionize",
+    "doc_bloom_decontaminate",
+    "doc_dsir_weights",
+    "doc_bpe_encode",
 ]
 
 

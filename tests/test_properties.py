@@ -662,3 +662,36 @@ def test_warc_parser_roundtrip_and_truncation(records, gzip_members, cut):
     assert len(part) <= len(records)
     for (uri, _b), (headers, _g) in zip(records, part):
         assert headers["warc-target-uri"] == uri
+
+
+# ------------------------------------------------------------------ bloom
+
+
+@given(
+    data=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=8, max_size=60),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=0, max_value=11),
+    fpp=st.sampled_from([0.2, 0.01]),
+)
+@settings(**SETTINGS)
+def test_bloom_decontaminate_never_false_negative(spark, data, split, fpp):
+    """For ANY corpus/bench split and fpp, bloom + confirm-join output
+    equals the exact operator's output exactly — the no-false-negative
+    guarantee that makes the two interchangeable."""
+    from timely_spark.operators.dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    rows = [(i, t) for i, t in enumerate(data)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_rows = rows[: max(1, split % (len(rows) + 1))]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    want = sorted(map(tuple, ngram_decontaminate(docs, bench, n=3).collect()))
+    got = sorted(
+        map(tuple, bloom_decontaminate(docs, bench, n=3, fpp=fpp).collect())
+    )
+    assert got == want
