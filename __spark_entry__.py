@@ -868,6 +868,48 @@ def q_doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, n=8)
 
 
+def q_doc_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup through the REAL engine — the third
+    streaming oracle row, and the one that proves CROSS-micro-batch
+    state: the documents backlog is fed TWICE (two symlinks of the same
+    file) with maxFilesPerTrigger=1 under availableNow, so the second
+    batch's 500 copies are dropped purely by dropDuplicates state
+    carried from the first batch. Output = one deterministic
+    (doc_id, content_md5) row per distinct text (both copies are
+    identical rows, so survivor identity is deterministic); the DuckDB
+    oracle is the plain distinct projection. Row count 500 (not 1000)
+    IS the cross-batch dedup proof."""
+    import os
+    import tempfile
+
+    from timely_spark.streaming.dedup import streaming_exact_dedup
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    srcdir = tempfile.mkdtemp(prefix="timely_dedup_src_")
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    os.symlink(src, os.path.join(srcdir, "a.parquet"))
+    os.symlink(src, os.path.join(srcdir, "b.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcdir)
+    )
+    out = tempfile.mkdtemp(prefix="timely_dedup_out_")
+    ck = tempfile.mkdtemp(prefix="timely_dedup_ck_")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(out)
+    return sink.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+
+
 def q_doc_bpe_encode(spark, sf_dir):
     """Real BPE tokenization (Sennrich 2016): merge table trained on a
     deterministic hash-ordered 128-doc sample (tokenizer training is a
@@ -1775,12 +1817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_global_shuffle": q_doc_global_shuffle,
         "doc_token_budget": q_doc_token_budget,
         "doc_url_dedup": q_doc_url_dedup,
-        "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_bpe_encode": q_doc_bpe_encode,
+        "doc_streaming_dedup": q_doc_streaming_dedup,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1813,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         "doc_normalize": q_doc_normalize,
         "doc_gopher_rules": q_doc_gopher_rules,
+        "doc_curation": q_doc_curation,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2363,6 +2406,11 @@ hits AS (SELECT d.doc_id, count(*) AS ngram_hits
 SELECT sh.doc_id, CAST(COALESCE(hits.ngram_hits, 0) AS BIGINT) AS ngram_hits,
        COALESCE(hits.ngram_hits, 0) > 0 AS contaminated
 FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
+        # streaming dedup: the sink must contain exactly one row per
+        # distinct text; both planted copies are identical rows so the
+        # survivor is deterministic
+        "doc_streaming_dedup": """
+SELECT doc_id, md5(text) AS content_md5 FROM documents""",
         # DSIR: string-feature mode, exact value compare; the decimal
         # cast before the sum makes accumulation order irrelevant
         "doc_dsir_weights": f"""

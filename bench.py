@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     # r5 additions (ts_streaming_summarize rides under the dedicated
     # streaming_summarize entry — same engine plan at approx-percentile)
     "events_streaming_sessionize",
+    "doc_streaming_dedup",
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
     "doc_bpe_encode",

@@ -469,6 +469,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_bloom_decontaminate",  # new this round: bloom-prefilter decontamination
     "doc_dsir_weights",  # new this round: DSIR importance-resampling weights
     "doc_bpe_encode",  # new this round: real BPE tokenization (rows-only)
+    "doc_streaming_dedup",  # new this round: cross-batch streaming dedup oracle
 }
 
 
