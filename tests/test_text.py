@@ -584,3 +584,41 @@ def test_jsonl_duplicate_rows_get_unique_ids(spark, tmp_path):
     rows = read_jsonl_documents(spark, str(p)).collect()
     assert len(rows) == 3
     assert len({r["doc_id"] for r in rows}) == 3  # unique despite identical text
+
+
+def test_curate_cli_decontaminate_dsir_bpe(spark, tmp_path):
+    """The r5 stages through the CLI: --bench drops docs overlapping the
+    benchmark 8-grams; --dsir-target/--dsir-keep trims to the top-N
+    target-like docs; --bpe-tokens budgets in real BPE token space."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    rows = [
+        (i, "web" if i % 2 == 0 else "wiki", filler + f" unique{i} " + f"tail{i} " * 10)
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    # bench shares doc 5's full text -> doc 5 (and only exact-overlap
+    # docs) must be dropped; the shared filler prefix contaminates all,
+    # so bench uses only doc 5's unique tail words
+    bench = spark.createDataFrame(
+        [(0, f"unique5 " + "tail5 " * 10)], ["doc_id", "text"]
+    )
+    bench.write.parquet(str(tmp_path / "bench.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+        bench_path=str(tmp_path / "bench.parquet"),
+        dsir_target="wiki", dsir_keep=8, bpe_tokens=True,
+        token_budget=10_000,
+    )
+    assert stats["stage_pass"]["screen"] == 20
+    assert stats["n_decontaminated"] == 19  # doc 5 dropped
+    assert stats["n_dsir"] == 8
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.collect()}
+    assert 5 not in ids and len(ids) == stats["n_survivors"] <= 8

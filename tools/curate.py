@@ -48,7 +48,9 @@ def load_documents(spark, path: str, fmt: str = "parquet"):
 
 def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float = 0.4,
            gopher: bool = False, fmt: str = "parquet",
-           token_budget: int | None = None, shuffle_seed: str | None = None):
+           token_budget: int | None = None, shuffle_seed: str | None = None,
+           bench_path: str | None = None, dsir_target: str | None = None,
+           dsir_keep: int | None = None, bpe_tokens: bool = False):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -106,7 +108,47 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "doc_id", "source", "n_tokens", "p_keep", "text"
     )
     n_out = int(agg["n_out"])
+    n_decontaminated = n_dsir = None
     try:
+        if bench_path and n_out:
+            # benchmark decontamination via the bloom + confirm-join
+            # operator (the large-benchmark default; byte-identical to
+            # the exact set-join)
+            from timely_spark.operators.dedup import bloom_decontaminate
+
+            bench = spark.read.parquet(bench_path)
+            flags = bloom_decontaminate(
+                survivors.select("doc_id", "text"), bench
+            )
+            survivors = survivors.join(
+                flags.filter(~F.col("contaminated")).select("doc_id"),
+                "doc_id",
+            )
+            n_out = n_decontaminated = survivors.count()
+        if dsir_target and dsir_keep and n_out:
+            # DSIR importance resampling toward the target sources
+            # (hashed-feature production mode: bounded broadcast table)
+            from timely_spark.operators.dsir import dsir_select
+
+            target_srcs = [s for s in dsir_target.split(",") if s]
+            target = survivors.filter(F.col("source").isin(target_srcs))
+            keep_ids = dsir_select(
+                survivors.select("doc_id", "text"),
+                target.select("doc_id", "text"),
+                keep_n=dsir_keep,
+            ).select("doc_id")
+            survivors = survivors.join(keep_ids, "doc_id")
+            n_out = n_dsir = survivors.count()
+        if bpe_tokens and n_out:
+            # budget in REAL token space: train BPE on a survivor
+            # sample, re-derive n_tokens corpus-wide (one Arrow pass)
+            from timely_spark.operators.bpe import bpe_encode, train_bpe_merges
+
+            merges = train_bpe_merges(survivors, num_merges=200)
+            enc = bpe_encode(survivors, merges).select(
+                "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+            )
+            survivors = survivors.drop("n_tokens").join(enc, "doc_id")
         if token_budget and n_out:
             # per-source quality-ranked token budget over the screen
             # survivors (token_budget_subset's banded two-phase cumsum)
@@ -148,6 +190,9 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             "screen": int(agg["n_out"]),
         },
         "gopher_gate": gopher,
+        "n_decontaminated": n_decontaminated,
+        "n_dsir": n_dsir,
+        "bpe_tokens": bpe_tokens,
         "token_budget": token_budget,
         "shuffle_seed": shuffle_seed,
         "n_survivors": n_out,
@@ -176,6 +221,15 @@ def main() -> int:
                     help="per-source token budget (quality-ranked greedy subset)")
     ap.add_argument("--shuffle-seed", default=None,
                     help="pack in deterministic shuffled order under this seed")
+    ap.add_argument("--bench", default=None, dest="bench_path",
+                    help="parquet benchmark set: drop docs sharing any 8-gram "
+                         "(bloom + exact confirm join)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="comma-separated source names defining the DSIR target domain")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="keep top-N docs by DSIR importance weight")
+    ap.add_argument("--bpe-tokens", action="store_true",
+                    help="token budget in real BPE token space (sampled merge table)")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
@@ -183,7 +237,9 @@ def main() -> int:
 
     spark = get_spark("timely-curate")
     stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep,
-                   args.gopher, args.format, args.token_budget, args.shuffle_seed)
+                   args.gopher, args.format, args.token_budget, args.shuffle_seed,
+                   args.bench_path, args.dsir_target, args.dsir_keep,
+                   args.bpe_tokens)
     print(json.dumps(stats))
     return 0
 
