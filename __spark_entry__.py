@@ -1456,6 +1456,39 @@ def q_doc_corpus_ingest(spark, sf_dir):
     )
 
 
+def q_media_video_near_dup(spark, sf_dir):
+    """VIDEO near-duplicate pairs through the fully-real path: RIFF/AVI
+    containers parsed from scratch, MJPEG frames decoded by the
+    from-scratch T.81 JPEG codec, per-frame 8x8 aHash, pigeonhole
+    Hamming join on frame hashes, pair kept at >= 2 aligned matching
+    sampled frames. Planted: every third video is a +6-luma re-encode
+    of its predecessor (same frames, new JPEG bytes) and must pair with
+    it and nothing else. Rows-only (perceptual pipeline not
+    SQL-expressible); planted-pair exactness asserted in
+    tests/test_multimodal.py."""
+    from timely_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_avi_mjpeg,
+        video_near_dups,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append(
+            (i, "video", "video/x-msvideo",
+             make_avi_mjpeg(4, width=48, height=32, fps=2.0,
+                            seed=100 + i * 7), None)
+        )
+        if i % 3 == 0:  # planted near-dup re-encode
+            rows.append(
+                (1000 + i, "video", "video/x-msvideo",
+                 make_avi_mjpeg(4, width=48, height=32, fps=2.0,
+                                seed=100 + i * 7, luma_shift=6), None)
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return video_near_dups(media, every_n_seconds=0.5, min_shared_frames=2)
+
+
 def q_media_caption_dedup(spark, sf_dir):
     """Media pipeline -> document curation composition: image near-dup
     verdicts flow back into a doc keep-list (caption+image dedup — the
@@ -1807,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_near_dup": q_media_near_dup,
         "media_caption_dedup": q_media_caption_dedup,
+        "media_video_near_dup": q_media_video_near_dup,
         # oracle-backed document pipeline
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
@@ -1817,7 +1851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_global_shuffle": q_doc_global_shuffle,
         "doc_token_budget": q_doc_token_budget,
         "doc_url_dedup": q_doc_url_dedup,
-        "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_dsir_weights": q_doc_dsir_weights,
@@ -1856,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": q_doc_normalize,
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_curation": q_doc_curation,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,

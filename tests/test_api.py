@@ -470,6 +470,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_dsir_weights",  # new this round: DSIR importance-resampling weights
     "doc_bpe_encode",  # new this round: real BPE tokenization (rows-only)
     "doc_streaming_dedup",  # new this round: cross-batch streaming dedup oracle
+    "media_video_near_dup",  # new this round: AVI/MJPEG video near-dup (rows-only)
 }
 
 

@@ -114,12 +114,16 @@ def test_mp4_parser_and_real_frame_sampling(spark):
     by_id = {}
     for f in frames:
         by_id.setdefault(f["media_id"], []).append(f)
-        assert f["frame_payload"] is None  # pixel decode = labeled stub
-    for i in (2, 5, 8, 11):  # video rows: duration 1 + i % 7 seconds
+    for i in (2, 8):  # MP4 rows: duration 1 + i % 7 s, stubbed pixels
+        assert all(f["frame_payload"] is None for f in by_id[i])
         assert len(by_id[i]) == 1 + i % 7
         assert [f["ts_s"] for f in sorted(by_id[i], key=lambda x: x["frame_idx"])] == [
             float(j) for j in range(1 + i % 7)
         ]
+    for i in (5, 11):  # AVI/MJPEG rows: REAL frame payloads
+        n_frames = 4 + i % 5
+        assert len(by_id[i]) == -(-n_frames // 4)  # 4 fps sampled at 1 s
+        assert all(f["frame_payload"][:2] == b"\xff\xd8" for f in by_id[i])
 
 
 def test_fake_decode_still_available(spark):
@@ -356,3 +360,79 @@ def test_media_caption_dedup_composition(spark):
         ).fetchall()
     }
     assert got == want and got
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """make_avi_mjpeg -> _decode_avi: dims, fps, frame count and
+    handler survive; every frame payload is a decodable baseline JPEG
+    of the advertised dimensions."""
+    from timely_spark.operators.multimodal import (
+        _decode_avi,
+        _decode_jpeg,
+        make_avi_mjpeg,
+    )
+
+    payload = make_avi_mjpeg(n_frames=6, width=48, height=32, fps=4.0, seed=3)
+    meta = _decode_avi(payload)
+    assert meta["width"] == 48 and meta["height"] == 32
+    assert meta["n_frames"] == 6 and len(meta["frames"]) == 6
+    assert abs(meta["fps"] - 4.0) < 1e-6
+    assert abs(meta["duration_s"] - 1.5) < 1e-6
+    assert meta["handler"] == "MJPG"
+    for f in meta["frames"]:
+        w, h, _c, luma, _p = _decode_jpeg(f)
+        assert (w, h) == (48, 32) and 0.0 < luma < 1.0
+
+
+def test_avi_real_frame_sampling_and_hashes(spark):
+    """sample_video_frames returns REAL JPEG payloads for AVI rows
+    (unlike MP4's labeled null stub); video_frame_hashes aHashes them
+    through the real decoder."""
+    from timely_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_avi_mjpeg,
+        make_mp4,
+        sample_video_frames,
+        video_frame_hashes,
+    )
+
+    rows = [
+        (0, "video", "video/x-msvideo", make_avi_mjpeg(8, fps=4.0, seed=1), None),
+        (1, "video", "video/mp4", make_mp4(2.0), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_n_seconds=0.5).collect()
+    avi = [r for r in frames if r["media_id"] == 0]
+    mp4 = [r for r in frames if r["media_id"] == 1]
+    assert len(avi) == 4  # 8 frames at 4 fps, every 0.5 s => step 2
+    assert all(r["frame_payload"] is not None for r in avi)
+    assert mp4 and all(r["frame_payload"] is None for r in mp4)
+    hashes = video_frame_hashes(media, every_n_seconds=0.5).collect()
+    assert {r["media_id"] for r in hashes} == {0}  # stub rows dropped
+    assert len(hashes) == 4 and all(isinstance(r["phash"], int) for r in hashes)
+
+
+def test_video_near_dups_planted(spark):
+    """A brightness-shifted re-encode pairs with its original on >= 2
+    shared sampled frames; unrelated videos never pair."""
+    from timely_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_avi_mjpeg,
+        video_near_dups,
+    )
+
+    rows = [
+        (0, "video", "video/x-msvideo", make_avi_mjpeg(6, fps=2.0, seed=5), None),
+        # near-dup: same frames, +6 luma re-encode
+        (1, "video", "video/x-msvideo",
+         make_avi_mjpeg(6, fps=2.0, seed=5, luma_shift=6), None),
+        # unrelated content
+        (2, "video", "video/x-msvideo", make_avi_mjpeg(6, fps=2.0, seed=91), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in video_near_dups(media, every_n_seconds=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)

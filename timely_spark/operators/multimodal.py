@@ -363,6 +363,67 @@ def _decode_mp4_meta(payload: bytes) -> dict:
     return out
 
 
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Iterate (fourcc, body_start, body_end) over RIFF chunks;
+    LIST/RIFF bodies start AFTER their 4-byte list type."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > end:
+            return
+        yield fcc, body, body + size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_avi(payload: bytes) -> dict:
+    """Real decode of a RIFF/AVI container — stdlib struct only.
+
+    Walks hdrl for the main header (frame interval, frame count,
+    dimensions) and the video stream's handler fourcc, then pulls every
+    '##dc'/'##db' frame payload out of the movi list. With an MJPG
+    handler each frame is a complete baseline JPEG, which the
+    from-scratch :mod:`.jpeg` decoder turns into pixels — so AVI/MJPEG
+    is the fully-real video path (container AND codec), unlike
+    MP4/H.264 where pixel decode stays the labeled stub."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    out: dict = {"handler": None, "frames": []}
+
+    def walk(start: int, end: int) -> None:
+        for fcc, body, bend in _riff_chunks(payload, start, end):
+            if fcc in (b"RIFF", b"LIST"):
+                walk(body + 4, bend)  # skip the list type fourcc
+            elif fcc == b"avih":
+                (us_per_frame, _, _, _, total, _, _, _, w, h) = struct.unpack_from(
+                    "<10I", payload, body
+                )
+                out.update(
+                    us_per_frame=us_per_frame,
+                    n_frames=total,
+                    width=w,
+                    height=h,
+                    fps=1e6 / us_per_frame if us_per_frame else 0.0,
+                )
+            elif fcc == b"strh" and payload[body : body + 4] == b"vids":
+                out["handler"] = payload[body + 4 : body + 8].decode(
+                    "ascii", "replace"
+                )
+            elif len(fcc) == 4 and fcc[2:4] in (b"dc", b"db"):
+                out["frames"].append(payload[body:bend])
+
+    walk(12, len(payload))
+    if "n_frames" not in out:
+        raise NotImplementedError("AVI without an avih main header")
+    out["duration_s"] = out["n_frames"] * out["us_per_frame"] / 1e6
+    return out
+
+
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic 24-bit uncompressed BMP fixture (test/bench data)."""
     import struct
@@ -547,6 +608,67 @@ def make_mp4(duration_s: float, width: int = 640, height: int = 360,
     return ftyp + moov
 
 
+def make_avi_mjpeg(
+    n_frames: int,
+    width: int = 64,
+    height: int = 48,
+    fps: float = 8.0,
+    seed: int = 0,
+    luma_shift: int = 0,
+) -> bytes:
+    """Deterministic RIFF/AVI fixture whose '00dc' frames are REAL
+    baseline JPEGs (``make_jpeg``'s smooth field, seed varied per
+    frame) — the fully-decodable video path. ``luma_shift`` nudges
+    every frame's brightness: a near-duplicate re-encode whose per-frame
+    aHashes stay within a small Hamming distance of the original."""
+    import struct
+
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    frames = []
+    for i in range(n_frames):
+        yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
+        base = (
+            128
+            + luma_shift
+            + 70 * np.sin((xx + seed * 3 + i * 5) / 9.0)
+            + 45 * np.cos((yy - seed + i * 2) / 7.0)
+        )
+        frames.append(encode_jpeg(base.clip(0, 255).astype(np.uint8), subsampling="gray"))
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        return fcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    us_per_frame = int(round(1e6 / fps))
+    avih = chunk(
+        b"avih",
+        struct.pack(
+            "<14I", us_per_frame, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+        ),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        # flags, prio, lang, initFrames, scale, rate, start, length,
+        # sugBufSize, quality, sampleSize
+        + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, int(round(fps)), 0, n_frames, 0, -1, 0)
+        + struct.pack("<4h", 0, 0, width, height),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D, width * height * 3, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
     """Deterministic fake 'decode' derived from the payload bytes alone.
 
@@ -699,15 +821,25 @@ def sample_video_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if not fake:
                     raw = bytes(payload) if payload is not None else b""
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        # AVI/MJPEG: REAL frame payloads — each sampled
+                        # frame is a complete baseline JPEG
+                        meta = _decode_avi(raw)
+                        step = max(1, int(round(every_n_seconds * meta["fps"])))
+                        for k, j in enumerate(range(0, len(meta["frames"]), step)):
+                            out.append(
+                                (int(mid), k, j / meta["fps"], meta["frames"][j])
+                            )
+                        continue
                     if raw[4:8] != b"ftyp":
                         raise NotImplementedError(
-                            "only ISO BMFF (MP4) containers parse in-container; "
-                            "run with fake=True for other formats"
+                            "only ISO BMFF (MP4) and RIFF/AVI containers parse "
+                            "in-container; run with fake=True for other formats"
                         )
                     meta = _decode_mp4_meta(raw)
                     n = int(meta["duration_s"] / every_n_seconds)
                     for i in range(n):
-                        # real container timing; pixel decode is the stub
+                        # real container timing; H.264 pixel decode is the stub
                         out.append((int(mid), i, i * every_n_seconds, None))
                     continue
                 # fake: derive a deterministic duration & frames from bytes
@@ -725,6 +857,88 @@ def sample_video_frames(
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         batches, schema=schema
     )
+
+
+def video_frame_hashes(
+    media: DataFrame, every_n_seconds: float = 1.0
+) -> DataFrame:
+    """video rows -> (media_id, frame_idx, ts_s, phash): sample frames
+    from fully-decodable containers (AVI/MJPEG) and aHash each through
+    the real JPEG decoder. One mapInPandas pass per stage, both
+    corpus-linear; frames whose payload is null (codec-stub containers
+    like MP4/H.264) are dropped, loudly visible as missing rows."""
+    frames = sample_video_frames(media, every_n_seconds).filter(
+        F.col("frame_payload").isNotNull()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("ts_s", T.DoubleType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, idx, ts, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["ts_s"], pdf["frame_payload"]
+            ):
+                _w, _h, _c, _luma, phash = _decode_jpeg(bytes(payload))
+                out.append((int(mid), int(idx), float(ts), phash))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "ts_s", "phash"]
+            )
+
+    return frames.mapInPandas(batches, schema=schema)
+
+
+def video_near_dups(
+    media: DataFrame,
+    every_n_seconds: float = 1.0,
+    max_hamming: int = 3,
+    min_shared_frames: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs: sample + aHash frames, find near-dup
+    FRAME pairs with the generalized pigeonhole Hamming join, then keep
+    video pairs sharing >= ``min_shared_frames`` matching sampled
+    frames (same frame index — re-encodes/brightness shifts align 1:1).
+
+    Output: (id_a, id_b, shared_frames), id_a < id_b.
+
+    Scale: the frame table is corpus-linear (one row per sampled
+    frame); the Hamming join blocks on hash chunks exactly like image
+    near-dup; the final pair count is a groupBy over candidate pairs
+    only. No stage touches raw video bytes after the hash pass."""
+    from .dedup import hamming_near_dups
+
+    fh = video_frame_hashes(media, every_n_seconds).select(
+        # composite key keeps frame alignment: only same-index frames pair
+        (F.col("media_id") * 1_000_000 + F.col("frame_idx")).alias("fid"),
+        "media_id",
+        "frame_idx",
+        "phash",
+    )
+    pairs = hamming_near_dups(fh, "phash", id_col="fid", max_hamming=max_hamming)
+    vids = (
+        pairs.select(
+            # integer DIV: float division loses exactness past 2^53
+            F.expr("id_a DIV 1000000").alias("va"),
+            (F.col("id_a") % 1_000_000).alias("fa"),
+            F.expr("id_b DIV 1000000").alias("vb"),
+            (F.col("id_b") % 1_000_000).alias("fb"),
+        )
+        .filter((F.col("va") != F.col("vb")) & (F.col("fa") == F.col("fb")))
+        .groupBy(
+            F.least("va", "vb").alias("id_a"), F.greatest("va", "vb").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+    return vids
 
 
 def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
@@ -753,6 +967,11 @@ def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
         elif real and kind == "audio":
             payload = make_wav(0.05 + (i % 10) / 100.0, 8000 + 1000 * (i % 3), freq=200.0 + i)
             mime = "audio/wav"
+        elif real and kind == "video" and (i // 3) % 2 == 1:
+            # AVI/MJPEG: the fully-decodable container (real frames)
+            payload = make_avi_mjpeg(4 + i % 5, width=48 + 8 * (i % 3),
+                                     height=32 + 8 * (i % 2), fps=4.0, seed=i)
+            mime = "video/x-msvideo"
         elif real and kind == "video":
             payload = make_mp4(1.0 + i % 7, width=320 + 16 * (i % 4),
                                height=240 + 16 * (i % 3), n_samples=24 * (1 + i % 7))
