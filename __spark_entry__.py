@@ -868,6 +868,40 @@ def q_doc_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, bench, n=8)
 
 
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">var nav = "<p>x</p>";'
+    "</script><style>.m{color:red}</style></head><body>"
+    '<div id="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/b">More pages</a></div><!-- ad slot --><p>'
+)
+_HTML_POST = (
+    '</p><ul><li><a href="/t1">related link one</a></li>'
+    '<li><a href="/t2">related link two</a></li></ul>'
+    '<div class="footer"><a href="/tos">Terms</a> (c) example corp</div>'
+    "</body></html>"
+)
+
+
+def q_doc_boilerplate(spark, sf_dir):
+    """HTML boilerplate removal (jusText-lite): every doc is wrapped in
+    a realistic page shell (script/style head, link-dense nav, related-
+    links list, footer) on BOTH engines; block segmentation +
+    integer-exact link-density classification must recover EXACTLY the
+    body prose. All column expressions — zero shuffles; the oracle runs
+    the identical pipeline in DuckDB (dialect-common regexes, pinned by
+    a cross-engine parity grid in tests)."""
+    from timely_spark.operators.boilerplate import main_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    main = main_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(main).cast("long").alias("n_chars_main"),
+        F.md5(main).alias("main_md5"),
+    )
+
+
 def q_doc_streaming_dedup(spark, sf_dir):
     """Streaming exact dedup through the REAL engine — the third
     streaming oracle row, and the one that proves CROSS-micro-batch
@@ -907,7 +941,16 @@ def q_doc_streaming_dedup(spark, sf_dir):
     )
     q.awaitTermination()
     sink = spark.read.parquet(out)
-    return sink.select("doc_id", F.md5(F.col("text")).alias("content_md5"))
+    # survivor id canonicalized to min(doc_id) per content hash: at
+    # sf0.01 every text is distinct so this is the identity, but a
+    # corpus WITH internal dups (sf0.1 has 8) would otherwise make the
+    # surviving row processing-order-dependent
+    return (
+        sink.select(F.md5(F.col("text")).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
+    )
 
 
 def q_doc_bpe_encode(spark, sf_dir):
@@ -1818,7 +1861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_multiquery": q_ts_multiquery,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
-        "ts_none_raw": q_ts_none_raw,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -1856,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_streaming_dedup": q_doc_streaming_dedup,
+        "doc_boilerplate": q_doc_boilerplate,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1863,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_downsample_minmax": q_ts_downsample_minmax,
         "ts_suggest": q_ts_suggest,
         "ts_lookup": q_ts_lookup,
+        "ts_none_raw": q_ts_none_raw,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
@@ -1897,6 +1941,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q18ish": q_tpch_q18ish,
     }
+
+
+def _boilerplate_oracle() -> str:
+    from timely_spark.operators.boilerplate import main_text_sql
+
+    html = f"'{_HTML_PRE}' || text || '{_HTML_POST}'"
+    main = main_text_sql(f"({html})")
+    return f"""
+WITH m AS (SELECT doc_id, {main} AS main FROM documents)
+SELECT doc_id, CAST(length(main) AS BIGINT) AS n_chars_main,
+       md5(main) AS main_md5
+FROM m"""
 
 
 def _pii_scrub_oracle() -> str:
@@ -2440,11 +2496,15 @@ hits AS (SELECT d.doc_id, count(*) AS ngram_hits
 SELECT sh.doc_id, CAST(COALESCE(hits.ngram_hits, 0) AS BIGINT) AS ngram_hits,
        COALESCE(hits.ngram_hits, 0) > 0 AS contaminated
 FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
+        # boilerplate: identical HTML shell built in SQL, identical
+        # extraction pipeline (main_text_sql), integer link-density test
+        "doc_boilerplate": _boilerplate_oracle(),
         # streaming dedup: the sink must contain exactly one row per
         # distinct text; both planted copies are identical rows so the
         # survivor is deterministic
         "doc_streaming_dedup": """
-SELECT doc_id, md5(text) AS content_md5 FROM documents""",
+SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+FROM documents GROUP BY 2""",
         # DSIR: string-feature mode, exact value compare; the decimal
         # cast before the sum makes accumulation order irrelevant
         "doc_dsir_weights": f"""

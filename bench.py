@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
     "doc_bpe_encode",
+    "doc_boilerplate",
+    "doc_streaming_dedup",
+    "media_video_near_dup",
 ]
 
 

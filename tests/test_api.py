@@ -443,6 +443,8 @@ def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
 # them every round. STANDING RULE (see queries() comment): any query
 # whose plan changes in a round must rotate back into slots <= 50.
 ROTATED_TO_TAIL = {
+    "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
+    #                 covered end-to-end by ts_engine_query + bench
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -471,6 +473,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_bpe_encode",  # new this round: real BPE tokenization (rows-only)
     "doc_streaming_dedup",  # new this round: cross-batch streaming dedup oracle
     "media_video_near_dup",  # new this round: AVI/MJPEG video near-dup (rows-only)
+    "doc_boilerplate",  # new this round: HTML main-content extraction
 }
 
 

@@ -622,3 +622,60 @@ def test_curate_cli_decontaminate_dsir_bpe(spark, tmp_path):
     back = spark.read.parquet(out)
     ids = {r["doc_id"] for r in back.collect()}
     assert 5 not in ids and len(ids) == stats["n_survivors"] <= 8
+
+
+def test_boilerplate_main_text(spark):
+    """jusText-lite extraction: prose blocks survive; link-dense nav /
+    footer and short blocks drop; script/style/comment subtrees never
+    leak; output whitespace is normalized."""
+    from timely_spark.operators.boilerplate import main_text
+
+    prose = ("this is a long enough paragraph of body prose with plenty "
+             "of ordinary words to clear the word floor easily")
+    html = (
+        '<html><head><script>var x = "<p>not text</p>";</script>'
+        "<style>p{color:red}</style></head><body>"
+        '<div id="nav"><a href="/">Home</a> <a href="/a">About</a></div>'
+        "<!-- hidden comment words one two three four five six seven eight nine ten -->"
+        f"<p>{prose}</p>"
+        '<ul><li><a href="/x">link one here</a></li></ul>'
+        f"<div>second real paragraph {prose}</div>"
+        '<div class="footer"><a href="/tos">Terms</a> (c) example</div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "<p>short</p>"), (3, prose)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["main"] for r in
+           df.select("doc_id", main_text("text").alias("main")).collect()}
+    assert out[1] == f"{prose} second real paragraph {prose}"
+    assert out[2] == ""          # below the word floor
+    assert out[3] == prose       # tag-free input passes through whole
+
+
+def test_boilerplate_sql_parity(spark):
+    """main_text_sql (DuckDB) == main_text (Spark) value-exactly over a
+    grid of tricky inputs — the oracle-dialect contract."""
+    import duckdb
+
+    from timely_spark.operators.boilerplate import main_text, main_text_sql
+
+    prose = " ".join(f"word{i}" for i in range(15))
+    cases = [
+        (0, f"<p>{prose}</p>"),
+        (1, f'<div><a href="/">{prose}</a></div>'),          # all-link: drop
+        (2, f"<P>{prose.upper()}</P>"),                       # case-insensitive tags
+        (3, f"text before<br>{prose}<br/>short tail"),
+        (4, "<script>" + prose + "</script>"),               # script never leaks
+        (5, f"<td>{prose}</td><tr>{prose} extra</tr>"),
+        (6, ""),
+        (7, f"<p>{prose} <a href=x>two words</a> {prose}</p>"),  # low density: keep
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r["main"] for r in
+           df.select("doc_id", main_text("text").alias("main")).collect()}
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(cases, columns=["doc_id", "text"]))
+    want = dict(con.sql(
+        f"SELECT doc_id, {main_text_sql('text')} AS m FROM t"
+    ).fetchall())
+    assert got == want
