@@ -679,3 +679,28 @@ def test_boilerplate_sql_parity(spark):
         f"SELECT doc_id, {main_text_sql('text')} AS m FROM t"
     ).fetchall())
     assert got == want
+
+
+def test_warc_reader_main_content(spark, tmp_path):
+    """main_content=True strips nav/footer boilerplate the naive
+    tag-strip keeps; doc ids are identical across both modes (ids hash
+    the RAW body, not the extraction)."""
+    from timely_spark.sources.corpus import make_warc, read_warc_documents
+
+    prose = " ".join(f"body word{i}" for i in range(20))
+    html = (
+        '<html><body><div id="nav"><a href="/">Home</a> <a href="/a">About</a></div>'
+        f"<p>{prose}</p>"
+        '<div class="footer"><a href="/tos">Terms</a></div></body></html>'
+    ).encode()
+    warc = make_warc([("https://ex.example.com/p1", html)])
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "a.warc").write_bytes(warc)
+    naive = read_warc_documents(spark, str(tmp_path / "c")).collect()
+    main = read_warc_documents(
+        spark, str(tmp_path / "c"), main_content=True
+    ).collect()
+    assert len(naive) == len(main) == 1
+    assert {r["doc_id"] for r in naive} == {r["doc_id"] for r in main}
+    assert "Home" in naive[0]["text"] and "Terms" in naive[0]["text"]
+    assert main[0]["text"] == prose  # boilerplate gone, prose exact

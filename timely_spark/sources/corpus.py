@@ -133,15 +133,19 @@ _TAG_RE = r"<[^>]+>"
 
 
 def read_warc_documents(
-    spark: SparkSession, path: str, default_source: str = "warc"
+    spark: SparkSession, path: str, default_source: str = "warc",
+    main_content: bool = False
 ) -> DataFrame:
     """WARC files -> documents shape (response records only).
 
     Whole files arrive via ``binaryFile``; records parse in an Arrow
     batch (one Python pass per file); HTTP headers are stripped from
-    response bodies and a naive tag-strip yields text (a real pipeline
-    swaps in trafilatura/jusText here — the Spark plumbing is the
-    contract). Ids hash (target-uri, position, text) — layout-stable.
+    response bodies. ``main_content=False`` (default) keeps the naive
+    tag-strip; ``main_content=True`` runs the jusText-lite extractor
+    (``operators.boilerplate.main_text``: block segmentation +
+    link-density classification), dropping nav/footer/script junk —
+    the curation-grade path. Ids hash (target-uri, position, RAW body)
+    either way — layout-stable and extraction-version-independent.
     """
     files = spark.read.format("binaryFile").load(path)
 
@@ -169,9 +173,14 @@ def read_warc_documents(
     parsed = files.select("path", "content").mapInPandas(
         parse, "path string, uri string, pos int, raw string"
     )
-    text = F.trim(
-        F.regexp_replace(F.regexp_replace("raw", _TAG_RE, " "), r"\s+", " ")
-    )
+    if main_content:
+        from ..operators.boilerplate import main_text
+
+        text = main_text("raw")
+    else:
+        text = F.trim(
+            F.regexp_replace(F.regexp_replace("raw", _TAG_RE, " "), r"\s+", " ")
+        )
     # file identity in the id: re-shipped duplicate segments must get
     # DISTINCT ids (downstream joins key on doc_id); stable for a fixed
     # directory layout, like the JSONL reader's input_file_name

@@ -31,7 +31,8 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_documents(spark, path: str, fmt: str = "parquet"):
+def load_documents(spark, path: str, fmt: str = "parquet",
+                   main_content: bool = False):
     """documents table from any supported corpus source."""
     if fmt == "parquet":
         return spark.read.parquet(f"{path}/documents.parquet")
@@ -42,7 +43,7 @@ def load_documents(spark, path: str, fmt: str = "parquet"):
     if fmt == "warc":
         from timely_spark.sources.corpus import read_warc_documents
 
-        return read_warc_documents(spark, path)
+        return read_warc_documents(spark, path, main_content=main_content)
     raise ValueError(f"unknown corpus format: {fmt}")
 
 
@@ -50,7 +51,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            gopher: bool = False, fmt: str = "parquet",
            token_budget: int | None = None, shuffle_seed: str | None = None,
            bench_path: str | None = None, dsir_target: str | None = None,
-           dsir_keep: int | None = None, bpe_tokens: bool = False):
+           dsir_keep: int | None = None, bpe_tokens: bool = False,
+           main_content: bool = False):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -62,7 +64,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         normalize_text,
     )
 
-    docs = load_documents(spark, sf_dir, fmt)
+    docs = load_documents(spark, sf_dir, fmt, main_content)
     n_input = docs.count()
 
     sig = gopher_signals("text")
@@ -230,6 +232,8 @@ def main() -> int:
                     help="keep top-N docs by DSIR importance weight")
     ap.add_argument("--bpe-tokens", action="store_true",
                     help="token budget in real BPE token space (sampled merge table)")
+    ap.add_argument("--main-content", action="store_true",
+                    help="WARC input: jusText-lite boilerplate removal instead of tag-strip")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
@@ -239,7 +243,7 @@ def main() -> int:
     stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep,
                    args.gopher, args.format, args.token_budget, args.shuffle_seed,
                    args.bench_path, args.dsir_target, args.dsir_keep,
-                   args.bpe_tokens)
+                   args.bpe_tokens, args.main_content)
     print(json.dumps(stats))
     return 0
 
