@@ -944,12 +944,19 @@ def q_doc_streaming_dedup(spark, sf_dir):
     # survivor id canonicalized to min(doc_id) per content hash: at
     # sf0.01 every text is distinct so this is the identity, but a
     # corpus WITH internal dups (sf0.1 has 8) would otherwise make the
-    # surviving row processing-order-dependent
+    # surviving row processing-order-dependent. sink_copies carries the
+    # dedup proof INTO the compared values: if cross-batch state ever
+    # broke and both planted copies reached the sink, every row would
+    # show sink_copies=2 against the oracle's literal 1 and the hash
+    # compare would go red — the canonicalizing groupBy cannot mask it.
     return (
         sink.select(F.md5(F.col("text")).alias("content_md5"), "doc_id")
         .groupBy("content_md5")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", "content_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("sink_copies"),
+        )
+        .select("doc_id", "content_md5", "sink_copies")
     )
 
 
@@ -2503,7 +2510,8 @@ FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
         # distinct text; both planted copies are identical rows so the
         # survivor is deterministic
         "doc_streaming_dedup": """
-SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+SELECT min(doc_id) AS doc_id, md5(text) AS content_md5,
+       CAST(1 AS BIGINT) AS sink_copies
 FROM documents GROUP BY 2""",
         # DSIR: string-feature mode, exact value compare; the decimal
         # cast before the sum makes accumulation order irrelevant

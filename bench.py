@@ -106,7 +106,6 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     "doc_bpe_encode",
     "doc_boilerplate",
-    "doc_streaming_dedup",
     "media_video_near_dup",
 ]
 

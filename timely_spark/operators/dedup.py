@@ -594,6 +594,7 @@ def bloom_bitset(
     n: int = 8,
     fpp: float = 0.01,
     max_k: int = 16,
+    shingles: DataFrame | None = None,
 ) -> tuple[list[int], int, int]:
     """Build a Bloom bitset over the benchmark's DISTINCT shingle hashes.
 
@@ -609,12 +610,20 @@ def bloom_bitset(
     that is ~15M longs (~120 MB) — broadcastable where an exact-join
     hash table of the same keys (~10x with object overhead) is not;
     that regime is this operator's reason to exist.
+
+    ``shingles``: optionally pass the pre-built distinct shingle-hash
+    frame (one column ``__h``) to share it with the caller's confirm
+    join. The count and bit-position jobs persist it so the bench set
+    tokenizes/shuffles ONCE here, not once per job.
     """
     import math
 
-    b = bench.select(
-        F.explode(_shingle_hashes(text_col, n)).alias("__h")
-    ).distinct()
+    b = shingles
+    if b is None:
+        b = bench.select(
+            F.explode(_shingle_hashes(text_col, n)).alias("__h")
+        ).distinct()
+    b = b.persist()
     cnt = b.count()  # 1-scalar driver seam
     eff = max(cnt, 1)
     m_bits = max(64, int(math.ceil(-eff * math.log(fpp) / (math.log(2) ** 2))))
@@ -638,6 +647,8 @@ def bloom_bitset(
         .agg(F.bit_or("bit").alias("bits"))
         .collect()
     )
+    if shingles is None:  # caller-owned frames stay cached for the join
+        b.unpersist()
     words = [0] * (m_bits // 64)
     for r in rows:
         words[r["w"]] = r["bits"]
@@ -739,14 +750,18 @@ def bloom_decontaminate(
     shuffle join on purpose, its probe side now being tiny — shuffles
     only the pruned remainder plus the bench set itself.
     """
-    words, m_bits, k = bloom_bitset(bench, text_col, n, fpp)
+    # ONE distinct-shingle frame, cached across the bitset build's
+    # count + bit-position jobs AND the confirm join: at the 100M-n-gram
+    # regime this operator targets, re-tokenizing the bench set per job
+    # would triple its heaviest shuffle
+    b = bench.select(
+        F.explode(_shingle_hashes(text_col, n)).alias("__h")
+    ).distinct()
+    words, m_bits, k = bloom_bitset(bench, text_col, n, fpp, shingles=b)
     d = docs.select(
         F.col(id_col), F.explode(_shingle_hashes(text_col, n)).alias("__h")
     )
     d = _bloom_filter_hashes(d, "__h", words, m_bits, k, max_literal_words)
-    b = bench.select(
-        F.explode(_shingle_hashes(text_col, n)).alias("__h")
-    ).distinct()
     hits = d.join(b, "__h").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("ngram_hits")
     )

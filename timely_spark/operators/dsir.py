@@ -42,8 +42,15 @@ from pyspark.sql import functions as F
 
 
 def _features(text_col: str, hash_buckets: int | None):
-    """Unigram + bigram features (with multiplicity) as one array column."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")
+    """Unigram + bigram features (with multiplicity) as one array column.
+
+    Tokenization is ``dedup._tokens`` — the ONE place the Spark-side
+    token contract lives (the DuckDB oracles mirror it via
+    ``text.TOKENS_SQL``); a private copy here would be a third dialect
+    to keep in sync."""
+    from .dedup import _tokens
+
+    toks = _tokens(text_col)
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,

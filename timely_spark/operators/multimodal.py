@@ -825,11 +825,14 @@ def sample_video_frames(
                         # AVI/MJPEG: REAL frame payloads — each sampled
                         # frame is a complete baseline JPEG
                         meta = _decode_avi(raw)
-                        step = max(1, int(round(every_n_seconds * meta["fps"])))
+                        fps = meta["fps"]
+                        # dwMicroSecPerFrame=0 is legal (timing lives in
+                        # strh scale/rate); fall back to index spacing
+                        # instead of dividing by zero
+                        step = max(1, int(round(every_n_seconds * fps))) if fps > 0 else 1
                         for k, j in enumerate(range(0, len(meta["frames"]), step)):
-                            out.append(
-                                (int(mid), k, j / meta["fps"], meta["frames"][j])
-                            )
+                            ts = j / fps if fps > 0 else float(k)
+                            out.append((int(mid), k, ts, meta["frames"][j]))
                         continue
                     if raw[4:8] != b"ftyp":
                         raise NotImplementedError(
@@ -915,21 +918,34 @@ def video_near_dups(
     only. No stage touches raw video bytes after the hash pass."""
     from .dedup import hamming_near_dups
 
+    # surrogate frame id = xxhash64(media_id, frame_idx): safe for ANY
+    # id domain (hash-derived/negative 64-bit media ids included, where
+    # an arithmetic composite would mis-decompose); identity is
+    # recovered by joining back to the frame table, never by arithmetic
     fh = video_frame_hashes(media, every_n_seconds).select(
-        # composite key keeps frame alignment: only same-index frames pair
-        (F.col("media_id") * 1_000_000 + F.col("frame_idx")).alias("fid"),
+        F.xxhash64("media_id", "frame_idx").alias("fid"),
         "media_id",
         "frame_idx",
         "phash",
     )
     pairs = hamming_near_dups(fh, "phash", id_col="fid", max_hamming=max_hamming)
+    key = fh.select("fid", "media_id", "frame_idx")
     vids = (
-        pairs.select(
-            # integer DIV: float division loses exactness past 2^53
-            F.expr("id_a DIV 1000000").alias("va"),
-            (F.col("id_a") % 1_000_000).alias("fa"),
-            F.expr("id_b DIV 1000000").alias("vb"),
-            (F.col("id_b") % 1_000_000).alias("fb"),
+        pairs.join(
+            key.select(
+                F.col("fid").alias("id_a"),
+                F.col("media_id").alias("va"),
+                F.col("frame_idx").alias("fa"),
+            ),
+            "id_a",
+        )
+        .join(
+            key.select(
+                F.col("fid").alias("id_b"),
+                F.col("media_id").alias("vb"),
+                F.col("frame_idx").alias("fb"),
+            ),
+            "id_b",
         )
         .filter((F.col("va") != F.col("vb")) & (F.col("fa") == F.col("fb")))
         .groupBy(
