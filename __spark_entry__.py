@@ -882,6 +882,37 @@ _HTML_POST = (
 )
 
 
+_BOILER32 = " ".join(
+    f"chunkboiler{i}" for i in range(32)
+)  # exactly two 16-token chunks, position-aligned when PREPENDED
+
+
+def q_doc_chunk_rewrite(spark, sf_dir):
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021 at 16-token
+    chunk granularity): every doc is prepended with the same 32-token
+    boilerplate on BOTH engines (two position-aligned shared chunks);
+    the rewrite keeps each chunk's globally-first occurrence (min
+    (doc_id, pos) struct aggregate — map-side combinable, no window on
+    a viral chunk key; only (hash, id, pos) ints shuffle, text crosses
+    the wire once) and reassembles text in position order, so only the
+    minimum doc keeps the boilerplate. Output hashes the rewritten
+    text; the oracle runs the identical pipeline with a row_number
+    window in DuckDB."""
+    from timely_spark.operators.dedup import chunk_dedup_rewrite
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id", F.concat(F.lit(_BOILER32 + " "), F.col("text")).alias("text")
+    )
+    out = chunk_dedup_rewrite(aug, chunk_tokens=16)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.md5("dedup_text").alias("dedup_md5"),
+    )
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """HTML boilerplate removal (jusText-lite): every doc is wrapped in
     a realistic page shell (script/style head, link-dense nav, related-
@@ -1865,7 +1896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_meta": q_ts_meta,
         "ts_summarize": q_ts_summarize,
         "ts_streaming_summarize": q_ts_streaming_summarize,
-        "ts_multiquery": q_ts_multiquery,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
         "events_sessionize": q_events_sessionize,
@@ -1906,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_streaming_dedup": q_doc_streaming_dedup,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_chunk_rewrite": q_doc_chunk_rewrite,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -1914,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_suggest": q_ts_suggest,
         "ts_lookup": q_ts_lookup,
         "ts_none_raw": q_ts_none_raw,
+        "ts_multiquery": q_ts_multiquery,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
@@ -2503,6 +2535,35 @@ hits AS (SELECT d.doc_id, count(*) AS ngram_hits
 SELECT sh.doc_id, CAST(COALESCE(hits.ngram_hits, 0) AS BIGINT) AS ngram_hits,
        COALESCE(hits.ngram_hits, 0) > 0 AS contaminated
 FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id""",
+        # chunk rewrite: identical boilerplate prepended in SQL; first
+        # occurrence via row_number window (same (doc_id, pos) order as
+        # Spark's min-struct aggregate)
+        "doc_chunk_rewrite": f"""
+WITH aug AS (SELECT doc_id, '{_BOILER32} ' || text AS text FROM documents),
+tk AS (SELECT doc_id, {{toks_aug}} AS t FROM aug),
+cl AS (SELECT doc_id,
+              list_transform(range(0, CAST(ceil(len(t) / 16.0) AS INT)),
+                             i -> array_to_string(t[i*16+1 : (i+1)*16], ' ')) AS cs
+       FROM tk),
+ch AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos, unnest(cs) AS c
+       FROM cl WHERE len(cs) > 0),
+kept AS (SELECT doc_id, pos, c FROM (
+           SELECT doc_id, pos, c,
+                  row_number() OVER (PARTITION BY c ORDER BY doc_id, pos) AS rn
+           FROM ch) WHERE rn = 1),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(c, ' ' ORDER BY pos) AS dedup_text
+        FROM kept GROUP BY 1),
+nc AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(nc.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(reb.dedup_text, '')) AS dedup_md5
+FROM documents d
+LEFT JOIN nc ON d.doc_id = nc.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id""".replace(
+            "{toks_aug}", TOKENS_SQL.format(c="text")
+        ),
         # boilerplate: identical HTML shell built in SQL, identical
         # extraction pipeline (main_text_sql), integer link-density test
         "doc_boilerplate": _boilerplate_oracle(),

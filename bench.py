@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     "doc_bpe_encode",
     "doc_boilerplate",
+    "doc_chunk_rewrite",
     "media_video_near_dup",
 ]
 

@@ -445,6 +445,8 @@ def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
 ROTATED_TO_TAIL = {
     "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
     #                 covered end-to-end by ts_engine_query + bench
+    "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
+    #                   each independently prefix-covered; also bench-gated
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -474,6 +476,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_streaming_dedup",  # new this round: cross-batch streaming dedup oracle
     "media_video_near_dup",  # new this round: AVI/MJPEG video near-dup (rows-only)
     "doc_boilerplate",  # new this round: HTML main-content extraction
+    "doc_chunk_rewrite",  # new this round: exact-substring dedup transform
 }
 
 

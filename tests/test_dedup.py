@@ -281,3 +281,30 @@ def test_chunk_dedup_shared_spans(spark):
     )
     r = chunk_dedup(dup).collect()
     assert all(x["shared_chunk_frac"] == 1.0 and x["n_chunks"] == 2 for x in r)
+
+
+def test_chunk_dedup_rewrite(spark):
+    """Global first occurrence of each chunk survives; later copies are
+    cut from the rewritten text; unique content is untouched."""
+    from timely_spark.operators.dedup import chunk_dedup_rewrite
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # one 4-token chunk
+    uniq = lambda k: " ".join(f"u{k}x{i}" for i in range(4))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq(1)),          # first: keeps both chunks
+            (2, boiler + " " + uniq(2)),          # later: boiler cut
+            (3, uniq(3)),                          # untouched
+            (4, boiler),                           # only the dup chunk: empty
+            (5, ""),                               # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           chunk_dedup_rewrite(docs, chunk_tokens=4).collect()}
+    assert out[1]["dedup_text"] == boiler + " " + uniq(1)
+    assert out[2]["dedup_text"] == uniq(2)
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["dedup_text"] == uniq(3)
+    assert out[4]["dedup_text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["n_chunks"] == 0 and out[5]["dedup_text"] == ""
