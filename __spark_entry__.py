@@ -661,6 +661,72 @@ def q_events_sessionize_native(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_events_asof_join(spark, sf_dir):
+    """AS-OF join (kdb aj / pandas merge_asof): every event picks the
+    latest per-user 'snapshot' (every 10th event, deduped per (user,
+    ts) by max value) at-or-before its timestamp. Spark shape: ONE
+    union + per-key window with last(ignorenulls) — one shuffle, no
+    self-join (operators/joins.py). Oracle: DuckDB's NATIVE ASOF LEFT
+    JOIN — a genuinely independent implementation of the semantics."""
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.operators.joins import asof_join
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id", "user_id", ts_epoch_ms(raw).alias("ts_ms"), "value"
+    )
+    snap = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(
+        ev, snap, key="user_id", left_ts="ts_ms", right_ts="ts_ms"
+    )
+    return out.select(
+        "user_id", "event_id", "ts_ms",
+        F.col("asof_ts_ms").alias("snap_ts_ms"), "snap_value",
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join: per-event-type 'incident windows' (8 x 45 min,
+    6 h apart from the type's first event) matched to the events they
+    contain via the BUCKETIZED equi-join (interval -> overlapped
+    hour-buckets, point -> its bucket, exact containment post-filter;
+    operators/joins.py) — work scales with overlap density, never
+    |events| x |intervals|. Oracle: the plain inequality join."""
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.operators.joins import range_join
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select("event_type", ts_epoch_ms(raw).alias("ts_ms"), "value")
+    h6, m45 = 6 * 3_600_000, 45 * 60_000
+    iv = (
+        ev.groupBy("event_type")
+        .agg(F.min("ts_ms").alias("t0"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+            "t0",
+        )
+        .select(
+            "event_type",
+            (F.col("t0") + F.col("i") * h6).alias("start"),
+            (F.col("t0") + F.col("i") * h6 + m45).alias("end"),
+        )
+    )
+    joined = range_join(
+        ev, iv, ts_col="ts_ms", key="event_type", bucket_ms=3_600_000
+    )
+    return joined.groupBy("event_type", "start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def q_tpch_q5ish(spark, sf_dir):
     """Multi-join chain: region -> nation -> customer -> orders ->
     lineitem, revenue per nation. The three dimension tables broadcast;
@@ -1892,9 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fir_bucketed": q_ts_fir_bucketed,
         "ts_tag_regex": q_ts_tag_regex,
         "ts_viz": q_ts_viz,
-        "ts_ageoff": q_ts_ageoff,
         "ts_meta": q_ts_meta,
-        "ts_summarize": q_ts_summarize,
         "ts_streaming_summarize": q_ts_streaming_summarize,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
@@ -1904,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
         "events_retention": q_events_retention,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "emb_knn": q_emb_knn,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
@@ -1946,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lookup": q_ts_lookup,
         "ts_none_raw": q_ts_none_raw,
         "ts_multiquery": q_ts_multiquery,
+        "ts_ageoff": q_ts_ageoff,
+        "ts_summarize": q_ts_summarize,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
@@ -2707,6 +2775,27 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey LIMIT 20"""
+    d["events_asof_join"] = """
+WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+            FROM events),
+snap AS (SELECT user_id, ts_ms, max(value) AS snap_value
+         FROM ev WHERE event_id % 10 = 0 GROUP BY 1, 2)
+SELECT e.user_id, e.event_id, e.ts_ms,
+       s.ts_ms AS snap_ts_ms, s.snap_value
+FROM ev e ASOF LEFT JOIN snap s
+  ON e.user_id = s.user_id AND e.ts_ms >= s.ts_ms"""
+    d["events_range_join"] = """
+WITH ev AS (SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms, value
+            FROM events),
+t0 AS (SELECT event_type, min(ts_ms) AS t0 FROM ev GROUP BY 1),
+iv AS (SELECT event_type, t0 + i*21600000 AS start,
+              t0 + i*21600000 + 2700000 AS iv_end
+       FROM t0 CROSS JOIN range(0, 8) t(i))
+SELECT ev.event_type, iv.start, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+FROM ev JOIN iv ON ev.event_type = iv.event_type
+   AND ev.ts_ms >= iv.start AND ev.ts_ms < iv.iv_end
+GROUP BY 1, 2"""
     d["events_funnel"] = f"""
 WITH ev AS (SELECT user_id, event_type AS et,
                    epoch_ns(ts) // 1000000 AS ts_ms FROM events),

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "doc_bpe_encode",
     "doc_boilerplate",
     "doc_chunk_rewrite",
+    "events_asof_join",
+    "events_range_join",
     "media_video_near_dup",
 ]
 

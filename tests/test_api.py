@@ -447,6 +447,9 @@ ROTATED_TO_TAIL = {
     #                 covered end-to-end by ts_engine_query + bench
     "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
     #                   each independently prefix-covered; also bench-gated
+    "ts_ageoff",  # r5: green r2-r4, trivial guard+filter plan, bench-gated
+    "ts_summarize",  # r5: green r2-r4; A11 evidence now carried by the
+    #                  STRONGER ts_streaming_summarize oracle row
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -477,6 +480,8 @@ PLAN_CHANGED_THIS_ROUND = {
     "media_video_near_dup",  # new this round: AVI/MJPEG video near-dup (rows-only)
     "doc_boilerplate",  # new this round: HTML main-content extraction
     "doc_chunk_rewrite",  # new this round: exact-substring dedup transform
+    "events_asof_join",  # new this round: as-of join vs native DuckDB ASOF
+    "events_range_join",  # new this round: bucketized range join
 }
 
 

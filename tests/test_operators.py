@@ -398,3 +398,62 @@ def test_dsir_hashed_feature_table_bounded(spark):
     assert _feature_counts(docs, "text", b).count() <= b
     distinct_f = _feature_counts(docs, "text", None).count()
     assert distinct_f > b  # the bound actually bit
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before per key; exact-ts ties
+    match (DuckDB >= semantics); tolerance nulls out stale matches;
+    keys with no prior right row yield nulls."""
+    from timely_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 205, 2.0), ("a", 300, 3.0), ("b", 50, 4.0)],
+        "k string, ts long, v double",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, "r1"), ("a", 200, "r2"), ("b", 60, "r3")],
+        "k string, ts long, tag string",
+    )
+    out = {(r["k"], r["ts"]): r for r in
+           asof_join(left, right, key="k").collect()}
+    assert out[("a", 100)]["tag"] == "r1"      # tie matches
+    assert out[("a", 100)]["asof_ts"] == 100
+    assert out[("a", 205)]["tag"] == "r2"
+    assert out[("a", 300)]["tag"] == "r2"
+    assert out[("b", 50)]["tag"] is None       # nothing at-or-before
+    tol = {(r["k"], r["ts"]): r for r in
+           asof_join(left, right, key="k", tolerance_ms=10).collect()}
+    assert tol[("a", 100)]["tag"] == "r1"      # within 10ms
+    assert tol[("a", 205)]["tag"] == "r2"      # 5ms stale: within
+    assert tol[("a", 300)]["tag"] is None      # 100ms stale: out
+
+
+def test_range_join_bucketized(spark):
+    """Bucketized range join == the inequality-join answer: exclusive
+    end, multi-bucket intervals, keyed variant."""
+    from timely_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [("x", 0), ("x", 999), ("x", 1000), ("x", 2500), ("y", 500)],
+        "k string, ts long",
+    )
+    iv = spark.createDataFrame(
+        [("x", 0, 1000, "i1"),     # [0, 1000): catches 0, 999 only
+         ("x", 900, 2600, "i2"),   # spans 3 buckets of 1000
+         ("y", 400, 401, "i3"),    # degenerate-short
+         ("y", 700, 700, "i4")],   # empty: start == end
+        "k string, start long, end long, name string",
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["name"])
+        for r in range_join(pts, iv, key="k", bucket_ms=1000).collect()
+    )
+    want = sorted(
+        (r["k"], r["ts"], r["name"])
+        for r in pts.join(iv, "k")
+        .filter("ts >= start AND ts < end")
+        .collect()
+    )
+    assert got == want
+    assert ("x", 999, "i1") in got and ("x", 1000, "i1") not in got
+    assert ("x", 2500, "i2") in got and ("x", 999, "i2") in got
