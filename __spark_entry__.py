@@ -661,6 +661,37 @@ def q_events_sessionize_native(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_ts_rollup_query(spark, sf_dir):
+    """Hypertable-style continuous aggregate (the brief's third named
+    custom-operator example): 1-minute PARTIALS per (metric, user) —
+    (n, decimal sum, min, max), never a pre-divided mean — then a 1-hour
+    query answered purely by MERGING partials (operators/rollup.py), no
+    raw-point rescan: 60x fewer rows touched, and the same partial
+    frame serves any window the level divides. The oracle computes the
+    hour buckets directly from raw points, so a hash match proves the
+    partial->merge path is value-exact."""
+    from timely_spark.operators.rollup import merge_rollup, rollup_partials
+
+    pts = _points(spark, sf_dir).withColumn(
+        "tag_user", F.col("tags").getItem("user")
+    )
+    partials = rollup_partials(
+        pts, level_ms=60_000, key_cols=("metric", "tag_user")
+    )
+    merged = merge_rollup(
+        partials, 60_000, 3_600_000, key_cols=("metric", "tag_user")
+    )
+    return merged.select(
+        "metric",
+        "tag_user",
+        "bucket_ts",
+        "n",
+        F.round(F.col("vsum"), 4).cast("double").alias("sum_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     """AS-OF join (kdb aj / pandas merge_asof): every event picks the
     latest per-user 'snapshot' (every 10th event, deduped per (user,
@@ -1956,10 +1987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate_counter": q_ts_rate_counter,
         "ts_fir_ma5": q_ts_fir_ma5,
         "ts_fir_bucketed": q_ts_fir_bucketed,
-        "ts_tag_regex": q_ts_tag_regex,
         "ts_viz": q_ts_viz,
         "ts_meta": q_ts_meta,
         "ts_streaming_summarize": q_ts_streaming_summarize,
+        "ts_rollup_query": q_ts_rollup_query,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
         "events_sessionize": q_events_sessionize,
@@ -2014,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_multiquery": q_ts_multiquery,
         "ts_ageoff": q_ts_ageoff,
         "ts_summarize": q_ts_summarize,
+        "ts_tag_regex": q_ts_tag_regex,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
@@ -2389,6 +2421,13 @@ agg AS (
   FROM pts GROUP BY 1, 2, 3)
 SELECT * FROM agg
 WHERE bucket_ts + 3600000 <= (SELECT m - 120000 - 1 FROM mx)""",
+        "ts_rollup_query": f"""
+WITH pts AS ({PTS})
+SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts,
+       count(value) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM pts GROUP BY 1, 2, 3""",
         "ts_engine_query": f"""
 WITH pts AS ({PTS}),
 f AS (SELECT metric, tag_user, ts, value FROM pts

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "doc_bpe_encode",
     "doc_boilerplate",
     "doc_chunk_rewrite",
+    "ts_rollup_query",
     "events_asof_join",
     "events_range_join",
     "media_video_near_dup",

@@ -450,6 +450,8 @@ ROTATED_TO_TAIL = {
     "ts_ageoff",  # r5: green r2-r4, trivial guard+filter plan, bench-gated
     "ts_summarize",  # r5: green r2-r4; A11 evidence now carried by the
     #                  STRONGER ts_streaming_summarize oracle row
+    "ts_tag_regex",  # r5: green r2-r4; the regex path is also exercised
+    #                  by ts_suggest/ts_lookup and the engine rows
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -482,6 +484,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_chunk_rewrite",  # new this round: exact-substring dedup transform
     "events_asof_join",  # new this round: as-of join vs native DuckDB ASOF
     "events_range_join",  # new this round: bucketized range join
+    "ts_rollup_query",  # new this round: hypertable rollup merge path
 }
 
 

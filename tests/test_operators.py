@@ -457,3 +457,34 @@ def test_range_join_bucketized(spark):
     assert got == want
     assert ("x", 999, "i1") in got and ("x", 1000, "i1") not in got
     assert ("x", 2500, "i2") in got and ("x", 999, "i2") in got
+
+
+def test_rollup_merge_identity(spark):
+    """Partials merged to a coarser level equal a direct aggregation at
+    that level; non-divisible windows are rejected; avg comes from
+    (sum, count), surviving multi-hop merges (1m -> 5m -> 1h)."""
+    import pytest
+
+    from timely_spark.operators.rollup import (
+        answer_from_rollup,
+        merge_rollup,
+        rollup_partials,
+    )
+
+    rows = [("m", 1000 * 60 * i + (i % 7) * 250, float(i % 13) + 0.125)
+            for i in range(500)]
+    pts = spark.createDataFrame(rows, "metric string, ts long, value double")
+    p1m = rollup_partials(pts, 60_000)
+    direct = rollup_partials(pts, 3_600_000)  # direct 1h partials
+    via_1m = merge_rollup(p1m, 60_000, 3_600_000)
+    via_5m = merge_rollup(merge_rollup(p1m, 60_000, 300_000), 300_000, 3_600_000)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(via_1m) == key(direct) == key(via_5m)
+    ans = {r["bucket_ts"]: r for r in
+           answer_from_rollup(p1m, 60_000, 3_600_000).collect()}
+    d = {r["bucket_ts"]: r for r in direct.collect()}
+    for b, r in ans.items():
+        assert r["n"] == d[b]["n"]
+        assert r["avg_value"] == round(float(d[b]["vsum"]) / d[b]["n"], 4)
+    with pytest.raises(ValueError, match="not a multiple"):
+        merge_rollup(p1m, 60_000, 90_000)

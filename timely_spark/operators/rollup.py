@@ -1,0 +1,85 @@
+"""Hypertable-style hierarchical rollups (continuous aggregates).
+
+The TimescaleDB/Druid pattern the brief names as a custom-operator
+example: maintain per-level PARTIAL aggregates (sum/count/min/max per
+fine bucket) and answer coarse downsample queries by MERGING partials
+instead of rescanning raw points — a 6 h avg over 1 m partials touches
+60x fewer rows than raw, 360x at a 1 h level; avg is computable
+because partials carry (sum, count), never a pre-divided mean.
+
+Spark-first: a partial table is one groupBy (map-side combinable);
+re-aggregation is another. Partials are merge-associative, so the same
+frame serves any coarser window whose length the level divides —
+``answer_from_rollup`` enforces that divisibility instead of silently
+interpolating. Persist partials with ``sources.store.write_points``-
+style partitioning for pruning; here they stay lazy frames so the
+oracle can verify merge correctness end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_partials(
+    points: DataFrame,
+    level_ms: int,
+    key_cols: tuple[str, ...] = ("metric",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(keys..., bucket_ts, n, vsum, vmin, vmax) at ``level_ms``
+    resolution. vsum is decimal-exact so downstream merges and the
+    final avg are accumulation-order-independent."""
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(level_ms)).alias("bucket_ts")
+    return points.groupBy(*key_cols, bucket).agg(
+        F.count(value_col).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,10)")).alias("vsum"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_rollup(
+    partials: DataFrame,
+    level_ms: int,
+    coarser_ms: int,
+    key_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Re-aggregate partials to a coarser level (the continuous-
+    aggregate refresh step). ``coarser_ms`` must be a multiple of the
+    partials' level."""
+    if coarser_ms % level_ms != 0:
+        raise ValueError(
+            f"coarser level {coarser_ms} not a multiple of {level_ms}"
+        )
+    bucket = (
+        F.col("bucket_ts") - F.col("bucket_ts") % F.lit(coarser_ms)
+    ).alias("bucket_ts")
+    return partials.groupBy(*key_cols, bucket).agg(
+        F.sum("n").alias("n"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def answer_from_rollup(
+    partials: DataFrame,
+    level_ms: int,
+    window_ms: int,
+    key_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Answer a ``window_ms`` downsample query (n/avg/min/max per
+    bucket) from partials — no raw-point scan. avg = merged sum /
+    merged count, rounded AFTER the exact-decimal division."""
+    merged = merge_rollup(partials, level_ms, window_ms, key_cols)
+    return merged.select(
+        *key_cols,
+        "bucket_ts",
+        "n",
+        F.round(F.col("vsum") / F.col("n"), 4).cast("double").alias("avg_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+    )
