@@ -692,6 +692,37 @@ def q_ts_rollup_query(spark, sf_dir):
     )
 
 
+def q_events_hll_rollup(spark, sf_dir):
+    """Mergeable distinct-count rollup: per-(event_type, day) HLL
+    sketch partials (Datasketches, hll_sketch_agg) unioned to
+    per-type totals — the sketch form of ts_rollup_query's partials,
+    giving distinct-user rollups the same no-rescan merge property
+    (register-max union is LOSSLESS vs a direct sketch; pinned by
+    test_hll_rollup_merge_identity). Rows-only: DuckDB's HLL is a
+    different implementation, not value-comparable; exact_users rides
+    along so the estimate's error is visible in the artifact."""
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.operators.rollup import hll_merge, hll_partials
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        F.col("event_type").alias("metric"),
+        ts_epoch_ms(raw).alias("ts"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    day = 86_400_000
+    partials = hll_partials(ev, day, "uid")
+    merged = hll_merge(partials, day, 7 * day)
+    exact = ev.groupBy("metric").agg(
+        F.countDistinct("uid").alias("exact_users")
+    )
+    return (
+        merged.groupBy("metric")
+        .agg(F.round(F.sum("approx_distinct"), 0).alias("approx_user_weeks"))
+        .join(exact, "metric")
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     """AS-OF join (kdb aj / pandas merge_asof): every event picks the
     latest per-user 'snapshot' (every 10th event, deduped per (user,
@@ -1116,6 +1147,30 @@ def q_doc_dsir_weights(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin("src0", "src1"))
     return dsir_log_weights(docs, target, hash_buckets=None)
+
+
+def q_doc_trained_classifier(spark, sf_dir):
+    """Train-with-MLlib, serve-in-codegen: logistic regression fit on a
+    deterministic weak label (docs mentioning 'window' — a stand-in for
+    any weak quality signal) over the SAME md5-bucket hashed features
+    the serving expression uses; the learned coefficients slot straight
+    into text.classifier_score's zero-shuffle array-literal scorer
+    (operators/classifier.py alignment contract, parity-pinned in
+    tests). Rows-only: L-BFGS coefficients aren't SQL-derivable; the
+    label column rides along so separation is visible in the artifact."""
+    from timely_spark.operators.classifier import train_classifier_weights
+    from timely_spark.operators.text import classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    label = F.col("text").rlike("(^| )window( |$)")
+    # train on a deterministic 1-in-5 sample (the production shape:
+    # sampled training, corpus-wide serving), serve everything
+    w = train_classifier_weights(
+        docs.filter(F.col("doc_id") % 5 == 0), label, dim=256, max_iter=10
+    )
+    return classifier_score(docs, weights=w).join(
+        docs.select("doc_id", label.alias("weak_label")), "doc_id"
+    )
 
 
 def q_doc_bloom_decontaminate(spark, sf_dir):
@@ -1984,8 +2039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_agg_combine": q_ts_agg_combine,
         "ts_rate": q_ts_rate,
         "ts_rate_bucketed": q_ts_rate_bucketed,
-        "ts_rate_counter": q_ts_rate_counter,
-        "ts_fir_ma5": q_ts_fir_ma5,
         "ts_fir_bucketed": q_ts_fir_bucketed,
         "ts_viz": q_ts_viz,
         "ts_meta": q_ts_meta,
@@ -2000,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": q_events_anomaly,
         "events_retention": q_events_retention,
         "events_asof_join": q_events_asof_join,
+        "events_hll_rollup": q_events_hll_rollup,
         "events_range_join": q_events_range_join,
         "emb_knn": q_emb_knn,
         "emb_kmeans_assign": q_emb_kmeans_assign,
@@ -2029,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": q_doc_url_dedup,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "doc_trained_classifier": q_doc_trained_classifier,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_streaming_dedup": q_doc_streaming_dedup,
@@ -2046,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ageoff": q_ts_ageoff,
         "ts_summarize": q_ts_summarize,
         "ts_tag_regex": q_ts_tag_regex,
+        "ts_rate_counter": q_ts_rate_counter,
+        "ts_fir_ma5": q_ts_fir_ma5,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,

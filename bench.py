@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "doc_boilerplate",
     "doc_chunk_rewrite",
     "ts_rollup_query",
+    "events_hll_rollup",
+    "doc_trained_classifier",
     "events_asof_join",
     "events_range_join",
     "media_video_near_dup",

@@ -452,6 +452,10 @@ ROTATED_TO_TAIL = {
     #                  STRONGER ts_streaming_summarize oracle row
     "ts_tag_regex",  # r5: green r2-r4; the regex path is also exercised
     #                  by ts_suggest/ts_lookup and the engine rows
+    "ts_rate_counter",  # r5: green r2-r4; rate machinery stays covered by
+    #                     ts_rate + ts_rate_bucketed in the prefix
+    "ts_fir_ma5",  # r5: green r2-r4; FIR machinery stays covered by
+    #                ts_fir_bucketed in the prefix
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -485,6 +489,8 @@ PLAN_CHANGED_THIS_ROUND = {
     "events_asof_join",  # new this round: as-of join vs native DuckDB ASOF
     "events_range_join",  # new this round: bucketized range join
     "ts_rollup_query",  # new this round: hypertable rollup merge path
+    "events_hll_rollup",  # new this round: HLL sketch rollup (rows-only)
+    "doc_trained_classifier",  # new this round: MLlib-trained serving weights
 }
 
 

@@ -488,3 +488,28 @@ def test_rollup_merge_identity(spark):
         assert r["avg_value"] == round(float(d[b]["vsum"]) / d[b]["n"], 4)
     with pytest.raises(ValueError, match="not a multiple"):
         merge_rollup(p1m, 60_000, 90_000)
+
+
+def test_hll_rollup_merge_identity(spark):
+    """HLL union of fine-bucket partials == a direct sketch over raw
+    rows (register-max union is lossless), and the estimate sits within
+    the lgK=12 error envelope of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.rollup import hll_merge, hll_partials
+
+    rows = [("m", 60_000 * (i % 120), f"user{i % 337}") for i in range(5000)]
+    pts = spark.createDataFrame(rows, "metric string, ts long, uid string")
+    partials = hll_partials(pts, 60_000, "uid")
+    merged = {r["bucket_ts"]: r["approx_distinct"] for r in
+              hll_merge(partials, 60_000, 3_600_000).collect()}
+    direct = {r["bucket_ts"]: r["est"] for r in
+              pts.groupBy((F.col("ts") - F.col("ts") % 3_600_000).alias("bucket_ts"))
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("uid", F.lit(12))).alias("est")).collect()}
+    assert merged == direct  # lossless union, bucket by bucket
+    exact = {r["bucket_ts"]: r["n"] for r in
+             pts.groupBy((F.col("ts") - F.col("ts") % 3_600_000).alias("bucket_ts"))
+             .agg(F.countDistinct("uid").alias("n")).collect()}
+    for b, est in merged.items():
+        assert abs(est - exact[b]) / exact[b] < 0.05

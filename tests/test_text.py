@@ -704,3 +704,45 @@ def test_warc_reader_main_content(spark, tmp_path):
     assert {r["doc_id"] for r in naive} == {r["doc_id"] for r in main}
     assert "Home" in naive[0]["text"] and "Terms" in naive[0]["text"]
     assert main[0]["text"] == prose  # boilerplate gone, prose exact
+
+
+def test_trained_classifier_learns_and_serves(spark):
+    """Train-with-MLlib, serve-in-codegen: weights learned on a planted
+    token signal separate the classes through the UNCHANGED serving
+    expression, and the served probability matches MLlib's own
+    predictProbability to float precision (the alignment contract)."""
+    import pytest
+
+    from timely_spark.operators.classifier import (
+        hashed_mean_features,
+        train_classifier_weights,
+    )
+    from timely_spark.operators.text import classifier_score
+
+    filler = "common words shared by every document in the corpus"
+    rows = []
+    for i in range(60):
+        pos = i % 2 == 0
+        marker = " quality signal token" if pos else " junkmark noise blob"
+        rows.append((i, filler + marker + f" tail{i % 5}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.col("doc_id") % 2 == 0
+    w = train_classifier_weights(docs, label, dim=128)
+    assert len(w) == 128
+    scored = {r["doc_id"]: r["p_keep"] for r in
+              classifier_score(docs, weights=w).collect()}
+    pos_scores = [scored[i] for i in range(60) if i % 2 == 0]
+    neg_scores = [scored[i] for i in range(60) if i % 2 == 1]
+    assert min(pos_scores) > max(neg_scores)  # clean separation
+    # serving parity vs MLlib's own probability
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = hashed_mean_features(docs, label, dim=128)
+    model = LogisticRegression(
+        maxIter=30, regParam=0.001, fitIntercept=False, standardization=False
+    ).fit(feats)
+    probs = {r["doc_id"]: float(r["probability"][1])
+             for r in model.transform(feats).collect()}
+    for i in (0, 1, 30, 59):
+        # serving rounds weights to 6dp and p_keep to 6dp
+        assert scored[i] == pytest.approx(probs[i], abs=5e-3)

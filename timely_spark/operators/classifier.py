@@ -1,0 +1,109 @@
+"""Trainable quality classifier — learn the weights the serving
+expression consumes.
+
+``text.classifier_score`` serves a linear bag-of-hashed-words model as
+pure column expressions (weight vector inlined as an array literal,
+zero shuffles). This module closes the loop: TRAIN that weight vector
+with Spark MLlib logistic regression on weak labels, using the
+IDENTICAL md5-bucket feature hashing, then hand the coefficients back
+to the serving path — train with MLlib, serve in whole-stage codegen.
+
+Alignment contract (pinned by the serving-parity test):
+
+- features are per-doc bucket-count vectors DIVIDED BY token count —
+  exactly the mean the serving expression computes;
+- ``fitIntercept=False`` — the serving form has no bias term;
+- serving applies ``sigmoid(4 * mean_score)``, so trained
+  coefficients are returned PRE-DIVIDED by 4: the served probability
+  equals MLlib's ``predictProbability`` to float precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import _CLF_DIM, tokens
+
+
+def _bucket(t: Column, dim: int) -> Column:
+    """The serving path's md5-bucket index (text.classifier_score)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+
+
+def hashed_mean_features(
+    docs: DataFrame,
+    label_col: Column,
+    dim: int = _CLF_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, label, features) with MLlib sparse vectors of
+    bucket-count / n_tokens — the training-side mirror of the serving
+    expression's mean score."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql import types as T
+
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        label_col.cast("double").alias("label"),
+        F.explode(toks).alias("t"),
+        F.size(toks).alias("n"),
+    ).select(id_col, "label", "n", _bucket(F.col("t"), dim).alias("b"))
+    counted = (
+        base.groupBy(id_col, "label", "n", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "label", "n")
+        .agg(F.collect_list(F.struct("b", "c")).alias("bc"))
+    )
+
+    def to_vec(n, bc):
+        pairs = sorted((int(r["b"]), float(r["c"]) / n) for r in bc)
+        return SparseVector(dim, [p[0] for p in pairs], [p[1] for p in pairs])
+
+    udf = F.udf(to_vec, VectorUDT())
+    return counted.select(
+        id_col, "label", udf(F.col("n"), F.col("bc")).alias("features")
+    )
+
+
+def train_classifier_weights(
+    docs: DataFrame,
+    label_col: Column,
+    dim: int = _CLF_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+    reg_param: float = 0.001,
+) -> list[float]:
+    """Fit logistic regression on weak labels; return a ``dim``-length
+    weight list directly consumable by ``text.classifier_score`` /
+    ``classifier_score_sql`` (coefficients / 4 — see module contract).
+
+    Training is the offline path (one MLlib job over the corpus, UDF
+    vector assembly allowed there); SERVING stays the zero-shuffle
+    codegen expression. Deterministic for fixed inputs: L-BFGS from a
+    zero start on a deterministic feature frame.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = hashed_mean_features(docs, label_col, dim, text_col, id_col)
+    # cache across L-BFGS iterations: without it every iteration
+    # re-runs the explode/agg/UDF feature pipeline (the cache plus
+    # sampled training took the sf0.1 driver row from 55 s to 6.5 s)
+    feats = feats.persist()
+    try:
+        lr = LogisticRegression(
+            maxIter=max_iter,
+            regParam=reg_param,
+            fitIntercept=False,
+            standardization=False,
+        )
+        model = lr.fit(feats)
+    finally:
+        feats.unpersist()
+    co = model.coefficients
+    return [round(float(co[j]) / 4.0, 6) for j in range(dim)]
