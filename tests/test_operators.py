@@ -513,3 +513,14 @@ def test_hll_rollup_merge_identity(spark):
              .agg(F.countDistinct("uid").alias("n")).collect()}
     for b, est in merged.items():
         assert abs(est - exact[b]) / exact[b] < 0.05
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    from timely_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("a", 1, 1.0)], "k string, ts long, v double")
+    right = spark.createDataFrame([("a", 1, 2.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k")

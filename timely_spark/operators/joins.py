@@ -47,6 +47,12 @@ def asof_join(
     that matters (the driver query does).
     """
     rcols = [c for c in right.columns if c not in (key, right_ts)]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right payload columns collide with left: "
+            f"{sorted(clash)} — rename before joining"
+        )
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
