@@ -746,3 +746,25 @@ def test_trained_classifier_learns_and_serves(spark):
     for i in (0, 1, 30, 59):
         # serving rounds weights to 6dp and p_keep to 6dp
         assert scored[i] == pytest.approx(probs[i], abs=5e-3)
+
+
+def test_curate_cli_learned_filter(spark, tmp_path):
+    """--learned-filter trains weights on Gopher weak labels and still
+    produces a coherent pipeline run (counts consistent, output
+    readable)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = ("plenty of ordinary readable prose words that the gopher "
+              "rules accept without any complaint at all in this row ")
+    rows = [(i, "web", filler * 3 + f"unique{i}") for i in range(25)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+                   learned_filter=True)
+    assert stats["learned_filter"] is True
+    assert stats["n_survivors"] > 0
+    assert spark.read.parquet(out).count() == stats["n_survivors"]

@@ -52,7 +52,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            token_budget: int | None = None, shuffle_seed: str | None = None,
            bench_path: str | None = None, dsir_target: str | None = None,
            dsir_keep: int | None = None, bpe_tokens: bool = False,
-           main_content: bool = False):
+           main_content: bool = False, learned_filter: bool = False):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -72,7 +72,22 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "doc_id", "source", normalize_text("text").alias("text"),
         sig["gopher_pass"].alias("gopher_pass"),
     )
-    clf = classifier_score(normed).select("doc_id", "n_tokens", "p_keep")
+    weights = None
+    if learned_filter:
+        # train-with-MLlib, serve-in-codegen: fit on the Gopher hard
+        # rules as weak labels over a deterministic 1-in-5 sample, then
+        # score the corpus through the same zero-shuffle expression
+        from timely_spark.operators.classifier import train_classifier_weights
+
+        weights = train_classifier_weights(
+            normed.filter(F.col("doc_id") % 5 == 0),
+            F.col("gopher_pass"),
+            dim=256,
+            max_iter=10,
+        )
+    clf = classifier_score(normed, weights=weights).select(
+        "doc_id", "n_tokens", "p_keep"
+    )
     mix = domain_mixture(docs).select("doc_id", "kept")
 
     dups = exact_dup_groups(normed).select(
@@ -192,6 +207,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             "screen": int(agg["n_out"]),
         },
         "gopher_gate": gopher,
+        "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
         "n_dsir": n_dsir,
         "bpe_tokens": bpe_tokens,
@@ -234,6 +250,8 @@ def main() -> int:
                     help="token budget in real BPE token space (sampled merge table)")
     ap.add_argument("--main-content", action="store_true",
                     help="WARC input: jusText-lite boilerplate removal instead of tag-strip")
+    ap.add_argument("--learned-filter", action="store_true",
+                    help="train classifier weights on Gopher weak labels (sampled) instead of static weights")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
@@ -243,7 +261,7 @@ def main() -> int:
     stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep,
                    args.gopher, args.format, args.token_budget, args.shuffle_seed,
                    args.bench_path, args.dsir_target, args.dsir_keep,
-                   args.bpe_tokens, args.main_content)
+                   args.bpe_tokens, args.main_content, args.learned_filter)
     print(json.dumps(stats))
     return 0
 
