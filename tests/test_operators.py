@@ -524,3 +524,16 @@ def test_asof_join_rejects_column_collision(spark):
     right = spark.createDataFrame([("a", 1, 2.0)], "k string, ts long, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, key="k")
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A NULL right timestamp matches NOTHING (DuckDB >= semantics) —
+    it must not become every left row's fallback match."""
+    from timely_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([("a", 100, 1.0)], "k string, ts long, v double")
+    right = spark.createDataFrame(
+        [("a", None, "rnull")], "k string, ts long, tag string"
+    )
+    out = asof_join(left, right, key="k").collect()
+    assert len(out) == 1 and out[0]["tag"] is None

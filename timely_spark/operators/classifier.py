@@ -23,14 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import _CLF_DIM, tokens
-
-
-def _bucket(t: Column, dim: int) -> Column:
-    """The serving path's md5-bucket index (text.classifier_score)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(dim)
-    )
+from .text import _CLF_DIM, clf_bucket, tokens
 
 
 def hashed_mean_features(
@@ -52,7 +45,7 @@ def hashed_mean_features(
         label_col.cast("double").alias("label"),
         F.explode(toks).alias("t"),
         F.size(toks).alias("n"),
-    ).select(id_col, "label", "n", _bucket(F.col("t"), dim).alias("b"))
+    ).select(id_col, "label", "n", clf_bucket(F.col("t"), dim).alias("b"))
     counted = (
         base.groupBy(id_col, "label", "n", "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -96,6 +89,13 @@ def train_classifier_weights(
     # sampled training took the sf0.1 driver row from 55 s to 6.5 s)
     feats = feats.persist()
     try:
+        if feats.limit(1).count() == 0:
+            # zero-token docs drop out of the featurizer: an empty (or
+            # all-empty-text) training set would die deep inside MLlib
+            # with an opaque summarizer error
+            raise ValueError(
+                "train_classifier_weights: no training rows with >0 tokens"
+            )
         lr = LogisticRegression(
             maxIter=max_iter,
             regParam=reg_param,

@@ -615,9 +615,20 @@ def chunk_dedup_rewrite(
 
     Output: (id, n_chunks, n_kept, dedup_text) — empty-token docs keep
     an empty rewrite.
+
+    Requires ``spark.sql.ansi.enabled=false`` (the engine-wide session
+    contract, set by ``timely_spark.session.configure``): the hash
+    relies on silent mod-2^64 long wrap-around, which ANSI mode turns
+    into ARITHMETIC_OVERFLOW. Checked up front so a stock Spark 4
+    session fails with a clear message, not mid-job.
     """
     from .text import tokens
 
+    if df.sparkSession.conf.get("spark.sql.ansi.enabled", "false") == "true":
+        raise ValueError(
+            "chunk_dedup_rewrite needs spark.sql.ansi.enabled=false "
+            "(run timely_spark.session.configure(spark))"
+        )
     ct = chunk_tokens
     mask = (1 << 64) - 1
 

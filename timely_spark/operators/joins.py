@@ -47,12 +47,18 @@ def asof_join(
     that matters (the driver query does).
     """
     rcols = [c for c in right.columns if c not in (key, right_ts)]
-    clash = set(rcols) & set(left.columns)
+    out_name = f"asof_{right_ts}"
+    clash = (set(rcols) & set(left.columns)) | (
+        {out_name} & (set(rcols) | set(left.columns))
+    )
     if clash:
         raise ValueError(
-            f"asof_join: right payload columns collide with left: "
-            f"{sorted(clash)} — rename before joining"
+            f"asof_join: output column names collide: {sorted(clash)} — "
+            f"rename before joining"
         )
+    # NULL right timestamps match NOTHING (DuckDB ASOF >= semantics);
+    # unfiltered they sort first and become everyone's fallback match
+    right = right.filter(F.col(right_ts).isNotNull())
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("__ts"),
@@ -96,7 +102,7 @@ def asof_join(
             ),
         )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.col("__m.__rts").alias(f"asof_{right_ts}"))
+    out_cols.append(F.col("__m.__rts").alias(out_name))
     out_cols += [F.col(f"__m.{c}").alias(c) for c in rcols]
     return matched.select(*out_cols)
 

@@ -863,6 +863,16 @@ def _clf_weights(dim: int = _CLF_DIM) -> list[float]:
     return out
 
 
+def clf_bucket(t: Column, dim: int = _CLF_DIM) -> Column:
+    """md5-hex-prefix -> weight bucket — THE feature-hashing contract
+    shared by the serving expression below, the SQL oracle rendering,
+    and the MLlib training featurizer (operators/classifier.py). One
+    definition; changing it retrains and re-serves together."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: list[float] | None = None,
@@ -883,7 +893,7 @@ def classifier_score(
     d = len(w)
     toks = tokens(text_col)
     # md5 hex prefix -> bucket: identical arithmetic in DuckDB
-    idx = lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(d))  # noqa: E731
+    idx = lambda t: clf_bucket(t, d)  # noqa: E731
     score = F.aggregate(
         F.transform(toks, lambda t: F.element_at(warr, (idx(t) + 1).cast("int"))),
         F.lit(0.0),

@@ -79,12 +79,16 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         # score the corpus through the same zero-shuffle expression
         from timely_spark.operators.classifier import train_classifier_weights
 
-        weights = train_classifier_weights(
-            normed.filter(F.col("doc_id") % 5 == 0),
-            F.col("gopher_pass"),
-            dim=256,
-            max_iter=10,
-        )
+        try:
+            weights = train_classifier_weights(
+                normed.filter(F.col("doc_id") % 5 == 0),
+                F.col("gopher_pass"),
+                dim=256,
+                max_iter=10,
+            )
+        except ValueError:
+            weights = None  # tiny/empty sample: fall back to static weights
+            learned_filter = "fallback_static"
     clf = classifier_score(normed, weights=weights).select(
         "doc_id", "n_tokens", "p_keep"
     )
