@@ -723,6 +723,59 @@ def q_events_hll_rollup(spark, sf_dir):
     )
 
 
+def q_ts_engine_rollup(spark, sf_dir):
+    """The hypertable tier on the REAL request path: store rebuild ->
+    TimelyEngine.build_rollup(5 min partials) -> query_rollup() answers
+    a 1 h-sum per-user query purely by merging partials (12x fewer rows
+    than raw, no store rescan), through the same request-parse ->
+    tag-predicate -> combine -> OpenTSDB-response pipeline as query().
+    The oracle aggregates raw points directly in DuckDB, so the hash
+    match proves tier-vs-raw value identity end-to-end."""
+    import os
+    import shutil
+
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+    from timely_spark.sources.store import write_points
+
+    store = os.path.join(
+        "/root/repo/.engine_stores",
+        "rollup_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    write_points(_points(spark, sf_dir), store)
+    eng = TimelyEngine(spark, store_path=store, meta_path=store + "_meta")
+    partials = eng.build_rollup(level_ms=300_000)
+    out = eng.query_rollup(
+        {
+            "start": 1,
+            "end": 4_000_000_000_000,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "max",
+                    "metric": "click",
+                    "downsample": "1h-sum",
+                    "tags": {"user": ".*"},
+                }
+            ],
+        },
+        partials,
+        level_ms=300_000,
+        auths=ALL_AUTHS,
+    )
+    rows = [
+        (s["metric"], s["tags"]["user"], int(ts), v)
+        for s in out
+        for ts, v in s["dps"].items()
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, tag_user string, bucket_ts long, value double"
+    )
+    return df.select(
+        "metric", "tag_user", "bucket_ts", F.round("value", 4).alias("value")
+    )
+
+
 def q_events_asof_join(spark, sf_dir):
     """AS-OF join (kdb aj / pandas merge_asof): every event picks the
     latest per-user 'snapshot' (every 10th event, deduped per (user,
@@ -2044,12 +2097,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_meta": q_ts_meta,
         "ts_streaming_summarize": q_ts_streaming_summarize,
         "ts_rollup_query": q_ts_rollup_query,
+        "ts_engine_rollup": q_ts_engine_rollup,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
         "events_streaming_sessionize": q_events_streaming_sessionize,
-        "events_funnel": q_events_funnel,
         "events_anomaly": q_events_anomaly,
         "events_retention": q_events_retention,
         "events_asof_join": q_events_asof_join,
@@ -2103,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_tag_regex": q_ts_tag_regex,
         "ts_rate_counter": q_ts_rate_counter,
         "ts_fir_ma5": q_ts_fir_ma5,
+        "events_funnel": q_events_funnel,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
@@ -2485,6 +2539,13 @@ SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts,
        CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value,
        min(value) AS min_value, max(value) AS max_value
 FROM pts GROUP BY 1, 2, 3""",
+        "ts_engine_rollup": f"""
+WITH pts AS ({PTS}),
+f AS (SELECT metric, tag_user, ts, value FROM pts WHERE metric = 'click'),
+hr AS (SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts,
+              CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS value
+       FROM f GROUP BY 1, 2, 3)
+SELECT metric, tag_user, bucket_ts, value FROM hr""",
         "ts_engine_query": f"""
 WITH pts AS ({PTS}),
 f AS (SELECT metric, tag_user, ts, value FROM pts

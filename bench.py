@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "doc_chunk_rewrite",
     "ts_rollup_query",
     "events_hll_rollup",
+    "ts_engine_rollup",
     "doc_trained_classifier",
     "events_asof_join",
     "events_range_join",

@@ -456,6 +456,7 @@ ROTATED_TO_TAIL = {
     #                     ts_rate + ts_rate_bucketed in the prefix
     "ts_fir_ma5",  # r5: green r2-r4; FIR machinery stays covered by
     #                ts_fir_bucketed in the prefix
+    "events_funnel",  # r5: green r2-r4; staged funnel still swept + bench-gated
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -491,6 +492,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "ts_rollup_query",  # new this round: hypertable rollup merge path
     "events_hll_rollup",  # new this round: HLL sketch rollup (rows-only)
     "doc_trained_classifier",  # new this round: MLlib-trained serving weights
+    "ts_engine_rollup",  # new this round: rollup tier through the engine
 }
 
 
@@ -546,3 +548,49 @@ def test_correctness_local_artifact_fresh():
                 row["rows_match"] and row["schema_match"] and row["hash_match"]
             ), f"{name} recorded a mismatch"
         assert (row["spark_rows"] or 0) > 0, f"{name} recorded 0 rows"
+
+
+def test_query_rollup_matches_raw_query(spark, tmp_path_factory):
+    """The rollup tier answers a downsample query IDENTICALLY to the
+    raw-point path (avg needs the sum/count partials, the hardest
+    case), and rejects ineligible requests (rate; non-divisible
+    period; non-ALL_AUTHS)."""
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+
+    root = tmp_path_factory.mktemp("rollup_engine")
+    eng = TimelyEngine(spark, store_path=str(root / "m"))
+    lines = []
+    for u in range(4):
+        for i in range(120):
+            lines.append(
+                f"put roll.m {B + 60_000 * i + u} {float((i * 7 + u) % 23)} user=u{u}"
+            )
+    eng.put_lines(lines)
+    partials = eng.build_rollup(level_ms=300_000)
+    req = {
+        "start": B - 1000,
+        "end": B + 7_300_000,
+        "msResolution": True,
+        "queries": [
+            {"aggregator": "sum", "metric": "roll.m",
+             "downsample": "15m-avg", "tags": {"user": ".*"}}
+        ],
+    }
+    want = eng.query(req, auths=ALL_AUTHS)
+    got = eng.query_rollup(req, partials, level_ms=300_000, auths=ALL_AUTHS)
+    canon = lambda out: sorted(  # noqa: E731
+        (s["metric"], tuple(sorted(s["tags"].items())),
+         tuple(sorted((k, round(v, 9)) for k, v in s["dps"].items())))
+        for s in out
+    )
+    assert canon(got) == canon(want) and len(got) == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="not rollup-eligible"):
+        bad = dict(req, queries=[dict(req["queries"][0], rate=True)])
+        eng.query_rollup(bad, partials, 300_000, auths=ALL_AUTHS)
+    with pytest.raises(ValueError, match="not rollup-eligible"):
+        bad = dict(req, queries=[dict(req["queries"][0], downsample="7m-avg")])
+        eng.query_rollup(bad, partials, 300_000, auths=ALL_AUTHS)
+    with pytest.raises(ValueError, match="visibility"):
+        eng.query_rollup(req, partials, 300_000)

@@ -266,6 +266,105 @@ class TimelyEngine:
 
         return self._run(parse_get_query(params), auths, strict=strict)
 
+    def build_rollup(self, level_ms: int, now_ms: int | None = None) -> DataFrame:
+        """Continuous-aggregate partials of this store at ``level_ms``:
+        (metric, __series, tags, bucket_ts, n, vsum, vmin, vmax) — the
+        hypertable tier (operators/rollup.py) at per-series grain, ready
+        for :meth:`query_rollup`. Persist it (parquet, partitioned like
+        the store) in a real deployment; the frame is also usable lazily
+        for tests/oracles."""
+        from .model import series_id
+
+        pts = self.points(now_ms=now_ms)
+        bucket = (F.col("ts") - F.col("ts") % F.lit(level_ms)).alias("bucket_ts")
+        return (
+            pts.withColumn("__series", series_id())
+            .groupBy("metric", "__series", bucket)
+            .agg(
+                F.first("tags").alias("tags"),
+                F.count("value").alias("n"),
+                F.sum(F.col("value").cast("decimal(38,10)")).alias("vsum"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+        )
+
+    _ROLLUP_AGGS = {"avg", "sum", "min", "max", "count"}
+
+    def query_rollup(
+        self,
+        request: dict,
+        partials: DataFrame,
+        level_ms: int,
+        auths=None,
+    ) -> list[dict]:
+        """Answer an OpenTSDB query from a rollup tier instead of raw
+        points — the hypertable promise on the REAL request path: a
+        downsample query whose period the level divides touches
+        period/level-x fewer rows and never rescans the store.
+
+        Eligibility (ValueError otherwise — callers fall back to
+        :meth:`query`): no rate, no tsuids, downsample aggregator and
+        cross-series aggregator both in avg/sum/min/max/count, period a
+        multiple of ``level_ms``. Visibility: partials pre-aggregate
+        rows, so per-row viz enforcement is impossible here — requires
+        ALL_AUTHS (or a store with no labeled rows, which is the
+        caller's contract to know)."""
+        from .operators.downsample import combine_series
+        from .plans.builder import _tag_predicates
+        from .plans.request import QueryRequest
+
+        if auths is not ALL_AUTHS:
+            raise ValueError(
+                "query_rollup bypasses per-row visibility; pass "
+                "auths=ALL_AUTHS or use query()"
+            )
+        req = QueryRequest.from_dict(request)
+        outs = []
+        for q in req.queries:
+            spec = q.downsample_spec()
+            if (
+                q.rate
+                or q.tsuids
+                or spec is None
+                or spec.period_ms % level_ms != 0
+                or spec.aggregator not in self._ROLLUP_AGGS
+                or q.aggregator not in self._ROLLUP_AGGS
+            ):
+                raise ValueError(
+                    f"SubQuery not rollup-eligible (metric={q.metric!r}); "
+                    "use query()"
+                )
+            period = spec.period_ms
+            start = req.start - (req.start % period)
+            df = partials.filter(F.col("metric") == q.metric).filter(
+                (F.col("bucket_ts") >= start) & (F.col("bucket_ts") <= req.end)
+            )
+            df = _tag_predicates(df, q.tags)
+            df = _tag_predicates(df, q.filters)
+            off = F.col("bucket_ts") - F.lit(start)
+            pb = (F.lit(start) + (off - off % F.lit(period))).alias("bucket_ts")
+            merged = df.groupBy("metric", "__series", pb).agg(
+                F.first("tags").alias("tags"),
+                F.sum("n").alias("n"),
+                F.sum("vsum").alias("vsum"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+            val = {
+                "avg": (F.col("vsum") / F.col("n")).cast("double"),
+                "sum": F.col("vsum").cast("double"),
+                "min": F.col("vmin"),
+                "max": F.col("vmax"),
+                "count": F.col("n").cast("double"),
+            }[spec.aggregator]
+            ds = merged.select("metric", "tags", "bucket_ts", val.alias("value"))
+            outs.append(combine_series(ds, sorted(q.tags.keys()), q.aggregator))
+        out: list[dict] = []
+        for r in outs:
+            out.extend(to_query_response(r, ms_resolution=req.ms_resolution))
+        return out
+
     def _record_viz(self, pts: DataFrame) -> None:
         """Fold the batch's distinct viz expressions into the sidecar
         catalog (one tiny job on the already-checkpointed batch; queries
