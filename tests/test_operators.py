@@ -537,3 +537,35 @@ def test_asof_join_null_right_ts_never_matches(spark):
     )
     out = asof_join(left, right, key="k").collect()
     assert len(out) == 1 and out[0]["tag"] is None
+
+
+def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
+    """Base write + late-batch refresh == a full recompute over all
+    points (associative merge), and the refresh touches only the late
+    batch's day partitions."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.rollup import (
+        refresh_rollup,
+        rollup_partials,
+        write_rollup,
+    )
+
+    day = 86_400_000
+    base = [("m", day * (i % 5) + 60_000 * i, float(i)) for i in range(200)]
+    late = [("m", day * 1 + 60_000 * i + 7, float(1000 + i)) for i in range(30)]
+    pb = spark.createDataFrame(base, "metric string, ts long, value double")
+    pl = spark.createDataFrame(late, "metric string, ts long, value double")
+    path = str(tmp_path / "rollup_1m")
+    write_rollup(rollup_partials(pb, 60_000), path)
+    n_days = refresh_rollup(spark, path, pl, 60_000)
+    assert n_days == 1  # late batch touches only day 1
+    got = sorted(map(tuple,
+        spark.read.parquet(path).drop("dt")
+        .select("metric", "bucket_ts", "n", "vsum", "vmin", "vmax").collect()))
+    want = sorted(map(tuple,
+        rollup_partials(pb.unionByName(pl), 60_000)
+        .select("metric", "bucket_ts", "n", "vsum", "vmin", "vmax").collect()))
+    assert got == want
+    # empty batch: no-op
+    assert refresh_rollup(spark, path, pl.filter(F.lit(False)), 60_000) == 0

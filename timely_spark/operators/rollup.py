@@ -125,3 +125,83 @@ def answer_from_rollup(
         F.col("vmin").alias("min_value"),
         F.col("vmax").alias("max_value"),
     )
+
+
+_DAY_MS = 86_400_000
+
+
+def write_rollup(
+    partials: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist partials day-partitioned (dt = bucket_ts DIV 1d), the
+    same pruning layout as the point store — coarse queries prune whole
+    day directories before touching a row group."""
+    (
+        partials.withColumn("dt", F.expr(f"bucket_ts DIV {_DAY_MS}"))
+        .write.mode(mode)
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def refresh_rollup(
+    spark,
+    path: str,
+    new_points: DataFrame,
+    level_ms: int,
+    key_cols: tuple[str, ...] = ("metric",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> int:
+    """Incremental continuous-aggregate refresh: fold a batch of new
+    (possibly LATE) points into a persisted rollup, rewriting ONLY the
+    day partitions the batch touches (dynamic partition overwrite).
+
+    Merge is associative (sum/sum/min/max over partials), so
+    refresh(base) + refresh(late) == rollup over the union — pinned by
+    test. The touched-day set is a tiny driver seam; untouched
+    partitions are neither read nor rewritten, so refresh cost scales
+    with the batch's time spread, not the table's history.
+
+    Returns the number of day partitions rewritten.
+    """
+    newp = rollup_partials(new_points, level_ms, key_cols, ts_col, value_col)
+    newp = newp.withColumn("dt", F.expr(f"bucket_ts DIV {_DAY_MS}"))
+    days = [r["dt"] for r in newp.select("dt").distinct().collect()]
+    if not days:
+        return 0
+    import os
+
+    existing = None
+    if os.path.isdir(path):
+        try:
+            # localCheckpoint BEFORE the overwrite: the merged plan must
+            # not lazily read files the commit is about to replace
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col("dt").isin(days))
+                .localCheckpoint(eager=True)
+            )
+        except Exception:
+            existing = None  # first write: empty/absent table
+    merged = newp if existing is None else (
+        existing.select(*newp.columns).unionByName(newp)
+        .groupBy(*key_cols, "bucket_ts", "dt")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        .select(*newp.columns)
+    )
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(days)
