@@ -434,6 +434,62 @@ def q_events_streaming_sessionize(spark, sf_dir):
     ).select("user_id", "session_start_ms", "n_events", "duration_ms", "sum_value")
 
 
+def q_ts_streaming_rate(spark, sf_dir):
+    """W1 through the CUSTOM STATEFUL streaming path — the fourth
+    streaming oracle row, and the one that verifies
+    applyInPandasWithState itself: readStream over the events backlog
+    -> per-series last-point state (streaming/stateful_rate.py) ->
+    append parquet sink via availableNow, read back, 15 m averaged, and
+    hash-compared to the lag-window rate oracle. Single-file source =>
+    one micro-batch, so the in-batch sort covers the whole series and
+    the emitted set is exactly the batch-rate semantics (the cross-
+    batch state carry is separately pinned by
+    test_streaming_rate_state_across_microbatches)."""
+    import os
+    import tempfile
+
+    from timely_spark.operators.rate import RateOptions
+    from timely_spark.streaming.stateful_rate import streaming_rate
+
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srcdir = tempfile.mkdtemp(prefix="timely_rate_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(srcdir, "events.parquet"),
+    )
+    raw = spark.readStream.schema(ev_batch.schema).parquet(srcdir)
+    from timely_spark.model import ts_epoch_ms
+
+    pts = raw.select(
+        F.col("event_type").alias("metric"),
+        ts_epoch_ms(raw).alias("ts"),
+        F.col("value"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias(
+            "tags"
+        ),
+        F.lit(None).cast("string").alias("viz"),
+    )
+    out = tempfile.mkdtemp(prefix="timely_rate_out_")
+    ck = tempfile.mkdtemp(prefix="timely_rate_ck_")
+    q = (
+        streaming_rate(pts, RateOptions(interval_ms=1000))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(out)
+    return sink.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % 900_000).alias("bucket_ts")
+    ).agg(
+        (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("avg_rate"),
+        F.count("value").alias("n"),
+    )
+
+
 def q_ts_multiquery(spark, sf_dir):
     """§2.4 multi-SubQuery union (QueryRequest.java:370-372,
     DataStore.java:645): avg(click) 1h + max(error) 1h, one result set."""
@@ -2098,12 +2154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_streaming_summarize": q_ts_streaming_summarize,
         "ts_rollup_query": q_ts_rollup_query,
         "ts_engine_rollup": q_ts_engine_rollup,
+        "ts_streaming_rate": q_ts_streaming_rate,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
         "events_streaming_sessionize": q_events_streaming_sessionize,
-        "events_anomaly": q_events_anomaly,
         "events_retention": q_events_retention,
         "events_asof_join": q_events_asof_join,
         "events_hll_rollup": q_events_hll_rollup,
@@ -2157,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate_counter": q_ts_rate_counter,
         "ts_fir_ma5": q_ts_fir_ma5,
         "events_funnel": q_events_funnel,
+        "events_anomaly": q_events_anomaly,
         "events_top_users": q_events_top_users,
         "events_user_cardinality": q_events_user_cardinality,
         "doc_lang_id": q_doc_lang_id,
@@ -2428,6 +2485,18 @@ ds AS (SELECT metric, tag_user, ts - ts % 300000 AS bucket_ts, max(value) AS v
 SELECT metric, bucket_ts, round(sum(v), 4) AS sum_of_series_max
 FROM ds GROUP BY 1, 2""",
         "ts_rate": f"""
+WITH pts AS ({PTS}),
+l AS (SELECT metric, ts, value,
+             lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+      FROM pts WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
+r AS (SELECT metric, ts,
+             CASE WHEN ts = pt THEN 0.0
+                  ELSE (value - pv) / (ts - pt) * 1000.0 END AS rate
+      FROM l WHERE pt IS NOT NULL)
+SELECT metric, ts - ts % 900000 AS bucket_ts,
+       round(avg(rate), 4) + 0.0 AS avg_rate, count(rate) AS n
+FROM r GROUP BY 1, 2""",
+        "ts_streaming_rate": f"""
 WITH pts AS ({PTS}),
 l AS (SELECT metric, ts, value,
              lag(value) OVER w AS pv, lag(ts) OVER w AS pt

@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "ts_rollup_query",
     "events_hll_rollup",
     "ts_engine_rollup",
+    "ts_streaming_rate",
     "doc_trained_classifier",
     "events_asof_join",
     "events_range_join",

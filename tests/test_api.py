@@ -457,6 +457,7 @@ ROTATED_TO_TAIL = {
     "ts_fir_ma5",  # r5: green r2-r4; FIR machinery stays covered by
     #                ts_fir_bucketed in the prefix
     "events_funnel",  # r5: green r2-r4; staged funnel still swept + bench-gated
+    "events_anomaly",  # r5: green r2-r4; z-score screen still swept + bench-gated
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
     "ts_suggest",
@@ -493,6 +494,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "events_hll_rollup",  # new this round: HLL sketch rollup (rows-only)
     "doc_trained_classifier",  # new this round: MLlib-trained serving weights
     "ts_engine_rollup",  # new this round: rollup tier through the engine
+    "ts_streaming_rate",  # new this round: applyInPandasWithState oracle row
 }
 
 
