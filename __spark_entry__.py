@@ -804,7 +804,9 @@ def q_ts_engine_rollup(spark, sf_dir):
     out = eng.query_rollup(
         {
             "start": 1,
-            "end": 4_000_000_000_000,
+            # end aligned to the level boundary (k*300000 - 1): the
+            # rollup tier rejects ends that cut inside a level bucket
+            "end": 4_000_000_199_999,
             "msResolution": True,
             "queries": [
                 {
@@ -2496,18 +2498,6 @@ r AS (SELECT metric, ts,
 SELECT metric, ts - ts % 900000 AS bucket_ts,
        round(avg(rate), 4) + 0.0 AS avg_rate, count(rate) AS n
 FROM r GROUP BY 1, 2""",
-        "ts_streaming_rate": f"""
-WITH pts AS ({PTS}),
-l AS (SELECT metric, ts, value,
-             lag(value) OVER w AS pv, lag(ts) OVER w AS pt
-      FROM pts WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
-r AS (SELECT metric, ts,
-             CASE WHEN ts = pt THEN 0.0
-                  ELSE (value - pv) / (ts - pt) * 1000.0 END AS rate
-      FROM l WHERE pt IS NOT NULL)
-SELECT metric, ts - ts % 900000 AS bucket_ts,
-       round(avg(rate), 4) + 0.0 AS avg_rate, count(rate) AS n
-FROM r GROUP BY 1, 2""",
         "ts_rate_counter": f"""
 WITH pts AS ({PTS}),
 l AS (SELECT metric, ts, value,
@@ -2933,6 +2923,8 @@ FROM sims WHERE cosine >= 0.4""",
     # the bucketed layout changes the physical plan, not the semantics:
     # same oracle as the expression-keyed rate
     d["ts_rate_bucketed"] = d["ts_rate"]
+    # the streaming stateful-rate row is checked against the SAME oracle
+    d["ts_streaming_rate"] = d["ts_rate"]
     # same semantics as the unbucketed FIR query; only the physical plan differs
     d["ts_fir_bucketed"] = d["ts_fir_ma5"]
 

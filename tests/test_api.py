@@ -569,23 +569,41 @@ def test_query_rollup_matches_raw_query(spark, tmp_path_factory):
             )
     eng.put_lines(lines)
     partials = eng.build_rollup(level_ms=300_000)
+    end = ((B + 7_300_000) // 300_000 + 1) * 300_000 - 1  # level-aligned
     req = {
         "start": B - 1000,
-        "end": B + 7_300_000,
+        "end": end,
         "msResolution": True,
         "queries": [
             {"aggregator": "sum", "metric": "roll.m",
              "downsample": "15m-avg", "tags": {"user": ".*"}}
         ],
     }
-    want = eng.query(req, auths=ALL_AUTHS)
-    got = eng.query_rollup(req, partials, level_ms=300_000, auths=ALL_AUTHS)
     canon = lambda out: sorted(  # noqa: E731
         (s["metric"], tuple(sorted(s["tags"].items())),
          tuple(sorted((k, round(v, 9)) for k, v in s["dps"].items())))
         for s in out
     )
+    want = eng.query(req, auths=ALL_AUTHS)
+    got = eng.query_rollup(req, partials, level_ms=300_000, auths=ALL_AUTHS)
     assert canon(got) == canon(want) and len(got) == 4
+    # equal downsample/combine aggregators collapse to the WEIGHTED
+    # aggregation over all points (builder semantics) — avg/avg with NO
+    # grouping tags merges all 4 series and must match query() exactly
+    req_avg = dict(req, queries=[
+        {"aggregator": "avg", "metric": "roll.m",
+         "downsample": "15m-avg", "tags": {}}
+    ])
+    assert canon(eng.query_rollup(req_avg, partials, 300_000,
+                                  auths=ALL_AUTHS)) == canon(
+        eng.query(req_avg, auths=ALL_AUTHS))
+    req_cnt = dict(req, queries=[
+        {"aggregator": "count", "metric": "roll.m",
+         "downsample": "15m-count", "tags": {}}
+    ])
+    assert canon(eng.query_rollup(req_cnt, partials, 300_000,
+                                  auths=ALL_AUTHS)) == canon(
+        eng.query(req_cnt, auths=ALL_AUTHS))
     import pytest
 
     with pytest.raises(ValueError, match="not rollup-eligible"):
@@ -594,5 +612,8 @@ def test_query_rollup_matches_raw_query(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="not rollup-eligible"):
         bad = dict(req, queries=[dict(req["queries"][0], downsample="7m-avg")])
         eng.query_rollup(bad, partials, 300_000, auths=ALL_AUTHS)
+    with pytest.raises(ValueError, match="align"):
+        eng.query_rollup(dict(req, end=end - 7), partials, 300_000,
+                         auths=ALL_AUTHS)
     with pytest.raises(ValueError, match="visibility"):
         eng.query_rollup(req, partials, 300_000)

@@ -335,6 +335,15 @@ class TimelyEngine:
                     f"SubQuery not rollup-eligible (metric={q.metric!r}); "
                     "use query()"
                 )
+            if (req.end + 1) % level_ms != 0:
+                # partials cannot cut inside a level bucket: an unaligned
+                # end would silently include points past it (query()
+                # filters raw ts <= end exactly)
+                raise ValueError(
+                    f"SubQuery not rollup-eligible: end={req.end} does not "
+                    f"align to the level boundary (end = k*{level_ms} - 1); "
+                    "use query()"
+                )
             period = spec.period_ms
             start = req.start - (req.start % period)
             df = partials.filter(F.col("metric") == q.metric).filter(
@@ -351,14 +360,48 @@ class TimelyEngine:
                 F.min("vmin").alias("vmin"),
                 F.max("vmax").alias("vmax"),
             )
-            val = {
-                "avg": (F.col("vsum") / F.col("n")).cast("double"),
-                "sum": F.col("vsum").cast("double"),
-                "min": F.col("vmin"),
-                "max": F.col("vmax"),
-                "count": F.col("n").cast("double"),
-            }[spec.aggregator]
-            ds = merged.select("metric", "tags", "bucket_ts", val.alias("value"))
+            def _value(agg):
+                return {
+                    "avg": (F.col("vsum") / F.col("n")).cast("double"),
+                    "sum": F.col("vsum").cast("double"),
+                    "min": F.col("vmin"),
+                    "max": F.col("vmax"),
+                    "count": F.col("n").cast("double"),
+                }[agg]
+
+            if q.aggregator == spec.aggregator:
+                # match build_subquery's single-aggregation collapse:
+                # equal downsample/combine aggregators act over ALL
+                # points per (projected tags, bucket) — avg is the
+                # WEIGHTED average, count counts points, not series.
+                # Partials re-merge across series first, then the value.
+                from .model import series_id
+
+                keys = F.array(*[F.lit(k) for k in sorted(q.tags.keys())])
+                projected = F.map_filter(
+                    "tags", lambda k, _v: F.array_contains(keys, k)
+                )
+                pre = merged.withColumn("tags", projected).withColumn(
+                    "__gkey", series_id()
+                )
+                flat = pre.groupBy("__gkey", "bucket_ts").agg(
+                    F.first("metric").alias("metric"),
+                    F.first("tags").alias("tags"),
+                    F.sum("n").alias("n"),
+                    F.sum("vsum").alias("vsum"),
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                )
+                outs.append(
+                    flat.select(
+                        "metric", "tags", "bucket_ts",
+                        _value(q.aggregator).alias("value"),
+                    )
+                )
+                continue
+            ds = merged.select(
+                "metric", "tags", "bucket_ts", _value(spec.aggregator).alias("value")
+            )
             outs.append(combine_series(ds, sorted(q.tags.keys()), q.aggregator))
         out: list[dict] = []
         for r in outs:

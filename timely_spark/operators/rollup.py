@@ -168,11 +168,17 @@ def refresh_rollup(
     Returns the number of day partitions rewritten.
     """
     newp = rollup_partials(new_points, level_ms, key_cols, ts_col, value_col)
-    newp = newp.withColumn("dt", F.expr(f"bucket_ts DIV {_DAY_MS}"))
+    # materialize ONCE: the days-collect below and the final write would
+    # otherwise each re-run the batch aggregation from scratch
+    newp = newp.withColumn(
+        "dt", F.expr(f"bucket_ts DIV {_DAY_MS}")
+    ).localCheckpoint(eager=True)
     days = [r["dt"] for r in newp.select("dt").distinct().collect()]
     if not days:
         return 0
     import os
+
+    from pyspark.errors import AnalysisException
 
     existing = None
     if os.path.isdir(path):
@@ -184,8 +190,12 @@ def refresh_rollup(
                 .filter(F.col("dt").isin(days))
                 .localCheckpoint(eager=True)
             )
-        except Exception:
-            existing = None  # first write: empty/absent table
+        except AnalysisException:
+            # empty directory with no readable parquet => first write.
+            # Anything else (executor loss, corrupt footer, FS errors)
+            # propagates: silently treating it as first-write would
+            # OVERWRITE the touched day partitions with only the batch.
+            existing = None
     merged = newp if existing is None else (
         existing.select(*newp.columns).unionByName(newp)
         .groupBy(*key_cols, "bucket_ts", "dt")
