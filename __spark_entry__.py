@@ -1260,6 +1260,22 @@ def q_doc_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, target, hash_buckets=None)
 
 
+def q_doc_perplexity(spark, sf_dir):
+    """CCNet-style LM perplexity filter (Wenzek et al. 2020): fit a
+    Lidstone-smoothed conditional bigram LM on the in-domain reference
+    (sources src0/src1 — the same target the DSIR row uses), score every
+    doc by per-token cross-entropy in nats, and tier the corpus into
+    head/middle/tail by the fixed published-constant cutoffs. String
+    features here (the SQL-expressible oracle seam); the production
+    hashed-bucket mode (both model tables <= B rows, always
+    broadcastable) shares the whole plan and is pinned by parity tests."""
+    from timely_spark.operators.perplexity import lm_log_ppl
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source").isin("src0", "src1"))
+    return lm_log_ppl(docs, ref, hash_buckets=None)
+
+
 def q_doc_trained_classifier(spark, sf_dir):
     """Train-with-MLlib, serve-in-codegen: logistic regression fit on a
     deterministic weak label (docs mentioning 'window' — a stand-in for
@@ -2143,10 +2159,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (ts_streaming_summarize, events_streaming_sessionize,
     # doc_bloom_decontaminate) displace doc_token_freq,
     # doc_stratified_sample, doc_domain_mixture, doc_bigram_novelty and
-    # doc_oov_rate (all green r4, plans unchanged) to the tail.
+    # doc_oov_rate (all green r4, plans unchanged) to the tail. The new
+    # doc_perplexity (first evidence this round) displaces ts_dev
+    # (green r2-r4, trivial aggregator-expression plan, unchanged) per
+    # the standing rule.
     return {
         "ts_downsample_avg": q_ts_downsample_avg,
-        "ts_dev": q_ts_dev,
         "ts_agg_combine": q_ts_agg_combine,
         "ts_rate": q_ts_rate,
         "ts_rate_bucketed": q_ts_rate_bucketed,
@@ -2192,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_global_shuffle": q_doc_global_shuffle,
         "doc_token_budget": q_doc_token_budget,
         "doc_url_dedup": q_doc_url_dedup,
+        "doc_perplexity": q_doc_perplexity,
         "doc_seq_pack": q_doc_seq_pack,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_trained_classifier": q_doc_trained_classifier,
@@ -2243,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "ts_dev": q_ts_dev,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2885,6 +2905,38 @@ scored AS (
 SELECT d.doc_id,
        CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
        coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
+        # CCNet LM perplexity: string-feature mode, exact value compare;
+        # per-position ln() casts to DECIMAL(38,12) before the sum so
+        # accumulation order is irrelevant, and the per-token division
+        # is IEEE double on the decimal-exact sum — engine-stable
+        "doc_perplexity": f"""
+WITH tk AS (SELECT doc_id, source, {toks} AS t FROM documents),
+pos AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)),
+                               i -> {{'v': t[i], 'w': t[i+1]}}),
+                recursive := true)
+  FROM tk),
+refpos AS (SELECT v, w FROM pos WHERE source IN ('src0', 'src1')),
+big AS (SELECT v, w, count(*) AS c2 FROM refpos GROUP BY 1, 2),
+ctx AS (SELECT v, count(*) AS c1 FROM refpos GROUP BY 1),
+voc AS (SELECT count(DISTINCT t) AS v FROM
+        (SELECT v AS t FROM refpos UNION ALL SELECT w AS t FROM refpos)),
+scored AS (
+  SELECT pos.doc_id AS doc_id, count(*) AS n_pos,
+         round(-CAST(sum(CAST(ln((coalesce(big.c2, 0) + 1.0)
+                                 / (coalesce(ctx.c1, 0) + 1.0 * voc.v))
+                     AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4) AS log_ppl
+  FROM pos LEFT JOIN big ON pos.v = big.v AND pos.w = big.w
+           LEFT JOIN ctx ON pos.v = ctx.v
+           CROSS JOIN voc
+  GROUP BY 1)
+SELECT d.doc_id AS doc_id, CAST(coalesce(s.n_pos, 0) AS BIGINT) AS n_pos,
+       coalesce(s.log_ppl, 0.0) AS log_ppl,
+       CASE WHEN coalesce(s.log_ppl, 0.0) < 3.46 THEN 'head'
+            WHEN coalesce(s.log_ppl, 0.0) < 3.53 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
         # bloom prefilter + exact confirm join == the exact answer (no
         # false negatives; FPs die in the confirm join) — same SQL, the

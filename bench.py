@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "doc_streaming_dedup",
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
+    "doc_perplexity",
     "doc_bpe_encode",
     "doc_boilerplate",
     "doc_chunk_rewrite",

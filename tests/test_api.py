@@ -443,6 +443,9 @@ def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
 # them every round. STANDING RULE (see queries() comment): any query
 # whose plan changes in a round must rotate back into slots <= 50.
 ROTATED_TO_TAIL = {
+    "ts_dev",  # r5: green r2-r4, trivial aggregator-expression plan; the
+    #            aggregator registry stays covered by ts_downsample_avg /
+    #            ts_agg_combine in the prefix; displaced by doc_perplexity
     "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
     #                 covered end-to-end by ts_engine_query + bench
     "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
@@ -495,6 +498,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_trained_classifier",  # new this round: MLlib-trained serving weights
     "ts_engine_rollup",  # new this round: rollup tier through the engine
     "ts_streaming_rate",  # new this round: applyInPandasWithState oracle row
+    "doc_perplexity",  # new this round: CCNet bigram-LM perplexity tiers
 }
 
 

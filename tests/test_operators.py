@@ -569,3 +569,96 @@ def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
     assert got == want
     # empty batch: no-op
     assert refresh_rollup(spark, path, pl.filter(F.lit(False)), 60_000) == 0
+
+
+def test_lm_perplexity_model_parity(spark):
+    """Perplexity vs an independent pure-Python bigram LM: string-mode
+    log_ppl matches to the 4-dp rounding exactly; identical docs score
+    identically; <2-token docs sit at (0 positions, 0.0, head)."""
+    import math
+    import re
+    from collections import Counter
+
+    from timely_spark.operators.perplexity import lm_log_ppl
+
+    ref_texts = ["the cat sat on the mat", "the cat sat on the hat"]
+    ref = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    doc_texts = {
+        1: "the cat sat on the mat",   # in-domain
+        2: "zzq qqz zxw wxz vvv",      # gibberish
+        3: "the cat sat on the mat",   # dup of 1
+        4: "the",                       # 1 token: no positions
+        5: "",                          # empty
+    }
+    docs = spark.createDataFrame(
+        list(doc_texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in lm_log_ppl(docs, ref).collect()}
+
+    # independent model
+    tok = lambda t: [x for x in re.split(r"[^a-z0-9']+", t.lower()) if x]
+    c2, c1, vocab = Counter(), Counter(), set()
+    for ts in map(tok, ref_texts):
+        for v, w in zip(ts, ts[1:]):
+            c2[(v, w)] += 1
+            c1[v] += 1
+            vocab.update((v, w))
+    V = len(vocab)
+    for did, txt in doc_texts.items():
+        ts = tok(txt)
+        lps = [
+            math.log((c2[(v, w)] + 1.0) / (c1[v] + 1.0 * V))
+            for v, w in zip(ts, ts[1:])
+        ]
+        want = round(-sum(lps) / len(lps), 4) if lps else 0.0
+        assert out[did]["n_pos"] == len(lps)
+        assert out[did]["log_ppl"] == pytest.approx(want, abs=1e-9)
+    assert out[1]["log_ppl"] == out[3]["log_ppl"]
+    assert out[1]["log_ppl"] < out[2]["log_ppl"]  # in-domain beats gibberish
+    assert out[4]["ppl_bucket"] == out[5]["ppl_bucket"] == "head"
+
+
+def test_lm_perplexity_hashed_mode(spark):
+    """Hashed production mode: n_pos identical to string mode, the
+    in-domain-vs-gibberish ordering is preserved, and BOTH model tables
+    are bounded by B rows (the broadcastability contract)."""
+    from timely_spark.operators.perplexity import (
+        bigram_lm_counts,
+        lm_log_ppl,
+        perplexity_filter,
+    )
+
+    ref = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta tok', id % 7, ' epsilon') AS text",
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "qqz zxw vvv wxz qzz")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r for r in lm_log_ppl(docs, ref, hash_buckets=None).collect()}
+    h = {r["doc_id"]: r for r in lm_log_ppl(docs, ref, hash_buckets=499).collect()}
+    for i in (1, 2):
+        assert s[i]["n_pos"] == h[i]["n_pos"]
+    assert h[1]["log_ppl"] < h[2]["log_ppl"]
+    # collision-free regime: hashed scores EQUAL string scores (the
+    # observed-vocab smoothing contract that keeps the tier cutoffs
+    # mode-independent)
+    hb = {r["doc_id"]: r
+          for r in lm_log_ppl(docs, ref, hash_buckets=1 << 40).collect()}
+    for i in (1, 2):
+        assert hb[i]["log_ppl"] == s[i]["log_ppl"]
+
+    b = 7
+    big, ctx, vocab = bigram_lm_counts(ref, hash_buckets=b)
+    assert big.count() <= b and ctx.count() <= b and vocab <= b
+    # string mode's tables exceed the bound on this vocabulary
+    big_s, _, _ = bigram_lm_counts(ref, hash_buckets=None)
+    assert big_s.count() > b
+
+    kept = perplexity_filter(docs, ref, max_log_ppl=h[1]["log_ppl"],
+                             hash_buckets=499).collect()
+    assert [r["doc_id"] for r in kept] == [1]

@@ -768,3 +768,33 @@ def test_curate_cli_learned_filter(spark, tmp_path):
     assert stats["learned_filter"] is True
     assert stats["n_survivors"] > 0
     assert spark.read.parquet(out).count() == stats["n_survivors"]
+
+
+def test_curate_cli_perplexity_screen(spark, tmp_path):
+    """--ppl-ref/--max-log-ppl: the CCNet perplexity stage drops
+    off-reference gibberish while reference-like prose survives."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    prose = " ".join(["clean simple words about spark partitions"] * 12)
+    rows = [(i, "wiki", prose + f" unique{i}") for i in range(10)] + [
+        (100 + i, "web", " ".join(f"zx{j}q{i} wq{j}z" for j in range(40)))
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+        ppl_ref="wiki", max_log_ppl=2.0,
+    )
+    # the T=2 mixture stage may thin the majority domain; the ppl screen
+    # must then drop every surviving gibberish web doc and keep every
+    # surviving wiki doc
+    assert 0 < stats["n_ppl"] < stats["stage_pass"]["screen"]
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.collect()}
+    assert ids and all(i < 100 for i in ids)  # only wiki docs survive
+    assert len(ids) == stats["n_ppl"] == stats["n_survivors"]

@@ -4,7 +4,9 @@
 Reads ``documents.parquet`` from a scale-factor directory, runs the
 screen pipeline (unicode normalization, Gopher hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
-mixture), optionally trims each source to a quality-ranked token budget
+mixture), optionally screens by LM perplexity against a reference
+domain (``--ppl-ref``/``--max-log-ppl``), optionally trims each source
+to a quality-ranked token budget
 (``token_budget_subset``) and packs in deterministic shuffled order
 (``global_shuffle``), then writes the surviving documents as a
 shard-partitioned packed corpus (``write_packed_corpus``) and prints
@@ -52,7 +54,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            token_budget: int | None = None, shuffle_seed: str | None = None,
            bench_path: str | None = None, dsir_target: str | None = None,
            dsir_keep: int | None = None, bpe_tokens: bool = False,
-           main_content: bool = False, learned_filter: bool = False):
+           main_content: bool = False, learned_filter: bool = False,
+           ppl_ref: str | None = None, max_log_ppl: float | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -129,7 +132,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "doc_id", "source", "n_tokens", "p_keep", "text"
     )
     n_out = int(agg["n_out"])
-    n_decontaminated = n_dsir = None
+    n_decontaminated = n_dsir = n_ppl = None
     try:
         if bench_path and n_out:
             # benchmark decontamination via the bloom + confirm-join
@@ -160,6 +163,21 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_dsir = survivors.count()
+        if ppl_ref and max_log_ppl is not None and n_out:
+            # CCNet-style LM perplexity screen: bigram LM fit on the
+            # reference sources, docs above the log-ppl cutoff dropped
+            # (hashed-feature production mode: bounded broadcast tables)
+            from timely_spark.operators.perplexity import perplexity_filter
+
+            ref_srcs = [s for s in ppl_ref.split(",") if s]
+            ref = survivors.filter(F.col("source").isin(ref_srcs))
+            kept = perplexity_filter(
+                survivors.select("doc_id", "text"),
+                ref.select("doc_id", "text"),
+                max_log_ppl=max_log_ppl,
+            ).select("doc_id")
+            survivors = survivors.join(kept, "doc_id")
+            n_out = n_ppl = survivors.count()
         if bpe_tokens and n_out:
             # budget in REAL token space: train BPE on a survivor
             # sample, re-derive n_tokens corpus-wide (one Arrow pass)
@@ -214,6 +232,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
         "n_dsir": n_dsir,
+        "n_ppl": n_ppl,
         "bpe_tokens": bpe_tokens,
         "token_budget": token_budget,
         "shuffle_seed": shuffle_seed,
@@ -250,6 +269,11 @@ def main() -> int:
                     help="comma-separated source names defining the DSIR target domain")
     ap.add_argument("--dsir-keep", type=int, default=None,
                     help="keep top-N docs by DSIR importance weight")
+    ap.add_argument("--ppl-ref", default=None,
+                    help="comma-separated source names defining the perplexity reference LM")
+    ap.add_argument("--max-log-ppl", type=float, default=None,
+                    help="drop docs above this per-token cross-entropy (nats) "
+                         "under the reference bigram LM")
     ap.add_argument("--bpe-tokens", action="store_true",
                     help="token budget in real BPE token space (sampled merge table)")
     ap.add_argument("--main-content", action="store_true",
@@ -265,7 +289,8 @@ def main() -> int:
     stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep,
                    args.gopher, args.format, args.token_budget, args.shuffle_seed,
                    args.bench_path, args.dsir_target, args.dsir_keep,
-                   args.bpe_tokens, args.main_content, args.learned_filter)
+                   args.bpe_tokens, args.main_content, args.learned_filter,
+                   args.ppl_ref, args.max_log_ppl)
     print(json.dumps(stats))
     return 0
 
