@@ -1260,6 +1260,23 @@ def q_doc_dsir_weights(spark, sf_dir):
     return dsir_log_weights(docs, target, hash_buckets=None)
 
 
+def q_ts_ddsketch_quantile(spark, sf_dir):
+    """DDSketch quantile rollup (Masson et al., VLDB 2019): log-bucketed
+    (sign, idx) -> count partials at 1-minute resolution per metric,
+    merged by pure integer addition to 1-hour buckets, then p50/p90/p99
+    read off the merged sketch by a cumulative walk over per-bucket
+    frames bounded by the LOG-RANGE of values, never the point count —
+    the percentile analogue of ts_rollup_query's sum/count partials
+    (no raw rescan at query time). The oracle rebuilds the identical
+    sketch from raw points in DuckDB: a hash match proves bucketing,
+    merge, and rank selection are value-exact cross-engine."""
+    from timely_spark.operators.rollup import ddsketch_partials, ddsketch_quantile
+
+    pts = _points(spark, sf_dir)
+    partials = ddsketch_partials(pts, level_ms=60_000)
+    return ddsketch_quantile(partials, 60_000, 3_600_000)
+
+
 def q_doc_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity filter (Wenzek et al. 2020): fit a
     Lidstone-smoothed conditional bigram LM on the in-domain reference
@@ -2160,12 +2177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_bloom_decontaminate) displace doc_token_freq,
     # doc_stratified_sample, doc_domain_mixture, doc_bigram_novelty and
     # doc_oov_rate (all green r4, plans unchanged) to the tail. The new
-    # doc_perplexity (first evidence this round) displaces ts_dev
-    # (green r2-r4, trivial aggregator-expression plan, unchanged) per
-    # the standing rule.
+    # doc_perplexity and ts_ddsketch_quantile (first evidence this
+    # round) displace ts_dev and ts_agg_combine (green r2-r4, trivial
+    # stable plans; cross-series combine stays exercised by
+    # ts_engine_query/ts_hybrid_cache in the prefix) per the standing
+    # rule.
     return {
         "ts_downsample_avg": q_ts_downsample_avg,
-        "ts_agg_combine": q_ts_agg_combine,
+        "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
         "ts_rate": q_ts_rate,
         "ts_rate_bucketed": q_ts_rate_bucketed,
         "ts_fir_bucketed": q_ts_fir_bucketed,
@@ -2263,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "ts_dev": q_ts_dev,
+        "ts_agg_combine": q_ts_agg_combine,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2618,6 +2638,32 @@ SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts,
        CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value,
        min(value) AS min_value, max(value) AS max_value
 FROM pts GROUP BY 1, 2, 3""",
+        # DDSketch rebuilt from raw in DuckDB: same log-bucket mapping
+        # (ceil(ln|x|/ln gamma)), same value-ordered cumulative walk,
+        # same rank formula — merge exactness means partials-at-1m vs
+        # direct-over-raw is a distinction without a value difference
+        "ts_ddsketch_quantile": f"""
+WITH pts AS ({PTS}),
+b AS (SELECT metric, ts - ts % 3600000 AS bucket_ts,
+             CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS dd_sign,
+             CASE WHEN value <> 0
+                  THEN CAST(ceil(ln(abs(value)) / ln(1.02)) AS INT)
+                  ELSE 0 END AS dd_idx
+      FROM pts WHERE value IS NOT NULL),
+m AS (SELECT metric, bucket_ts, dd_sign, dd_idx, count(*) AS cnt
+      FROM b GROUP BY 1, 2, 3, 4),
+c AS (SELECT metric, bucket_ts, cnt,
+             sum(cnt) OVER (PARTITION BY metric, bucket_ts
+                            ORDER BY dd_sign, dd_sign * dd_idx) AS cum,
+             sum(cnt) OVER (PARTITION BY metric, bucket_ts) AS n,
+             CASE WHEN dd_sign = 0 THEN 0.0
+                  ELSE dd_sign * (2.0 * pow(1.02, dd_idx) / 2.02) END AS rep
+      FROM m)
+SELECT metric, bucket_ts, CAST(max(n) AS BIGINT) AS n,
+       round(min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p50,
+       round(min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p90,
+       round(min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p99
+FROM c GROUP BY 1, 2""",
         "ts_engine_rollup": f"""
 WITH pts AS ({PTS}),
 f AS (SELECT metric, tag_user, ts, value FROM pts WHERE metric = 'click'),

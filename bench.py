@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
     "doc_perplexity",
+    "ts_ddsketch_quantile",
     "doc_bpe_encode",
     "doc_boilerplate",
     "doc_chunk_rewrite",

@@ -444,8 +444,11 @@ def test_hot_cache_refresh_job_budget(spark, tmp_path_factory):
 # whose plan changes in a round must rotate back into slots <= 50.
 ROTATED_TO_TAIL = {
     "ts_dev",  # r5: green r2-r4, trivial aggregator-expression plan; the
-    #            aggregator registry stays covered by ts_downsample_avg /
-    #            ts_agg_combine in the prefix; displaced by doc_perplexity
+    #            aggregator registry stays covered by ts_downsample_avg
+    #            in the prefix; displaced by doc_perplexity
+    "ts_agg_combine",  # r5: green r2-r4, stable plan; cross-series combine
+    #                    stays exercised by ts_engine_query/ts_hybrid_cache
+    #                    in the prefix; displaced by ts_ddsketch_quantile
     "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
     #                 covered end-to-end by ts_engine_query + bench
     "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
@@ -499,6 +502,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "ts_engine_rollup",  # new this round: rollup tier through the engine
     "ts_streaming_rate",  # new this round: applyInPandasWithState oracle row
     "doc_perplexity",  # new this round: CCNet bigram-LM perplexity tiers
+    "ts_ddsketch_quantile",  # new this round: DDSketch quantile rollup
 }
 
 

@@ -662,3 +662,102 @@ def test_lm_perplexity_hashed_mode(spark):
     kept = perplexity_filter(docs, ref, max_log_ppl=h[1]["log_ppl"],
                              hash_buckets=499).collect()
     assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_ddsketch_quantile_rollup(spark):
+    """DDSketch rollup: (a) merge identity — quantiles answered from
+    fine-level partials equal the direct sketch over raw for any level
+    dividing the window; (b) the relative-error guarantee — every
+    estimate within a factor gamma of the exact quantile; (c) negative
+    and zero values route through the mirrored/zero stores."""
+    import math
+
+    from timely_spark.operators.rollup import (
+        DD_GAMMA,
+        ddsketch_partials,
+        ddsketch_quantile,
+        ddsketch_quantile_raw,
+    )
+
+    rows = []
+    vals = {}
+    for s, base in (("m1", 1.0), ("m2", 50.0)):
+        vs = [base * (1 + (i * 7) % 100) / 10.0 for i in range(200)]
+        vals[s] = sorted(vs)
+        rows += [(s, 1000 * i, v) for i, v in enumerate(vs)]
+    pts = spark.createDataFrame(rows, "metric string, ts long, value double")
+
+    win = 3_600_000  # one window holds everything (200 pts * 1s)
+    direct = {r["metric"]: r for r in ddsketch_quantile_raw(pts, win).collect()}
+    for lvl in (60_000, 600_000):
+        merged = {
+            r["metric"]: r
+            for r in ddsketch_quantile(
+                ddsketch_partials(pts, lvl), lvl, win
+            ).collect()
+        }
+        assert merged == direct  # exact merge identity, all columns
+
+    for s in vals:
+        assert direct[s]["n"] == 200
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exact = vals[s][math.floor(q * 199)]
+            est = direct[s][col]
+            assert est / exact <= DD_GAMMA + 1e-9
+            assert exact / est <= DD_GAMMA + 1e-9
+
+    signed = spark.createDataFrame(
+        [("m", 0, -10.0), ("m", 1, -1.0), ("m", 2, 0.0), ("m", 3, 0.0),
+         ("m", 4, 2.0)],
+        "metric string, ts long, value double",
+    )
+    r = ddsketch_quantile_raw(signed, 1000_000, qs=(0.0, 0.5, 1.0)).collect()[0]
+    assert r["n"] == 5
+    assert -10.0 * DD_GAMMA <= r["p00"] <= -10.0 / DD_GAMMA
+    assert r["p50"] == 0.0  # zero store holds the median
+    assert 2.0 / DD_GAMMA <= r["p100"] <= 2.0 * DD_GAMMA
+
+
+def test_refresh_rollup_sketch_kinds(spark, tmp_path):
+    """Incremental refresh is kind-generic: DDSketch (count addition)
+    and HLL (register-max union) partials fold late batches exactly —
+    refresh(base)+refresh(late) equals the full rebuild for both."""
+    from timely_spark.operators.rollup import (
+        ddsketch_partials,
+        hll_partials,
+        refresh_rollup,
+        write_rollup,
+    )
+
+    day = 86_400_000
+    base = [("m", day * (i % 3) + 60_000 * i, float(1 + i % 40)) for i in range(150)]
+    late = [("m", day + 60_000 * i + 3, float(500 + i)) for i in range(25)]
+    pb = spark.createDataFrame(base, "metric string, ts long, value double")
+    pl = spark.createDataFrame(late, "metric string, ts long, value double")
+    both = pb.unionByName(pl)
+
+    dd_path = str(tmp_path / "dd_1m")
+    write_rollup(ddsketch_partials(pb, 60_000), dd_path)
+    assert refresh_rollup(spark, dd_path, pl, 60_000, kind="ddsketch") == 1
+    got = sorted(map(tuple,
+        spark.read.parquet(dd_path)
+        .select("metric", "bucket_ts", "dd_sign", "dd_idx", "cnt").collect()))
+    want = sorted(map(tuple,
+        ddsketch_partials(both, 60_000)
+        .select("metric", "bucket_ts", "dd_sign", "dd_idx", "cnt").collect()))
+    assert got == want
+
+    # HLL needs an int/string distinct column
+    ub = pb.withColumn("uid", (F.col("value") * 10).cast("long"))
+    ul = pl.withColumn("uid", (F.col("value") * 10).cast("long"))
+    hll_path = str(tmp_path / "hll_1m")
+    write_rollup(hll_partials(ub, 60_000, "uid"), hll_path)
+    assert refresh_rollup(spark, hll_path, ul, 60_000,
+                          value_col="uid", kind="hll") == 1
+    # sketches are binary blobs; compare the derived estimates
+    est = lambda df: sorted(map(tuple, df.selectExpr(
+        "metric", "bucket_ts",
+        "hll_sketch_estimate(hll) AS est").collect()))
+    got = est(spark.read.parquet(hll_path))
+    want = est(hll_partials(ub.unionByName(ul), 60_000, "uid"))
+    assert got == want

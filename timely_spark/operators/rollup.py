@@ -146,6 +146,40 @@ def write_rollup(
     )
 
 
+# Every persisted partial kind is (extra grouping cols, merge aggs):
+# merging two partial frames for the same fine bucket is ONE groupBy
+# with these aggregations — associativity is what makes incremental
+# refresh == full rebuild for all of them (classic sums/extrema, HLL
+# register-max union, DDSketch count addition).
+def _partial_specs(distinct_col: str | None = None):
+    return {
+        "classic": (
+            rollup_partials,
+            (),
+            [
+                F.sum("n").alias("n"),
+                F.sum("vsum").alias("vsum"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            ],
+        ),
+        "ddsketch": (
+            lambda pts, level_ms, key_cols, ts_col, value_col: ddsketch_partials(
+                pts, level_ms, DD_GAMMA, key_cols, ts_col, value_col
+            ),
+            ("dd_sign", "dd_idx"),
+            [F.sum("cnt").alias("cnt")],
+        ),
+        "hll": (
+            lambda pts, level_ms, key_cols, ts_col, value_col: hll_partials(
+                pts, level_ms, distinct_col or value_col, key_cols, ts_col
+            ),
+            (),
+            [F.hll_union_agg("hll").alias("hll")],
+        ),
+    }
+
+
 def refresh_rollup(
     spark,
     path: str,
@@ -154,20 +188,24 @@ def refresh_rollup(
     key_cols: tuple[str, ...] = ("metric",),
     ts_col: str = "ts",
     value_col: str = "value",
+    kind: str = "classic",
 ) -> int:
     """Incremental continuous-aggregate refresh: fold a batch of new
     (possibly LATE) points into a persisted rollup, rewriting ONLY the
     day partitions the batch touches (dynamic partition overwrite).
 
-    Merge is associative (sum/sum/min/max over partials), so
-    refresh(base) + refresh(late) == rollup over the union — pinned by
-    test. The touched-day set is a tiny driver seam; untouched
+    Merge is associative for every partial ``kind`` — classic
+    (sum/sum/min/max), ``ddsketch`` (integer count addition per
+    log-bucket), ``hll`` (per-slot register max) — so refresh(base) +
+    refresh(late) == rollup over the union, pinned by test for each
+    kind. The touched-day set is a tiny driver seam; untouched
     partitions are neither read nor rewritten, so refresh cost scales
     with the batch's time spread, not the table's history.
 
     Returns the number of day partitions rewritten.
     """
-    newp = rollup_partials(new_points, level_ms, key_cols, ts_col, value_col)
+    build, extra_group, merge_aggs = _partial_specs(value_col)[kind]
+    newp = build(new_points, level_ms, key_cols, ts_col, value_col)
     # materialize ONCE: the days-collect below and the final write would
     # otherwise each re-run the batch aggregation from scratch
     newp = newp.withColumn(
@@ -198,13 +236,8 @@ def refresh_rollup(
             existing = None
     merged = newp if existing is None else (
         existing.select(*newp.columns).unionByName(newp)
-        .groupBy(*key_cols, "bucket_ts", "dt")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
+        .groupBy(*key_cols, "bucket_ts", *extra_group, "dt")
+        .agg(*merge_aggs)
         .select(*newp.columns)
     )
     conf = spark.conf
@@ -215,3 +248,128 @@ def refresh_rollup(
     finally:
         conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(days)
+
+
+# ------------------------- DDSketch quantile rollups ---------------------
+
+# DDSketch (Masson, Rim & Lee, VLDB 2019): log-bucketed histogram with a
+# RELATIVE-error guarantee — every quantile estimate is within a factor
+# gamma of the true value. The sketch is a plain (sign, idx) -> count
+# vector, so partials merge by integer ADDITION: the quantile analogue of
+# the (sum, count, min, max) partials above, giving percentile queries
+# the same never-rescan-raw rollup economics. gamma = 1.02 => 2% relative
+# accuracy at ~580 buckets across 8 decades of positive value range.
+
+DD_GAMMA = 1.02
+
+
+def _dd_bucket(value_col: str, gamma: float):
+    """(sign, idx) log-bucket of a value: sign in {-1, 0, 1}; for
+    nonzero x, idx = ceil(ln(|x|)/ln(gamma)) — the paper's bucket
+    mapping, mirrored for negatives (idx 0 for the zero bucket)."""
+    x = F.col(value_col)
+    sign = F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
+    lg = F.lit(float(__import__("math").log(gamma)))
+    idx = F.when(
+        x != 0, F.ceil(F.log(F.abs(x)) / lg).cast("int")
+    ).otherwise(F.lit(0))
+    return sign.alias("dd_sign"), idx.alias("dd_idx")
+
+
+def ddsketch_partials(
+    points: DataFrame,
+    level_ms: int,
+    gamma: float = DD_GAMMA,
+    key_cols: tuple[str, ...] = ("metric",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(keys..., bucket_ts, dd_sign, dd_idx, cnt) at ``level_ms``
+    resolution — one row per occupied log-bucket per fine window. One
+    map-side-combinable groupBy; per (series, window) the row count is
+    bounded by the value range's bucket span (~hundreds), independent
+    of the point count, so the partial table is tiny next to raw."""
+    bucket = (F.col(ts_col) - F.col(ts_col) % F.lit(level_ms)).alias("bucket_ts")
+    sign, idx = _dd_bucket(value_col, gamma)
+    return (
+        points.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, bucket, sign, idx)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_quantile(
+    partials: DataFrame,
+    level_ms: int,
+    window_ms: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    gamma: float = DD_GAMMA,
+    key_cols: tuple[str, ...] = ("metric",),
+) -> DataFrame:
+    """Quantile estimates per ``window_ms`` bucket from DDSketch
+    partials — no raw rescan. Merge = integer count addition to the
+    coarser window (exact, associative: merged sketch == direct sketch
+    over raw, pinned by test), then per (series, window) a cumulative
+    walk over buckets in value order picks, for each q, the bucket
+    holding the rank-floor(q*(n-1))+1 value; the estimate is the
+    bucket's log-midpoint representative sign * 2*gamma^idx/(gamma+1).
+
+    Scale: the walk's window frames are per-(series, window) bucket
+    vectors — bounded by the log-bucket span, NOT the point count — so
+    the sort inside each frame is a few hundred rows at any data scale.
+    """
+    if window_ms % level_ms != 0:
+        raise ValueError(f"window {window_ms} not a multiple of {level_ms}")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.col("bucket_ts") - F.col("bucket_ts") % F.lit(window_ms)
+    ).alias("bucket_ts")
+    merged = partials.groupBy(*key_cols, bucket, "dd_sign", "dd_idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    # value order across the three stores: negatives (idx descending),
+    # zero, positives (idx ascending) == ordering by sign*idx within
+    # sign, i.e. by (dd_sign, dd_sign*dd_idx)
+    okey = (F.col("dd_sign") * F.col("dd_idx")).alias("okey")
+    w = Window.partitionBy(*key_cols, "bucket_ts").orderBy("dd_sign", "okey")
+    wall = Window.partitionBy(*key_cols, "bucket_ts")
+    rep = F.when(
+        F.col("dd_sign") == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("dd_sign")
+        * (2.0 * F.pow(F.lit(float(gamma)), F.col("dd_idx")) / (gamma + 1.0))
+    )
+    cum = (
+        merged.select(*key_cols, "bucket_ts", "dd_sign", "dd_idx", "cnt", okey)
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("rep", rep)
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        # 1-based target rank of the q-quantile (floor(q*(n-1)) zero-based)
+        target = F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("cum") >= target, F.col("rep"))) + F.lit(0.0),
+                4,
+            ).alias(f"p{int(round(q * 100)):02d}")
+        )
+    return cum.groupBy(*key_cols, "bucket_ts").agg(*aggs)
+
+
+def ddsketch_quantile_raw(
+    points: DataFrame,
+    window_ms: int,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    gamma: float = DD_GAMMA,
+    key_cols: tuple[str, ...] = ("metric",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Direct sketch over raw points (no intermediate level) — the
+    merge-identity reference: ddsketch_quantile(partials(level), ...,
+    window) must equal this for any level dividing the window."""
+    p = ddsketch_partials(points, window_ms, gamma, key_cols, ts_col, value_col)
+    return ddsketch_quantile(p, window_ms, window_ms, qs, gamma, key_cols)
