@@ -798,3 +798,30 @@ def test_curate_cli_perplexity_screen(spark, tmp_path):
     ids = {r["doc_id"] for r in back.collect()}
     assert ids and all(i < 100 for i in ids)  # only wiki docs survive
     assert len(ids) == stats["n_ppl"] == stats["n_survivors"]
+
+
+def test_curate_cli_minhash_dedup(spark, tmp_path):
+    """--minhash-dedup: near-identical doc pairs collapse to the min-id
+    keeper while distinct docs all survive."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    rows = []
+    for i in range(6):
+        # docs 2i and 2i+1 are near-identical twins (one token changed);
+        # different i's share no 3-shingles (fully disjoint token streams)
+        t = " ".join(f"w{i}x{j} v{i}y{j} u{i}z{j}" for j in range(12))
+        rows.append((2 * i, "web", t))
+        rows.append((2 * i + 1, "web", t.replace(f"u{i}z7", "changed")))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+        minhash_threshold=0.5,
+    )
+    assert stats["n_minhash"] == 6  # one keeper per twin pair
+    back = spark.read.parquet(out)
+    assert {r["doc_id"] for r in back.collect()} == {0, 2, 4, 6, 8, 10}

@@ -4,7 +4,8 @@
 Reads ``documents.parquet`` from a scale-factor directory, runs the
 screen pipeline (unicode normalization, Gopher hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
-mixture), optionally screens by LM perplexity against a reference
+mixture), optionally collapses MinHash near-dup clusters to their
+keepers (``--minhash-dedup``), optionally screens by LM perplexity against a reference
 domain (``--ppl-ref``/``--max-log-ppl``), optionally trims each source
 to a quality-ranked token budget
 (``token_budget_subset``) and packs in deterministic shuffled order
@@ -55,7 +56,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            bench_path: str | None = None, dsir_target: str | None = None,
            dsir_keep: int | None = None, bpe_tokens: bool = False,
            main_content: bool = False, learned_filter: bool = False,
-           ppl_ref: str | None = None, max_log_ppl: float | None = None):
+           ppl_ref: str | None = None, max_log_ppl: float | None = None,
+           minhash_threshold: float | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -132,8 +134,27 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "doc_id", "source", "n_tokens", "p_keep", "text"
     )
     n_out = int(agg["n_out"])
-    n_decontaminated = n_dsir = n_ppl = None
+    n_decontaminated = n_dsir = n_ppl = n_minhash = None
     try:
+        if minhash_threshold is not None and n_out:
+            # fuzzy near-dup pass over the exact-dedup survivors:
+            # MinHash+LSH candidate pairs -> Jaccard verify -> connected
+            # components -> keep each cluster's min-id doc. All banded/
+            # contracting shapes — no all-pairs stage at any scale.
+            from timely_spark.operators.dedup import (
+                dedup_cluster_assignment,
+                minhash_dedup,
+            )
+
+            pairs = minhash_dedup(
+                survivors.select("doc_id", "text"),
+                threshold=minhash_threshold,
+            )
+            keep_ids = dedup_cluster_assignment(
+                survivors.select("doc_id"), pairs
+            ).filter("is_keeper").select("doc_id")
+            survivors = survivors.join(keep_ids, "doc_id")
+            n_out = n_minhash = survivors.count()
         if bench_path and n_out:
             # benchmark decontamination via the bloom + confirm-join
             # operator (the large-benchmark default; byte-identical to
@@ -231,6 +252,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "gopher_gate": gopher,
         "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
+        "n_minhash": n_minhash,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
         "bpe_tokens": bpe_tokens,
@@ -269,6 +291,10 @@ def main() -> int:
                     help="comma-separated source names defining the DSIR target domain")
     ap.add_argument("--dsir-keep", type=int, default=None,
                     help="keep top-N docs by DSIR importance weight")
+    ap.add_argument("--minhash-dedup", type=float, default=None,
+                    dest="minhash_threshold", metavar="JACCARD",
+                    help="fuzzy near-dup pass: drop non-keeper docs in MinHash "
+                         "clusters at this shingle-Jaccard threshold")
     ap.add_argument("--ppl-ref", default=None,
                     help="comma-separated source names defining the perplexity reference LM")
     ap.add_argument("--max-log-ppl", type=float, default=None,
@@ -290,7 +316,7 @@ def main() -> int:
                    args.gopher, args.format, args.token_budget, args.shuffle_seed,
                    args.bench_path, args.dsir_target, args.dsir_keep,
                    args.bpe_tokens, args.main_content, args.learned_filter,
-                   args.ppl_ref, args.max_log_ppl)
+                   args.ppl_ref, args.max_log_ppl, args.minhash_threshold)
     print(json.dumps(stats))
     return 0
 
