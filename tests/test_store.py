@@ -665,3 +665,40 @@ def test_warc_parser_corruption_tolerance():
     corrupt[len(gz2) // 2 + 20] ^= 0xFF  # inside the second member
     got = list(parse_warc_records(bytes(corrupt)))
     assert 0 <= len(got) <= 2  # terminates cleanly, no exception
+
+
+def test_read_wet_documents(spark, tmp_path):
+    """WET (conversion-record) files parse to the documents shape: plain
+    text passes through with only whitespace normalization — no HTTP
+    header strip, no tag-strip (literal angle brackets survive) — and
+    mixed WARC+WET directories read both record kinds."""
+    from timely_spark.sources.corpus import make_warc, read_warc_documents
+
+    wet = make_warc(
+        [
+            ("https://example.com/a", b"Alpha beta\n\ngamma  delta"),
+            ("https://other.org/b", b"value < 10 and <tag> stays"),
+        ],
+        record_type="conversion",
+    )
+    warc = make_warc(
+        [("https://example.com/c", b"<p>Real <b>html</b> here</p>")]
+    )
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "a.warc.wet").write_bytes(wet)
+    (tmp_path / "w" / "c.warc").write_bytes(warc)
+
+    rows = read_warc_documents(spark, str(tmp_path / "w")).collect()
+    assert len(rows) == 3
+    texts = {r["text"] for r in rows}
+    assert texts == {
+        "Alpha beta gamma delta",
+        "value < 10 and <tag> stays",  # conversion: markup NOT stripped
+        "Real html here",              # response: markup stripped
+    }
+    # main_content extraction applies only to the HTML record; WET text
+    # still passes through
+    rows2 = read_warc_documents(
+        spark, str(tmp_path / "w"), main_content=True
+    ).collect()
+    assert "value < 10 and <tag> stays" in {r["text"] for r in rows2}

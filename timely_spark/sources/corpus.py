@@ -136,12 +136,20 @@ def read_warc_documents(
     spark: SparkSession, path: str, default_source: str = "warc",
     main_content: bool = False
 ) -> DataFrame:
-    """WARC files -> documents shape (response records only).
+    """WARC/WET files -> documents shape.
+
+    ``response`` records (classic crawl WARCs) carry HTML: the HTTP
+    header block is stripped and the body goes through tag-strip or the
+    jusText-lite extractor. ``conversion`` records (WET — CommonCrawl's
+    pre-extracted text sidecars, ISO 28500 §6.8) carry plain text
+    already: no HTTP header, no markup — they bypass extraction and get
+    only whitespace normalization. Other record types (warcinfo,
+    request, metadata) are skipped.
 
     Whole files arrive via ``binaryFile``; records parse in an Arrow
-    batch (one Python pass per file); HTTP headers are stripped from
-    response bodies. ``main_content=False`` (default) keeps the naive
-    tag-strip; ``main_content=True`` runs the jusText-lite extractor
+    batch (one Python pass per file). ``main_content=False`` (default)
+    keeps the naive tag-strip for response records;
+    ``main_content=True`` runs the jusText-lite extractor
     (``operators.boilerplate.main_text``: block segmentation +
     link-density classification), dropping nav/footer/script junk —
     the curation-grade path. Ids hash (target-uri, position, RAW body)
@@ -158,7 +166,8 @@ def read_warc_documents(
                 for i, (headers, body) in enumerate(
                     parse_warc_records(bytes(payload))
                 ):
-                    if headers.get("warc-type") != "response":
+                    rtype = headers.get("warc-type")
+                    if rtype not in ("response", "conversion"):
                         continue
                     uri = headers.get("warc-target-uri", "")
                     # strip the HTTP response header block if present
@@ -167,20 +176,27 @@ def read_warc_documents(
                         if sep >= 0:
                             body = body[sep + 4 :]
                     text = body.decode("utf-8", "replace")
-                    rows.append((fpath, uri, i, text))
-            yield pd.DataFrame(rows, columns=["path", "uri", "pos", "raw"])
+                    rows.append((fpath, uri, i, rtype == "response", text))
+            yield pd.DataFrame(
+                rows, columns=["path", "uri", "pos", "is_html", "raw"]
+            )
 
     parsed = files.select("path", "content").mapInPandas(
-        parse, "path string, uri string, pos int, raw string"
+        parse, "path string, uri string, pos int, is_html boolean, raw string"
     )
+    plain = F.trim(F.regexp_replace("raw", r"\s+", " "))
     if main_content:
         from ..operators.boilerplate import main_text
 
-        text = main_text("raw")
+        html_text = main_text("raw")
     else:
-        text = F.trim(
+        html_text = F.trim(
             F.regexp_replace(F.regexp_replace("raw", _TAG_RE, " "), r"\s+", " ")
         )
+    # WET conversion records are ALREADY extracted text: markup-strip
+    # would eat literal angle-bracket content and jusText would misread
+    # the blockless stream, so they take the plain path unconditionally
+    text = F.when(F.col("is_html"), html_text).otherwise(plain)
     # file identity in the id: re-shipped duplicate segments must get
     # DISTINCT ids (downstream joins key on doc_id); stable for a fixed
     # directory layout, like the JSONL reader's input_file_name
@@ -197,22 +213,29 @@ def read_warc_documents(
     )
 
 
-def make_warc(records: list[tuple[str, bytes]], gzip_members: bool = False) -> bytes:
-    """Build a WARC file for tests: one response record per (uri, body),
-    each with an HTTP header block, optionally one gzip member each
-    (the CommonCrawl layout)."""
+def make_warc(
+    records: list[tuple[str, bytes]],
+    gzip_members: bool = False,
+    record_type: str = "response",
+) -> bytes:
+    """Build a WARC file for tests: one record per (uri, body), each
+    optionally one gzip member (the CommonCrawl layout). ``response``
+    records get an HTTP header block (crawl WARC shape);
+    ``conversion`` records carry the body bare (WET shape)."""
     import gzip as _gzip
 
     out = []
     for uri, body in records:
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        payload = body
+        if record_type == "response":
+            payload = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
         rec = (
             b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
+            + f"WARC-Type: {record_type}\r\n".encode()
             + f"WARC-Target-URI: {uri}\r\n".encode()
-            + f"Content-Length: {len(http)}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
             + b"\r\n"
-            + http
+            + payload
             + b"\r\n\r\n"
         )
         out.append(_gzip.compress(rec) if gzip_members else rec)
