@@ -1277,6 +1277,24 @@ def q_ts_ddsketch_quantile(spark, sf_dir):
     return ddsketch_quantile(partials, 60_000, 3_600_000)
 
 
+def q_emb_ivfpq_rerank(spark, sf_dir):
+    """IVFADC + exact refine (FAISS 'IVFPQ,Refine'): the quantized index
+    prunes to k*rerank candidates by ADC lookup tables, then only those
+    candidates re-score in exact cosine against their full vectors — the
+    production recall-recovery stage over emb_ivfpq_ann's index. Rows
+    only: ADC candidate selection isn't SQL-derivable; exactness of the
+    refine step is pinned by a brute-force-equality test (full probing
+    + corpus-covering pool == cosine_topk, scores and ranks)."""
+    from timely_spark.operators.similarity import ivfpq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return ivfpq_rerank_topk(emb, q, dim=dim, k=10, rerank=4)
+
+
 def q_doc_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity filter (Wenzek et al. 2020): fit a
     Lidstone-smoothed conditional bigram LM on the in-domain reference
@@ -2177,15 +2195,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_bloom_decontaminate) displace doc_token_freq,
     # doc_stratified_sample, doc_domain_mixture, doc_bigram_novelty and
     # doc_oov_rate (all green r4, plans unchanged) to the tail. The new
-    # doc_perplexity and ts_ddsketch_quantile (first evidence this
-    # round) displace ts_dev and ts_agg_combine (green r2-r4, trivial
-    # stable plans; cross-series combine stays exercised by
-    # ts_engine_query/ts_hybrid_cache in the prefix) per the standing
-    # rule.
+    # doc_perplexity, ts_ddsketch_quantile and emb_ivfpq_rerank (first
+    # evidence this round) displace ts_dev, ts_agg_combine and ts_rate
+    # (green r2-r4, trivial stable plans; cross-series combine stays
+    # exercised by ts_engine_query/ts_hybrid_cache, the rate machinery
+    # by ts_rate_bucketed/ts_streaming_rate, all in the prefix) per the
+    # standing rule.
     return {
         "ts_downsample_avg": q_ts_downsample_avg,
         "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
-        "ts_rate": q_ts_rate,
         "ts_rate_bucketed": q_ts_rate_bucketed,
         "ts_fir_bucketed": q_ts_fir_bucketed,
         "ts_viz": q_ts_viz,
@@ -2211,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_pq_ann": q_emb_pq_ann,
         "emb_ivfpq_ann": q_emb_ivfpq_ann,
+        "emb_ivfpq_rerank": q_emb_ivfpq_rerank,
         "emb_pca_project": q_emb_pca_project,
         "emb_knn_ivf": q_emb_knn_ivf,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2283,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "ts_dev": q_ts_dev,
         "ts_agg_combine": q_ts_agg_combine,
+        "ts_rate": q_ts_rate,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,

@@ -449,6 +449,9 @@ ROTATED_TO_TAIL = {
     "ts_agg_combine",  # r5: green r2-r4, stable plan; cross-series combine
     #                    stays exercised by ts_engine_query/ts_hybrid_cache
     #                    in the prefix; displaced by ts_ddsketch_quantile
+    "ts_rate",  # r5: green r2-r4, stable plan; the rate machinery stays
+    #             covered by ts_rate_bucketed + ts_streaming_rate in the
+    #             prefix; displaced by emb_ivfpq_rerank
     "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
     #                 covered end-to-end by ts_engine_query + bench
     "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
@@ -503,6 +506,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "ts_streaming_rate",  # new this round: applyInPandasWithState oracle row
     "doc_perplexity",  # new this round: CCNet bigram-LM perplexity tiers
     "ts_ddsketch_quantile",  # new this round: DDSketch quantile rollup
+    "emb_ivfpq_rerank",  # new this round: IVFADC + exact refine (rows-only)
 }
 
 

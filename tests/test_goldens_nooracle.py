@@ -347,3 +347,35 @@ def test_bpe_training_deterministic(spark):
     m1 = train_bpe_merges(docs, num_merges=30, sample_docs=20)
     m2 = train_bpe_merges(docs, num_merges=30, sample_docs=20)
     assert m1 == m2 and 0 < len(m1) <= 30  # small vocab may exhaust
+
+
+def test_ivfpq_rerank_recall_and_exactness(spark, planted):
+    """Exact refine over IVFADC candidates: (a) with full probing and a
+    candidate pool covering the corpus, the refined output EQUALS exact
+    brute-force top-k (scores included); (b) at index settings, refined
+    recall >= plain IVFPQ recall vs the exact set."""
+    from timely_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+
+    corpus, queries = planted
+    exact = cosine_topk(corpus, queries, k=5)
+    full = ivfpq_rerank_topk(
+        corpus, queries, dim=32, k=5, rerank=50, m=8, ksub=16,
+        ncells=8, nprobe=8, sample=205,
+    )
+    want = {(r["query_id"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in full.collect()}
+    assert got == want  # candidate pool == corpus -> exact, same order
+
+    ex = _pairs(exact)
+    plain = _pairs(ivfpq_topk(
+        corpus, queries, dim=32, k=5, m=8, ksub=16,
+        ncells=16, nprobe=8, sample=205))
+    refined = _pairs(ivfpq_rerank_topk(
+        corpus, queries, dim=32, k=5, rerank=4, m=8, ksub=16,
+        ncells=16, nprobe=8, sample=205))
+    assert len(refined & ex) >= len(plain & ex)
+    assert all((q, 1000 + q) in refined for q in range(5))

@@ -761,3 +761,16 @@ def test_refresh_rollup_sketch_kinds(spark, tmp_path):
     got = est(spark.read.parquet(hll_path))
     want = est(hll_partials(ub.unionByName(ul), 60_000, "uid"))
     assert got == want
+
+
+def test_lm_perplexity_empty_reference_is_loud(spark):
+    """A reference with no scoring positions (all docs < 2 tokens) fails
+    with a clear error instead of emitting infinite scores."""
+    from timely_spark.operators.perplexity import lm_log_ppl
+
+    docs = spark.createDataFrame([(1, "some words here")],
+                                 "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "one"), (10, "")],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="no scoring positions"):
+        lm_log_ppl(docs, ref).collect()

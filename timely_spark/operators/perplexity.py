@@ -125,7 +125,15 @@ def bigram_lm_counts(
             F.pmod(F.xxhash64("t"), F.lit(hash_buckets)).alias("t")
         )
     vocab = ref_toks.agg(F.countDistinct("t").alias("n")).collect()[0]["n"]
-    return big, ctx, int(vocab or 0)
+    if not vocab:
+        # no >=2-token reference doc: the smoothing denominator would be
+        # zero and every score degenerates to ln(alpha/0) — fail loudly
+        # instead of emitting infinities
+        raise ValueError(
+            "perplexity reference has no scoring positions "
+            "(every reference doc has fewer than 2 tokens)"
+        )
+    return big, ctx, int(vocab)
 
 
 def lm_log_ppl(

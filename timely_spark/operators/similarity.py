@@ -667,6 +667,58 @@ def ivfpq_topk(
     ).select(query_id_col, id_col, "adc_score", "rank")
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    rerank: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    ncells: int = 64,
+    nprobe: int = 8,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC + exact refine (the FAISS ``IVFPQ,Refine`` shape): the
+    quantized index prunes to ``k * rerank`` candidates per query by
+    ADC, then ONLY those candidates re-score against their full vectors
+    in exact cosine — quantization error affects candidate SELECTION,
+    never the final ordering, so recall approaches brute force at a
+    scan cost that stays index-shaped.
+
+    Scale: the candidate set is |Q| * k * rerank rows — it broadcasts;
+    the full-vector fetch is a broadcast semi-join against the corpus
+    (map-side prune inside the scan stage, no corpus shuffle), and the
+    exact scoring touches candidates only. With ``nprobe=ncells`` and
+    ``k * rerank >= |corpus|`` the output equals exact brute-force
+    top-k (pinned by test).
+    """
+    cands = ivfpq_topk(
+        corpus, queries, dim, k * rerank, m, ksub, ncells, nprobe, sample,
+        id_col, vec_col, query_id_col,
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    ex = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cands.select(query_id_col, id_col)), id_col)
+        .join(qv, query_id_col)
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity_col(F.col(vec_col), F.col("__qvec")), 6),
+        )
+    )
+    return per_query_topk(ex, k, "cosine", query_id_col, id_col).select(
+        query_id_col, id_col, "cosine", "rank"
+    )
+
+
 # ---------------------------------------------------------------- PCA projection
 
 
