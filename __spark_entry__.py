@@ -1277,6 +1277,52 @@ def q_ts_ddsketch_quantile(spark, sf_dir):
     return ddsketch_quantile(partials, 60_000, 3_600_000)
 
 
+def q_ts_streaming_ddsketch(spark, sf_dir):
+    """Streaming percentiles with BOUNDED state: readStream over the
+    events backlog -> watermark(120 s) -> per-(metric, 1 h event-time
+    window) DDSketch partial aggregation (state = one counter per
+    occupied log-bucket, never a value buffer) -> append parquet sink
+    drained via availableNow -> batch-side quantile walk over the sink,
+    filtered to windows provably closed under the final watermark. The
+    oracle rebuilds the same sketch + walk from raw points in DuckDB
+    with the same closed-window cutoff — a hash match proves streaming
+    bucketing, watermark eviction, AND the sketch math in one row.
+    Temp sink/ckpt dirs persist until process exit (same protocol as
+    ts_streaming_summarize)."""
+    import os
+    import tempfile
+
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.operators.rollup import ddsketch_quantile
+    from timely_spark.streaming.ddsketch import ddsketch_stream_query
+
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    srcdir = tempfile.mkdtemp(prefix="timely_dds_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(srcdir, "events.parquet"),
+    )
+    ev = spark.readStream.schema(ev_batch.schema).parquet(srcdir)
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        ts_epoch_ms(ev).alias("ts"),
+        F.col("value"),
+    )
+    ck = tempfile.mkdtemp(prefix="timely_dds_ck_")
+    out = tempfile.mkdtemp(prefix="timely_dds_out_")
+    q = ddsketch_stream_query(
+        pts, window_seconds=3600, checkpoint=ck, out_path=out,
+        watermark_seconds=120, available_now=True,
+    )
+    q.awaitTermination()
+    mx = ev_batch.agg(F.max(ts_epoch_ms(ev_batch)).alias("m")).collect()[0]["m"]
+    cutoff = int(mx) - 120_000 - 1  # strictly below the final watermark
+    sink = spark.read.parquet(out).filter(
+        F.col("bucket_ts") + 3_600_000 <= cutoff
+    )
+    return ddsketch_quantile(sink, 3_600_000, 3_600_000)
+
+
 def q_emb_ivfpq_rerank(spark, sf_dir):
     """IVFADC + exact refine (FAISS 'IVFPQ,Refine'): the quantized index
     prunes to k*rerank candidates by ADC lookup tables, then only those
@@ -2195,15 +2241,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_bloom_decontaminate) displace doc_token_freq,
     # doc_stratified_sample, doc_domain_mixture, doc_bigram_novelty and
     # doc_oov_rate (all green r4, plans unchanged) to the tail. The new
-    # doc_perplexity, ts_ddsketch_quantile and emb_ivfpq_rerank (first
-    # evidence this round) displace ts_dev, ts_agg_combine and ts_rate
-    # (green r2-r4, trivial stable plans; cross-series combine stays
-    # exercised by ts_engine_query/ts_hybrid_cache, the rate machinery
-    # by ts_rate_bucketed/ts_streaming_rate, all in the prefix) per the
-    # standing rule.
+    # doc_perplexity, ts_ddsketch_quantile, ts_streaming_ddsketch and
+    # emb_ivfpq_rerank (first evidence this round) displace
+    # ts_downsample_avg, ts_dev, ts_agg_combine and ts_rate (green
+    # r2-r4/r1-r4, trivial stable plans; downsample+combine stay
+    # exercised by ts_engine_query/ts_hybrid_cache/ts_streaming_summarize,
+    # the rate machinery by ts_rate_bucketed/ts_streaming_rate, all in
+    # the prefix; entry()'s flagship downsample is separately
+    # smoke-checked by the driver) per the standing rule.
     return {
-        "ts_downsample_avg": q_ts_downsample_avg,
         "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
+        "ts_streaming_ddsketch": q_ts_streaming_ddsketch,
         "ts_rate_bucketed": q_ts_rate_bucketed,
         "ts_fir_bucketed": q_ts_fir_bucketed,
         "ts_viz": q_ts_viz,
@@ -2300,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": q_doc_gopher_rules,
         "doc_curation": q_doc_curation,
         "doc_chunk_dedup": q_doc_chunk_dedup,
+        "ts_downsample_avg": q_ts_downsample_avg,
         "ts_dev": q_ts_dev,
         "ts_agg_combine": q_ts_agg_combine,
         "ts_rate": q_ts_rate,
@@ -2310,6 +2359,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q18ish": q_tpch_q18ish,
     }
+
+
+def _ddsketch_oracle(extra_where: str = "") -> str:
+    """DuckDB rebuild of the DDSketch 1 h quantile tier; ``extra_where``
+    narrows the bucketed rows (the streaming row's closed-window
+    cutoff) without forking the sketch/walk SQL."""
+    return f"""
+WITH pts AS ({PTS}),
+b AS (SELECT metric, ts - ts % 3600000 AS bucket_ts,
+             CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS dd_sign,
+             CASE WHEN value <> 0
+                  THEN CAST(ceil(ln(abs(value)) / ln(1.02)) AS INT)
+                  ELSE 0 END AS dd_idx
+      FROM pts WHERE value IS NOT NULL {extra_where}),
+m AS (SELECT metric, bucket_ts, dd_sign, dd_idx, count(*) AS cnt
+      FROM b GROUP BY 1, 2, 3, 4),
+c AS (SELECT metric, bucket_ts, cnt,
+             sum(cnt) OVER (PARTITION BY metric, bucket_ts
+                            ORDER BY dd_sign, dd_sign * dd_idx) AS cum,
+             sum(cnt) OVER (PARTITION BY metric, bucket_ts) AS n,
+             CASE WHEN dd_sign = 0 THEN 0.0
+                  ELSE dd_sign * (2.0 * pow(1.02, dd_idx) / 2.02) END AS rep
+      FROM m)
+SELECT metric, bucket_ts, CAST(max(n) AS BIGINT) AS n,
+       round(min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p50,
+       round(min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p90,
+       round(min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p99
+FROM c GROUP BY 1, 2"""
 
 
 def _boilerplate_oracle() -> str:
@@ -2662,28 +2739,13 @@ FROM pts GROUP BY 1, 2, 3""",
         # (ceil(ln|x|/ln gamma)), same value-ordered cumulative walk,
         # same rank formula — merge exactness means partials-at-1m vs
         # direct-over-raw is a distinction without a value difference
-        "ts_ddsketch_quantile": f"""
-WITH pts AS ({PTS}),
-b AS (SELECT metric, ts - ts % 3600000 AS bucket_ts,
-             CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS dd_sign,
-             CASE WHEN value <> 0
-                  THEN CAST(ceil(ln(abs(value)) / ln(1.02)) AS INT)
-                  ELSE 0 END AS dd_idx
-      FROM pts WHERE value IS NOT NULL),
-m AS (SELECT metric, bucket_ts, dd_sign, dd_idx, count(*) AS cnt
-      FROM b GROUP BY 1, 2, 3, 4),
-c AS (SELECT metric, bucket_ts, cnt,
-             sum(cnt) OVER (PARTITION BY metric, bucket_ts
-                            ORDER BY dd_sign, dd_sign * dd_idx) AS cum,
-             sum(cnt) OVER (PARTITION BY metric, bucket_ts) AS n,
-             CASE WHEN dd_sign = 0 THEN 0.0
-                  ELSE dd_sign * (2.0 * pow(1.02, dd_idx) / 2.02) END AS rep
-      FROM m)
-SELECT metric, bucket_ts, CAST(max(n) AS BIGINT) AS n,
-       round(min(CASE WHEN cum >= floor(0.5 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p50,
-       round(min(CASE WHEN cum >= floor(0.9 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p90,
-       round(min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN rep END) + 0.0, 4) AS p99
-FROM c GROUP BY 1, 2""",
+        "ts_ddsketch_quantile": _ddsketch_oracle(),
+        # the streaming row is the SAME sketch restricted to windows
+        # provably closed under the final 120 s watermark
+        "ts_streaming_ddsketch": _ddsketch_oracle(
+            "AND ts - ts % 3600000 + 3600000 <= "
+            "(SELECT max(ts) FROM pts) - 120001"
+        ),
         "ts_engine_rollup": f"""
 WITH pts AS ({PTS}),
 f AS (SELECT metric, tag_user, ts, value FROM pts WHERE metric = 'click'),

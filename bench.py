@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     "doc_perplexity",
     "ts_ddsketch_quantile",
+    "ts_streaming_ddsketch",
     "emb_ivfpq_rerank",
     "doc_bpe_encode",
     "doc_boilerplate",

@@ -452,6 +452,11 @@ ROTATED_TO_TAIL = {
     "ts_rate",  # r5: green r2-r4, stable plan; the rate machinery stays
     #             covered by ts_rate_bucketed + ts_streaming_rate in the
     #             prefix; displaced by emb_ivfpq_rerank
+    "ts_downsample_avg",  # r5: green r1-r4, trivial 1-exchange plan;
+    #                       downsample stays exercised by ts_engine_query/
+    #                       ts_hybrid_cache/ts_streaming_summarize in the
+    #                       prefix and entry() is driver-smoke-checked;
+    #                       displaced by ts_streaming_ddsketch
     "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
     #                 covered end-to-end by ts_engine_query + bench
     "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
@@ -507,6 +512,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_perplexity",  # new this round: CCNet bigram-LM perplexity tiers
     "ts_ddsketch_quantile",  # new this round: DDSketch quantile rollup
     "emb_ivfpq_rerank",  # new this round: IVFADC + exact refine (rows-only)
+    "ts_streaming_ddsketch",  # new this round: bounded-state streaming quantiles
 }
 
 

@@ -782,3 +782,64 @@ def test_streaming_quality_screen_batch_parity(spark, tmp_path):
     assert spark.sql(
         "select doc_id from screen_out where gopher_pass"
     ).count() == 2
+
+
+def test_streaming_ddsketch_state_across_microbatches(spark, tmp_path):
+    """Bounded-state streaming percentiles: two micro-batches (the
+    second carrying LATE in-watermark points for an earlier window)
+    fold into sketch partials that match the batch sketch over the
+    union exactly, and the derived quantiles match the batch walk."""
+    from timely_spark.operators.rollup import (
+        ddsketch_partials,
+        ddsketch_quantile,
+    )
+    from timely_spark.streaming.ddsketch import ddsketch_stream_query
+
+    b = 1_447_767_913_000 - (1_447_767_913_000 % 60_000)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "metric string, ts long, value double"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = ddsketch_stream_query(
+            stream, window_seconds=60, checkpoint=str(tmp_path / "ck"),
+            out_path=str(tmp_path / "out"), watermark_seconds=300,
+            available_now=True,
+        )
+        assert q.awaitTermination(180)
+
+    batch1 = [("m", b + i * 1000, float(1 + i % 7)) for i in range(100)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    # late points for window 0, still inside the 300 s watermark, plus a
+    # sentinel far enough ahead to close every real window
+    batch2 = [("m", b + i, 50.0 + i) for i in range(3)] + [
+        ("m", b + 20 * 60_000, 0.0)
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+
+    sink = spark.read.parquet(str(tmp_path / "out"))
+    # the sentinel's own window may or may not have closed; compare the
+    # real windows only
+    real = sink.filter(F.col("bucket_ts") < b + 10 * 60_000)
+    all_pts = spark.createDataFrame(batch1 + batch2, schema).filter(
+        F.col("ts") < b + 10 * 60_000
+    )
+    want_partials = sorted(map(tuple, ddsketch_partials(all_pts, 60_000)
+        .select("metric", "bucket_ts", "dd_sign", "dd_idx", "cnt").collect()))
+    # append sink may emit a window's partials across runs: re-merge
+    got_partials = sorted(map(tuple,
+        real.groupBy("metric", "bucket_ts", "dd_sign", "dd_idx")
+        .agg(F.sum("cnt").alias("cnt")).collect()))
+    assert got_partials == want_partials
+    got_q = sorted(map(tuple, ddsketch_quantile(real, 60_000, 60_000).collect()))
+    want_q = sorted(map(tuple,
+        ddsketch_quantile(ddsketch_partials(all_pts, 60_000), 60_000, 60_000)
+        .collect()))
+    assert got_q == want_q
