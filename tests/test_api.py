@@ -513,6 +513,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "ts_ddsketch_quantile",  # new this round: DDSketch quantile rollup
     "emb_ivfpq_rerank",  # new this round: IVFADC + exact refine (rows-only)
     "ts_streaming_ddsketch",  # new this round: bounded-state streaming quantiles
+    "media_features",  # this round: dct_phash column added to the decode schema
 }
 
 

@@ -20,7 +20,7 @@ from timely_spark.operators.multimodal import (
 def test_bmp_decode_roundtrip():
     """Real codec: dimensions/channels from the header, luma/aHash from
     the pixel array."""
-    w, h, ch, luma, phash = _decode_bmp(make_bmp(37, 21, seed=7))
+    w, h, ch, luma, phash, _dct = _decode_bmp(make_bmp(37, 21, seed=7))
     assert (w, h, ch) == (37, 21, 3)
     assert 0.0 <= luma <= 1.0
     # deterministic + discriminating
@@ -170,7 +170,7 @@ def test_png_decode_roundtrip():
     from timely_spark.operators.multimodal import _decode_png, make_png
 
     for color_type, n_ch in [(0, 1), (2, 3), (6, 4)]:
-        w, h, ch, luma, phash = _decode_png(
+        w, h, ch, luma, phash, _dct = _decode_png(
             make_png(23, 17, seed=11, color_type=color_type)
         )
         assert (w, h, ch) == (23, 17, n_ch)
@@ -380,7 +380,7 @@ def test_avi_mjpeg_container_roundtrip():
     assert abs(meta["duration_s"] - 1.5) < 1e-6
     assert meta["handler"] == "MJPG"
     for f in meta["frames"]:
-        w, h, _c, luma, _p = _decode_jpeg(f)
+        w, h, _c, luma, _p, _d = _decode_jpeg(f)
         assert (w, h) == (48, 32) and 0.0 < luma < 1.0
 
 
@@ -436,3 +436,82 @@ def test_video_near_dups_planted(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert all(2 not in p for p in pairs)
+
+
+def test_dct_phash_robustness():
+    """The DCT perceptual hash contract: bit-identical under brightness
+    shift and contrast scaling (exactly, and under the clipping a real
+    brightened/crunched copy suffers), near-identical under per-pixel
+    noise, and far apart for genuinely different images."""
+    import numpy as np
+
+    from timely_spark.operators.multimodal import _dct_phash, _luma_stats
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    yy, xx = np.indices((64, 64)).astype(float)
+    tex = 60 * np.sin(xx / 6.0) * np.cos(yy / 9.0) + 25 * np.sin((xx + yy) / 4.0)
+    luma = np.clip(128 + tex, 0, 255)
+    base = _dct_phash(luma)
+
+    assert _dct_phash(luma + 17.0) == base              # brightness shift
+    assert _dct_phash(luma * 1.2) == base               # contrast scale
+    assert _dct_phash(np.clip(luma + 45.0, 0, 255)) == base   # clipped lift
+    assert _dct_phash(np.clip((luma - 128) * 1.6 + 128, 0, 255)) == base
+
+    # deterministic +-8 per-pixel noise: broadband, low-freq corner safe
+    pix = (yy * 64 + xx).astype(np.int64)
+    lcg = (pix * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    noise = (lcg % 17).astype(float) - 8.0
+    _, _a, d1 = _luma_stats(np.clip(luma + noise, 0, 255))
+    assert ham(base, d1) <= 2
+
+    other = np.clip(128 + 60 * np.cos(xx / 4.0) * np.sin(yy / 5.0), 0, 255)
+    assert ham(base, _dct_phash(other)) > 16  # distinct content separates
+
+
+def test_dct_phash_catches_brightened_copy(spark):
+    """End-to-end: a brightness-lifted (clipping) BMP copy pairs with
+    its original through hamming_near_dups on dct_phash at a threshold
+    where the aHash column misses it — the complementary-hash payoff."""
+    import struct
+
+    from timely_spark.operators.dedup import hamming_near_dups
+    from timely_spark.operators.multimodal import make_bmp
+
+    def brighten(b, d):
+        pix_off = struct.unpack_from("<I", b, 10)[0]
+        arr = bytearray(b)
+        for i in range(pix_off, len(b)):
+            arr[i] = min(255, arr[i] + d)
+        return bytes(arr)
+
+    from timely_spark.operators.multimodal import extract_image_features
+
+    orig = make_bmp(48, 32, seed=3)
+    rows = [
+        (1, "image", "image/bmp", orig, None),
+        (2, "image", "image/bmp", brighten(orig, 30), None),
+        (3, "image", "image/bmp", make_bmp(48, 32, seed=9), None),
+    ]
+    from timely_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_image_features(media)
+    via_dct = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_dups(
+            feats.select("media_id", "dct_phash"), "dct_phash",
+            id_col="media_id", max_hamming=3,
+        ).collect()
+    }
+    via_ahash = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_dups(
+            feats.select("media_id", "phash"), "phash",
+            id_col="media_id", max_hamming=3,
+        ).collect()
+    }
+    assert via_dct == {(1, 2)}      # brightened copy caught, stranger not
+    assert (1, 2) not in via_ahash  # aHash drifts past the threshold

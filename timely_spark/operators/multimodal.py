@@ -47,37 +47,77 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("phash", T.LongType(), True),
+        T.StructField("dct_phash", T.LongType(), True),
     ]
 )
 
 
-def _luma_stats(luma) -> tuple[float, int]:
-    """Shared tail of every real image decode: normalized mean luma and
-    an 8x8 average-hash (aHash) perceptual fingerprint over a 2-D luma
-    array in [0, 255]."""
+def _block_means(luma, n: int):
+    """n x n block-mean downsample of a 2-D luma array (any size)."""
     import numpy as np
 
     h, w = luma.shape
-    mean_luma = float(luma.mean()) / 255.0
-    ys = np.linspace(0, h, 9, dtype=int)
-    xs = np.linspace(0, w, 9, dtype=int)
-    blocks = np.array(
+    ys = np.linspace(0, h, n + 1, dtype=int)
+    xs = np.linspace(0, w, n + 1, dtype=int)
+    return np.array(
         [
-            [luma[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean() for j in range(8)]
-            for i in range(8)
+            [
+                luma[
+                    ys[i]:max(ys[i + 1], ys[i] + 1),
+                    xs[j]:max(xs[j + 1], xs[j] + 1),
+                ].mean()
+                for j in range(n)
+            ]
+            for i in range(n)
         ]
     )
-    bits = (blocks >= blocks.mean()).flatten()
-    phash = 0
+
+
+def _bits_to_i64(bits) -> int:
+    """MSB-first bit vector -> signed 64-bit int (Spark LongType)."""
+    v = 0
     for bit in bits:
-        phash = (phash << 1) | int(bit)
-    # to signed 64-bit (LongType)
-    if phash >= 1 << 63:
-        phash -= 1 << 64
-    return mean_luma, phash
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, int]:
+def _dct_phash(luma) -> int:
+    """DCT perceptual hash: 32x32 block-mean downsample -> orthonormal
+    2-D DCT-II -> low-frequency 8x8 corner minus the DC term -> each
+    coefficient vs the block's MEDIAN -> 63 bits (top bit zero).
+
+    Brightness shifts move only the DC term and contrast scaling
+    multiplies coefficients AND their median uniformly, so the hash is
+    invariant to both (and stays stable under the moderate highlight
+    clipping a real brightened copy suffers); per-pixel noise spreads
+    across the full spectrum, leaving the kept low-frequency corner
+    nearly untouched. The standard complement to aHash in image-dedup
+    toolchains — spectral shape instead of spatial block means."""
+    import numpy as np
+
+    n = 32
+    blocks = _block_means(luma, n)
+    k = np.arange(n)
+    D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    D[0] = np.sqrt(1.0 / n)
+    C = D @ blocks @ D.T
+    ac = C[:8, :8].flatten()[1:]  # 63 low-freq coefficients, DC dropped
+    return _bits_to_i64(np.concatenate(([False], ac > np.median(ac))))
+
+
+def _luma_stats(luma) -> tuple[float, int, int]:
+    """Shared tail of every real image decode: normalized mean luma,
+    the 8x8 average-hash (aHash) fingerprint, and the DCT perceptual
+    hash, over a 2-D luma array in [0, 255]."""
+    blocks = _block_means(luma, 8)
+    mean_luma = float(luma.mean()) / 255.0
+    bits = (blocks >= blocks.mean()).flatten()
+    return mean_luma, _bits_to_i64(bits), _dct_phash(luma)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, int, int]:
     """Real decode of an uncompressed BI_RGB BMP: dimensions from the
     BITMAPINFOHEADER, mean luma over the BGR(A) pixel array, and a real
     8x8 average-hash (aHash) perceptual fingerprint — stdlib + numpy
@@ -104,8 +144,8 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, int]:
         px = px[::-1]
     b, g, r = px[..., 0].astype(np.float64), px[..., 1].astype(np.float64), px[..., 2].astype(np.float64)
     luma = 0.114 * b + 0.587 * g + 0.299 * r
-    mean_luma, phash = _luma_stats(luma)
-    return width, abs_h, channels, mean_luma, phash
+    mean_luma, phash, dct = _luma_stats(luma)
+    return width, abs_h, channels, mean_luma, phash, dct
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -153,7 +193,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
     return out.reshape(height, width, channels)
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, int, float, int]:
+def _decode_png(payload: bytes) -> tuple[int, int, int, float, int, int]:
     """Real decode of a non-interlaced 8-bit gray/RGB/RGBA PNG using only
     stdlib zlib/struct + numpy: walk the chunk stream, inflate the
     concatenated IDAT data, reverse the per-scanline filters, then the
@@ -189,19 +229,19 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, float, int]:
         luma = px[..., 0]
     else:  # RGB / RGBA (alpha ignored for luma, like the BMP path)
         luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    mean_luma, phash = _luma_stats(luma)
-    return width, height, n_ch, mean_luma, phash
+    mean_luma, phash, dct = _luma_stats(luma)
+    return width, height, n_ch, mean_luma, phash, dct
 
 
-def _decode_jpeg(payload: bytes) -> tuple[int, int, int, float, int]:
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, float, int, int]:
     """Real decode of a baseline JPEG via :mod:`.jpeg` (pure numpy T.81
     Huffman + inverse DCT); features come off the reconstructed luma
     plane like the BMP/PNG paths."""
     from .jpeg import decode_jpeg_luma
 
     width, height, n_ch, luma = decode_jpeg_luma(payload)
-    mean_luma, phash = _luma_stats(luma)
-    return width, height, n_ch, mean_luma, phash
+    mean_luma, phash, dct = _luma_stats(luma)
+    return width, height, n_ch, mean_luma, phash, dct
 
 
 def _decode_wav(payload: bytes) -> tuple[float, int, int, float]:
@@ -669,7 +709,7 @@ def make_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int, int]:
     """Deterministic fake 'decode' derived from the payload bytes alone.
 
     Stands in for a real image codec (PIL/OpenCV are not installed —
@@ -684,7 +724,8 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float, int]:
     channels = 3
     mean_luma = h[2] / 255.0
     phash = int.from_bytes(h[3:11], "big", signed=True)
-    return width, height, channels, mean_luma, phash
+    dct = int.from_bytes(h[11:19], "big", signed=True)
+    return width, height, channels, mean_luma, phash, dct
 
 
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
@@ -716,7 +757,7 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                         "the pipeline for other formats)"
                     )
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "channels", "mean_luma", "phash"]
+                rows, columns=["media_id", "width", "height", "channels", "mean_luma", "phash", "dct_phash"]
             )
 
     if "kind" in media.columns:
@@ -890,7 +931,7 @@ def video_frame_hashes(
             for mid, idx, ts, payload in zip(
                 pdf["media_id"], pdf["frame_idx"], pdf["ts_s"], pdf["frame_payload"]
             ):
-                _w, _h, _c, _luma, phash = _decode_jpeg(bytes(payload))
+                _w, _h, _c, _luma, phash, _dct = _decode_jpeg(bytes(payload))
                 out.append((int(mid), int(idx), float(ts), phash))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "ts_s", "phash"]
