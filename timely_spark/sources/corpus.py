@@ -170,8 +170,11 @@ def read_warc_documents(
                     if rtype not in ("response", "conversion"):
                         continue
                     uri = headers.get("warc-target-uri", "")
-                    # strip the HTTP response header block if present
-                    if body[:5] in (b"HTTP/",):
+                    # strip the HTTP response header block if present —
+                    # RESPONSE records only: a WET conversion body is
+                    # already extracted text and may legitimately START
+                    # with 'HTTP/' (e.g. an HTTP-tutorial page)
+                    if rtype == "response" and body[:5] in (b"HTTP/",):
                         sep = body.find(b"\r\n\r\n")
                         if sep >= 0:
                             body = body[sep + 4 :]
