@@ -1342,6 +1342,32 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     return ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=4)
 
 
+def q_doc_line_dedup(spark, sf_dir):
+    """Intra-document repeated-line removal (the RefinedWeb/FineWeb
+    per-page boilerplate strip): drop every repeat of a line within a
+    doc, keeping first occurrences in order. Zero shuffles — pure
+    column expressions (array_distinct preserves first-occurrence
+    order; the oracle mirrors it with a min-index group + ordered
+    string_agg). md5 of the cleaned text proves byte-exact parity.
+
+    TAIL slot this round (first evidence = the committed full-sweep
+    CORRECTNESS_LOCAL.json): the driver-checked prefix is fully
+    occupied by this session's four other first-evidence queries and
+    every remaining prefix ts_/events_ row is either security-critical
+    (ts_viz) or this-round-pinned; rotates into the prefix next round
+    (the doc_classifier_score r4 precedent)."""
+    from timely_spark.operators.text import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    d = dedup_lines("text")
+    return docs.select(
+        "doc_id",
+        F.md5(d["cleaned"]).alias("cleaned_md5"),
+        d["n_lines"].alias("n_lines"),
+        d["n_removed"].alias("n_removed"),
+    )
+
+
 def q_doc_perplexity(spark, sf_dir):
     """CCNet-style LM perplexity filter (Wenzek et al. 2020): fit a
     Lidstone-smoothed conditional bigram LM on the in-domain reference
@@ -2353,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dev": q_ts_dev,
         "ts_agg_combine": q_ts_agg_combine,
         "ts_rate": q_ts_rate,
+        "doc_line_dedup": q_doc_line_dedup,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -3035,6 +3062,20 @@ SELECT d.doc_id,
        CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
        coalesce(s.log_weight, 0.0) AS log_weight
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
+        # intra-doc line dedup: md5 of the cleaned text pins byte-exact
+        # first-occurrence-order parity cross-engine
+        "doc_line_dedup": """
+WITH ls AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
+            FROM documents),
+lines AS (SELECT doc_id, i, arr[i] AS line
+          FROM ls, unnest(range(1, len(arr) + 1)) AS t(i)),
+firsts AS (SELECT doc_id, line, min(i) AS fi FROM lines GROUP BY 1, 2)
+SELECT f.doc_id AS doc_id,
+       md5(string_agg(f.line, chr(10) ORDER BY f.fi)) AS cleaned_md5,
+       (SELECT CAST(len(arr) AS BIGINT) FROM ls WHERE ls.doc_id = f.doc_id) AS n_lines,
+       (SELECT CAST(len(arr) AS BIGINT) FROM ls WHERE ls.doc_id = f.doc_id)
+         - CAST(count(*) AS BIGINT) AS n_removed
+FROM firsts f GROUP BY 1""",
         # CCNet LM perplexity: string-feature mode, exact value compare;
         # per-position ln() casts to DECIMAL(38,12) before the sum so
         # accumulation order is irrelevant, and the per-token division

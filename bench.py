@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
     "doc_perplexity",
+    "doc_line_dedup",
     "ts_ddsketch_quantile",
     "ts_streaming_ddsketch",
     "emb_ivfpq_rerank",

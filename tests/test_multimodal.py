@@ -320,8 +320,10 @@ def test_jpeg_codec_property_random_images():
         W, H, nc, luma = decode_jpeg_luma(encode_jpeg(arr, subsampling=sub))
         assert (W, H) == (w, h)
         assert nc == (1 if sub == "gray" else 3)
-        # mean luma survives quantization; rough content bound per-pixel
-        assert abs(float(luma.mean()) - float(src.mean())) < 3.0
+        # mean luma survives quantization — statistically: per-pixel
+        # quantization error ~N(0, sigma), so the MEAN error shrinks as
+        # 1/sqrt(n_px); tiny images keep a proportionally wider band
+        assert abs(float(luma.mean()) - float(src.mean())) < 3.0 + 12.0 / (w * h) ** 0.5
         tol = 6.0 if smooth else 40.0  # random noise loses high freq
         assert float(np.abs(luma - src).mean()) < tol
 

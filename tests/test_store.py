@@ -642,9 +642,10 @@ def test_warc_parser_corruption_tolerance():
     from timely_spark.sources.corpus import make_warc, parse_warc_records
 
     good = make_warc([("https://a/x", b"<p>body one</p>")])
-    # truncated mid-body: one (short) record, no hang or exception
-    trunc = list(parse_warc_records(good[: len(good) - 10]))
-    assert len(trunc) == 1 and len(trunc[0][1]) < len(b"<p>body one</p>") + 50
+    # truncated mid-body: complete-records-only contract — the partial
+    # record is DROPPED (a half body must never land in the corpus as a
+    # silently shortened document), no hang or exception
+    assert list(parse_warc_records(good[: len(good) - 10])) == []
     # garbage prefix -> desynchronized: stops, yields nothing
     assert list(parse_warc_records(b"NOT-A-WARC\r\n" + good)) == []
     # garbage suffix after a full record: first record survives

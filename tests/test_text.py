@@ -825,3 +825,32 @@ def test_curate_cli_minhash_dedup(spark, tmp_path):
     assert stats["n_minhash"] == 6  # one keeper per twin pair
     back = spark.read.parquet(out)
     assert {r["doc_id"] for r in back.collect()} == {0, 2, 4, 6, 8, 10}
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    """Intra-doc line dedup keeps first occurrences in order, counts
+    removals, and leaves unique-line docs untouched."""
+    from timely_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nbody one\nnav\nbody two\nfooter\nnav"),
+            (2, "a\nb\nc"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    d = dedup_lines("text")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", d["cleaned"].alias("c"), d["n_lines"].alias("n"),
+            d["n_removed"].alias("rm"),
+        ).collect()
+    }
+    assert out[1]["c"] == "nav\nbody one\nbody two\nfooter"
+    assert out[1]["n"] == 6 and out[1]["rm"] == 2
+    assert out[2]["c"] == "a\nb\nc" and out[2]["rm"] == 0
+    assert out[3]["c"] == "" and out[3]["n"] == 1  # split('') -> ['']
+    assert out[4]["c"] == "" and out[4]["rm"] == 0  # NULL coalesces

@@ -932,3 +932,26 @@ SELECT {id_col}, CAST(n AS BIGINT) AS n_tokens,
   round(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS mean_score,
   round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END) * 4)), 6) AS p_keep
 FROM scored"""
+
+
+# ------------------------- intra-doc repeated-line removal ---------------
+
+def dedup_lines(text_col: str | Column = "text") -> dict[str, Column]:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence in order — the RefinedWeb/FineWeb intra-doc cleaning step
+    that strips per-page boilerplate (repeated nav/footer lines) without
+    touching cross-document state.
+
+    Pure column expressions, zero shuffles: ``array_distinct`` preserves
+    first-occurrence order in Spark (mirrored in SQL by a min-index
+    group + ordered string_agg). Returns {cleaned, n_lines, n_removed}.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.split(F.coalesce(c, F.lit("")), "\n")
+    kept = F.array_distinct(arr)
+    return {
+        "cleaned": F.concat_ws("\n", kept),
+        "n_lines": F.size(arr).cast("long"),
+        "n_removed": (F.size(arr) - F.size(kept)).cast("long"),
+    }
+

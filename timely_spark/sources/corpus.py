@@ -110,20 +110,28 @@ def parse_warc_records(payload: bytes):
         if not line.startswith(WARC_VERSION_PREFIXES):
             return  # desynchronized: stop rather than guess
         headers: dict[str, str] = {}
+        terminated = False
         while True:
             h = buf.readline()
-            if not h or h in (b"\r\n", b"\n"):
+            if not h:
+                break
+            if h in (b"\r\n", b"\n"):
+                terminated = True
                 break
             if b":" in h:
                 k, v = h.split(b":", 1)
                 headers[k.decode("ascii", "replace").strip().lower()] = (
                     v.decode("utf-8", "replace").strip()
                 )
+        if not terminated:
+            return  # truncated mid-headers: never yield a half-parsed record
         try:
             length = int(headers.get("content-length", "0"))
         except ValueError:
             return
         body = buf.read(length)
+        if len(body) < length:
+            return  # truncated mid-body: complete records only
         yield headers, body
         buf.readline()  # record separator CRLFs
         buf.readline()

@@ -57,7 +57,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            dsir_keep: int | None = None, bpe_tokens: bool = False,
            main_content: bool = False, learned_filter: bool = False,
            ppl_ref: str | None = None, max_log_ppl: float | None = None,
-           minhash_threshold: float | None = None):
+           minhash_threshold: float | None = None, line_dedup: bool = False):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -70,6 +70,13 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     )
 
     docs = load_documents(spark, sf_dir, fmt, main_content)
+    if line_dedup:
+        # intra-doc repeated-line strip FIRST: every downstream signal
+        # (normalize, gopher, classifier, dedup hash) sees the cleaned
+        # text — zero extra shuffles, pure column expression
+        from timely_spark.operators.text import dedup_lines
+
+        docs = docs.withColumn("text", dedup_lines("text")["cleaned"])
     n_input = docs.count()
 
     sig = gopher_signals("text")
@@ -250,6 +257,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             "screen": int(agg["n_out"]),
         },
         "gopher_gate": gopher,
+        "line_dedup": line_dedup,
         "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
         "n_minhash": n_minhash,
@@ -291,6 +299,8 @@ def main() -> int:
                     help="comma-separated source names defining the DSIR target domain")
     ap.add_argument("--dsir-keep", type=int, default=None,
                     help="keep top-N docs by DSIR importance weight")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="strip repeated lines within each doc before all stages")
     ap.add_argument("--minhash-dedup", type=float, default=None,
                     dest="minhash_threshold", metavar="JACCARD",
                     help="fuzzy near-dup pass: drop non-keeper docs in MinHash "
@@ -316,7 +326,8 @@ def main() -> int:
                    args.gopher, args.format, args.token_budget, args.shuffle_seed,
                    args.bench_path, args.dsir_target, args.dsir_keep,
                    args.bpe_tokens, args.main_content, args.learned_filter,
-                   args.ppl_ref, args.max_log_ppl, args.minhash_threshold)
+                   args.ppl_ref, args.max_log_ppl, args.minhash_threshold,
+                   args.line_dedup)
     print(json.dumps(stats))
     return 0
 
