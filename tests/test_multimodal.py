@@ -517,3 +517,41 @@ def test_dct_phash_catches_brightened_copy(spark):
     }
     assert via_dct == {(1, 2)}      # brightened copy caught, stranger not
     assert (1, 2) not in via_ahash  # aHash drifts past the threshold
+
+
+def test_container_parser_corruption_tolerance():
+    """MP4 and AVI container parsers terminate cleanly on truncated or
+    bit-flipped inputs — only the documented error types escape, and
+    truncated RIFF frame chunks are dropped (complete chunks only),
+    never surfaced as half payloads."""
+    import random
+
+    from timely_spark.operators.multimodal import (
+        _decode_avi,
+        _decode_mp4_meta,
+        make_avi_mjpeg,
+        make_mp4,
+    )
+
+    mp4 = make_mp4(5.0)
+    avi = make_avi_mjpeg(n_frames=4)
+    for payload, decode in ((mp4, _decode_mp4_meta), (avi, _decode_avi)):
+        for cut in (0, 4, 8, 20, len(payload) // 3, len(payload) // 2,
+                    len(payload) - 3):
+            try:
+                meta = decode(payload[:cut])
+            except (NotImplementedError, ValueError):
+                continue  # documented rejection paths
+            # if it parses, every surfaced frame must be COMPLETE bytes
+            for f in meta.get("frames", []):
+                assert f[:2] == b"\xff\xd8" and f[-2:] == b"\xff\xd9"
+    rnd = random.Random(11)
+    for payload, decode in ((mp4, _decode_mp4_meta), (avi, _decode_avi)):
+        for _ in range(150):
+            b = bytearray(payload)
+            for _ in range(3):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            try:
+                decode(bytes(b))
+            except (NotImplementedError, ValueError):
+                pass  # clean rejection; anything else propagates = fail

@@ -695,3 +695,37 @@ def test_bloom_decontaminate_never_false_negative(spark, data, split, fpp):
         map(tuple, bloom_decontaminate(docs, bench, n=3, fpp=fpp).collect())
     )
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \n\ré", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_lines_matches_python_model(spark, texts):
+    """dedup_lines == the obvious pure-Python first-occurrence model on
+    arbitrary text (empty lines, \\r remnants, unicode)."""
+    from timely_spark.operators.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    d = dedup_lines("text")
+    got = {
+        r["doc_id"]: (r["c"], r["n"], r["rm"])
+        for r in docs.select(
+            "doc_id", d["cleaned"].alias("c"), d["n_lines"].alias("n"),
+            d["n_removed"].alias("rm"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        assert got[i] == ("\n".join(kept), len(lines), len(lines) - len(kept))
