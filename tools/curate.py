@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """End-to-end corpus curation CLI — the library driven as a product.
 
-Reads ``documents.parquet`` from a scale-factor directory, runs the
+Reads ``documents.parquet`` from a scale-factor directory, optionally
+strips repeated lines within each doc first (``--line-dedup``), runs the
 screen pipeline (unicode normalization, Gopher hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
 mixture), optionally collapses MinHash near-dup clusters to their
