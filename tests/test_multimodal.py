@@ -555,3 +555,22 @@ def test_container_parser_corruption_tolerance():
                 decode(bytes(b))
             except (NotImplementedError, ValueError):
                 pass  # clean rejection; anything else propagates = fail
+
+    # crafted adversarial boxes the random flips can't reach: bodies
+    # shorter than the fields their TYPE promises (outer size checks
+    # pass, inner fixed-offset reads would run off the payload)
+    import struct as _st
+
+    ftyp = _st.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    crafted_mp4 = [
+        ftyp + _st.pack(">I", 16) + b"mvhd" + b"\x00" * 8,  # short mvhd body
+        ftyp + _st.pack(">I", 1) + b"moov",  # size==1, largesize truncated
+        ftyp + _st.pack(">I", 16) + b"moov" + _st.pack(">I", 16) + b"stsz",
+    ]
+    for b in crafted_mp4:
+        with pytest.raises((NotImplementedError, ValueError)):
+            _decode_mp4_meta(b)
+    avih_short = (b"RIFF" + _st.pack("<I", 24) + b"AVI "
+                  + b"avih" + _st.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises((NotImplementedError, ValueError)):
+        _decode_avi(avih_short)

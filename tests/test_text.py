@@ -854,3 +854,36 @@ def test_dedup_lines_first_occurrence_order(spark):
     assert out[2]["c"] == "a\nb\nc" and out[2]["rm"] == 0
     assert out[3]["c"] == "" and out[3]["n"] == 1  # split('') -> ['']
     assert out[4]["c"] == "" and out[4]["rm"] == 0  # NULL coalesces
+
+
+def test_curate_cli_line_dedup(spark, tmp_path):
+    """--line-dedup strips repeated intra-doc lines BEFORE every other
+    stage: the packed output text is the cleaned text, and two docs
+    that become identical after line-dedup collapse to one keeper in
+    the exact-dedup stage (proof the cleaning ran first)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    body = "unique body line with several ordinary words"
+    rows = [
+        (1, "web", f"nav\n{body}\nnav\nnav"),        # repeated nav lines
+        (2, "web", f"nav\n{body}"),                  # same after cleaning
+        (3, "web", "another document entirely\nwith its own lines"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=64, min_p_keep=0.0,
+        line_dedup=True,
+    )
+    assert stats["line_dedup"] is True
+    # docs 1 and 2 are identical post-clean: exact dedup keeps doc 1 only
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.collect()}
+    assert 2 not in ids and 1 in ids and 3 in ids
+    texts = {r["text"] for r in back.collect()}
+    # downstream normalize folds the newline; the repeated navs are gone
+    assert f"nav {body}" in texts

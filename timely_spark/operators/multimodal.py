@@ -357,6 +357,8 @@ def _mp4_boxes(data: bytes, start: int, end: int):
         btype = data[pos + 4 : pos + 8]
         body = pos + 8
         if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return  # truncated largesize header
             size = struct.unpack_from(">Q", data, pos + 8)[0]
             body = pos + 16
         elif size == 0:  # to end of file
@@ -411,7 +413,14 @@ def _decode_mp4_meta(payload: bytes) -> dict:
                 count = struct.unpack_from(">I", payload, body + 8)[0]
                 out["n_samples"] = out.get("n_samples", 0) + count
 
-    walk(0, len(payload))
+    try:
+        walk(0, len(payload))
+    except (struct.error, IndexError) as e:
+        # a box passed the outer size check but its BODY is too short
+        # for the fields its type promises (corrupt/truncated file) —
+        # surface the documented rejection type, never a task-killing
+        # struct.error inside mapInPandas
+        raise ValueError(f"corrupt ISO BMFF box: {e}") from e
     if "duration_s" not in out:
         raise NotImplementedError("MP4 without a moov/mvhd box")
     return out
@@ -471,7 +480,13 @@ def _decode_avi(payload: bytes) -> dict:
             elif len(fcc) == 4 and fcc[2:4] in (b"dc", b"db"):
                 out["frames"].append(payload[body:bend])
 
-    walk(12, len(payload))
+    try:
+        walk(12, len(payload))
+    except (struct.error, IndexError) as e:
+        # chunk passed the outer size check but its body is too short
+        # for its type's fields — documented rejection type, never a
+        # task-killing struct.error inside mapInPandas
+        raise ValueError(f"corrupt RIFF chunk: {e}") from e
     if "n_frames" not in out:
         raise NotImplementedError("AVI without an avih main header")
     out["duration_s"] = out["n_frames"] * out["us_per_frame"] / 1e6

@@ -323,12 +323,18 @@ def main() -> int:
     from timely_spark.session import get_spark
 
     spark = get_spark("timely-curate")
-    stats = curate(spark, args.sf_dir, out, args.seq_len, args.min_p_keep,
-                   args.gopher, args.format, args.token_budget, args.shuffle_seed,
-                   args.bench_path, args.dsir_target, args.dsir_keep,
-                   args.bpe_tokens, args.main_content, args.learned_filter,
-                   args.ppl_ref, args.max_log_ppl, args.minhash_threshold,
-                   args.line_dedup)
+    # keyword args throughout: a parameter inserted mid-signature must
+    # fail loudly, not silently rebind its positional neighbors
+    stats = curate(spark, args.sf_dir, out, seq_len=args.seq_len,
+                   min_p_keep=args.min_p_keep, gopher=args.gopher,
+                   fmt=args.format, token_budget=args.token_budget,
+                   shuffle_seed=args.shuffle_seed, bench_path=args.bench_path,
+                   dsir_target=args.dsir_target, dsir_keep=args.dsir_keep,
+                   bpe_tokens=args.bpe_tokens, main_content=args.main_content,
+                   learned_filter=args.learned_filter, ppl_ref=args.ppl_ref,
+                   max_log_ppl=args.max_log_ppl,
+                   minhash_threshold=args.minhash_threshold,
+                   line_dedup=args.line_dedup)
     print(json.dumps(stats))
     return 0
 
