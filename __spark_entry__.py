@@ -1342,6 +1342,48 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     return ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=4)
 
 
+def q_tpch_q4ish(spark, sf_dir):
+    """TPC-H Q4 order-priority-checking shape (adapted to the testdata
+    schema: the late-delivery EXISTS predicate becomes l_shipdate >
+    o_orderdate since commit/receipt dates are not generated): a
+    left-SEMI join — the probe side never widens, Catalyst keeps it a
+    semi-join all the way down — then a tiny groupBy over the five
+    priority classes."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    late = window.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q12ish(spark, sf_dir):
+    """TPC-H Q12 shipping-modes-and-priority shape (adapted: the
+    generated lineitem has no l_shipmode, so the split keys off
+    l_returnflag; the high/low priority CASE aggregation is verbatim):
+    one join + CASE-conditional counts, map-side combinable."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"),
+    )
+
+
 def q_doc_line_dedup(spark, sf_dir):
     """Intra-document repeated-line removal (the RefinedWeb/FineWeb
     per-page boilerplate strip): drop every repeat of a line within a
@@ -2386,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q18ish": q_tpch_q18ish,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q12ish": q_tpch_q12ish,
     }
 
 
@@ -3156,6 +3200,25 @@ FROM sims WHERE cosine >= 0.4""",
         ttr_sql,
     )
 
+    d["tpch_q4ish"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1"""
+    d["tpch_q12ish"] = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1"""
     d["tpch_q6ish"] = """
 SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4)
             AS DOUBLE) AS revenue,

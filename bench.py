@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "tpch_q3ish",
     "tpch_q5ish",
     "tpch_q18ish",
+    "tpch_q4ish",
+    "tpch_q12ish",
     "events_top_users",
     "events_sessionize",
     "events_sessionize_native",

@@ -636,3 +636,20 @@ def test_query_rollup_matches_raw_query(spark, tmp_path_factory):
                          auths=ALL_AUTHS)
     with pytest.raises(ValueError, match="visibility"):
         eng.query_rollup(req, partials, 300_000)
+
+
+def test_register_views_sql_access(engine):
+    """register_views exposes the lake to plain spark.sql with the same
+    semantics as the DataFrame path (age-off guard included)."""
+    names = engine.register_views(prefix="tv")
+    assert names == ["tv_points", "tv_meta"]
+    spark = engine.spark
+    got = spark.sql(
+        "SELECT metric, count(*) AS n FROM tv_points "
+        "WHERE tags['tag3'] = 'value3' GROUP BY 1"
+    ).collect()
+    assert {(r["metric"], r["n"]) for r in got} == {("sys.cpu.idle", 20)}
+    m = spark.sql(
+        "SELECT count(*) AS n FROM tv_meta WHERE metric = 'sys.cpu.idle'"
+    ).collect()[0]["n"]
+    assert m == 3  # (tag3,value3), (tag4,value4), (tag4,other)

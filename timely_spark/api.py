@@ -246,6 +246,18 @@ class TimelyEngine:
             F.max("last_seen").alias("last_seen")
         )
 
+    def register_views(self, prefix: str = "timely") -> list[str]:
+        """Expose the lake to plain ``spark.sql``: temp views
+        ``<prefix>_points`` (ts, value, metric, tags map, viz — age-off
+        guard applied) and ``<prefix>_meta`` (metric/tag_key/tag_value/
+        last_seen). SQL users get the same Catalyst pushdown the
+        DataFrame path gets — the views are the lazy frames, nothing is
+        materialized. Returns the view names."""
+        names = [f"{prefix}_points", f"{prefix}_meta"]
+        self.points().createOrReplaceTempView(names[0])
+        self.meta().createOrReplaceTempView(names[1])
+        return names
+
     def query(self, request: dict, auths=None, strict: bool = False) -> list[dict]:
         """POST /api/query: OpenTSDB JSON in, OpenTSDB JSON out.
 
