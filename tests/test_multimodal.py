@@ -574,3 +574,57 @@ def test_container_parser_corruption_tolerance():
                   + b"avih" + _st.pack("<I", 8) + b"\x00" * 8)
     with pytest.raises((NotImplementedError, ValueError)):
         _decode_avi(avih_short)
+
+
+def _melody_wav(freqs, amp=0.6, rate=16000, note_s=0.25, trim_s=0.0):
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.concatenate(
+        [amp * np.sin(2 * np.pi * f * np.arange(int(note_s * rate)) / rate)
+         for f in freqs]
+    )
+    if trim_s:
+        x = x[int(trim_s * rate):]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_near_dups_planted(spark):
+    """Spectral-landmark audio near-dup: an amplitude-scaled copy and a
+    front-trimmed copy both align with the original (offset consensus
+    absorbs the trim), while a different melody never pairs."""
+    from timely_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_near_dups,
+    )
+
+    m1 = [440, 523, 659, 784, 659, 523, 440, 880]
+    m2 = [330, 392, 494, 587, 494, 392, 330, 660]
+    rows = [
+        (1, "audio", "audio/wav", _melody_wav(m1), None),
+        (2, "audio", "audio/wav", _melody_wav(m1, amp=0.2), None),   # scaled
+        (3, "audio", "audio/wav", _melody_wav(m1, trim_s=0.1), None),  # trimmed
+        (4, "audio", "audio/wav", _melody_wav(m2), None),            # different
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in audio_near_dups(media, min_matches=8).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)]["offset_frames"] == 0   # same timeline
+    assert got[(1, 3)]["offset_frames"] > 0    # trimmed copy lags
+    # deterministic end to end
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dups(media, min_matches=8).collect()
+    }
+    assert again == set(got)

@@ -1033,6 +1033,165 @@ def video_near_dups(
     return vids
 
 
+def _wav_mono(payload: bytes):
+    """PCM WAV -> (mono float64 samples in [-1, 1], sample rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if sampwidth == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sampwidth}")
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+_FP_BANDS = ((1, 8), (8, 16), (16, 32), (32, 64), (64, 128), (128, 256))
+
+
+def _spectral_fingerprints(x, frame: int = 1024, hop: int = 512):
+    """Peak-constellation fingerprint of a mono sample stream (the
+    Shazam-style landmark scheme, simplified): Hann-windowed rfft per
+    frame, the peak bin in each of six log-spaced bands, each
+    consecutive frame PAIR packed into one 64-bit token. Amplitude
+    scaling cancels in the per-band argmax; trimming only shifts frame
+    indices, which the offset-consensus matcher absorbs."""
+    import numpy as np
+
+    n = (len(x) - frame) // hop + 1 if len(x) >= frame else 0
+    if n <= 1:
+        return []
+    w = np.hanning(frame)
+    toks = []
+    prev = None
+    for i in range(n):
+        seg = x[i * hop : i * hop + frame] * w
+        mag = np.abs(np.fft.rfft(seg))
+        floor = 0.1 * float(mag.max())  # relative: amplitude-invariant
+        peaks = []
+        for lo, hi in _FP_BANDS:
+            p = lo + int(np.argmax(mag[lo:hi]))
+            # bands holding only noise would contribute arbitrary
+            # quantization-dependent bins — zero them so tokens depend
+            # on actual spectral content, not the noise floor
+            peaks.append(p if mag[p] > floor else 0)
+        cur = 0
+        for p in peaks:
+            cur = (cur << 8) | (p & 0xFF)
+        if prev is not None:
+            h = (prev << 16) ^ cur  # pair token: 48 bits prev + mixed cur
+            h &= (1 << 63) - 1
+            toks.append((i - 1, int(h)))
+        prev = cur
+    return toks
+
+
+def audio_fingerprints(media: DataFrame, fake: bool = False) -> DataFrame:
+    """audio rows -> (media_id, frame_idx, fp_hash): spectral landmark
+    tokens per PCM WAV payload, one Arrow pass. MPEG audio has no
+    in-container sample decode (labeled stub), so MP3 rows raise unless
+    ``fake=True`` (deterministic byte-derived tokens keep the pipeline
+    exercisable)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("fp_hash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                head = bytes(payload[:4]) if payload is not None else b""
+                if not fake and head == b"RIFF":
+                    x, _rate = _wav_mono(bytes(payload))
+                    for idx, h in _spectral_fingerprints(x):
+                        out.append((int(mid), idx, h))
+                elif fake:
+                    d = hashlib.sha256(bytes(payload or b"")).digest()
+                    for idx in range(4):
+                        out.append((int(mid), idx,
+                                    int.from_bytes(d[idx * 8 : idx * 8 + 8],
+                                                   "big") >> 1))
+                else:
+                    raise NotImplementedError(
+                        "audio fingerprints need PCM samples: only WAV "
+                        "decodes in-container (fake=True to exercise the "
+                        "pipeline for compressed audio)"
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "fp_hash"]
+            )
+
+    if "kind" in media.columns:
+        media = media.filter(F.col("kind") == "audio")
+    return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def audio_near_dups(
+    media: DataFrame, min_matches: int = 8, fake: bool = False
+) -> DataFrame:
+    """Audio near-duplicate pairs via fingerprint-token blocking + time
+    OFFSET CONSENSUS: tokens join only where hashes collide (the same
+    blocking economics as the image Hamming join — no all-pairs stage),
+    then matches per (pair, frame offset) are counted and a pair
+    qualifies when its best single alignment has >= ``min_matches``
+    aligned tokens — amplitude-scaled or trimmed copies align, unrelated
+    audio's chance collisions scatter across offsets.
+
+    Returns (id_a, id_b, n_aligned, offset_frames), id_a < id_b.
+    """
+    fp = audio_fingerprints(media, fake=fake)
+    a = fp.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_idx").alias("ia"),
+        "fp_hash",
+    )
+    b = fp.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_idx").alias("ib"),
+        "fp_hash",
+    )
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("ia") - F.col("ib")).alias("offset_frames"))
+        .agg(F.count(F.lit(1)).alias("n_aligned"))
+    )
+    from pyspark.sql import Window
+
+    # best-alignment selection: the window frames are per-PAIR offset
+    # histograms (tiny — one row per distinct offset with any match)
+    best = pairs.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("id_a", "id_b").orderBy(
+                F.desc("n_aligned"), F.col("offset_frames")
+            )
+        ),
+    )
+    return (
+        best.filter((F.col("__r") == 1) & (F.col("n_aligned") >= min_matches))
+        .select("id_a", "id_b", "n_aligned", "offset_frames")
+    )
+
+
 def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
     """Deterministic media table for tests/bench. ``real=True`` gives
     image rows actual BMP/PNG payloads, audio rows alternating PCM WAV /
