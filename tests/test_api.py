@@ -653,3 +653,47 @@ def test_register_views_sql_access(engine):
         "SELECT count(*) AS n FROM tv_meta WHERE metric = 'sys.cpu.idle'"
     ).collect()[0]["n"]
     assert m == 3  # (tag3,value3), (tag4,value4), (tag4,other)
+
+
+def test_register_views_enforce_viz_and_dynamic_clock(spark, tmp_path_factory):
+    """SQL views carry the SAME enforcement as query(): anonymous
+    registration fails closed (labeled rows invisible), ALL_AUTHS is the
+    explicit bypass, an auth set evaluates expressions; and the age-off
+    clock binds to current_timestamp() so the view never freezes the
+    registration-time wall clock."""
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+
+    root = tmp_path_factory.mktemp("engine_views")
+    eng = TimelyEngine(spark, store_path=str(root / "m"),
+                       default_ttl_ms=3_600_000)
+    eng.put_json(
+        [
+            {"metric": "v.m", "timestamp": B, "value": 1.0, "tags": {"a": "x"}},
+            {"metric": "v.m", "timestamp": B, "value": 2.0,
+             "tags": {"a": "y", "viz": "secret"}},
+        ]
+    )
+
+    def n(prefix):
+        return spark.sql(f"SELECT count(*) AS n FROM {prefix}_points").collect()[0]["n"]
+
+    eng.register_views(prefix="anon")            # fail-closed default
+    eng.register_views(prefix="all", auths=ALL_AUTHS)
+    eng.register_views(prefix="sec", auths={"secret"})
+    eng.register_views(prefix="wrong", auths={"other"})
+    # the fixture's B timestamp is years past any 1h TTL: pin the clock
+    # out of the way by checking against the raw (un-aged) counts via
+    # a TTL-free engine sharing the store
+    free = TimelyEngine(spark, store_path=str(root / "m"))
+    free.register_views(prefix="fanon")
+    free.register_views(prefix="fall", auths=ALL_AUTHS)
+    free.register_views(prefix="fsec", auths={"secret"})
+    free.register_views(prefix="fwrong", auths={"other"})
+    assert n("fanon") == 1 and n("fwrong") == 1  # unlabeled row only
+    assert n("fall") == 2 and n("fsec") == 2
+    # TTL'd views age off AT QUERY TIME: the plan carries
+    # current_timestamp, not a registration-time literal, and the
+    # decade-old fixture rows are (correctly) expired
+    plan = spark.table("anon_points")._jdf.queryExecution().analyzed().toString()
+    assert "current_timestamp" in plan
+    assert n("anon") == 0 and n("all") == 0

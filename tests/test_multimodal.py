@@ -628,3 +628,14 @@ def test_audio_near_dups_planted(spark):
         for r in audio_near_dups(media, min_matches=8).collect()
     }
     assert again == set(got)
+    # fake mode (compressed-audio pipeline stub): byte-identical payloads
+    # DO pair at the default threshold; distinct payloads don't
+    fm = spark.createDataFrame(
+        [(1, "audio", "x", b"same-bytes", None),
+         (2, "audio", "x", b"same-bytes", None),
+         (3, "audio", "x", b"other-bytes", None)],
+        MEDIA_SCHEMA,
+    )
+    fpairs = {(r["id_a"], r["id_b"])
+              for r in audio_near_dups(fm, fake=True).collect()}
+    assert fpairs == {(1, 2)}

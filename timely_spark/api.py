@@ -222,19 +222,27 @@ class TimelyEngine:
             return self.spark.table(self.series_table)
         return read_points(self.spark, self.store_path)
 
-    def points(self, now_ms: int | None = None) -> DataFrame:
+    def points(self, now_ms: int | None = None,
+               dynamic_now: bool = False) -> DataFrame:
         """Stored points with the query-time age-off guard applied
         (DataStoreCache.java:747-750). ``now_ms`` is injectable so tests
-        and replays can pin the clock; defaults to wall time."""
+        and replays can pin the clock; defaults to wall time.
+        ``dynamic_now`` binds the clock as ``current_timestamp()`` so a
+        LONG-LIVED frame (a registered SQL view) ages rows off at query
+        time instead of freezing the registration-time clock."""
         df = self._durable_points()
         if self._hot is not None:
             df = self._hot.hybrid(df)
         if self.default_ttl_ms is not None:
             import time
 
+            if dynamic_now:
+                now = F.unix_millis(F.current_timestamp())
+            else:
+                now = now_ms if now_ms is not None else int(time.time() * 1000)
             df = ageoff_filter(
                 df,
-                now_ms=now_ms if now_ms is not None else int(time.time() * 1000),
+                now_ms=now,
                 ttls=self.ttls,
                 default_ttl_ms=self.default_ttl_ms,
             )
@@ -246,15 +254,28 @@ class TimelyEngine:
             F.max("last_seen").alias("last_seen")
         )
 
-    def register_views(self, prefix: str = "timely") -> list[str]:
+    def register_views(self, prefix: str = "timely", auths=None) -> list[str]:
         """Expose the lake to plain ``spark.sql``: temp views
-        ``<prefix>_points`` (ts, value, metric, tags map, viz — age-off
-        guard applied) and ``<prefix>_meta`` (metric/tag_key/tag_value/
-        last_seen). SQL users get the same Catalyst pushdown the
-        DataFrame path gets — the views are the lazy frames, nothing is
-        materialized. Returns the view names."""
+        ``<prefix>_points`` and ``<prefix>_meta``. SQL users get the
+        same Catalyst pushdown AND the same enforcement the query path
+        gets: visibility is applied under ``auths`` with the fail-closed
+        default (omitted = anonymous = unlabeled rows only; pass
+        ``ALL_AUTHS`` to bypass explicitly, exactly like query()), and
+        the age-off clock binds to current_timestamp() so the view ages
+        rows off at QUERY time, not registration time. Returns the view
+        names."""
+        from .functions.viz import viz_filter
+
         names = [f"{prefix}_points", f"{prefix}_meta"]
-        self.points().createOrReplaceTempView(names[0])
+        pts = self.points(dynamic_now=True)
+        if auths is not ALL_AUTHS:  # the explicit bypass, like query()
+            known = self._viz_known()
+            pts = viz_filter(
+                pts,
+                auths or set(),
+                known_exprs=sorted(known) if known is not None else None,
+            )
+        pts.createOrReplaceTempView(names[0])
         self.meta().createOrReplaceTempView(names[1])
         return names
 

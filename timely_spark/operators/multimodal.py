@@ -266,19 +266,8 @@ def _decode_wav(payload: bytes) -> tuple[float, int, int, float]:
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate = w.getframerate()
-        channels = w.getnchannels()
-        nframes = w.getnframes()
-        sampwidth = w.getsampwidth()
-        frames = w.readframes(nframes)
-    duration = nframes / float(rate)
-    if sampwidth == 2:
-        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
-    elif sampwidth == 1:
-        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        raise NotImplementedError(f"WAV sample width {sampwidth}")
+    x, rate, channels = _wav_samples(payload)
+    duration = (len(x) // max(channels, 1)) / float(rate)
     rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
     return duration, rate, channels, rms
 
@@ -1033,8 +1022,10 @@ def video_near_dups(
     return vids
 
 
-def _wav_mono(payload: bytes):
-    """PCM WAV -> (mono float64 samples in [-1, 1], sample rate)."""
+def _wav_samples(payload: bytes):
+    """PCM WAV -> (interleaved float64 samples in [-1, 1], rate,
+    channels) — the ONE sample loader ``_decode_wav`` and the
+    fingerprint path share (a new sample width lands in one place)."""
     import io
     import wave
 
@@ -1051,6 +1042,12 @@ def _wav_mono(payload: bytes):
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise NotImplementedError(f"WAV sample width {sampwidth}")
+    return x, rate, channels
+
+
+def _wav_mono(payload: bytes):
+    """PCM WAV -> (mono float64 samples in [-1, 1], sample rate)."""
+    x, rate, channels = _wav_samples(payload)
     if channels > 1:
         x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
     return x, rate
@@ -1077,7 +1074,10 @@ def _spectral_fingerprints(x, frame: int = 1024, hop: int = 512):
     for i in range(n):
         seg = x[i * hop : i * hop + frame] * w
         mag = np.abs(np.fft.rfft(seg))
-        floor = 0.1 * float(mag.max())  # relative: amplitude-invariant
+        # floor from the BANDED region only: DC (Hann-amplified offsets)
+        # and out-of-band energy above the last band must not mask every
+        # in-band peak; relative, so amplitude-invariant
+        floor = 0.1 * float(mag[_FP_BANDS[0][0] : _FP_BANDS[-1][1]].max())
         peaks = []
         for lo, hi in _FP_BANDS:
             p = lo + int(np.argmax(mag[lo:hi]))
@@ -1088,7 +1088,11 @@ def _spectral_fingerprints(x, frame: int = 1024, hop: int = 512):
         cur = 0
         for p in peaks:
             cur = (cur << 8) | (p & 0xFF)
-        if prev is not None:
+        # silence emits NO landmark: the all-zero token would otherwise
+        # (a) pair unrelated recordings through shared quiet stretches
+        # and (b) make the self-join's token-0 bucket all-pairs — the
+        # exact hot-key blowup the blocking design exists to avoid
+        if prev is not None and prev != 0 and cur != 0:
             h = (prev << 16) ^ cur  # pair token: 48 bits prev + mixed cur
             h &= (1 << 63) - 1
             toks.append((i - 1, int(h)))
@@ -1118,17 +1122,25 @@ def audio_fingerprints(media: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in it:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                head = bytes(payload[:4]) if payload is not None else b""
-                if not fake and head == b"RIFF":
+                head = bytes(payload[:12]) if payload is not None else b""
+                # RIFF alone is not enough: AVI is RIFF too — require the
+                # WAVE form type so a misrouted video payload raises the
+                # documented NotImplementedError, not a raw wave.Error
+                if not fake and head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                     x, _rate = _wav_mono(bytes(payload))
                     for idx, h in _spectral_fingerprints(x):
                         out.append((int(mid), idx, h))
                 elif fake:
+                    # 12 chained tokens: comfortably above the default
+                    # min_matches so byte-identical payloads DO pair in
+                    # fake mode (4 tokens would silently never match)
                     d = hashlib.sha256(bytes(payload or b"")).digest()
-                    for idx in range(4):
+                    for idx in range(12):
+                        if idx % 4 == 0 and idx:
+                            d = hashlib.sha256(d).digest()
+                        o = (idx % 4) * 8
                         out.append((int(mid), idx,
-                                    int.from_bytes(d[idx * 8 : idx * 8 + 8],
-                                                   "big") >> 1))
+                                    int.from_bytes(d[o : o + 8], "big") >> 1))
                 else:
                     raise NotImplementedError(
                         "audio fingerprints need PCM samples: only WAV "
@@ -1157,7 +1169,10 @@ def audio_near_dups(
 
     Returns (id_a, id_b, n_aligned, offset_frames), id_a < id_b.
     """
-    fp = audio_fingerprints(media, fake=fake)
+    # materialize ONCE: the self-join would otherwise re-decode and
+    # re-FFT every WAV on both sides (unlike the image path, where the
+    # re-executed side is a cheap scan of precomputed hashes)
+    fp = audio_fingerprints(media, fake=fake).localCheckpoint(eager=True)
     a = fp.select(
         F.col("media_id").alias("id_a"),
         F.col("frame_idx").alias("ia"),

@@ -41,14 +41,21 @@ def ttl_for_metric(metric_col: Column | str, ttls: dict[str, int], default_ttl_m
 
 def ageoff_filter(
     df: DataFrame,
-    now_ms: int,
+    now_ms,
     ttls: dict[str, int] | None = None,
     default_ttl_ms: int = 7 * 86_400_000,
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Query-time age-off guard: keep rows with ts >= now - ttl(metric)."""
+    """Query-time age-off guard: keep rows with ts >= now - ttl(metric).
+
+    ``now_ms`` is an epoch-ms int (the query path pins the clock per
+    request) or a Column (long-lived SQL views evaluate the clock at
+    QUERY time, not registration time)."""
+    from pyspark.sql import Column
+
+    now = now_ms if isinstance(now_ms, Column) else F.lit(now_ms)
     ttl = ttl_for_metric("metric", ttls or {}, default_ttl_ms)
-    return df.filter(F.col(ts_col) >= (F.lit(now_ms) - ttl))
+    return df.filter(F.col(ts_col) >= (now - ttl))
 
 
 def retention_delete_plan(
