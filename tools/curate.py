@@ -248,7 +248,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         )
     finally:
         staged.unpersist()
-    return {
+    stats = {
         "n_input": n_input,
         "stage_pass": {
             "gopher": int(agg["n_gopher"]),
@@ -273,6 +273,15 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "seq_len": seq_len,
         "out": out,
     }
+    if n_out:
+        # provenance manifest next to the shards: a packed corpus whose
+        # curation config/counts travel with it is reproducible; a bare
+        # directory of parquet is not
+        import json as _json
+
+        with open(os.path.join(out, "_curation_manifest.json"), "w") as f:
+            _json.dump(stats, f, indent=1, sort_keys=True)
+    return stats
 
 
 def main() -> int:
