@@ -729,3 +729,58 @@ def test_dedup_lines_matches_python_model(spark, texts):
                 seen.add(ln)
                 kept.append(ln)
         assert got[i] == ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+
+@given(
+    ref_texts=st.lists(
+        st.text(alphabet="ab c1'", min_size=2, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+    doc_texts=st.lists(
+        st.text(alphabet="ab c1'", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**SETTINGS)
+def test_lm_perplexity_matches_python_model(spark, ref_texts, doc_texts):
+    """String-mode lm_log_ppl equals an independent pure-Python Lidstone
+    bigram model on arbitrary text (apostrophes, digits, empty docs) —
+    or raises the documented error when the reference has no positions."""
+    import math
+    import re
+
+    from timely_spark.operators.perplexity import lm_log_ppl
+
+    tok = lambda t: [x for x in re.split(r"[^a-z0-9']+", t.lower()) if x]
+    ref_pos = [(v, w) for t in ref_texts for v, w in zip(tok(t), tok(t)[1:])]
+    ref = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(ref_texts)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        list(enumerate(doc_texts)), "doc_id long, text string"
+    )
+    if not ref_pos:
+        with pytest.raises(ValueError, match="no scoring positions"):
+            lm_log_ppl(docs, ref).collect()
+        return
+    from collections import Counter
+
+    c2, c1, vocab = Counter(), Counter(), set()
+    for v, w in ref_pos:
+        c2[(v, w)] += 1
+        c1[v] += 1
+        vocab.update((v, w))
+    V = len(vocab)
+    out = {r["doc_id"]: r for r in lm_log_ppl(docs, ref).collect()}
+    for i, t in enumerate(doc_texts):
+        ts = tok(t)
+        lps = [
+            math.log((c2[(v, w)] + 1.0) / (c1[v] + 1.0 * V))
+            for v, w in zip(ts, ts[1:])
+        ]
+        want = round(-sum(lps) / len(lps), 4) if lps else 0.0
+        assert out[i]["n_pos"] == len(lps)
+        assert abs(out[i]["log_ppl"] - want) < 1e-9
