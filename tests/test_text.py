@@ -887,3 +887,42 @@ def test_curate_cli_line_dedup(spark, tmp_path):
     texts = {r["text"] for r in back.collect()}
     # downstream normalize folds the newline; the repeated navs are gone
     assert f"nav {body}" in texts
+
+
+def test_curate_cli_semantic_dedup(spark, tmp_path):
+    """--semantic-dedup: docs whose embeddings are near-identical in
+    cosine collapse to the lower-id keeper; distinct embeddings all
+    survive; docs dropped earlier in the screen never veto a keeper."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    docs = spark.createDataFrame(
+        [(i, "web", f"document number {i} with plenty of ordinary words")
+         for i in range(12)],
+        ["doc_id", "source", "text"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    # embeddings: ids 10 and 11 duplicate ids 0 and 1; the rest are
+    # one-hot-ish and mutually orthogonal
+    def vec(i):
+        v = [0.0] * 8
+        v[i % 8] = 1.0
+        v[(i + 3) % 8] = 0.5 if i < 10 else 0.0
+        return v
+
+    rows = [(i, vec(i)) for i in range(10)] + [(10, vec(0)), (11, vec(1))]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=64, min_p_keep=0.0,
+        semantic_threshold=0.95,
+    )
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.collect()}
+    assert stats["n_semantic"] == len(ids)
+    assert 10 not in ids and 11 not in ids  # near-dups of 0/1 pruned
+    assert {0, 1}.issubset(ids)             # keepers survive

@@ -6,7 +6,8 @@ strips repeated lines within each doc first (``--line-dedup``), runs the
 screen pipeline (unicode normalization, Gopher hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
 mixture), optionally collapses MinHash near-dup clusters to their
-keepers (``--minhash-dedup``), optionally screens by LM perplexity against a reference
+keepers (``--minhash-dedup``) and SemDeDup embedding-space near-dups
+to their cluster keepers (``--semantic-dedup``), optionally screens by LM perplexity against a reference
 domain (``--ppl-ref``/``--max-log-ppl``), optionally trims each source
 to a quality-ranked token budget
 (``token_budget_subset``) and packs in deterministic shuffled order
@@ -58,7 +59,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            dsir_keep: int | None = None, bpe_tokens: bool = False,
            main_content: bool = False, learned_filter: bool = False,
            ppl_ref: str | None = None, max_log_ppl: float | None = None,
-           minhash_threshold: float | None = None, line_dedup: bool = False):
+           minhash_threshold: float | None = None, line_dedup: bool = False,
+           semantic_threshold: float | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -142,7 +144,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "doc_id", "source", "n_tokens", "p_keep", "text"
     )
     n_out = int(agg["n_out"])
-    n_decontaminated = n_dsir = n_ppl = n_minhash = None
+    n_decontaminated = n_dsir = n_ppl = n_minhash = n_semantic = None
     try:
         if minhash_threshold is not None and n_out:
             # fuzzy near-dup pass over the exact-dedup survivors:
@@ -163,6 +165,22 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).filter("is_keeper").select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_minhash = survivors.count()
+        if semantic_threshold is not None and n_out:
+            # SemDeDup stage: embedding-space near-dup prune over the
+            # survivors. vec_id aligns 1:1 with doc_id in the corpus
+            # layout (the embedding for doc i is row vec_id=i); pruned
+            # vectors' docs drop, their cluster keeper survives.
+            from timely_spark.operators.similarity import semantic_dedup
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            emb = emb.join(
+                survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
+            )
+            pruned = semantic_dedup(emb, threshold=semantic_threshold).select(
+                F.col("vec_id").alias("doc_id")
+            )
+            survivors = survivors.join(pruned, "doc_id", "left_anti")
+            n_out = n_semantic = survivors.count()
         if bench_path and n_out:
             # benchmark decontamination via the bloom + confirm-join
             # operator (the large-benchmark default; byte-identical to
@@ -262,6 +280,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
         "n_minhash": n_minhash,
+        "n_semantic": n_semantic,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
         "bpe_tokens": bpe_tokens,
@@ -315,6 +334,10 @@ def main() -> int:
                     dest="minhash_threshold", metavar="JACCARD",
                     help="fuzzy near-dup pass: drop non-keeper docs in MinHash "
                          "clusters at this shingle-Jaccard threshold")
+    ap.add_argument("--semantic-dedup", type=float, default=None,
+                    dest="semantic_threshold", metavar="COSINE",
+                    help="SemDeDup: drop non-keeper docs whose embeddings sit "
+                         "above this cosine to a lower-id cluster mate")
     ap.add_argument("--ppl-ref", default=None,
                     help="comma-separated source names defining the perplexity reference LM")
     ap.add_argument("--max-log-ppl", type=float, default=None,
@@ -343,7 +366,8 @@ def main() -> int:
                    learned_filter=args.learned_filter, ppl_ref=args.ppl_ref,
                    max_log_ppl=args.max_log_ppl,
                    minhash_threshold=args.minhash_threshold,
-                   line_dedup=args.line_dedup)
+                   line_dedup=args.line_dedup,
+                   semantic_threshold=args.semantic_threshold)
     print(json.dumps(stats))
     return 0
 
