@@ -774,3 +774,37 @@ def test_lm_perplexity_empty_reference_is_loud(spark):
                                 "doc_id long, text string")
     with pytest.raises(ValueError, match="no scoring positions"):
         lm_log_ppl(docs, ref).collect()
+
+
+def test_event_transitions(spark):
+    """Transition matrix: consecutive same-user events pair in event-time
+    order (event-id tiebreak), counts and outgoing probabilities match
+    the hand model; cross-user pairs never form."""
+    from timely_spark.operators.flows import event_transitions
+
+    rows = [
+        # user 1: view -> click -> view -> purchase
+        (1, 0, "view", 1), (1, 1000, "click", 2),
+        (1, 2000, "view", 3), (1, 3000, "purchase", 4),
+        # user 2: view -> view  (its last event never pairs forward)
+        (2, 0, "view", 5), (2, 1000, "view", 6),
+        # user 3: a single event: no transitions at all
+        (3, 0, "click", 7),
+        # same-ts tiebreak: event_id orders click(8) before view(9)
+        (4, 0, "click", 8), (4, 0, "view", 9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    # from 'view': click (u1), view (u2), purchase (u1) -> 1/3 each
+    # from 'click': view (u1 and u4's tiebroken pair) -> 1.0
+    assert got == {
+        ("view", "click"): (1, 0.333333),
+        ("view", "view"): (1, 0.333333),
+        ("view", "purchase"): (1, 0.333333),
+        ("click", "view"): (2, 1.0),
+    }

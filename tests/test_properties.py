@@ -784,3 +784,50 @@ def test_lm_perplexity_matches_python_model(spark, ref_texts, doc_texts):
         want = round(-sum(lps) / len(lps), 4) if lps else 0.0
         assert out[i]["n_pos"] == len(lps)
         assert abs(out[i]["log_ppl"] - want) < 1e-9
+
+
+@given(
+    buckets=st.lists(
+        st.tuples(
+            st.sampled_from([-1, 0, 1]),          # dd_sign
+            st.integers(min_value=-40, max_value=40),  # dd_idx
+            st.integers(min_value=1, max_value=9),     # cnt
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_ddsketch_quantile_walk_matches_python_model(spark, buckets, q):
+    """The value-ordered cumulative walk + rank selection equals a
+    brute-force Python model that materializes every represented value
+    and indexes the exact rank — for ANY (sign, idx, cnt) sketch."""
+    from timely_spark.operators.rollup import DD_GAMMA, ddsketch_quantile
+
+    # collapse duplicate (sign, idx) buckets like a real sketch would
+    agg = {}
+    for sgn, idx, cnt in buckets:
+        key = (sgn, idx if sgn else 0)
+        agg[key] = agg.get(key, 0) + cnt
+    rows = [("m", 0, sgn, idx, cnt) for (sgn, idx), cnt in agg.items()]
+    partials = spark.createDataFrame(
+        rows,
+        "metric string, bucket_ts long, dd_sign int, dd_idx int, cnt long",
+    )
+    pcol = f"p{int(round(q * 100)):02d}"
+    got = ddsketch_quantile(partials, 1000, 1000, qs=(q,)).collect()[0]
+
+    rep = lambda sgn, idx: (
+        0.0 if sgn == 0 else sgn * (2.0 * DD_GAMMA ** idx / (DD_GAMMA + 1.0))
+    )
+    vals = sorted(
+        v
+        for (sgn, idx), cnt in agg.items()
+        for v in [rep(sgn, idx)] * cnt
+    )
+    import math
+
+    want = round(vals[math.floor(q * (len(vals) - 1))] + 0.0, 4)
+    assert got["n"] == len(vals)
+    assert got[pcol] == pytest.approx(want, abs=1e-9)
