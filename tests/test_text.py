@@ -926,3 +926,75 @@ def test_curate_cli_semantic_dedup(spark, tmp_path):
     assert stats["n_semantic"] == len(ids)
     assert 10 not in ids and 11 not in ids  # near-dups of 0/1 pruned
     assert {0, 1}.issubset(ids)             # keepers survive
+
+
+def test_c4_rules_cross_engine(spark):
+    """C4 hard filters: each rule exercised by a targeted doc, and the
+    Spark expressions hash-match the DuckDB mirror value-for-value (the
+    same oracle-grade parity the registry rows get, run in-test)."""
+    import duckdb
+    import pandas as pd
+
+    from timely_spark.operators.text import c4_rules, c4_rules_sql
+
+    good_line = "This is a perfectly ordinary sentence with many words."
+    docs_rows = [
+        (1, "\n".join([good_line] * 3)),                   # passes
+        (2, "\n".join([good_line] * 2)),                   # < 3 sentences
+        (3, "\n".join([good_line] * 3) + "\nLorem Ipsum dolor"),  # lorem
+        (4, "\n".join([good_line] * 3) + "\nenable JavaScript now."),
+        (5, "\n".join([good_line] * 3) + "\nif (x) { return; }"),
+        (6, "short line.\nno terminal punct here\n" + good_line),  # 1 kept
+        (7, ""),                                            # empty
+        (8, None),                                          # NULL text
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_rules(docs).collect()}
+    assert got[1]["c4_pass"] is True
+    assert got[2]["c4_pass"] is False and got[2]["n_sentence_lines"] == 2
+    assert got[3]["has_lorem"] and not got[3]["c4_pass"]
+    assert got[4]["has_javascript"] and not got[4]["c4_pass"]
+    assert got[5]["has_brace"] and not got[5]["c4_pass"]
+    assert got[6]["n_sentence_lines"] == 1 and not got[6]["c4_pass"]
+    assert got[7]["c4_pass"] is False and got[8]["c4_pass"] is False
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs_rows, columns=["doc_id", "text"]),
+    )
+    oracle = {
+        int(r["doc_id"]): {k: r[k] for k in got[1]}
+        for _, r in con.execute(c4_rules_sql()).fetchdf().iterrows()
+    }
+    for did, row in got.items():
+        for k, v in row.items():
+            assert bool(oracle[did][k]) == bool(v) if isinstance(v, bool) \
+                else oracle[did][k] == v, (did, k, v, oracle[did][k])
+
+
+def test_curate_cli_c4_gate(spark, tmp_path):
+    """--c4: docs failing the C4 form rules (code braces, too few
+    terminal-punctuation sentences) drop; prose passes."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    prose = "\n".join(
+        ["This line is a perfectly ordinary sentence with many words."] * 4
+    )
+    rows = [
+        (1, "web", prose),
+        (2, "web", prose + "\nfunction f() { return 1; }"),  # brace
+        (3, "web", "no punctuation here at all"),            # 0 sentences
+    ]
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = str(tmp_path / "packed")
+    stats = curate(spark, str(tmp_path), out, seq_len=64, min_p_keep=0.0,
+                   c4=True)
+    assert stats["stage_pass"]["c4"] == 1
+    back = spark.read.parquet(out)
+    assert {r["doc_id"] for r in back.collect()} == {1}

@@ -955,3 +955,86 @@ def dedup_lines(text_col: str | Column = "text") -> dict[str, Column]:
         "n_removed": (F.size(arr) - F.size(kept)).cast("long"),
     }
 
+
+
+# ------------------------- C4-style hard filters -------------------------
+
+# Raffel et al. 2020 §2.2 (the C4 cleaning heuristics), restricted to the
+# document-level rules (line-level retention is dedup_lines' job):
+#   - keep only lines ending in terminal punctuation, then require >= 3
+#     retained lines ("sentences")
+#   - drop docs containing 'lorem ipsum' or the word 'javascript'
+#     (boilerplate / script-warning pages)
+#   - drop docs containing '{' (code leakage into prose corpora)
+#   - retained-line floor of 5 words
+_C4_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def c4_signals(text_col: str | Column = "text") -> dict[str, Column]:
+    c = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
+    )
+    lines = F.split(c, "\n")
+    terminal = lambda l: (  # noqa: E731
+        F.substring(F.trim(l), -1, 1).isin(*_C4_TERMINAL)
+    )
+    wordy = lambda l: F.size(F.split(F.trim(l), r"\s+")) >= 5  # noqa: E731
+    kept = F.filter(lines, lambda l: terminal(l) & wordy(l))
+    lower = F.lower(c)
+    sig = {
+        "n_lines": F.size(lines),
+        "n_sentence_lines": F.size(kept),
+        "has_lorem": lower.contains("lorem ipsum"),
+        "has_javascript": lower.rlike("(^|[^a-z])javascript([^a-z]|$)"),
+        "has_brace": c.contains("{"),
+    }
+    sig["c4_pass"] = (
+        (sig["n_sentence_lines"] >= 3)
+        & ~sig["has_lorem"]
+        & ~sig["has_javascript"]
+        & ~sig["has_brace"]
+    )
+    return sig
+
+
+def c4_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 hard accept/reject signals + pass flag (Raffel et al. 2020
+    §2.2, document-level subset). Pure Column expressions — no shuffle
+    at any corpus size; the natural sibling of :func:`gopher_rules`
+    (C4 screens form, Gopher screens statistics)."""
+    sig = c4_signals(text_col)
+    return df.select(
+        F.col(id_col),
+        sig["n_lines"].cast("long").alias("n_lines"),
+        sig["n_sentence_lines"].cast("long").alias("n_sentence_lines"),
+        sig["has_lorem"].alias("has_lorem"),
+        sig["has_javascript"].alias("has_javascript"),
+        sig["has_brace"].alias("has_brace"),
+        sig["c4_pass"].alias("c4_pass"),
+    )
+
+
+def c4_rules_sql(c: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`c4_rules` (kept in lockstep — the parity
+    test runs both engines over the same rows)."""
+    cc = f"coalesce({c}, '')"
+    lines = f"string_split({cc}, chr(10))"
+    kept = (
+        f"list_filter({lines}, l -> "
+        "list_contains(['.', '!', '?', '\"', ''''], right(trim(l), 1)) "
+        "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5)"
+    )
+    return f"""
+SELECT {id_col},
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(len({kept}) AS BIGINT) AS n_sentence_lines,
+       contains(lower({cc}), 'lorem ipsum') AS has_lorem,
+       regexp_matches(lower({cc}), '(^|[^a-z])javascript([^a-z]|$)') AS has_javascript,
+       contains({cc}, '{{') AS has_brace,
+       len({kept}) >= 3
+         AND NOT contains(lower({cc}), 'lorem ipsum')
+         AND NOT regexp_matches(lower({cc}), '(^|[^a-z])javascript([^a-z]|$)')
+         AND NOT contains({cc}, '{{') AS c4_pass
+FROM documents"""

@@ -3,7 +3,7 @@
 
 Reads ``documents.parquet`` from a scale-factor directory, optionally
 strips repeated lines within each doc first (``--line-dedup``), runs the
-screen pipeline (unicode normalization, Gopher hard rules, linear
+screen pipeline (unicode normalization, Gopher and C4 hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
 mixture), optionally collapses MinHash near-dup clusters to their
 keepers (``--minhash-dedup``) and SemDeDup embedding-space near-dups
@@ -53,7 +53,7 @@ def load_documents(spark, path: str, fmt: str = "parquet",
 
 
 def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float = 0.4,
-           gopher: bool = False, fmt: str = "parquet",
+           gopher: bool = False, c4: bool = False, fmt: str = "parquet",
            token_budget: int | None = None, shuffle_seed: str | None = None,
            bench_path: str | None = None, dsir_target: str | None = None,
            dsir_keep: int | None = None, bpe_tokens: bool = False,
@@ -83,9 +83,12 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     n_input = docs.count()
 
     sig = gopher_signals("text")
+    from timely_spark.operators.text import c4_signals
+
     normed = docs.select(
         "doc_id", "source", normalize_text("text").alias("text"),
         sig["gopher_pass"].alias("gopher_pass"),
+        c4_signals("text")["c4_pass"].alias("c4_pass"),
     )
     weights = None
     if learned_filter:
@@ -131,10 +134,15 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         # the Gopher stopword/word-count rules assume natural-language
         # prose; off by default so synthetic/code corpora survive
         keep = keep & F.col("gopher_pass")
+    if c4:
+        # C4 form rules (terminal-punctuation sentences, lorem/js/brace
+        # screens) — likewise prose-shaped, off by default
+        keep = keep & F.col("c4_pass")
     # one job: per-stage pass counts + the final decision
     agg = staged.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("gopher_pass").cast("long")).alias("n_gopher"),
+        F.sum(F.col("c4_pass").cast("long")).alias("n_c4"),
         F.sum(F.col("is_keeper").cast("long")).alias("n_keepers"),
         F.sum(F.col("kept").cast("long")).alias("n_mixture"),
         F.sum((F.col("p_keep") >= min_p_keep).cast("long")).alias("n_clf"),
@@ -270,12 +278,14 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "n_input": n_input,
         "stage_pass": {
             "gopher": int(agg["n_gopher"]),
+            "c4": int(agg["n_c4"]),
             "dedup_keeper": int(agg["n_keepers"]),
             "mixture": int(agg["n_mixture"]),
             "classifier": int(agg["n_clf"]),
             "screen": int(agg["n_out"]),
         },
         "gopher_gate": gopher,
+        "c4_gate": c4,
         "line_dedup": line_dedup,
         "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
@@ -314,6 +324,9 @@ def main() -> int:
     ap.add_argument("--min-p-keep", type=float, default=0.4)
     ap.add_argument("--gopher", action="store_true",
                     help="also require the Gopher natural-language rules")
+    ap.add_argument("--c4", action="store_true",
+                    help="also require the C4 form rules (terminal-punct "
+                         "sentences, lorem/javascript/brace screens)")
     ap.add_argument("--format", default="parquet",
                     choices=["parquet", "jsonl", "warc"],
                     help="corpus source format (parquet expects <dir>/documents.parquet)")
@@ -358,7 +371,7 @@ def main() -> int:
     # keyword args throughout: a parameter inserted mid-signature must
     # fail loudly, not silently rebind its positional neighbors
     stats = curate(spark, args.sf_dir, out, seq_len=args.seq_len,
-                   min_p_keep=args.min_p_keep, gopher=args.gopher,
+                   min_p_keep=args.min_p_keep, gopher=args.gopher, c4=args.c4,
                    fmt=args.format, token_budget=args.token_budget,
                    shuffle_seed=args.shuffle_seed, bench_path=args.bench_path,
                    dsir_target=args.dsir_target, dsir_keep=args.dsir_keep,
