@@ -808,3 +808,10 @@ def test_event_transitions(spark):
         ("view", "purchase"): (1, 0.333333),
         ("click", "view"): (2, 1.0),
     }
+    # no tiebreak column: falls back to type-name ordering, still
+    # deterministic (u4's same-ts pair orders click -> view)
+    got2 = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(ev.drop("event_id")).collect()
+    }
+    assert got2[("click", "view")] == 2

@@ -947,6 +947,11 @@ def test_c4_rules_cross_engine(spark):
         (6, "short line.\nno terminal punct here\n" + good_line),  # 1 kept
         (7, ""),                                            # empty
         (8, None),                                          # NULL text
+        # CRLF corpus: \r on every line must NOT defeat the terminal
+        # check (review finding: trim() strips spaces only)
+        (9, "\r\n".join([good_line] * 3)),
+        # leading tab: the empty split token must not count as a word
+        (10, "\n".join(["\tOnly four words here."] * 3)),
     ]
     docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
     got = {r["doc_id"]: r.asDict() for r in c4_rules(docs).collect()}
@@ -957,6 +962,8 @@ def test_c4_rules_cross_engine(spark):
     assert got[5]["has_brace"] and not got[5]["c4_pass"]
     assert got[6]["n_sentence_lines"] == 1 and not got[6]["c4_pass"]
     assert got[7]["c4_pass"] is False and got[8]["c4_pass"] is False
+    assert got[9]["c4_pass"] is True      # CRLF lines still sentences
+    assert got[10]["n_sentence_lines"] == 0  # 4 real words < 5-word floor
 
     con = duckdb.connect()
     con.register(
@@ -998,3 +1005,10 @@ def test_curate_cli_c4_gate(spark, tmp_path):
     assert stats["stage_pass"]["c4"] == 1
     back = spark.read.parquet(out)
     assert {r["doc_id"] for r in back.collect()} == {1}
+    # the provenance manifest lands next to the shards and round-trips
+    import json
+    import os
+
+    m = json.load(open(os.path.join(out, "_curation_manifest.json")))
+    assert m["n_survivors"] == stats["n_survivors"] == 1
+    assert m["c4_gate"] is True

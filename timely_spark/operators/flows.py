@@ -36,6 +36,11 @@ def event_transitions(
     order = [F.col(ts_col)]
     if tiebreak_col and tiebreak_col in events.columns:
         order.append(F.col(tiebreak_col))
+    else:
+        # no id column: fall back to the type name so same-timestamp
+        # events still order deterministically (identical (ts, type)
+        # rows are interchangeable — any order gives the same counts)
+        order.append(F.col(type_col))
     w = Window.partitionBy(user_col).orderBy(*order)
     pairs = (
         events.withColumn("__next", F.lead(type_col).over(w))

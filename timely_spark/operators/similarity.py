@@ -271,12 +271,20 @@ def kmeans_assign(
 
     Output: (centroid_id, n_assigned, mean_cosine).
     """
+    # centroids = the k LOWEST ids PRESENT (not `id < k`: callers feed
+    # pre-filtered frames — screen survivors, hash ids — whose id space
+    # need not contain 0..k-1; on the dense-id registry corpus the two
+    # selections are identical). Deterministic for any id space.
     cents = (
-        emb.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not cents:
+        # empty input: no clusters, no prunes — an empty result, not an
+        # np.stack crash
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, centroid_id long, dup_of long, cosine double",
+        )
     scored = F.array(
         *[
             F.struct(
@@ -346,12 +354,20 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    # centroids = the k LOWEST ids PRESENT (not `id < k`: callers feed
+    # pre-filtered frames — screen survivors, hash ids — whose id space
+    # need not contain 0..k-1; on the dense-id registry corpus the two
+    # selections are identical). Deterministic for any id space.
     cents = (
-        emb.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
+        emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if not cents:
+        # empty input: no clusters, no prunes — an empty result, not an
+        # np.stack crash
+        return emb.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, centroid_id long, dup_of long, cosine double",
+        )
     # centroid matrix rides the task closure (k x d floats — tiny),
     # NOT a k*d-literal Catalyst expression: at k=32 the literal tree's
     # per-query analysis cost dwarfed the actual execution

@@ -975,10 +975,17 @@ def c4_signals(text_col: str | Column = "text") -> dict[str, Column]:
         F.col(text_col) if isinstance(text_col, str) else text_col, F.lit("")
     )
     lines = F.split(c, "\n")
+    # rstrip ALL whitespace (CRLF corpora leave \r on every line; trim()
+    # strips spaces only) before the terminal-punctuation check
+    rstripped = lambda l: F.regexp_replace(l, r"\s+$", "")  # noqa: E731
     terminal = lambda l: (  # noqa: E731
-        F.substring(F.trim(l), -1, 1).isin(*_C4_TERMINAL)
+        F.substring(rstripped(l), -1, 1).isin(*_C4_TERMINAL)
     )
-    wordy = lambda l: F.size(F.split(F.trim(l), r"\s+")) >= 5  # noqa: E731
+    # empty tokens excluded: a leading tab would otherwise inflate the
+    # count by one (the same w != '' guard gopher_signals uses)
+    wordy = lambda l: (  # noqa: E731
+        F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")) >= 5
+    )
     kept = F.filter(lines, lambda l: terminal(l) & wordy(l))
     lower = F.lower(c)
     sig = {
@@ -1023,8 +1030,10 @@ def c4_rules_sql(c: str = "text", id_col: str = "doc_id") -> str:
     lines = f"string_split({cc}, chr(10))"
     kept = (
         f"list_filter({lines}, l -> "
-        "list_contains(['.', '!', '?', '\"', ''''], right(trim(l), 1)) "
-        "AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5)"
+        "list_contains(['.', '!', '?', '\"', ''''], "
+        "right(regexp_replace(l, '\\s+$', ''), 1)) "
+        "AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), "
+        "w -> w <> '')) >= 5)"
     )
     return f"""
 SELECT {id_col},

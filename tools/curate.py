@@ -67,6 +67,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     from timely_spark.operators.mixture import domain_mixture
     from timely_spark.operators.pack import write_packed_corpus
     from timely_spark.operators.text import (
+        c4_signals,
         classifier_score,
         gopher_signals,
         normalize_text,
@@ -83,8 +84,6 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     n_input = docs.count()
 
     sig = gopher_signals("text")
-    from timely_spark.operators.text import c4_signals
-
     normed = docs.select(
         "doc_id", "source", normalize_text("text").alias("text"),
         sig["gopher_pass"].alias("gopher_pass"),
@@ -306,10 +305,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         # provenance manifest next to the shards: a packed corpus whose
         # curation config/counts travel with it is reproducible; a bare
         # directory of parquet is not
-        import json as _json
-
         with open(os.path.join(out, "_curation_manifest.json"), "w") as f:
-            _json.dump(stats, f, indent=1, sort_keys=True)
+            json.dump(stats, f, indent=1, sort_keys=True)
     return stats
 
 
