@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "media_video_near_dup",
+    "doc_corpus_ingest",
+    "media_caption_dedup",
 ]
 
 
