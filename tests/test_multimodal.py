@@ -639,3 +639,60 @@ def test_audio_near_dups_planted(spark):
     fpairs = {(r["id_a"], r["id_b"])
               for r in audio_near_dups(fm, fake=True).collect()}
     assert fpairs == {(1, 2)}
+
+
+def test_gif_decode_roundtrip():
+    """From-scratch GIF87a/89a decode: pinned palette+indices decode to
+    EXACT pixel values (independent LZW encoder vs decoder); seeded
+    fixtures round-trip across shapes spanning every LZW code width;
+    interlaced frames stay the labeled stub."""
+    from timely_spark.operators.multimodal import _decode_gif, make_gif
+
+    # pixel-exact: black/white checker, 4x2, known mean luma
+    # 4-entry table (the spec's 2-bit LZW floor); colors 2-3 unused
+    pal = bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0])
+    idx = [0, 1, 1, 0, 1, 0, 0, 1]
+    w, h, ch, ml, _p, _d = _decode_gif(
+        make_gif(4, 2, n_colors=2, palette=pal, indices=idx)
+    )
+    assert (w, h, ch) == (4, 2, 3)
+    assert ml == pytest.approx(0.5)  # half the pixels white
+
+    for seed in range(3):
+        for shape in ((1, 1), (7, 5), (64, 64), (120, 90)):
+            out = _decode_gif(make_gif(*shape, seed=seed))
+            assert (out[0], out[1]) == shape
+    # deterministic; different seeds diverge
+    a = _decode_gif(make_gif(32, 32, seed=1))
+    assert a == _decode_gif(make_gif(32, 32, seed=1))
+    assert a[4] != _decode_gif(make_gif(32, 32, seed=2))[4]
+
+    # interlace flag: labeled NotImplementedError
+    g = bytearray(make_gif(8, 8, seed=0))
+    desc = g.index(0x2C, 13)
+    g[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_gif(bytes(g))
+
+    # truncated pixel data: clean rejection
+    full = make_gif(32, 32, seed=3)
+    with pytest.raises(ValueError):
+        _decode_gif(full[: len(full) // 2])
+
+
+def test_gif_through_image_features(spark):
+    """GIF payloads flow through extract_image_features next to
+    BMP/PNG/JPEG — same schema, real decode."""
+    from timely_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        make_gif,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/gif", make_gif(24, 16, seed=5), None)],
+        MEDIA_SCHEMA,
+    )
+    r = extract_image_features(media).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (24, 16, 3)
+    assert r["phash"] is not None and r["dct_phash"] is not None

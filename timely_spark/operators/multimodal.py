@@ -247,6 +247,123 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, float, int, int]:
     return width, height, n_ch, mean_luma, phash, dct
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expect: int):
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width starting at min_code_size+1, clear/EOI codes, dictionary grows
+    to 4096 entries. Returns exactly ``expect`` palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader: LSB-first across the byte stream
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return eoi  # truncated stream: stop cleanly
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: tuple[int, ...] | None = None
+    next_code = eoi + 1
+    while len(out) < expect:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expect:
+        raise ValueError("truncated GIF pixel data")
+    return out[:expect]
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, float, int, int]:
+    """Real decode of a non-interlaced GIF87a/89a first frame: logical
+    screen descriptor, global/local color table, from-scratch LZW
+    (variable code width, clear/EOI, KwKwK) — stdlib + numpy only, the
+    same feature tail as BMP/PNG/JPEG. Interlaced frames stay a labeled
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, ip = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if ip & 0x80:  # local color table
+                n = 2 << (ip & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ip & 0x40:
+                raise NotImplementedError("interlaced GIF frames")
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            px = ct[np.asarray(idx, dtype=np.int32) % len(ct)].astype(np.float64)
+            luma = (
+                0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]
+            ).reshape(h, w)
+            mean_luma, phash, dct = _luma_stats(luma)
+            return int(w), int(h), 3, mean_luma, phash, dct
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF without an image descriptor")
+
+
 def _decode_jpeg(payload: bytes) -> tuple[int, int, int, float, int, int]:
     """Real decode of a baseline JPEG via :mod:`.jpeg` (pure numpy T.81
     Huffman + inverse DCT); features come off the reconstructed luma
@@ -666,6 +783,89 @@ def make_mp4(duration_s: float, width: int = 640, height: int = 360,
     return ftyp + moov
 
 
+def make_gif(width: int, height: int, seed: int = 0,
+             n_colors: int = 16, palette: bytes | None = None,
+             indices: list[int] | None = None) -> bytes:
+    """Deterministic GIF89a fixture: a seeded palette + pixel pattern
+    (or caller-pinned ``palette``/``indices`` for pixel-exact tests),
+    REAL LZW compression (variable code width, clear/EOI) so the
+    decoder's full code path executes."""
+    import struct
+
+    # palette + pixel indices, seeded LCG
+    M = (1 << 64) - 1
+    x = (seed * 6364136223846793005 + 1442695040888963407) & M
+
+    def rnd(mod):
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) & M
+        return (x >> 33) % mod
+
+    # spec floor: LZW min code size is >= 2 (GIF89a appendix F) — a
+    # 1-bit code space makes clear/EOI collide with the first dynamic
+    # code's width window
+    bits = max(2, (n_colors - 1).bit_length())
+    size = 1 << bits
+    pal = palette if palette is not None else bytes(
+        rnd(256) for _ in range(size * 3)
+    )
+    assert len(pal) == size * 3, "palette must cover the color-table size"
+    idx = (
+        list(indices)
+        if indices is not None
+        else [rnd(n_colors) for _ in range(width * height)]
+    )
+    assert len(idx) == width * height
+
+    # GIF-variant LZW encode
+    clear = 1 << bits
+    eoi = clear + 1
+    codewidth = bits + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits: list[int] = []
+
+    def emit(code, w):
+        for i in range(w):
+            out_bits.append((code >> i) & 1)
+
+    emit(clear, codewidth)
+    buf: tuple[int, ...] = ()
+    for p in idx:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], codewidth)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder's dictionary lags ours by ONE entry (it adds
+            # entry k only after reading code k+1), so widen one code
+            # later than the table size alone would suggest
+            if next_code == (1 << codewidth) + 1 and codewidth < 12:
+                codewidth += 1
+        buf = (p,)
+    if buf:
+        emit(table[buf], codewidth)
+    emit(eoi, codewidth)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+
+    head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    sub = bytearray([bits])
+    for i in range(0, len(by), 255):
+        chunk = by[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    return head + pal + desc + bytes(sub) + b"\x3b"
+
+
 def make_avi_mjpeg(
     n_frames: int,
     width: int = 64,
@@ -768,9 +968,12 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     rows.append((int(mid), *_decode_png(bytes(payload))))
                 elif payload is not None and bytes(payload[:2]) == b"\xff\xd8":
                     rows.append((int(mid), *_decode_jpeg(bytes(payload))))
+                elif payload is not None and bytes(payload[:6]) in _GIF_SIGS:
+                    rows.append((int(mid), *_decode_gif(bytes(payload))))
                 else:
                     raise NotImplementedError(
-                        "only BMP, non-interlaced 8-bit PNG, and baseline JPEG "
+                        "only BMP, non-interlaced 8-bit PNG, baseline JPEG, and "
+                        "non-interlaced GIF "
                         "decode in-container (run with fake=True to exercise "
                         "the pipeline for other formats)"
                     )
