@@ -514,6 +514,8 @@ PLAN_CHANGED_THIS_ROUND = {
     "emb_ivfpq_rerank",  # new this round: IVFADC + exact refine (rows-only)
     "ts_streaming_ddsketch",  # new this round: bounded-state streaming quantiles
     "media_features",  # this round: dct_phash column added to the decode schema
+    "media_near_dup",  # this round: GIF rows joined the synthetic image cycle
+    "media_caption_dedup",  # this round: same fixture change
 }
 
 

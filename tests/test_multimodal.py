@@ -227,8 +227,9 @@ def test_png_unsupported_variants_are_loud():
 
 
 def test_image_features_mixed_bmp_png_jpeg(spark):
-    """synthetic_media cycles BMP / PNG / baseline-JPEG image rows; the
-    feature extractor dispatches per payload and decodes ALL for real."""
+    """synthetic_media cycles BMP / PNG / baseline-JPEG / GIF image rows;
+    the feature extractor dispatches per payload and decodes ALL for
+    real."""
     from timely_spark.operators.multimodal import (
         extract_image_features,
         synthetic_media,
@@ -239,7 +240,9 @@ def test_image_features_mixed_bmp_png_jpeg(spark):
         r["media_id"]: r["mime"]
         for r in media.filter("kind = 'image'").select("media_id", "mime").collect()
     }
-    assert set(mimes.values()) == {"image/bmp", "image/png", "image/jpeg"}
+    assert set(mimes.values()) == {
+        "image/bmp", "image/png", "image/jpeg", "image/gif"
+    }
     rows = extract_image_features(media).collect()
     assert len(rows) == len(mimes)
     for r in rows:

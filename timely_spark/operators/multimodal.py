@@ -1419,14 +1419,17 @@ def synthetic_media(spark, n: int = 64, real: bool = True) -> DataFrame:
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        if real and kind == "image" and (i // 3) % 3 == 1:
-            # image rows cycle BMP / PNG / baseline-JPEG payloads
+        if real and kind == "image" and (i // 3) % 4 == 1:
+            # image rows cycle BMP / PNG / baseline-JPEG / GIF payloads
             payload = make_png(16 + i % 48, 16 + (i * 3) % 48, seed=i)
             mime = "image/png"
-        elif real and kind == "image" and (i // 3) % 3 == 2:
+        elif real and kind == "image" and (i // 3) % 4 == 2:
             payload = make_jpeg(16 + i % 48, 16 + (i * 3) % 48, seed=i,
                                 subsampling=("444", "420", "gray")[(i // 9) % 3])
             mime = "image/jpeg"
+        elif real and kind == "image" and (i // 3) % 4 == 3:
+            payload = make_gif(16 + i % 48, 16 + (i * 3) % 48, seed=i)
+            mime = "image/gif"
         elif real and kind == "image":
             payload = make_bmp(16 + i % 48, 16 + (i * 3) % 48, seed=i)
             mime = "image/bmp"
