@@ -7,10 +7,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from timely_spark.session import get_spark
 
-    s = get_spark("timely-tests", master="local[4]")
+    s = get_spark(
+        "timely-tests",
+        master="local[4]",
+        warehouse_dir=str(tmp_path_factory.mktemp("spark-warehouse")),
+    )
     s.conf.set("spark.sql.shuffle.partitions", "4")
     yield s
     s.stop()

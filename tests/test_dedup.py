@@ -176,7 +176,12 @@ def test_bloom_decontaminate_matches_exact(spark):
     )
 
     bench = spark.createDataFrame(
-        [(0, "the quick brown fox jumps over the lazy dog")],
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            # ADVICE r5: apostrophe/underscore-bearing bench text pins the
+            # unified tokenizer through the bloom shingle path
+            (10, "don't count what you can't measure in snake_case land"),
+        ],
         "doc_id long, text string",
     )
     docs = spark.createDataFrame(
@@ -184,6 +189,7 @@ def test_bloom_decontaminate_matches_exact(spark):
             (1, "totally unrelated text about spark plans and shuffles"),
             (2, "i saw the quick brown fox jumps over stuff yesterday"),
             (3, "the quick brown fox jumps over the lazy dog indeed"),
+            (4, "they don't count what you can't measure around here"),
         ],
         "doc_id long, text string",
     )
@@ -204,6 +210,16 @@ def test_bloom_decontaminate_matches_exact(spark):
     assert got_lit == want
     assert got_udf == want
     assert want[1][2] and want[2][2] and not want[0][2]
+    # doc 4 shares the 4-gram "don't count what you" etc. with bench 10:
+    # contamination detected THROUGH apostrophe-bearing shingles
+    assert want[3][0] == 4 and want[3][2] and want[3][1] > 0
+    # ADVICE r5: the bench-shingle cache must not outlive the operator —
+    # re-running the whole thing leaves the persisted-RDD set unchanged
+    # (relative compare: other fixtures may legitimately hold caches)
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    bloom_decontaminate(docs, bench, n=4).collect()
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_bloom_bitset_shape(spark):
@@ -308,3 +324,107 @@ def test_chunk_dedup_rewrite(spark):
     assert out[3]["dedup_text"] == uniq(3)
     assert out[4]["dedup_text"] == "" and out[4]["n_kept"] == 0
     assert out[5]["n_chunks"] == 0 and out[5]["dedup_text"] == ""
+
+
+# ---------------------------------------------------- tokenizer contract
+
+
+def test_tokenizer_contract_apostrophes_underscores(spark):
+    """ADVICE r5 (medium): the Spark-side tokenizer and the DuckDB oracle
+    dialect must agree on apostrophe/underscore text. dedup._tokens now
+    delegates to text.tokens ([^a-z0-9']+: apostrophes kept inside
+    tokens, underscores split) and TOKENS_SQL mirrors it — pinned here on
+    text the synthetic corpus never contains."""
+    import duckdb
+
+    from timely_spark.operators.dedup import _tokens
+    from timely_spark.operators.text import TOKENS_SQL, tokens
+
+    rows = [
+        (1, "don't stop believin'"),
+        (2, "snake_case_name and __dunder__ too"),
+        (3, "it's the CAT'S house; o'clock strikes 9"),
+        (4, "mixed don't_stop cases"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_tokens = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", tokens("text").alias("t")).collect()
+    }
+    dedup_tokens = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", _tokens("text").alias("t")).collect()
+    }
+    assert dedup_tokens == spark_tokens  # ONE contract, not two dialects
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {TOKENS_SQL.format(c='text')} FROM d"
+        ).fetchall()
+    )
+    assert duck == spark_tokens
+    # the fixture exercises both characters: apostrophes kept, _ split
+    assert spark_tokens[1] == ["don't", "stop", "believin'"]
+    assert spark_tokens[2] == ["snake", "case", "name", "and", "dunder", "too"]
+
+
+def test_dsir_oracle_parity_on_apostrophe_text(spark):
+    """ADVICE r5: DSIR feature extraction vs its DuckDB oracle on
+    apostrophe/underscore-bearing docs — the exact divergence the old
+    \\W+ tokenizer hid. Value-exact cross-engine compare of
+    (n_feats, log_weight) per doc."""
+    import duckdb
+
+    from timely_spark.operators.dsir import dsir_log_weights
+    from timely_spark.operators.text import TOKENS_SQL
+
+    rows = [
+        (1, "src0", "don't shuffle what you can't broadcast"),
+        (2, "src0", "snake_case identifiers don't tokenize like words"),
+        (3, "src2", "the quick brown fox can't jump the lazy_dog fence"),
+        (4, "src2", "don't shuffle what you can't broadcast"),
+        (5, "src2", ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = docs.filter(F.col("source") == "src0")
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_weight"])
+        for r in dsir_log_weights(docs, target, hash_buckets=None).collect()
+    }
+    toks = TOKENS_SQL.format(c="text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = {
+        d: (n, w)
+        for d, n, w in con.execute(f"""
+WITH tk AS (SELECT doc_id, source, {toks} AS t FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(t) AS f FROM tk
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+  FROM tk),
+qc AS (SELECT f, count(*) AS c FROM feats GROUP BY 1),
+pc AS (SELECT f, count(*) AS cp FROM feats WHERE source = 'src0' GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM qc) AS tq,
+               (SELECT count(*) FROM qc) AS v,
+               (SELECT coalesce(sum(cp), 0) FROM pc) AS tp),
+fw AS (SELECT qc.f,
+              ln((coalesce(pc.cp, 0) + 1.0) / (tot.tp + tot.v))
+              - ln((qc.c + 1.0) / (tot.tq + tot.v)) AS lw
+       FROM qc LEFT JOIN pc ON qc.f = pc.f CROSS JOIN tot),
+scored AS (
+  SELECT feats.doc_id, count(*) AS n_feats,
+         CAST(round(sum(CAST(lw AS DECIMAL(38,12))), 4) AS DOUBLE) AS log_weight
+  FROM feats JOIN fw ON feats.f = fw.f GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""").fetchall()
+    }
+    assert got == want

@@ -682,6 +682,20 @@ def test_gif_decode_roundtrip():
     with pytest.raises(ValueError):
         _decode_gif(full[: len(full) // 2])
 
+    # out-of-range color-table reference: rejected, never wrapped
+    # (ADVICE r5: the old `% len(ct)` silently accepted corrupt indices).
+    # Build an 8-color GIF whose pixels use indices 4..7, then shrink the
+    # declared GCT to 4 entries and splice out the now-unclaimed palette
+    # bytes so parsing stays aligned — the LZW stream still decodes
+    # (min_code=3 roots cover 0..7) but indices 4..7 exceed the table.
+    g8 = bytearray(make_gif(8, 1, n_colors=8,
+                            indices=[0, 1, 2, 3, 4, 5, 6, 7]))
+    assert g8[10] & 0x07 == 2  # 2^(2+1) = 8-entry GCT
+    g8[10] = (g8[10] & ~0x07) | 0x01  # declare 4 entries instead
+    del g8[13 + 4 * 3 : 13 + 8 * 3]  # drop palette entries 4..7
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_gif(bytes(g8))
+
 
 def test_gif_through_image_features(spark):
     """GIF payloads flow through extract_image_features next to

@@ -134,6 +134,41 @@ def test_corrupt_lines_side_output(spark):
     assert sorted(r["line"] for r in bad.collect()) == ["garbage", "put m xx 1.0"]
 
 
+def test_bucketed_write_survives_stale_warehouse_dir(spark, tmp_path):
+    """VERDICT r5 item #1: a fresh Derby metastore makes DROP TABLE a
+    no-op while the old spark-warehouse/<table> directory survives, so
+    saveAsTable used to die with LOCATION_ALREADY_EXISTS. The writer now
+    clears an orphaned location (dir exists, catalog says table doesn't)
+    before writing — a pre-polluted warehouse must not fail the write."""
+    import os
+    from urllib.parse import urlparse
+
+    from timely_spark.sources.store import write_points_bucketed
+
+    table = "ts_stale_warehouse_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, table)
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-stale.parquet"), "wb") as f:
+        f.write(b"\x00not a real parquet file")  # simulate prior session debris
+    b = 1_447_767_913_000
+    pts = parse_lines_df(
+        spark.createDataFrame(
+            [(f"put m {b + i * 1000} {float(i)} host=h1",) for i in range(5)],
+            ["value"],
+        )
+    )
+    try:
+        write_points_bucketed(pts, table, n_buckets=2)
+        assert spark.table(table).count() == 5
+        # append into the now-owned table still works (guard is a no-op)
+        write_points_bucketed(pts, table, n_buckets=2, mode="append")
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_bucketed_store_shuffle_free_rate(spark, tmp_path):
     """Series-bucketed layout: the rate window's distribution is satisfied
     by the bucketed scan — zero Exchange in the physical plan, and values

@@ -669,6 +669,10 @@ def test_boilerplate_sql_parity(spark):
         (5, f"<td>{prose}</td><tr>{prose} extra</tr>"),
         (6, ""),
         (7, f"<p>{prose} <a href=x>two words</a> {prose}</p>"),  # low density: keep
+        # ADVICE r5: <abbr>/<address>/<audio> are NOT anchors — their
+        # content must not count as link text (the old <a[^>]*> matched them)
+        (8, f"<p><abbr>NASA</abbr> <address>HQ</address> {prose}</p>"),
+        (9, f"<p><a >{prose}</a> tail words</p>"),               # space-attr anchor still drops
     ]
     df = spark.createDataFrame(cases, "doc_id long, text string")
     got = {r["doc_id"]: r["main"] for r in
@@ -679,6 +683,9 @@ def test_boilerplate_sql_parity(spark):
         f"SELECT doc_id, {main_text_sql('text')} AS m FROM t"
     ).fetchall())
     assert got == want
+    # behavioral pins (parity alone can't catch a shared-regex bug):
+    assert got[8] == f"NASA HQ {prose}"   # abbr/address content is prose
+    assert got[9] == ""                   # real anchor with space-attr drops
 
 
 def test_warc_reader_main_content(spark, tmp_path):

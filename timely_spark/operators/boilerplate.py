@@ -33,7 +33,10 @@ _BLOCK_SPLIT = (
     r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|br|section|article"
     r"|header|footer|nav|blockquote)[^>]*>"
 )
-_ANCHOR = r"(?is)<a[^>]*>(.*?)</a>"
+# word boundary after the tag name: bare `<a[^>]*>` also matched <abbr>,
+# <address>, <area>, <audio>, counting their content as link text and
+# inflating link density (ADVICE r5) — only a real anchor qualifies
+_ANCHOR = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 _SCRIPT = r"(?is)<script[^>]*>.*?</script>"
 _STYLE = r"(?is)<style[^>]*>.*?</style>"
 _COMMENT = r"(?s)<!--.*?-->"

@@ -56,7 +56,15 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def _tokens(text_col: str):
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")
+    """THE one tokenizer contract, shared with text.tokens and mirrored
+    by text.TOKENS_SQL (`[^a-z0-9']+` split: keeps apostrophes, splits
+    underscores). An earlier private `\\W+` split diverged from every
+    DuckDB oracle on text containing ' or _ (ADVICE r5: "don't" produced
+    different shingles Spark-side vs oracle-side — green only because the
+    synthetic corpus had neither character)."""
+    from .text import tokens
+
+    return tokens(text_col)
 
 
 def _shingles(text_col: str, n: int):
@@ -853,14 +861,18 @@ def bloom_decontaminate(
     shuffle join on purpose, its probe side now being tiny — shuffles
     only the pruned remainder plus the bench set itself.
     """
-    # ONE distinct-shingle frame, cached across the bitset build's
-    # count + bit-position jobs AND the confirm join: at the 100M-n-gram
-    # regime this operator targets, re-tokenizing the bench set per job
-    # would triple its heaviest shuffle
+    # ONE distinct-shingle frame, cached across the bitset build's two
+    # eager jobs (count + bit-position collect), then RELEASED: the lazy
+    # confirm join recomputes the bench shingles once when the caller
+    # materializes. Holding the cache through the (lazily-consumed)
+    # confirm join leaked the bench-shingle partitions for the rest of
+    # the session (ADVICE r5); the recompute is bench-sized — one
+    # tokenize+distinct of the benchmark set, never corpus work.
     b = bench.select(
         F.explode(_shingle_hashes(text_col, n)).alias("__h")
     ).distinct()
     words, m_bits, k = bloom_bitset(bench, text_col, n, fpp, shingles=b)
+    b.unpersist()
     d = docs.select(
         F.col(id_col), F.explode(_shingle_hashes(text_col, n)).alias("__h")
     )

@@ -44,10 +44,10 @@ from pyspark.sql import functions as F
 def _features(text_col: str, hash_buckets: int | None):
     """Unigram + bigram features (with multiplicity) as one array column.
 
-    Tokenization is ``dedup._tokens`` — the ONE place the Spark-side
-    token contract lives (the DuckDB oracles mirror it via
-    ``text.TOKENS_SQL``); a private copy here would be a third dialect
-    to keep in sync."""
+    Tokenization is ``dedup._tokens``, which delegates to ``text.tokens``
+    — the ONE Spark-side token contract (the DuckDB oracles mirror it via
+    ``text.TOKENS_SQL``, apostrophes kept / underscores split); a private
+    copy here would be a third dialect to keep in sync."""
     from .dedup import _tokens
 
     toks = _tokens(text_col)

@@ -351,7 +351,17 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, float, int, int]:
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += ln + 1
             idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
-            px = ct[np.asarray(idx, dtype=np.int32) % len(ct)].astype(np.float64)
+            idx_arr = np.asarray(idx, dtype=np.int32)
+            if idx_arr.size and int(idx_arr.max()) >= len(ct):
+                # reject corrupt color-table references loudly (the old
+                # `% len(ct)` wrap accepted them and produced arbitrary
+                # luma/hashes — ADVICE r5), matching the BMP/PNG/MP4/AVI
+                # corruption contract
+                raise ValueError(
+                    f"GIF pixel index {int(idx_arr.max())} out of range "
+                    f"for {len(ct)}-entry color table"
+                )
+            px = ct[idx_arr].astype(np.float64)
             luma = (
                 0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]
             ).reshape(h, w)

@@ -37,7 +37,11 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "timely_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "timely_spark",
+    master: str | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -58,6 +62,11 @@ def get_spark(app_name: str = "timely_spark", master: str | None = None) -> Spar
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if warehouse_dir:
+        # tests pass a tmp dir so saveAsTable users never collide with a
+        # stale spark-warehouse/ left by a prior session (fresh Derby
+        # metastore makes DROP TABLE a no-op while the directory survives)
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark

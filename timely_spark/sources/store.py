@@ -22,6 +22,8 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -126,6 +128,35 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*cols)
 
 
+def _clear_stale_table_location(spark: SparkSession, table: str) -> None:
+    """Remove a leftover warehouse directory for ``table`` when the table
+    is NOT in the catalog.
+
+    Each session gets a fresh Derby metastore, so ``DROP TABLE IF
+    EXISTS`` is a no-op while the git-ignored ``spark-warehouse/<table>``
+    directory from a prior session survives; the next ``saveAsTable``
+    then fails with LOCATION_ALREADY_EXISTS. Deleting the orphaned
+    location (catalog says the table does not exist, so the directory is
+    unowned) makes every bucketed-table writer safe in a long-lived
+    workspace. Only local ``file:`` warehouses are touched.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme not in ("", "file"):
+        return
+    parts = table.lower().split(".")
+    name = parts[-1]
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    rel = name if db == "default" else f"{db}.db/{name}"
+    loc = os.path.join(wh.path, rel)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_points_bucketed(
     points: DataFrame,
     table: str,
@@ -149,6 +180,7 @@ def write_points_bucketed(
     """
     from ..model import series_id
 
+    _clear_stale_table_location(points.sparkSession, table)
     df = points.withColumn("series_key", series_id())
     (
         df.write.bucketBy(n_buckets, "series_key")
