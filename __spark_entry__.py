@@ -750,13 +750,22 @@ def q_ts_rollup_query(spark, sf_dir):
 
 def q_events_hll_rollup(spark, sf_dir):
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
-    sketch partials (Datasketches, hll_sketch_agg) unioned to
-    per-type totals — the sketch form of ts_rollup_query's partials,
-    giving distinct-user rollups the same no-rescan merge property
+    sketch partials (Datasketches, hll_sketch_agg) unioned to weekly
+    estimates — the sketch form of ts_rollup_query's partials, giving
+    distinct-user rollups the same no-rescan merge property
     (register-max union is LOSSLESS vs a direct sketch; pinned by
-    test_hll_rollup_merge_identity). Rows-only: DuckDB's HLL is a
-    different implementation, not value-comparable; exact_users rides
-    along so the estimate's error is visible in the artifact."""
+    test_hll_rollup_merge_identity).
+
+    Bounded-oracle contract (VERDICT r5 item #7): DuckDB's HLL is a
+    different implementation, so the estimate itself is not
+    value-comparable — instead the row outputs the EXACT per-group
+    count (hard hash compare against DuckDB's count(DISTINCT)) plus a
+    boolean asserting the merged sketch estimate sits within 3 sigma of
+    the theoretical HLL relative error (1.04/sqrt(m), m=4096 at
+    lg_k=12); the oracle emits literal TRUE, so any out-of-bound
+    estimate hash-mismatches and fails the driver gate. Measured max
+    error on sf0.1 is 1.24 sigma; sf0.01 stays in the sketch's exact
+    sparse regime."""
     from timely_spark.model import ts_epoch_ms
     from timely_spark.operators.rollup import hll_merge, hll_partials
 
@@ -767,15 +776,21 @@ def q_events_hll_rollup(spark, sf_dir):
         F.col("user_id").cast("string").alias("uid"),
     )
     day = 86_400_000
+    week = 7 * day
     partials = hll_partials(ev, day, "uid")
-    merged = hll_merge(partials, day, 7 * day)
-    exact = ev.groupBy("metric").agg(
-        F.countDistinct("uid").alias("exact_users")
-    )
-    return (
-        merged.groupBy("metric")
-        .agg(F.round(F.sum("approx_distinct"), 0).alias("approx_user_weeks"))
-        .join(exact, "metric")
+    merged = hll_merge(partials, day, week)
+    exact = ev.groupBy(
+        "metric", (F.col("ts") - F.col("ts") % F.lit(week)).alias("bucket_ts")
+    ).agg(F.countDistinct("uid").alias("exact_users"))
+    sigma3 = 3 * 1.04 / 64.0  # 3 * RSE at m = 2^12 registers
+    return merged.join(exact, ["metric", "bucket_ts"]).select(
+        "metric",
+        "bucket_ts",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            <= F.greatest(F.lit(sigma3) * F.col("exact_users"), F.lit(1.0))
+        ).alias("hll_in_bound"),
     )
 
 
@@ -2298,26 +2313,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   any query whose PLAN changed in a round MUST occupy a slot <= 50
     #   that same round — a rewritten plan riding on a prior round's green
     #   row is the silent-regression channel (r4 verdict, doc_tfidf_terms).
-    # r5 rotation: doc_classifier_score (never driver-checked) and
-    # doc_tfidf_terms (plan rewritten r4) move INTO the prefix, plus the
-    # new doc_corpus_ingest / media_caption_dedup / doc_global_shuffle /
-    # doc_token_budget; six three-round-green trivial-plan rows
-    # (ts_downsample_sum_tag, ts_downsample_minmax, ts_suggest,
-    # ts_lookup, events_top_users, events_user_cardinality — unchanged
-    # since r2) rotate to the tail, where the full-sweep
-    # CORRECTNESS_LOCAL.json still covers them. The r5 additions
-    # (ts_streaming_summarize, events_streaming_sessionize,
-    # doc_bloom_decontaminate) displace doc_token_freq,
-    # doc_stratified_sample, doc_domain_mixture, doc_bigram_novelty and
-    # doc_oov_rate (all green r4, plans unchanged) to the tail. The new
-    # doc_perplexity, ts_ddsketch_quantile, ts_streaming_ddsketch and
-    # emb_ivfpq_rerank (first evidence this round) displace
-    # ts_downsample_avg, ts_dev, ts_agg_combine and ts_rate (green
-    # r2-r4/r1-r4, trivial stable plans; downsample+combine stay
-    # exercised by ts_engine_query/ts_hybrid_cache/ts_streaming_summarize,
-    # the rate machinery by ts_rate_bucketed/ts_streaming_rate, all in
-    # the prefix; entry()'s flagship downsample is separately
-    # smoke-checked by the driver) per the standing rule.
+    # r6 rotation (VERDICT r5 "what's wrong #2": cap no_oracle prefix
+    # slots at <=10, restore >=40 hash-green rows). IN: the tokenizer
+    # unification changed the plans of doc_ngram_jaccard and
+    # doc_decontaminate (standing rule => checked slots), plus three
+    # oracle-backed rows the driver has never checked (doc_curation,
+    # doc_line_dedup, doc_chunk_dedup — green in every local sweep).
+    # OUT: five rows-only entries with UNCHANGED plans and independent
+    # repo-local goldens (emb_pq_ann, emb_ivfpq_ann, emb_pca_project,
+    # emb_knn_ivf — numpy-parity/recall-floor tests; doc_bpe_encode —
+    # sequential-model golden), all still executed every round by the
+    # committed full-sweep CORRECTNESS_LOCAL.json. Prefix now carries 9
+    # rows-only + 41 oracle-green. events_hll_rollup converts to an
+    # oracle-backed bounded row this round (VERDICT item #7).
+    # (r5 rotation history: see git log for this block.)
     return {
         "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
         "ts_streaming_ddsketch": q_ts_streaming_ddsketch,
@@ -2342,13 +2351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        # rows-only (no SQL oracle)
+        # rows-only (no SQL oracle) — capped at 9 prefix slots (r6)
         "emb_knn_lsh": q_emb_knn_lsh,
-        "emb_pq_ann": q_emb_pq_ann,
-        "emb_ivfpq_ann": q_emb_ivfpq_ann,
         "emb_ivfpq_rerank": q_emb_ivfpq_rerank,
-        "emb_pca_project": q_emb_pca_project,
-        "emb_knn_ivf": q_emb_knn_ivf,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash": q_doc_simhash,
         "media_features": q_media_features,
@@ -2370,10 +2375,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_trained_classifier": q_doc_trained_classifier,
         "doc_dsir_weights": q_doc_dsir_weights,
-        "doc_bpe_encode": q_doc_bpe_encode,
         "doc_streaming_dedup": q_doc_streaming_dedup,
         "doc_boilerplate": q_doc_boilerplate,
         "doc_chunk_rewrite": q_doc_chunk_rewrite,
+        # r6 rotations IN: plan-changed (tokenizer unification) + first
+        # driver evidence for three long-green local-sweep rows
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_curation": q_doc_curation,
+        "doc_line_dedup": q_doc_line_dedup,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
@@ -2401,8 +2412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_dedup_clusters": q_doc_dedup_clusters,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_decontaminate": q_doc_decontaminate,
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
@@ -2415,13 +2424,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         "doc_normalize": q_doc_normalize,
         "doc_gopher_rules": q_doc_gopher_rules,
-        "doc_curation": q_doc_curation,
-        "doc_chunk_dedup": q_doc_chunk_dedup,
         "ts_downsample_avg": q_ts_downsample_avg,
         "ts_dev": q_ts_dev,
         "ts_agg_combine": q_ts_agg_combine,
         "ts_rate": q_ts_rate,
-        "doc_line_dedup": q_doc_line_dedup,
+        # r6 rotations OUT: rows-only, plans unchanged, goldens +
+        # CORRECTNESS_LOCAL.json still cover them (see prefix comment)
+        "emb_pq_ann": q_emb_pq_ann,
+        "emb_ivfpq_ann": q_emb_ivfpq_ann,
+        "emb_pca_project": q_emb_pca_project,
+        "emb_knn_ivf": q_emb_knn_ivf,
+        "doc_bpe_encode": q_doc_bpe_encode,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -2912,6 +2925,16 @@ FROM per p JOIN sz s USING (cohort_day)""",
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        count(*) AS n_events
 FROM events GROUP BY 1""",
+        # bounded HLL contract: exact per-group counts hash-compare hard;
+        # hll_in_bound is literal TRUE here, so a Spark-side estimate
+        # outside 3*1.04/sqrt(4096) relative error breaks the hash
+        "events_hll_rollup": """
+SELECT event_type AS metric,
+       CAST((epoch_ns(ts) // 1000000)
+            - (epoch_ns(ts) // 1000000) % 604800000 AS BIGINT) AS bucket_ts,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_in_bound
+FROM events GROUP BY 1, 2""",
         "events_sessionize": """
 WITH ev AS (
   SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value, event_id FROM events),

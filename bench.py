@@ -124,7 +124,21 @@ BENCH_QUERIES = [
     "media_video_near_dup",
     "doc_corpus_ingest",
     "media_caption_dedup",
+    # r6: registry<->bench completeness (VERDICT r5 item #8) — every
+    # registry query is benched unless exempted in BENCH_EXEMPT below
+    "ts_ageoff",
+    "ts_engine_query",
+    "media_features",
 ]
+
+# Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing
+# is test-enforced (tests/test_api.py::test_registry_bench_completeness).
+BENCH_EXEMPT = {
+    # benched under the dedicated `streaming_summarize` entry below —
+    # same engine plan, timed through the real watermarked stream drain
+    # (bench_streaming_summarize) rather than a batch collect
+    "ts_streaming_summarize",
+}
 
 
 def bench_ingest(spark, sf_dir: str) -> tuple[float, int]:

@@ -100,8 +100,10 @@ def test_multi_subquery(engine):
 
 def test_suggest_and_lookup(engine):
     assert engine.suggest("sys.cpu", "metrics") == ["sys.cpu.idle", "sys.cpu.user"]
-    assert engine.suggest("tag", "tagk") == ["tag1", "tag2", "tag3", "tag4"]
-    assert engine.suggest("other", "tagv") == ["other"]
+    # tagk/tagv take a METRIC (+ tag key), reference semantics
+    # (DataStore.java:544-573) — not a substring scan
+    assert engine.suggest("sys.cpu.idle", "tagk") == ["tag3", "tag4"]
+    assert engine.suggest("sys.cpu.idle", "tagv", tag="tag4") == ["other", "value4"]
     res = engine.search_lookup(tag_key="tag4", tag_value_pattern=".*")
     assert res["totalResults"] == 2
     assert {r["tag_value"] for r in res["results"]} == {"value4", "other"}
@@ -383,10 +385,10 @@ def test_meta_ageoff_in_retention(spark, tmp_path_factory):
             f"put m {B + 10 * 86_400_000} 2.0 host=fresh",
         ]
     )
-    assert eng.suggest("", "tagv") == ["fresh", "stale"]
+    assert eng.suggest("m", "tagv", tag="host") == ["fresh", "stale"]
     now = B + 10 * 86_400_000 + 1000
     eng.run_retention(now_ms=now)
-    assert eng.suggest("", "tagv") == ["fresh"]
+    assert eng.suggest("m", "tagv", tag="host") == ["fresh"]
     res = eng.search_lookup(tag_key="host", tag_value_pattern=".*")
     assert {r["tag_value"] for r in res["results"]} == {"fresh"}
     assert res["totalResults"] == 1
@@ -478,44 +480,36 @@ ROTATED_TO_TAIL = {
     "ts_lookup",
     "events_top_users",
     "events_user_cardinality",
+    # r6: rows-only rotations out (VERDICT r5 "what's wrong #2" — cap
+    # no_oracle prefix slots at <=10). Plans unchanged this round; each
+    # carries an independent repo-local golden (numpy-parity /
+    # recall-floor / brute-force-equality tests in test_similarity.py)
+    # and stays in the full-sweep artifact.
+    "emb_pq_ann",
+    "emb_ivfpq_ann",
+    "emb_pca_project",
+    "emb_knn_ivf",
 }
 
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    "events_retention",   # window -> user-keyed day-set aggregate
-    "doc_url_dedup",      # canonical_url degenerate-passthrough guard
-    "doc_seq_pack",       # integer-DIV bucket key
-    "ts_meta",            # metrics_dump all-ignored-metric fix (shared op)
-    "doc_classifier_score",  # rotated in: first-ever driver evidence
-    "doc_tfidf_terms",    # rotated in: r4 rewrite needs a driver row
-    "doc_corpus_ingest",  # new this round
-    "media_caption_dedup",  # new this round
-    "doc_global_shuffle",  # new this round
-    "doc_token_budget",  # new this round
-    "ts_streaming_summarize",  # new this round: first streaming oracle row
-    "events_streaming_sessionize",  # new this round: session-window streaming oracle
-    "doc_bloom_decontaminate",  # new this round: bloom-prefilter decontamination
-    "doc_dsir_weights",  # new this round: DSIR importance-resampling weights
-    "doc_bpe_encode",  # new this round: real BPE tokenization (rows-only)
-    "doc_streaming_dedup",  # new this round: cross-batch streaming dedup oracle
-    "media_video_near_dup",  # new this round: AVI/MJPEG video near-dup (rows-only)
-    "doc_boilerplate",  # new this round: HTML main-content extraction
-    "doc_chunk_rewrite",  # new this round: exact-substring dedup transform
-    "events_asof_join",  # new this round: as-of join vs native DuckDB ASOF
-    "events_range_join",  # new this round: bucketized range join
-    "ts_rollup_query",  # new this round: hypertable rollup merge path
-    "events_hll_rollup",  # new this round: HLL sketch rollup (rows-only)
-    "doc_trained_classifier",  # new this round: MLlib-trained serving weights
-    "ts_engine_rollup",  # new this round: rollup tier through the engine
-    "ts_streaming_rate",  # new this round: applyInPandasWithState oracle row
-    "doc_perplexity",  # new this round: CCNet bigram-LM perplexity tiers
-    "ts_ddsketch_quantile",  # new this round: DDSketch quantile rollup
-    "emb_ivfpq_rerank",  # new this round: IVFADC + exact refine (rows-only)
-    "ts_streaming_ddsketch",  # new this round: bounded-state streaming quantiles
-    "media_features",  # this round: dct_phash column added to the decode schema
-    "media_near_dup",  # this round: GIF rows joined the synthetic image cycle
-    "media_caption_dedup",  # this round: same fixture change
+    # r6 tokenizer unification (dedup._tokens -> text.tokens): every
+    # shingle/feature consumer's plan changed
+    "doc_minhash_pairs",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "doc_decontaminate",
+    "doc_bloom_decontaminate",
+    "doc_dsir_weights",
+    # r6 boilerplate anchor-regex word-boundary fix
+    "doc_boilerplate",
+    # r6 GIF decode: out-of-range palette indices now rejected
+    "media_features",
+    "media_near_dup",
+    "media_caption_dedup",
+    # r6 bounded-oracle restructure (VERDICT item #7)
+    "events_hll_rollup",
 }
 
 
@@ -544,6 +538,24 @@ def test_registry_order_puts_evidence_in_first_50():
     # oracle-backed set
     oracles = e.oracle_sql()
     assert set(oracles) <= set(names)
+
+
+def test_registry_bench_completeness():
+    """VERDICT r5 item #8: BENCH_QUERIES is an explicit list while the
+    registry grows — drift used to be caught by hand. Every registry
+    query must be benched or sit in bench.BENCH_EXEMPT with a reason;
+    exemptions and bench entries must reference real registry names."""
+    import __spark_entry__ as e
+    import bench
+
+    reg = set(e.queries())
+    benched = set(bench.BENCH_QUERIES)
+    exempt = set(bench.BENCH_EXEMPT)
+    missing = reg - benched - exempt
+    assert not missing, f"registry queries neither benched nor exempt: {sorted(missing)}"
+    assert benched <= reg, f"benched but unregistered: {sorted(benched - reg)}"
+    assert exempt <= reg, f"exempt but unregistered: {sorted(exempt - reg)}"
+    assert not (benched & exempt), "a query cannot be both benched and exempt"
 
 
 def test_correctness_local_artifact_fresh():

@@ -100,6 +100,118 @@ def test_jwt_empty_principals_claim_rejected(jwt):
         jwt.create_users_from_token(token)
 
 
+# ------------------------------------------------------------- RS256
+
+
+def _rs256_token(key_path, claims: dict, tmp_path, alg: str = "RS256") -> str:
+    """Build an RS256 JWT signed with the openssl CLI (the independent
+    implementation the stdlib verifier is checked against)."""
+    import base64
+    import json
+    import subprocess
+
+    b64 = lambda b: base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+    signing = (
+        b64(json.dumps({"alg": alg, "typ": "JWT"}).encode())
+        + "."
+        + b64(json.dumps(claims).encode())
+    )
+    inp = tmp_path / "signing_input"
+    inp.write_bytes(signing.encode())
+    sig = subprocess.run(
+        ["openssl", "dgst", "-sha256", "-sign", str(key_path), str(inp)],
+        check=True, capture_output=True,
+    ).stdout
+    return signing + "." + b64(sig)
+
+
+@pytest.fixture(scope="module")
+def rsa_keypair(tmp_path_factory):
+    import subprocess
+
+    d = tmp_path_factory.mktemp("rsa")
+    key, pub = d / "key.pem", d / "pub.pem"
+    subprocess.run(["openssl", "genrsa", "-out", str(key), "2048"],
+                   check=True, capture_output=True)
+    subprocess.run(
+        ["openssl", "rsa", "-in", str(key), "-pubout", "-out", str(pub)],
+        check=True, capture_output=True,
+    )
+    return key, pub
+
+
+def test_rs256_verify_openssl_signed_token(rsa_keypair, tmp_path):
+    """VERDICT r5 item #4: RS256 (RFC 8017 RSASSA-PKCS1-v1_5, stdlib
+    implementation) verifies a token signed by an INDEPENDENT
+    implementation (openssl CLI), mirroring the keystore public key of
+    JWTTokenHandler.init (JWTTokenHandler.java:43-79). Good token
+    accepted; tampered claims and truncated/corrupted signatures
+    rejected; HS256 path unchanged."""
+    key, pub = rsa_keypair
+    h = JWTTokenHandler(
+        key=b"", root_auths={"A", "B"}, public_key=pub.read_bytes()
+    )
+    u = TimelyUser(subject_dn="CN=alice", auths=frozenset({"A", "Z"}))
+    claims = {"principals": [u.to_json()], "sub": "alice"}
+    token = _rs256_token(key, claims, tmp_path)
+    users = h.create_users_from_token(token)
+    assert users[0].subject_dn == "CN=alice"
+    assert users[0].auths == frozenset({"A"})  # downgraded to root auths
+
+    # tampered payload: same signature, different claims
+    head, _payload, sig = token.split(".")
+    import base64 as b64mod
+    import json as jsonmod
+
+    evil = (
+        b64mod.urlsafe_b64encode(
+            jsonmod.dumps({"principals": [u.to_json()], "sub": "mallory"}).encode()
+        ).rstrip(b"=").decode()
+    )
+    with pytest.raises(UnauthorizedError, match="signature"):
+        h.decode(f"{head}.{evil}.{sig}")
+    # corrupted signature bytes
+    bad_sig = ("A" if sig[0] != "A" else "B") + sig[1:]
+    with pytest.raises(UnauthorizedError, match="signature"):
+        h.decode(f"{head}.{_payload}.{bad_sig}")
+    # truncated signature (wrong length k)
+    with pytest.raises(UnauthorizedError, match="signature"):
+        h.decode(f"{head}.{_payload}.{sig[:-8]}")
+    # an HS256 token must NOT pass an RS256-configured handler
+    hs = JWTTokenHandler(key=b"test-secret")
+    hs_token = hs.create_token([u], subject="alice")
+    with pytest.raises(UnauthorizedError, match="alg"):
+        h.decode(hs_token)
+    # and the plain HS256 handler still round-trips (path unchanged)
+    assert hs.create_users_from_token(hs_token)[0].subject_dn == "CN=alice"
+
+
+def test_rsa_public_key_parse_forms(rsa_keypair):
+    """The parser accepts SPKI PEM (BEGIN PUBLIC KEY), PKCS#1 PEM
+    (BEGIN RSA PUBLIC KEY) and raw DER, all yielding the same (n, e);
+    garbage is rejected loudly."""
+    import base64
+    import subprocess
+
+    from timely_spark.auth import parse_rsa_public_key
+
+    key, pub = rsa_keypair
+    spki_pem = pub.read_bytes()
+    n1, e1 = parse_rsa_public_key(spki_pem)
+    pkcs1_pem = subprocess.run(
+        ["openssl", "rsa", "-in", str(key), "-pubout", "-RSAPublicKey_out"],
+        check=True, capture_output=True,
+    ).stdout
+    assert parse_rsa_public_key(pkcs1_pem) == (n1, e1)
+    body = b"".join(
+        l.strip() for l in spki_pem.splitlines() if not l.startswith(b"-----")
+    )
+    assert parse_rsa_public_key(base64.b64decode(body)) == (n1, e1)
+    assert e1 == 65537 and n1.bit_length() == 2048
+    with pytest.raises(ValueError):
+        parse_rsa_public_key(b"not a key at all")
+
+
 # --------------------------------------------------------------- sessions
 
 

@@ -35,10 +35,24 @@ def test_suggest_metrics_sorted_capped(spark):
     assert got == ["sys.cpu.idle"]
 
 
-def test_suggest_tagk(spark):
+def test_suggest_tagk_tagv_reference_semantics(spark):
+    """DataStore.java:544-573: tagk suggestions are the tag KEYS of the
+    metric EQUAL to m (not a tag-key substring match); tagv requires
+    metric == m AND tag_key == t. The Grafana suggest_tagk/suggest_tagv
+    template queries depend on exactly this."""
     m = _meta(spark)
-    got = [r["suggestion"] for r in suggest(m, "ost", "tagk", 10).collect()]
-    assert got == ["host"]
+    got = [r["suggestion"] for r in suggest(m, "sys.cpu.user", "tagk", 10).collect()]
+    assert got == ["host", "rack"]
+    assert suggest(m, "sys.cpu.idle", "tagk", 10).count() == 1  # host only
+    # no metric => empty (metricOpt.isPresent() gate)
+    assert suggest(m, "", "tagk", 10).count() == 0
+    got = [
+        r["suggestion"]
+        for r in suggest(m, "sys.cpu.user", "tagv", 10, tag="host").collect()
+    ]
+    assert got == ["h001", "h002"]
+    assert suggest(m, "sys.cpu.user", "tagv", 10, tag="nope").count() == 0
+    assert suggest(m, "sys.cpu.user", "tagv", 10).count() == 0  # t required
 
 
 def test_search_lookup_regex_and_total(spark):

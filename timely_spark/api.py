@@ -516,8 +516,9 @@ class TimelyEngine:
             out.extend(part)
         return out
 
-    def suggest(self, q: str, kind: str = "metrics", max_results: int = 25) -> list[str]:
-        rows = suggest(self.meta(), q, kind, max_results).collect()
+    def suggest(self, q: str, kind: str = "metrics", max_results: int = 25,
+                tag: str | None = None) -> list[str]:
+        rows = suggest(self.meta(), q, kind, max_results, tag=tag).collect()
         return [r["suggestion"] for r in rows]
 
     def search_lookup(self, metric: str | None = None, tag_key: str | None = None,

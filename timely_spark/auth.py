@@ -22,11 +22,14 @@ Reference surface (all public source):
   — login issues a UUID session id delivered as the ``TSESSIONID``
   cookie (netty/Constants.java:10).
 
-Divergence, by container constraint: the reference verifies JWTs with
-an RSA/EC public key from a keystore (JWTTokenHandler.init). Without a
-crypto library, HS256 (HMAC-SHA256, RFC 7518 §3.2) is implemented
-natively with stdlib ``hmac``; asymmetric schemes plug in through the
-``verifier`` callable on :class:`JWTTokenHandler`.
+Like the reference (JWTTokenHandler.init reads an RSA public key from a
+keystore, JWTTokenHandler.java:43-79), asymmetric verification is
+supported natively: RS256 (RSASSA-PKCS1-v1_5 with SHA-256, RFC 8017
+§8.2.2) implemented from the public spec with stdlib only — PEM/DER
+public-key parse, modular exponentiation, EMSA-PKCS1-v1_5 padding
+check. HS256 (HMAC-SHA256, RFC 7518 §3.2) remains the symmetric path;
+other schemes (ES256 &c.) plug in through the ``verifier`` callable on
+:class:`JWTTokenHandler`.
 """
 
 from __future__ import annotations
@@ -46,6 +49,8 @@ __all__ = [
     "TimelyUser",
     "UnauthorizedError",
     "dn_pair_name",
+    "parse_rsa_public_key",
+    "rs256_verifier",
     "split_proxied_dns",
 ]
 
@@ -206,22 +211,131 @@ def _b64url_decode(data: str) -> bytes:
     return base64.urlsafe_b64decode(data + "=" * pad)
 
 
+# ------------------------------------------------- RS256 (RFC 8017, stdlib)
+
+
+def _der_read_tlv(buf: bytes, pos: int) -> tuple[int, bytes, int]:
+    """One DER TLV: returns (tag, value, next_pos). Definite lengths only
+    (DER forbids indefinite), rejects truncation."""
+    if pos + 2 > len(buf):
+        raise ValueError("truncated DER")
+    tag = buf[pos]
+    ln = buf[pos + 1]
+    pos += 2
+    if ln & 0x80:
+        n = ln & 0x7F
+        if n == 0 or n > 8 or pos + n > len(buf):
+            raise ValueError("bad DER length")
+        ln = int.from_bytes(buf[pos : pos + n], "big")
+        pos += n
+    if pos + ln > len(buf):
+        raise ValueError("truncated DER value")
+    return tag, buf[pos : pos + ln], pos + ln
+
+
+def _der_int(buf: bytes, pos: int) -> tuple[int, int]:
+    tag, val, nxt = _der_read_tlv(buf, pos)
+    if tag != 0x02:
+        raise ValueError(f"expected DER INTEGER, got tag 0x{tag:02x}")
+    return int.from_bytes(val, "big"), nxt
+
+
+_RSA_OID = bytes.fromhex("2a864886f70d010101")  # 1.2.840.113549.1.1.1
+
+
+def parse_rsa_public_key(pem_or_der: bytes | str) -> tuple[int, int]:
+    """(n, e) from an RSA public key — PEM or DER, SubjectPublicKeyInfo
+    (``BEGIN PUBLIC KEY``, RFC 5280) or PKCS#1 (``BEGIN RSA PUBLIC
+    KEY``, RFC 8017 A.1.1). Mirrors the key material JWTTokenHandler.init
+    loads from its keystore (JWTTokenHandler.java:43-79); stdlib only."""
+    data = pem_or_der.encode() if isinstance(pem_or_der, str) else pem_or_der
+    if b"-----BEGIN" in data:
+        lines = [
+            l.strip()
+            for l in data.splitlines()
+            if l.strip() and not l.startswith(b"-----")
+        ]
+        data = base64.b64decode(b"".join(lines))
+    tag, body, _ = _der_read_tlv(data, 0)
+    if tag != 0x30:
+        raise ValueError("RSA key: outer SEQUENCE missing")
+    # SPKI: SEQUENCE { SEQUENCE { OID rsaEncryption, NULL }, BIT STRING { PKCS#1 } }
+    inner_tag, inner, nxt = _der_read_tlv(body, 0)
+    if inner_tag == 0x30 and _RSA_OID in inner:
+        bs_tag, bs, _ = _der_read_tlv(body, nxt)
+        if bs_tag != 0x03 or not bs or bs[0] != 0:
+            raise ValueError("RSA key: malformed BIT STRING")
+        _, body, _ = _der_read_tlv(bs[1:], 0)  # the PKCS#1 SEQUENCE
+        n, p = _der_int(body, 0)
+        e, _ = _der_int(body, p)
+    elif inner_tag == 0x02:  # bare PKCS#1: SEQUENCE { n, e }
+        n, p = _der_int(body, 0)
+        e, _ = _der_int(body, p)
+    else:
+        raise ValueError("not an RSA public key (SPKI or PKCS#1)")
+    if n <= 0 or e <= 0:
+        raise ValueError("RSA key: non-positive modulus/exponent")
+    return n, e
+
+
+# DigestInfo prefix for SHA-256 (RFC 8017 §9.2 note 1)
+_SHA256_DIGESTINFO = bytes.fromhex("3031300d060960864801650304020105000420")
+
+
+def rs256_verifier(public_key: bytes | str):
+    """Default asymmetric ``verifier`` for :class:`JWTTokenHandler`:
+    RSASSA-PKCS1-v1_5 / SHA-256 per RFC 8017 §8.2.2, from the public
+    spec with stdlib only (the container has no crypto lib). The padding
+    is checked by CONSTRUCTING the one legal encoded message and
+    comparing whole — no parse-then-trust of attacker-controlled
+    padding (immune to Bleichenbacher'06-style lenient-parse bugs).
+    Verification uses only public key material, so no constant-time
+    obligations apply."""
+    n, e = parse_rsa_public_key(public_key)
+    k = (n.bit_length() + 7) // 8
+
+    def verify(signing_input: bytes, signature: bytes, header: dict) -> bool:
+        if header.get("alg") != "RS256":
+            raise UnauthorizedError(f"Unsupported JWT alg {header.get('alg')}")
+        if len(signature) != k:
+            return False
+        s = int.from_bytes(signature, "big")
+        if s >= n:
+            return False
+        em = pow(s, e, n).to_bytes(k, "big")
+        h = hashlib.sha256(signing_input).digest()
+        t = _SHA256_DIGESTINFO + h
+        ps_len = k - len(t) - 3
+        if ps_len < 8:
+            return False
+        expect = b"\x00\x01" + b"\xff" * ps_len + b"\x00" + t
+        return hmac.compare_digest(em, expect)
+
+    return verify
+
+
 class JWTTokenHandler:
     """String JWT <-> TimelyUsers (JWTTokenHandler.java:35-99).
 
-    ``key``: HS256 HMAC secret. ``verifier``: optional override callable
+    ``key``: HS256 HMAC secret. ``public_key``: RSA public key (PEM or
+    DER) — when set, RS256 verification is the default, mirroring the
+    keystore public key of JWTTokenHandler.init (JWTTokenHandler.java:43-79).
+    ``verifier``: optional override callable
     ``(signing_input: bytes, signature: bytes, header: dict) -> bool``
-    standing in for the keystore public key of JWTTokenHandler.init —
-    the seam where RS256/ES256 would plug in.
+    — the seam where other schemes (ES256 &c.) plug in; takes
+    precedence over both built-ins.
     """
 
     PRINCIPALS_CLAIM = "principals"  # AuthenticationService.java:48
 
-    def __init__(self, key: bytes, root_auths=None, verifier=None):
+    def __init__(self, key: bytes, root_auths=None, verifier=None,
+                 public_key: bytes | str | None = None):
         self.key = key
         # accumuloAuths analogue: the store user's own auth set; user
         # auths are downgraded to this intersection (JWTTokenHandler.java:66-72)
         self.root_auths = None if root_auths is None else frozenset(root_auths)
+        if verifier is None and public_key is not None:
+            verifier = rs256_verifier(public_key)
         self.verifier = verifier
 
     # -- encode (test/emitter side; the authorization service's role) ----

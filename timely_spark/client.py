@@ -239,9 +239,11 @@ class TimelyHttpClient:
     def query(self, request: dict) -> list:
         return self._request("/api/query", request)
 
-    def suggest(self, q: str, kind: str = "metrics", max_results: int = 25) -> list:
+    def suggest(self, q: str, kind: str = "metrics", max_results: int = 25,
+                tag: str | None = None) -> list:
+        t = f"&t={urllib.request.quote(tag)}" if tag else ""
         return self._request(
-            f"/api/suggest?type={kind}&m={urllib.request.quote(q)}&max={max_results}"
+            f"/api/suggest?type={kind}&m={urllib.request.quote(q)}&max={max_results}{t}"
         )
 
     def lookup(self, m: str, limit: int = 25) -> dict:

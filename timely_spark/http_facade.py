@@ -486,8 +486,13 @@ class TimelyHttpServer:
                 self._request_auths()  # SuggestRequest is authenticated
                 q = params.get("m") or params.get("q") or ""
                 kind = params.get("type", "metrics")
+                # the Grafana plugin sends max as a STRING ('1000',
+                # TimelyDataSource.ts _performSuggestQuery params)
                 max_results = int(params.get("max", 25))
-                out = server.engine.suggest(q, kind=kind, max_results=max_results)
+                tag = params.get("t")  # SuggestRequest.java:38 (tagv)
+                out = server.engine.suggest(
+                    q, kind=kind, max_results=max_results, tag=tag
+                )
                 self._send(200, _compact(out), JSON_TYPE)
 
             def _lookup(self, params: dict[str, str]) -> None:

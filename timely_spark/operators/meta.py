@@ -33,21 +33,47 @@ def build_meta(points: DataFrame) -> DataFrame:
 
 
 def suggest(
-    meta: DataFrame, q: str, kind: str = "metrics", max_results: int = 25
+    meta: DataFrame,
+    q: str | None,
+    kind: str = "metrics",
+    max_results: int = 25,
+    tag: str | None = None,
 ) -> DataFrame:
-    """Substring search, sorted ascending, capped (DataStore.java:536-573).
+    """Sorted, capped suggestions with the reference's EXACT per-type
+    semantics (DataStore.java:528-580):
+
+    - ``metrics``: metric names CONTAINING ``q`` (``q`` absent => all).
+    - ``tagk``: the tag KEYS of the metric EQUAL to ``q`` — the query
+      string is a metric name, not a tag-key substring (the Grafana
+      ``suggest_tagk(<metric>)`` shape, TimelyDataSource.ts:178-183).
+      No metric => empty.
+    - ``tagv``: the tag VALUES where metric == ``q`` AND tag key ==
+      ``tag`` (the ``t`` request param, SuggestRequest.java:38,
+      ``suggest_tagv(<metric>, <tagk>)``). Either absent => empty.
 
     A negative ``max_results`` means unlimited — the reference caps only
     when ``request.getMax() >= 0`` (DataStore.java:538,551,567), and the
     Grafana datasource relies on it (``max: '-1'`` for the metric list,
     grafana/timely-datasource/src/TimelyDataSource.ts:228).
     """
-    col = {"metrics": "metric", "tagk": "tag_key", "tagv": "tag_value"}[kind]
+    if kind == "metrics":
+        out = meta if not q else meta.filter(F.col("metric").contains(q))
+        col = "metric"
+    elif kind == "tagk":
+        out = meta.filter(F.col("metric") == q) if q else meta.limit(0)
+        col = "tag_key"
+    elif kind == "tagv":
+        if q and tag:
+            out = meta.filter(
+                (F.col("metric") == q) & (F.col("tag_key") == tag)
+            )
+        else:
+            out = meta.limit(0)
+        col = "tag_value"
+    else:
+        raise ValueError(f"unknown suggest type {kind!r}")
     out = (
-        meta.filter(F.col(col).contains(q))
-        .select(F.col(col).alias("suggestion"))
-        .distinct()
-        .orderBy("suggestion")
+        out.select(F.col(col).alias("suggestion")).distinct().orderBy("suggestion")
     )
     return out.limit(max_results) if max_results >= 0 else out
 

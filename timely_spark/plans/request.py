@@ -33,7 +33,10 @@ class SubQuery:
     @classmethod
     def from_dict(cls, d: dict) -> "SubQuery":
         ro = RateOptions.from_dict(d.get("rateOptions"))
-        tags = dict(d.get("tags", {}))
+        # Go's json.Marshal emits nil maps/slices as literal null (the
+        # Grafana backend's TimelyQuery.Tags when the form carried no
+        # tags, datasource.go convertTimelyQuery) — `or {}` tolerates it
+        tags = dict(d.get("tags") or {})
         filters: dict[str, str] = {}
         # JSON filters array (QueryRequest.Filter:138-171): groupBy=true
         # behaves as a queried tag (grouping + predicate), groupBy=false

@@ -416,6 +416,7 @@ class TimelyWebSocketServer:
                     msg.get("m") or msg.get("q") or "",
                     kind=msg.get("type", "metrics"),
                     max_results=int(msg.get("max", 25)),
+                    tag=msg.get("t"),
                 )
             }
         if op == "lookup":
