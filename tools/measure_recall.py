@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Measure ANN recall@k vs brute force on the full embeddings table.
+
+VERDICT r5 item #6: the emb_* recall floors were pinned only on tiny
+planted fixtures; this records recall@10 for every ANN variant
+(LSH / IVF / PQ / IVFPQ / IVFPQ+rerank) against the exact cosine top-10
+at a real scale factor, as a committed per-round artifact (RECALL.json)
+so the accuracy/cost trade-off is visible round over round.
+
+Usage:
+    python3 tools/measure_recall.py                  # sf0.1 -> RECALL.json
+    python3 tools/measure_recall.py /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 10
+N_QUERIES = 20  # vec_id < 20: more queries than the registry rows' 5
+                # for a tighter recall estimate
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_corpus = emb.count()
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    truth = _topk_sets(cosine_topk(emb, q, k=K).collect())
+
+    # same hyperparameters as the registry rows (__spark_entry__.py)
+    variants = {
+        "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=5, tables=10),
+        "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=4),
+        "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=8, ksub=16),
+        "ivfpq": lambda: ivfpq_topk(
+            emb, q, dim=64, k=K, m=8, ksub=16, ncells=32, nprobe=8
+        ),
+        "ivfpq_rerank": lambda: ivfpq_rerank_topk(emb, q, dim=64, k=K, rerank=4),
+    }
+    out = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "recall": {},
+        "sec": {},
+    }
+    def recall_of(df) -> float:
+        got = _topk_sets(df.collect())
+        hits = sum(len(got.get(qid, set()) & t) for qid, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    for name, run in variants.items():
+        t0 = time.time()
+        r = recall_of(run())
+        out["sec"][name] = round(time.time() - t0, 3)
+        out["recall"][name] = round(r, 4)
+
+    # the recall-recovery knobs: on structureless (near-random) synthetic
+    # embeddings quantization recall is inherently weak — what matters at
+    # scale is that recall rises MONOTONICALLY with probe/rerank budget
+    # (candidate-selection bound), which this sweep documents per round
+    out["rerank_sweep"] = {
+        f"nprobe={np_},rerank={rr}": round(
+            recall_of(
+                ivfpq_rerank_topk(
+                    emb, q, dim=64, k=K, rerank=rr, ncells=32, nprobe=np_
+                )
+            ),
+            4,
+        )
+        for np_, rr in ((8, 4), (8, 16), (16, 8), (32, 8))
+    }
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from timely_spark.session import configure, get_spark
+
+    spark = configure(get_spark("measure-recall"))
+    res = measure(spark, sf_dir)
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "RECALL.json")
+    with open(path, "w") as f:
+        json.dump(res, f, indent=2, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(res, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
