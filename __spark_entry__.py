@@ -1342,19 +1342,19 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     """IVFADC + exact refine (FAISS 'IVFPQ,Refine'): the quantized index
     prunes to k*rerank candidates by ADC lookup tables, then only those
     candidates re-score in exact cosine against their full vectors — the
-    production recall-recovery stage over emb_ivfpq_ann's index. Rows
-    only: ADC candidate selection isn't SQL-derivable; exactness of the
-    refine step is pinned by a brute-force-equality test (full probing
-    + corpus-covering pool == cosine_topk, scores and ranks)."""
-    from timely_spark.operators.similarity import ivfpq_rerank_topk
+    production recall-recovery stage over emb_ivfpq_ann's index.
+    Bounded-oracle verdict (r6): mean recall@10 over 20 queries vs exact
+    cosine, floor 0.2 (0.33-0.42 measured); exactness of the refine step
+    itself stays pinned by the brute-force-equality test (full probing +
+    corpus-covering pool == cosine_topk, scores and ranks).
+    dim=64: the testdata embedding width (same constant the sibling
+    emb_ivfpq_ann row uses — no extra .first() job to rediscover it)."""
+    from timely_spark.operators.similarity import cosine_topk, ivfpq_rerank_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    # dim=64: the testdata embedding width (same constant the sibling
-    # emb_ivfpq_ann row uses — no extra .first() job to rediscover it)
-    return ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=4)
+    q = _ann_queries(emb)
+    ann = ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=4)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.2)
 
 
 def q_tpch_q4ish(spark, sf_dir):
@@ -1811,12 +1811,21 @@ def q_emb_near_dup(spark, sf_dir):
 
 
 def q_doc_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs with verified Jaccard
-    (xxhash64-seeded — not oracle-expressible)."""
+    """MinHash+LSH near-dup pairs with verified Jaccard — ORACLE-BACKED
+    (r6): the banding itself is xxhash64-seeded (not SQL-expressible),
+    but its GUARANTEE is — every pair whose true 3-gram-shingle Jaccard
+    clears the threshold must surface as a candidate and survive the
+    verify join, so the output equals DuckDB's exhaustive >=0.5 pair
+    list, value-exact (hashed-shingle set sizes == string-shingle set
+    sizes modulo 64-bit collisions). bands=32 (r=2 rows/band) makes a
+    miss at the corpus's weakest planted pair (j=0.727 at sf0.01)
+    P=(1-j^2)^32 ~ 3e-11 — the detection curve, not luck; a banding bug
+    that drops ANY qualifying pair hash-mismatches the driver row."""
     from timely_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.5, num_hashes=64, bands=16)
+    out = minhash_dedup(docs, threshold=0.5, num_hashes=64, bands=32)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_doc_simhash(spark, sf_dir):
@@ -1867,17 +1876,49 @@ def q_emb_pca_project(spark, sf_dir):
     return pca_project(emb, mu, comps)
 
 
+def _ann_recall_verdict(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """Bounded-oracle shape for ANN rows (the HLL-row pattern, VERDICT
+    r5 item #7 extended): ONE verdict row — hit count over the exact
+    top-k (hash-compared against nothing: the oracle can't know it), a
+    literal floor, and a boolean the oracle pins as TRUE. Recall below
+    the floor hash-mismatches the driver row; the top-k lists themselves
+    stay pinned by goldens + the sf0.1 RECALL.json artifact."""
+    hits = ann.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("__h"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__t")))
+        .select(
+            F.lit(20).alias("n_queries"),
+            F.lit(10).alias("k"),
+            F.lit(floor).alias("recall_floor"),
+            (F.col("__h") / F.col("__t") >= F.lit(floor)).alias("recall_ok"),
+        )
+    )
+
+
+def _ann_queries(emb):
+    """The 20 verdict queries (vec_id < 20 — 4x the old 5-query set for
+    a tighter recall estimate)."""
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
 def q_emb_knn_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (approximate — rows-only check)."""
-    from timely_spark.operators.similarity import lsh_topk
+    """Random-hyperplane LSH ANN, bounded-oracle verdict: mean recall@10
+    over 20 queries vs the exact cosine top-k, computed in ONE plan
+    (both sides Spark; the oracle pins the floor boolean TRUE). Floor
+    0.35 vs 0.55-0.66 measured across sf0.01/sf0.1 — multi-table
+    OR-amplification (10 tables x 5 planes) carries the recall on this
+    structureless corpus."""
+    from timely_spark.operators.similarity import cosine_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    # multi-table OR-amplification: 10 tables of 5 planes lifts recall on
-    # this (near-random) corpus from ~0.06 to ~0.66 at ~1/3 the brute cost
-    return lsh_topk(emb, q, dim=64, k=10, planes=5, tables=10)
+    q = _ann_queries(emb)
+    ann = lsh_topk(emb, q, dim=64, k=10, planes=5, tables=10)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.35)
 
 
 def q_emb_knn_ivf(spark, sf_dir):
@@ -2323,9 +2364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # repo-local goldens (emb_pq_ann, emb_ivfpq_ann, emb_pca_project,
     # emb_knn_ivf — numpy-parity/recall-floor tests; doc_bpe_encode —
     # sequential-model golden), all still executed every round by the
-    # committed full-sweep CORRECTNESS_LOCAL.json. Prefix now carries 9
-    # rows-only + 41 oracle-green. events_hll_rollup converts to an
-    # oracle-backed bounded row this round (VERDICT item #7).
+    # committed full-sweep CORRECTNESS_LOCAL.json. Three more rows
+    # CONVERT to oracle-backed this round: events_hll_rollup (bounded,
+    # VERDICT item #7), doc_minhash_pairs (the LSH guarantee stated as
+    # the exhaustive true-Jaccard pair list), and emb_knn_lsh /
+    # emb_ivfpq_rerank (bounded recall verdicts). Prefix now carries 6
+    # rows-only + 44 oracle-backed.
     # (r5 rotation history: see git log for this block.)
     return {
         "ts_ddsketch_quantile": q_ts_ddsketch_quantile,
@@ -2351,10 +2395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
-        # rows-only (no SQL oracle) — capped at 9 prefix slots (r6)
+        # emb_knn_lsh / emb_ivfpq_rerank: bounded recall verdicts;
+        # doc_minhash_pairs: true-Jaccard pair-list oracle (all r6)
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_ivfpq_rerank": q_emb_ivfpq_rerank,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        # rows-only (no SQL oracle) — 6 prefix slots (r6, cap <=10)
         "doc_simhash": q_doc_simhash,
         "media_features": q_media_features,
         "media_near_dup": q_media_near_dup,
@@ -2986,6 +3032,32 @@ SELECT doc_id, {lang_id_sql(c)} AS lang_pred FROM documents""",
         "doc_seq_pack": _seq_pack_oracle(),
         "doc_domain_mixture": _mixture_oracle(),
         "doc_ngram_jaccard": ngram_jaccard,
+        # MinHash+LSH: the oracle states the operator's GUARANTEE — the
+        # exhaustive >=0.5 true-Jaccard pair list over 3-gram shingles
+        # (short-doc fallback: one whole-doc shingle, mirroring
+        # dedup._shingles); a banding miss or a verify-join value drift
+        # hash-mismatches here
+        "doc_minhash_pairs": f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' ')))
+       ELSE [array_to_string(t, ' ')] END AS s FROM tok),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""",
+        # ANN bounded verdicts (the HLL-row pattern): Spark computes both
+        # the ANN answer and the exact top-k in one plan and emits a
+        # recall-floor boolean; the oracle pins it TRUE — sub-floor
+        # recall hash-mismatches the row
+        "emb_knn_lsh": """
+SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(0.35 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "emb_ivfpq_rerank": """
+SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
         "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_repetition": f"""
 WITH lines AS (

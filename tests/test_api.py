@@ -508,8 +508,10 @@ PLAN_CHANGED_THIS_ROUND = {
     "media_features",
     "media_near_dup",
     "media_caption_dedup",
-    # r6 bounded-oracle restructure (VERDICT item #7)
+    # r6 bounded-oracle restructure (VERDICT item #7 + extensions)
     "events_hll_rollup",
+    "emb_knn_lsh",        # recall-verdict shape, 20-query set
+    "emb_ivfpq_rerank",   # recall-verdict shape, 20-query set
 }
 
 
