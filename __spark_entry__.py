@@ -2055,6 +2055,20 @@ def q_media_video_near_dup(spark, sf_dir):
     return video_near_dups(media, every_n_seconds=0.5, min_shared_frames=2)
 
 
+def q_media_text_alignment(spark, sf_dir):
+    """CLIP-style image-text alignment filter (the LAION curation
+    primitive): consecutive embedding ids (2k, 2k+1) form an
+    (image-encoder, text-encoder) pair — the media_caption_dedup pairing
+    convention — and a pair survives when the modalities' cosine clears
+    the threshold. One sort-merge join on the derived pair key, cosine
+    fully JVM-side; oracle rebuilds the identical pairing + cosine in
+    DuckDB (unnest dot products), value-exact at 4 decimals."""
+    from timely_spark.operators.similarity import pair_alignment
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pair_alignment(emb, threshold=0.0)
+
+
 def q_media_caption_dedup(spark, sf_dir):
     """Media pipeline -> document curation composition: image near-dup
     verdicts flow back into a doc keep-list (caption+image dedup — the
@@ -2405,7 +2419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_near_dup": q_media_near_dup,
         "media_caption_dedup": q_media_caption_dedup,
-        "media_video_near_dup": q_media_video_near_dup,
+        # new r6: CLIP-style alignment filter (oracle-backed) — takes the
+        # prefix slot of media_video_near_dup (rows-only, plan UNCHANGED
+        # this round — the AVI/MJPEG path touches neither the GIF nor the
+        # audio changes — and pinned by its planted re-encode test +
+        # CORRECTNESS_LOCAL)
+        "media_text_alignment": q_media_text_alignment,
         # oracle-backed document pipeline
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
@@ -2476,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate": q_ts_rate,
         # r6 rotations OUT: rows-only, plans unchanged, goldens +
         # CORRECTNESS_LOCAL.json still cover them (see prefix comment)
+        "media_video_near_dup": q_media_video_near_dup,
         "emb_pq_ann": q_emb_pq_ann,
         "emb_ivfpq_ann": q_emb_ivfpq_ann,
         "emb_pca_project": q_emb_pca_project,
@@ -3058,6 +3078,27 @@ SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
         "emb_ivfpq_rerank": """
 SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
        CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "media_text_alignment": """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+img AS (SELECT vec_id // 2 AS pair_id, vec_id AS image_id, i, x
+        FROM ex WHERE vec_id % 2 = 0),
+cap AS (SELECT vec_id // 2 AS pair_id, vec_id AS caption_id, i, x
+        FROM ex WHERE vec_id % 2 = 1),
+dots AS (
+  SELECT img.pair_id, min(img.image_id) AS image_id,
+         min(cap.caption_id) AS caption_id,
+         sum(img.x * cap.x) AS dot
+  FROM img JOIN cap ON img.pair_id = cap.pair_id AND img.i = cap.i
+  GROUP BY 1)
+SELECT d.pair_id, d.image_id, d.caption_id,
+       round(d.dot / (ni.n * nc.n), 4) AS alignment,
+       d.dot / (ni.n * nc.n) >= 0.0 AS keep
+FROM dots d JOIN nrm ni ON ni.vec_id = d.image_id
+            JOIN nrm nc ON nc.vec_id = d.caption_id""",
         "doc_pii_scrub": _pii_scrub_oracle(),
         "doc_repetition": f"""
 WITH lines AS (

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "ts_ageoff",
     "ts_engine_query",
     "media_features",
+    "media_text_alignment",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing

@@ -489,6 +489,10 @@ ROTATED_TO_TAIL = {
     "emb_ivfpq_ann",
     "emb_pca_project",
     "emb_knn_ivf",
+    # r6: plan UNCHANGED this round (AVI/MJPEG path touches neither the
+    # GIF nor the audio changes); rows-only with a planted re-encode
+    # test — displaced by the new oracle-backed media_text_alignment
+    "media_video_near_dup",
 }
 
 # Queries whose PLAN changed this round — the standing rule pins them
@@ -512,6 +516,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "events_hll_rollup",
     "emb_knn_lsh",        # recall-verdict shape, 20-query set
     "emb_ivfpq_rerank",   # recall-verdict shape, 20-query set
+    "media_text_alignment",  # new this round: CLIP-style alignment filter
 }
 
 

@@ -212,3 +212,35 @@ def test_ann_recall_artifact_at_scale(spark):
         "RECALL.json is stale — refresh with `python3 tools/measure_recall.py`"
     )
     assert artifact["rerank_sweep"] == sweep
+
+
+def test_pair_alignment_planted(spark):
+    """CLIP-style alignment filter: an aligned (image, caption) pair
+    (same direction) keeps; an anti-aligned pair drops; orthogonal pairs
+    sit at exactly 0 and keep under >= 0; odd leftover vectors without a
+    partner emit no row."""
+    from timely_spark.operators.similarity import pair_alignment
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # pair 0: aligned (cos 1)
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),   # pair 1: anti-aligned (cos -1)
+        (3, [0.0, -3.0, 0.0, 0.0]),
+        (4, [1.0, 1.0, 0.0, 0.0]),   # pair 2: orthogonal (cos 0)
+        (5, [1.0, -1.0, 0.0, 0.0]),
+        (6, [0.5, 0.5, 0.5, 0.5]),   # unpaired: no caption side
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["pair_id"]: r for r in pair_alignment(emb, threshold=0.0).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["alignment"] == 1.0 and out[0]["keep"]
+    assert out[1]["alignment"] == -1.0 and not out[1]["keep"]
+    assert out[2]["alignment"] == 0.0 and out[2]["keep"]
+    assert (out[0]["image_id"], out[0]["caption_id"]) == (0, 1)
+    # a real threshold drops weak alignments
+    strict = {r["pair_id"]: r["keep"]
+              for r in pair_alignment(emb, threshold=0.5).collect()}
+    assert strict == {0: True, 1: False, 2: False}
+    # JVM-only plan: no Python stages in the alignment path
+    plan = pair_alignment(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan

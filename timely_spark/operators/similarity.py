@@ -809,3 +809,49 @@ def pca_project(
         )
         cols.append(F.round(dot, round_to).alias(f"pc{i}"))
     return corpus.select(F.col(id_col), *cols)
+
+
+def pair_alignment(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """CLIP-style image-text ALIGNMENT filter over paired embeddings —
+    the LAION curation primitive: an (image, caption) pair survives only
+    if the two modalities' embeddings agree (cosine >= threshold).
+
+    Pairing convention matches the repo's media->caption fixtures
+    (media_caption_dedup): consecutive ids (2k, 2k+1) form one pair —
+    2k is the image-encoder vector, 2k+1 the text-encoder vector. In a
+    real pipeline both columns come from model inference upstream; this
+    operator is the Spark-side filter those scores feed.
+
+    Scale shape: one sort-merge join on the derived ``pair_id`` int key
+    (both sides shuffle once, vectors ride the shuffle exactly one
+    time), cosine entirely JVM-side (zip_with/aggregate — no Python
+    stage), then a row-local threshold. At 100 TB the cost is one
+    corpus-linear co-partition; when the upstream writer bucket-sorts
+    by pair_id the Exchange disappears the same way the series-bucketed
+    store kills the rate window's shuffle.
+
+    Output: (pair_id, image_id, caption_id, alignment, keep).
+    """
+    pid = (F.col(id_col) / 2).cast("long").alias("pair_id")
+    img = emb.filter(F.col(id_col) % 2 == 0).select(
+        pid, F.col(id_col).alias("image_id"), F.col(vec_col).alias("__iv")
+    )
+    cap = emb.filter(F.col(id_col) % 2 == 1).select(
+        pid, F.col(id_col).alias("caption_id"), F.col(vec_col).alias("__cv")
+    )
+    cos = cosine_similarity_col(F.col("__iv"), F.col("__cv"))
+    return (
+        img.join(cap, "pair_id")
+        .select(
+            "pair_id",
+            "image_id",
+            "caption_id",
+            F.round(cos, 4).alias("alignment"),
+            (cos >= F.lit(threshold)).alias("keep"),
+        )
+    )
