@@ -1448,8 +1448,17 @@ def q_doc_trained_classifier(spark, sf_dir):
     the serving expression uses; the learned coefficients slot straight
     into text.classifier_score's zero-shuffle array-literal scorer
     (operators/classifier.py alignment contract, parity-pinned in
-    tests). Rows-only: L-BFGS coefficients aren't SQL-derivable; the
-    label column rides along so separation is visible in the artifact."""
+    tests).
+
+    Bounded-oracle verdict (r6, the HLL-row pattern): L-BFGS
+    coefficients aren't SQL-derivable, but the model's RANKING QUALITY
+    is assertable — the row emits the corpus count (hash-compared hard
+    against DuckDB's count(*)) plus a boolean pinning tie-aware AUC of
+    p_keep vs the weak label at >= 0.7 (0.87 measured at sf0.01/sf0.1).
+    AUC is computed order-independently over DISTINCT rounded scores
+    (bounded group count), never a corpus-wide row window."""
+    from pyspark.sql import Window
+
     from timely_spark.operators.classifier import train_classifier_weights
     from timely_spark.operators.text import classifier_score
 
@@ -1460,8 +1469,33 @@ def q_doc_trained_classifier(spark, sf_dir):
     w = train_classifier_weights(
         docs.filter(F.col("doc_id") % 5 == 0), label, dim=256, max_iter=10
     )
-    return classifier_score(docs, weights=w).join(
-        docs.select("doc_id", label.alias("weak_label")), "doc_id"
+    scored = classifier_score(docs, weights=w).join(
+        docs.select("doc_id", label.alias("__y")), "doc_id"
+    )
+    g = scored.groupBy("p_keep").agg(
+        F.sum(F.col("__y").cast("long")).alias("__np"),
+        F.sum((~F.col("__y")).cast("long")).alias("__nn"),
+    )
+    cum_nn = F.coalesce(
+        F.sum("__nn").over(
+            Window.orderBy("p_keep").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    per = g.select(
+        (F.col("__np") * (cum_nn + F.col("__nn") / 2.0)).alias("__u"),
+        "__np",
+        "__nn",
+    )
+    tot = per.agg(
+        F.sum("__u").alias("u"),
+        F.sum("__np").alias("np"),
+        F.sum("__nn").alias("nn"),
+    )
+    return tot.select(
+        (F.col("np") + F.col("nn")).cast("long").alias("n_docs"),
+        F.lit(0.7).alias("auc_floor"),
+        (F.col("u") / (F.col("np") * F.col("nn")) >= 0.7).alias("auc_ok"),
     )
 
 
@@ -3078,6 +3112,10 @@ SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
         "emb_ivfpq_rerank": """
 SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
        CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "doc_trained_classifier": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0.7 AS DOUBLE) AS auc_floor, TRUE AS auc_ok
+FROM documents""",
         "media_text_alignment": """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,

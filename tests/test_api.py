@@ -517,6 +517,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "emb_knn_lsh",        # recall-verdict shape, 20-query set
     "emb_ivfpq_rerank",   # recall-verdict shape, 20-query set
     "media_text_alignment",  # new this round: CLIP-style alignment filter
+    "doc_trained_classifier",  # AUC-verdict shape (bounded oracle)
 }
 
 
