@@ -1863,11 +1863,34 @@ def q_doc_minhash_pairs(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (xxhash64-based — rows-only check)."""
-    from timely_spark.operators.dedup import simhash
+    """64-bit SimHash near-dup machinery, ORACLE-BACKED (r6) through its
+    hard guarantee: identical texts have identical fingerprints, so the
+    pigeonhole-blocked Hamming join (simhash_near_dups) MUST surface
+    every exact-duplicate pair — deterministically, not probabilistically.
+    The row emits the near-dup pair subset restricted to md5-equal texts
+    and hash-compares it against DuckDB's exhaustive exact-dup pair
+    list; a fingerprint instability (cross-executor nondeterminism) or
+    a blocking-join defect that drops any bucket hash-mismatches. The
+    fingerprint VALUES stay pinned by the pure-Python golden
+    (test_goldens_nooracle). Every 25th doc is replanted at id+100000
+    (the corpus carries no natural byte-identical pairs at sf0.01), so
+    the guarantee is exercised on >=20 pairs at every scale."""
+    from timely_spark.operators.dedup import simhash_near_dups
 
-    docs = _t(spark, sf_dir, "documents")
-    return simhash(docs).select("doc_id", "simhash")
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 25 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100_000
+        )
+    )
+    near = simhash_near_dups(docs, max_hamming=3).select("id_a", "id_b")
+    h = docs.select("doc_id", F.md5("text").alias("__h"))
+    return (
+        near.join(h.withColumnRenamed("doc_id", "id_a").withColumnRenamed("__h", "__ha"), "id_a")
+        .join(h.withColumnRenamed("doc_id", "id_b").withColumnRenamed("__h", "__hb"), "id_b")
+        .filter(F.col("__ha") == F.col("__hb"))
+        .select("id_a", "id_b")
+    )
 
 
 def q_emb_pq_ann(spark, sf_dir):
@@ -1974,7 +1997,13 @@ def q_media_near_dup(spark, sf_dir):
     SimHash blocking machinery applied to an IMAGE hash). Planted
     near-dups are byte-perturbed copies of real images (one pixel
     brightened) — the operator must pair each with its original and
-    nothing else. Rows-only (perceptual hash not SQL-expressible)."""
+    nothing else.
+
+    ORACLE-BACKED (r6): the expected pair set is CONSTRUCTION-derived
+    (the perturbed copy of seed i pairs with i; distinct seeded images
+    never pair), so the oracle states it as literals — a decode, hash,
+    or blocking-join defect that adds or drops any pair hash-mismatches
+    the row. The hash/distance values stay golden-pinned in tests."""
     from timely_spark.operators.dedup import hamming_near_dups
     from timely_spark.operators.multimodal import (
         extract_image_features,
@@ -1994,17 +2023,27 @@ def q_media_near_dup(spark, sf_dir):
     feats = extract_image_features(media).select("media_id", "phash")
     return hamming_near_dups(
         feats, "phash", id_col="media_id", max_hamming=3
-    )
+    ).select("id_a", "id_b")
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal features with the REAL in-container codecs: BMP, PNG
-    (stdlib zlib inflate + scanline de-filtering) and baseline JPEG
-    (pure-numpy T.81 Huffman entropy decode + inverse DCT) image decode
-    (dimensions, mean luma, aHash), PCM WAV decode (duration, rate,
-    RMS), and MPEG-audio frame-header parse (duration/rate real, RMS
-    null — sample decode needs a codec lib), Arrow-batched over
-    mapInPandas (rows-only check)."""
+    (stdlib zlib inflate + scanline de-filtering), baseline JPEG
+    (pure-numpy T.81 Huffman entropy decode + inverse DCT) and GIF
+    (variable-width LZW) image decode (dimensions, mean luma, aHash),
+    PCM WAV decode (duration, rate, RMS), and MPEG-audio frame-header
+    parse (rate real, RMS NULL — sample decode is the labeled stub),
+    Arrow-batched over mapInPandas.
+
+    ORACLE-BACKED (r6): the verdict columns are CONSTRUCTION-derived —
+    synthetic_media builds each payload's dimensions / sample rate /
+    duration from its media_id, so the row re-derives the expectation
+    from media_id in-plan and compares against what the decoder read
+    out of the container. The oracle re-derives the per-kind row counts
+    from the same id arithmetic (DuckDB range) and pins the verdicts
+    TRUE: any codec regression across the FOUR image formats or TWO
+    audio containers hash-mismatches. Decoder-internal values
+    (mean_luma, aHash, RMS) stay golden-pinned in tests."""
     from timely_spark.operators.multimodal import (
         extract_audio_features,
         extract_image_features,
@@ -2012,21 +2051,47 @@ def q_media_features(spark, sf_dir):
     )
 
     media = synthetic_media(spark, n=64)
+    i = F.col("media_id")
     img = extract_image_features(media).select(
-        "media_id",
-        F.lit("image").alias("kind"),
-        F.col("width").cast("double").alias("f1"),
-        F.col("height").cast("double").alias("f2"),
-        F.col("mean_luma").alias("f3"),
+        (
+            (F.col("width") == 16 + i % 48)
+            & (F.col("height") == 16 + (i * 3) % 48)
+            & F.col("mean_luma").between(0.0, 255.0)
+        ).alias("ok")
     )
+    is_mp3 = (i / F.lit(3)).cast("long") % 2 == 1
+    wav_rate = (F.lit(8000) + 1000 * (i % 3)).cast("int")
+    mp3_rate = F.element_at(
+        F.array(F.lit(44100), F.lit(48000), F.lit(32000)), (i % 3 + 1).cast("int")
+    )
+    # make_wav truncates to whole samples: int(dur * rate) / rate
+    wav_dur = F.floor(
+        (F.lit(0.05) + (i % 10) / F.lit(100.0)) * wav_rate
+    ) / wav_rate
     aud = extract_audio_features(media).select(
-        "media_id",
-        F.lit("audio").alias("kind"),
-        F.col("duration_s").alias("f1"),
-        F.col("sample_rate").cast("double").alias("f2"),
-        F.col("rms").alias("f3"),
+        F.when(
+            is_mp3,
+            (F.col("sample_rate") == mp3_rate) & F.col("rms").isNull(),
+        )
+        .otherwise(
+            (F.col("sample_rate") == wav_rate)
+            & (F.abs(F.col("duration_s") - wav_dur) < 1e-9)
+            & F.col("rms").between(0.0, 1.0)
+        )
+        .alias("ok")
     )
-    return img.unionByName(aud)
+    return (
+        img.agg(
+            F.count(F.lit(1)).alias("n_images"), F.bool_and("ok").alias("dims_ok")
+        )
+        .crossJoin(
+            aud.agg(
+                F.count(F.lit(1)).alias("n_audio"),
+                F.bool_and("ok").alias("audio_ok"),
+            )
+        )
+        .select("n_images", "n_audio", "dims_ok", "audio_ok")
+    )
 
 
 def q_doc_corpus_ingest(spark, sf_dir):
@@ -3116,6 +3181,38 @@ SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0.7 AS DOUBLE) AS auc_floor, TRUE AS auc_ok
 FROM documents""",
+        # media_near_dup: the construction-derived planted pair set —
+        # seed i's one-pixel-perturbed copy (id 1000+i, every 4th i)
+        # pairs with i and nothing else
+        "media_near_dup": """
+SELECT CAST(i AS BIGINT) AS id_a, CAST(1000 + i AS BIGINT) AS id_b
+FROM (SELECT unnest(range(0, 24, 4)) AS i)""",
+        # media_caption_dedup: construction-derived survivors — each
+        # caption pair (2k, 2k+1) carries (original, perturbed-copy)
+        # images, the near-dup loser is the HIGHER id, so exactly the
+        # even doc_ids < 48 survive into the per-source rollup
+        "media_caption_dedup": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept_docs,
+       min(doc_id) AS first_kept_id
+FROM documents WHERE doc_id < 48 AND doc_id % 2 = 0
+GROUP BY source""",
+        # doc_simhash: the deterministic guarantee — every md5-equal pair
+        # must surface through the fingerprint + pigeonhole-blocked join
+        "doc_simhash": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),
+h AS (SELECT doc_id, md5(text) AS hh FROM aug)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id""",
+        # media_features: per-kind counts re-derived from the fixture's
+        # id arithmetic; the dims/audio verdicts are pinned TRUE
+        "media_features": """
+SELECT CAST(count(*) FILTER (i % 3 = 0) AS BIGINT) AS n_images,
+       CAST(count(*) FILTER (i % 3 = 1) AS BIGINT) AS n_audio,
+       TRUE AS dims_ok, TRUE AS audio_ok
+FROM (SELECT unnest(range(64)) AS i)""",
         "media_text_alignment": """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,

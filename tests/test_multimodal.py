@@ -338,10 +338,9 @@ def test_media_near_dup_pairs_planted(spark):
     pairs with exactly its original; distinct images don't pair."""
     import __spark_entry__ as e
 
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+    pairs = {(r["id_a"], r["id_b"]) for r in
              e.q_media_near_dup(spark, "/root/testdata/sf0.001").collect()}
-    assert set(pairs) == {(i, 1000 + i) for i in range(24) if i % 4 == 0}
-    assert all(h <= 3 for h in pairs.values())
+    assert pairs == {(i, 1000 + i) for i in range(24) if i % 4 == 0}
 
 
 def test_media_caption_dedup_composition(spark):
