@@ -1250,15 +1250,21 @@ def q_doc_bpe_encode(spark, sf_dir):
     deterministic hash-ordered 128-doc sample (tokenizer training is a
     driver seam by design — production tokenizers ship static merge
     tables), then applied corpus-wide in ONE Arrow mapInPandas pass
-    with per-batch word memoization. Rows-only: iterative greedy
-    merging is genuinely non-SQL-expressible; value-level parity is
-    pinned by an independent sequential-merge model in
-    tests/test_goldens_nooracle.py."""
+    with per-batch word memoization.
+
+    ORACLE-BACKED (r6) through the encoding's conservation law: merges
+    only concatenate symbols, so per doc the total token character mass
+    is EXACTLY sum(len(word) + len('</w>')) — DuckDB recomputes it from
+    TOKENS_SQL (whose token contract _WORD_RE shares) with zero BPE
+    knowledge. A merge application that drops, duplicates, or corrupts
+    any subword breaks the mass; the greedy merge ORDER itself (not
+    SQL-expressible) stays pinned by the independent sequential-merge
+    golden in tests/test_goldens_nooracle.py."""
     from timely_spark.operators.bpe import bpe_encode, train_bpe_merges
 
     docs = _t(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, num_merges=150, sample_docs=128)
-    return bpe_encode(docs, merges)
+    return bpe_encode(docs, merges).select("doc_id", "n_words", "token_chars")
 
 
 def q_doc_dsir_weights(spark, sf_dir):
@@ -1897,40 +1903,69 @@ def q_emb_pq_ann(spark, sf_dir):
     """Product-quantization ADC ANN (Jegou et al. 2011): corpus encoded
     to m=8 sub-codebook indices (16 centroids each, deterministic
     hash-sample k-means), queries scored via per-subspace lookup tables.
-    Approximate + mapInPandas encode — rows-only check; recall floor
-    pinned in test_goldens_nooracle."""
-    from timely_spark.operators.similarity import pq_topk
+    Bounded recall verdict (r6): floor 0.15 vs 0.18-0.31 measured —
+    PQ at m=8/ksub=16 is inherently coarse on structureless vectors
+    (RECALL.json documents the full trade-off per round)."""
+    from timely_spark.operators.similarity import cosine_topk, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return pq_topk(emb, q, dim=64, k=10, m=8, ksub=16)
+    q = _ann_queries(emb)
+    ann = pq_topk(emb, q, dim=64, k=10, m=8, ksub=16)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.15)
 
 
 def q_emb_ivfpq_ann(spark, sf_dir):
     """IVF + PQ composed (FAISS IVFADC shape): one Arrow pass assigns
     coarse cell + PQ code; queries probe nprobe cells; ADC scoring.
-    Rows-only; recall floor pinned in test_goldens_nooracle."""
-    from timely_spark.operators.similarity import ivfpq_topk
+    Bounded recall verdict (r6): floor 0.12 vs 0.16-0.29 measured
+    (probing 8/32 cells compounds PQ coarseness — emb_ivfpq_rerank is
+    the recovery stage)."""
+    from timely_spark.operators.similarity import cosine_topk, ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return ivfpq_topk(emb, q, dim=64, k=10, m=8, ksub=16, ncells=32, nprobe=8)
+    q = _ann_queries(emb)
+    ann = ivfpq_topk(emb, q, dim=64, k=10, m=8, ksub=16, ncells=32, nprobe=8)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.12)
 
 
 def q_emb_pca_project(spark, sf_dir):
     """PCA projection to 8 components: basis trained on a deterministic
     hash-ordered sample (numpy eigh, sign-canonicalized), projection as
     literal-array dot products — zero shuffle, zero Python executor
-    stages. Rows-only; numpy-parity golden in test_goldens_nooracle."""
+    stages.
+
+    Bounded-oracle verdict (r6): an ORTHONORMAL basis contracts —
+    every row must satisfy ||proj(x)||^2 <= ||x - mu||^2 (+ rounding
+    slack for the 6-decimal projected coords). The row emits the corpus
+    count (hash-compared against DuckDB's count(*)) plus the
+    all-rows-contract boolean the oracle pins TRUE; a basis that loses
+    orthonormality (the numpy eigh/sign-canonicalization seam) breaks
+    the bound on real data. Projected VALUES stay numpy-parity
+    golden-pinned in test_goldens_nooracle."""
     from timely_spark.operators.similarity import pca_components, pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
     mu, comps, _ = pca_components(emb, dim=64, r=8)
-    return pca_project(emb, mu, comps)
+    proj = pca_project(emb, mu, comps)
+    pc_cols = [c for c in proj.columns if c.startswith("pc")]
+    pnorm2 = sum((F.col(c) * F.col(c) for c in pc_cols), F.lit(0.0))
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    xnorm2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            mu_lit,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ok = proj.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        (pnorm2 <= xnorm2 + F.lit(1e-3)).alias("ok")
+    )
+    return ok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.bool_and("ok").alias("contraction_ok"),
+    )
 
 
 def _ann_recall_verdict(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
@@ -1980,14 +2015,14 @@ def q_emb_knn_lsh(spark, sf_dir):
 
 def q_emb_knn_ivf(spark, sf_dir):
     """IVF-style ANN: coarse-quantize to seeded centroids, probe nearest
-    cells (approximate — rows-only check)."""
-    from timely_spark.operators.similarity import ivf_topk
+    cells. Bounded recall verdict (r6): floor 0.25 vs 0.46-0.53
+    measured (4/16 cells probed on full-precision vectors)."""
+    from timely_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return ivf_topk(emb, q, k=10, ncells=16, nprobe=4)
+    q = _ann_queries(emb)
+    ann = ivf_topk(emb, q, k=10, ncells=16, nprobe=4)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.25)
 
 
 def q_media_near_dup(spark, sf_dir):
@@ -2128,9 +2163,11 @@ def q_media_video_near_dup(spark, sf_dir):
     Hamming join on frame hashes, pair kept at >= 2 aligned matching
     sampled frames. Planted: every third video is a +6-luma re-encode
     of its predecessor (same frames, new JPEG bytes) and must pair with
-    it and nothing else. Rows-only (perceptual pipeline not
-    SQL-expressible); planted-pair exactness asserted in
-    tests/test_multimodal.py."""
+    it and nothing else. ORACLE-BACKED (r6): the expected pair set is
+    construction-derived, stated as literals by the oracle — a
+    container-parse, JPEG-decode, frame-hash, or alignment defect that
+    adds or drops a pair hash-mismatches; shared-frame counts and hash
+    values stay pinned in tests/test_multimodal.py."""
     from timely_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         make_avi_mjpeg,
@@ -2151,7 +2188,9 @@ def q_media_video_near_dup(spark, sf_dir):
                                 seed=100 + i * 7, luma_shift=6), None)
             )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    return video_near_dups(media, every_n_seconds=0.5, min_shared_frames=2)
+    return video_near_dups(
+        media, every_n_seconds=0.5, min_shared_frames=2
+    ).select("id_a", "id_b")
 
 
 def q_media_text_alignment(spark, sf_dir):
@@ -2497,14 +2536,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_streaming_rate": q_ts_streaming_rate,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
-        "events_sessionize": q_events_sessionize,
-        "events_sessionize_native": q_events_sessionize_native,
+        # r6 final-conversion rotation: the six freshly oracle-backed
+        # tail rows (plans changed by their conversion) take checked
+        # slots per the standing rule; see ROTATED_TO_TAIL justifications
+        "emb_pq_ann": q_emb_pq_ann,
+        "emb_ivfpq_ann": q_emb_ivfpq_ann,
         "events_streaming_sessionize": q_events_streaming_sessionize,
         "events_retention": q_events_retention,
         "events_asof_join": q_events_asof_join,
         "events_hll_rollup": q_events_hll_rollup,
         "events_range_join": q_events_range_join,
-        "emb_knn": q_emb_knn,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "emb_kmeans_assign": q_emb_kmeans_assign,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -2530,12 +2572,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-checked 50-entry prefix (test_registry_order contract)
         "doc_corpus_ingest": q_doc_corpus_ingest,
         "doc_classifier_score": q_doc_classifier_score,
-        "doc_tfidf_terms": q_doc_tfidf_terms,
+        "emb_pca_project": q_emb_pca_project,
         "doc_global_shuffle": q_doc_global_shuffle,
         "doc_token_budget": q_doc_token_budget,
-        "doc_url_dedup": q_doc_url_dedup,
+        "doc_bpe_encode": q_doc_bpe_encode,
         "doc_perplexity": q_doc_perplexity,
-        "doc_seq_pack": q_doc_seq_pack,
+        "media_video_near_dup": q_media_video_near_dup,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "doc_trained_classifier": q_doc_trained_classifier,
         "doc_dsir_weights": q_doc_dsir_weights,
@@ -2594,12 +2636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rate": q_ts_rate,
         # r6 rotations OUT: rows-only, plans unchanged, goldens +
         # CORRECTNESS_LOCAL.json still cover them (see prefix comment)
-        "media_video_near_dup": q_media_video_near_dup,
-        "emb_pq_ann": q_emb_pq_ann,
-        "emb_ivfpq_ann": q_emb_ivfpq_ann,
-        "emb_pca_project": q_emb_pca_project,
-        "emb_knn_ivf": q_emb_knn_ivf,
-        "doc_bpe_encode": q_doc_bpe_encode,
+        # r6 rotations out (multi-round green, plans unchanged, coverage
+        # redundantly held in-prefix — see ROTATED_TO_TAIL)
+        "events_sessionize": q_events_sessionize,
+        "events_sessionize_native": q_events_sessionize_native,
+        "emb_knn": q_emb_knn,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
+        "doc_url_dedup": q_doc_url_dedup,
+        "doc_seq_pack": q_doc_seq_pack,
         "tpch_q1": q_tpch_q1,
         "tpch_q6ish": q_tpch_q6ish,
         "tpch_q10ish": q_tpch_q10ish,
@@ -3206,6 +3250,32 @@ WITH aug AS (
 h AS (SELECT doc_id, md5(text) AS hh FROM aug)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id""",
+        # ANN recall verdicts for the remaining index tiers + the PCA
+        # contraction bound — same bounded-oracle pattern
+        "emb_pq_ann": """
+SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(0.15 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "emb_ivfpq_ann": """
+SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(0.12 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "emb_knn_ivf": """
+SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(0.25 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "emb_pca_project": """
+SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS contraction_ok
+FROM embeddings""",
+        # doc_bpe_encode: BPE char-mass conservation — token chars ==
+        # sum(len(word) + 4) per doc, stated with zero BPE knowledge
+        "doc_bpe_encode": f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+       CAST(length(array_to_string(t, '')) + 4 * len(t) AS BIGINT) AS token_chars
+FROM tk""",
+        # media_video_near_dup: construction-derived planted pair set —
+        # every third video's +6-luma re-encode pairs with it only
+        "media_video_near_dup": """
+SELECT CAST(i AS BIGINT) AS id_a, CAST(1000 + i AS BIGINT) AS id_b
+FROM (SELECT unnest(range(0, 8, 3)) AS i)""",
         # media_features: per-kind counts re-derived from the fixture's
         # id arithmetic; the dims/audio verdicts are pinned TRUE
         "media_features": """

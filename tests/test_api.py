@@ -489,10 +489,15 @@ ROTATED_TO_TAIL = {
     "emb_ivfpq_ann",
     "emb_pca_project",
     "emb_knn_ivf",
-    # r6: plan UNCHANGED this round (AVI/MJPEG path touches neither the
-    # GIF nor the audio changes); rows-only with a planted re-encode
-    # test — displaced by the new oracle-backed media_text_alignment
-    "media_video_near_dup",
+    # r6 final rotation: multi-round green, plans unchanged this round,
+    # coverage redundantly held by in-prefix rows — sessionize by
+    # events_streaming_sessionize; emb_knn's exact top-k plan runs
+    # INSIDE the four in-prefix recall verdicts; url_dedup / tfidf /
+    # seq_pack are stable trivial-to-moderate plans still swept +
+    # bench-gated every round
+    "events_sessionize",
+    "events_sessionize_native",
+    "emb_knn",
 }
 
 # Queries whose PLAN changed this round — the standing rule pins them
@@ -518,6 +523,16 @@ PLAN_CHANGED_THIS_ROUND = {
     "emb_ivfpq_rerank",   # recall-verdict shape, 20-query set
     "media_text_alignment",  # new this round: CLIP-style alignment filter
     "doc_trained_classifier",  # AUC-verdict shape (bounded oracle)
+    # r6 final conversions: every registry query is now oracle-backed
+    "emb_pq_ann",
+    "emb_ivfpq_ann",
+    "emb_knn_ivf",
+    "emb_pca_project",
+    "doc_bpe_encode",
+    "media_video_near_dup",
+    "media_near_dup",
+    "media_caption_dedup",
+    "doc_simhash",
 }
 
 

@@ -107,12 +107,17 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, n_words, n_bpe_tokens, bpe_md5) per doc, distributed.
+    """(id, n_words, n_bpe_tokens, token_chars, bpe_md5) per doc.
 
     ``bpe_md5`` = md5 of the space-joined token stream — a value-level
-    fingerprint cheap enough to compare in goldens. One ``mapInPandas``
-    pass; the per-batch word cache makes cost proportional to distinct
-    words per batch.
+    fingerprint cheap enough to compare in goldens. ``token_chars`` =
+    total characters across all emitted tokens: BPE merges only ever
+    CONCATENATE symbols, so the mass is exactly sum(len(word) + 4) —
+    the 4 is the </w> marker — making losslessness of the merge-table
+    application cross-engine checkable (the doc_bpe_encode oracle
+    recomputes the same mass from TOKENS_SQL, whose token contract
+    _WORD_RE shares). One ``mapInPandas`` pass; the per-batch word
+    cache makes cost proportional to distinct words per batch.
     """
     import hashlib
 
@@ -124,7 +129,7 @@ def bpe_encode(
     def run(it):
         cache: dict[str, list[str]] = {}
         for pdf in it:
-            ids, nw, nt, md5s = [], [], [], []
+            ids, nw, nt, nc, md5s = [], [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks: list[str] = []
                 words = _words(t or "")
@@ -137,12 +142,14 @@ def bpe_encode(
                 ids.append(i)
                 nw.append(len(words))
                 nt.append(len(toks))
+                nc.append(sum(len(x) for x in toks))
                 md5s.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "n_words": nw,
                     "n_bpe_tokens": nt,
+                    "token_chars": nc,
                     "bpe_md5": md5s,
                 }
             )
@@ -150,5 +157,5 @@ def bpe_encode(
     return docs.select(id_col, text_col).mapInPandas(
         run,
         schema=f"{id_col} {id_field}, n_words long, n_bpe_tokens long, "
-        "bpe_md5 string",
+        "token_chars long, bpe_md5 string",
     )
