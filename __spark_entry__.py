@@ -1970,20 +1970,34 @@ def q_emb_pca_project(spark, sf_dir):
 
 def _ann_recall_verdict(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
     """Bounded-oracle shape for ANN rows (the HLL-row pattern, VERDICT
-    r5 item #7 extended): ONE verdict row — hit count over the exact
-    top-k (hash-compared against nothing: the oracle can't know it), a
-    literal floor, and a boolean the oracle pins as TRUE. Recall below
-    the floor hash-mismatches the driver row; the top-k lists themselves
-    stay pinned by goldens + the sf0.1 RECALL.json artifact."""
+    r5 item #7 extended): ONE verdict row — the exact top-k's cosine
+    mass (a HARD cross-engine value: DuckDB recomputes the brute-force
+    top-k and its sum independently, so the exact side the recall is
+    measured AGAINST is itself verified), a literal floor, and a recall
+    boolean the oracle pins TRUE. Sub-floor recall or a wrong exact
+    side hash-mismatches; the ANN top-k lists stay pinned by goldens +
+    the sf0.1 RECALL.json artifact. The sum is order-independent
+    (per-term 4-decimal round, DECIMAL accumulation — the dsir
+    precedent)."""
     hits = ann.select("query_id", "vec_id").join(
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
     return (
         hits.agg(F.count(F.lit(1)).alias("__h"))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__t")))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("__t"),
+                F.round(
+                    F.sum(F.round("cosine", 4).cast("decimal(20,10)")), 4
+                )
+                .cast("double")
+                .alias("__cs"),
+            )
+        )
         .select(
             F.lit(20).alias("n_queries"),
             F.lit(10).alias("k"),
+            F.col("__cs").alias("exact_cosine_sum"),
             F.lit(floor).alias("recall_floor"),
             (F.col("__h") / F.col("__t") >= F.lit(floor)).alias("recall_ok"),
         )
@@ -2815,6 +2829,41 @@ def _mixture_oracle() -> str:
     return domain_mixture_sql()
 
 
+
+# shared exact side of the ANN recall verdicts: DuckDB independently
+# recomputes the brute-force top-10 cosine mass over the 20-query set
+# (the emb-knn oracle shape), so the reference the recall is measured
+# against is itself value-verified; per-term 4-decimal round + DECIMAL
+# accumulation makes the sum order-independent
+_ANN_EXACT_SUM_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM ex GROUP BY 1),
+q AS (SELECT * FROM ex WHERE vec_id < 20),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.x * c.x) AS dot
+  FROM q JOIN ex c USING (i) WHERE c.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+sims AS (SELECT query_id, dots.vec_id AS vec_id, dot / (nq.n * nc.n) AS cosine
+  FROM dots JOIN nrm nq ON nq.vec_id = dots.query_id
+            JOIN nrm nc ON nc.vec_id = dots.vec_id),
+ranked AS (SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 6) DESC, vec_id) AS rnk
+  FROM sims)
+SELECT CAST(round(sum(CAST(round(cosine, 4) AS DECIMAL(20,10))), 4) AS DOUBLE)
+FROM ranked WHERE rnk <= 10"""
+
+
+def _ann_verdict_sql(floor: float) -> str:
+    return f"""
+SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
+       ({_ANN_EXACT_SUM_SQL}) AS exact_cosine_sum,
+       CAST({floor} AS DOUBLE) AS recall_floor, TRUE AS recall_ok"""
+
+
 def oracle_sql() -> dict[str, str]:
     from timely_spark.operators.text import (
         BPE_TOKEN_COUNT_SQL,
@@ -3215,12 +3264,8 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""",
         # the ANN answer and the exact top-k in one plan and emits a
         # recall-floor boolean; the oracle pins it TRUE — sub-floor
         # recall hash-mismatches the row
-        "emb_knn_lsh": """
-SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-       CAST(0.35 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
-        "emb_ivfpq_rerank": """
-SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-       CAST(0.2 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "emb_knn_lsh": _ann_verdict_sql(0.35),
+        "emb_ivfpq_rerank": _ann_verdict_sql(0.2),
         "doc_trained_classifier": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0.7 AS DOUBLE) AS auc_floor, TRUE AS auc_ok
@@ -3252,15 +3297,9 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id""",
         # ANN recall verdicts for the remaining index tiers + the PCA
         # contraction bound — same bounded-oracle pattern
-        "emb_pq_ann": """
-SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-       CAST(0.15 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
-        "emb_ivfpq_ann": """
-SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-       CAST(0.12 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
-        "emb_knn_ivf": """
-SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
-       CAST(0.25 AS DOUBLE) AS recall_floor, TRUE AS recall_ok""",
+        "emb_pq_ann": _ann_verdict_sql(0.15),
+        "emb_ivfpq_ann": _ann_verdict_sql(0.12),
+        "emb_knn_ivf": _ann_verdict_sql(0.25),
         "emb_pca_project": """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS contraction_ok
 FROM embeddings""",
