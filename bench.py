@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "ts_engine_query",
     "media_features",
     "media_text_alignment",
+    "doc_substring_dedup",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing

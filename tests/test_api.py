@@ -533,6 +533,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "media_near_dup",
     "media_caption_dedup",
     "doc_simhash",
+    "doc_substring_dedup",  # new this round: stride-1 substring dedup
 }
 
 

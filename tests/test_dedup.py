@@ -428,3 +428,44 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """).fetchall()
     }
     assert got == want
+
+
+def test_repeated_span_stats_stride1(spark):
+    """Exact substring dedup at stride-1 (Lee et al. 2022 semantics):
+    a shared passage is found at DIFFERENT offsets in different docs
+    (the case non-overlapping chunk hashing misses), within-doc repeats
+    qualify, overlapping windows merge into one maximal span, touching
+    spans coalesce, and clean/short docs report zero."""
+    from timely_spark.operators.dedup import repeated_span_stats
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        # 31-token prefix: NOT a multiple of the 10-token chunk size, so
+        # the copy at offset 31 shares no aligned chunk with doc 2's
+        (1, " ".join(f"alpha{i}" for i in range(31)) + " " + shared),
+        (2, shared + " " + " ".join(f"beta{i}" for i in range(10))),
+        (3, " ".join(f"gamma{i}" for i in range(40))),
+        (4, "rep " * 40),
+        (5, "short doc"),
+        # two disjoint shared spans in one doc -> 2 spans
+        (6, shared + " " + " ".join(f"mid{i}" for i in range(12)) + " " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_span_stats(df, window=8).collect()}
+    assert (got[1]["n_dup_spans"], got[1]["dup_tokens"]) == (1, 20)
+    assert got[1]["n_tokens"] == 51
+    assert (got[2]["n_dup_spans"], got[2]["dup_tokens"]) == (1, 20)
+    assert got[2]["dup_frac"] == pytest.approx(20 / 30, abs=1e-4)
+    assert (got[3]["n_dup_spans"], got[3]["dup_tokens"]) == (0, 0)
+    assert (got[4]["n_dup_spans"], got[4]["dup_tokens"]) == (1, 40)  # self-repeat
+    assert (got[5]["n_dup_spans"], got[5]["n_tokens"]) == (0, 2)
+    assert got[6]["n_dup_spans"] == 2 and got[6]["dup_tokens"] == 40
+    # chunk-alignment blindness check: with a 10-token chunker the doc-1
+    # copy (offset 30) and doc-2 copy (offset 0) share NO aligned chunk,
+    # but stride-1 finds both full spans
+    from timely_spark.operators.dedup import chunk_dedup
+
+    ch = {r["doc_id"]: r for r in chunk_dedup(
+        df.filter(F.col("doc_id").isin(1, 2)), chunk_tokens=10
+    ).collect()}
+    assert ch[1]["n_shared_chunks"] == 0  # the aligned chunker misses it

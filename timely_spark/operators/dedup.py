@@ -1063,3 +1063,106 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_chunks,
   round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
     AS shared_chunk_frac
 FROM ex JOIN cnt USING (h) GROUP BY 1"""
+
+
+# ---------------------------------------------------------- substring spans
+
+
+def _window_hashes(text_col: str, window: int):
+    """STRIDE-1 rolling token-window hashes as ``array<long>`` — the
+    positional (non-distinct) sibling of :func:`_shingle_hashes`: entry
+    ``i`` (0-based) is the injective fold of tokens ``i .. i+window-1``.
+    Docs with fewer than ``window`` tokens yield an empty array (no
+    whole-doc fallback here: a span shorter than the window is not a
+    qualifying repeat)."""
+    toks = _tokens(text_col)
+    m = F.size(toks) - (window - 1)
+    sh = F.transform(F.slice(toks, 1, m), lambda t: F.xxhash64(t))
+    for j in range(1, window):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, j + 1, m),
+            lambda acc, t: acc * F.lit(_SHINGLE_P) + F.xxhash64(t),
+        )
+    return F.when(m >= 1, sh).otherwise(F.array().cast("array<long>"))
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Exact substring dedup at STRIDE-1 granularity — the Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better")
+    semantics at token windows, the alignment-free upgrade over
+    :func:`chunk_dedup`'s non-overlapping chunks: a duplicated passage
+    is found wherever it starts, not only when it happens to land on a
+    chunk boundary.
+
+    Plan: every doc emits its rolling ``window``-token hashes with
+    positions; a global count marks hashes occurring more than once
+    ANYWHERE (cross-doc or within-doc repeats both qualify, as in the
+    suffix-array formulation); flagged positions merge into MAXIMAL
+    spans per doc by gaps-and-islands (windows overlapping or touching
+    coalesce), and the row reports per-doc span count / duplicated
+    token mass / fraction.
+
+    Scale shape: the only corpus-sized shuffle carries (hash, count)
+    ints — never text; the island merge windows over per-DOC position
+    lists (bounded by doc length, the sessionize per-user precedent);
+    the span arithmetic is row-local. A full suffix array would find
+    repeats of EVERY length; fixing the window length is what turns the
+    problem corpus-linear, and matches the fixed `min_length` cutoff
+    the reference technique applies anyway.
+
+    Output: (id, n_tokens, n_dup_spans, dup_tokens, dup_frac).
+    """
+    pos_h = df.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("__nt"),
+        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
+    )
+    occ = pos_h.filter(F.col("__h").isNotNull())
+    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    dup = occ.join(counts.filter(F.col("__c") > 1), "__h").select(
+        id_col, "__p"
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("__p") > F.max("__p").over(w_prev) + (window - 1) + 1, 1
+    ).otherwise(0)
+    isl = dup.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            Window.partitionBy(id_col).orderBy("__p").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    spans = isl.groupBy(id_col, "__isl").agg(
+        (F.max("__p") - F.min("__p") + window).alias("__span_toks")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__span_toks").alias("dup_tokens"),
+    )
+    base = df.select(F.col(id_col), F.size(_tokens(text_col)).alias("n_tokens"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
