@@ -1151,6 +1151,10 @@ def repeated_span_stats(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum("__span_toks").alias("dup_tokens"),
     )
+    # denominator side: a fresh cheap scan (tokenize + size, no explode).
+    # Deduplicating (id, __nt) out of the EXPLODED frame instead was
+    # measured 2.3x slower end-to-end at sf0.1 — the distinct shuffles
+    # one row per WINDOW, while this scan reads one row per DOC
     base = df.select(F.col(id_col), F.size(_tokens(text_col)).alias("n_tokens"))
     return (
         base.join(per_doc, id_col, "left")
