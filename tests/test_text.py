@@ -1019,3 +1019,33 @@ def test_curate_cli_c4_gate(spark, tmp_path):
     m = json.load(open(os.path.join(out, "_curation_manifest.json")))
     assert m["n_survivors"] == stats["n_survivors"] == 1
     assert m["c4_gate"] is True
+
+
+def test_curate_cli_substring_screen(spark, tmp_path):
+    """--max-dup-frac: the stride-1 substring screen drops docs whose
+    duplicated-token fraction (cross-doc OR within-doc repeats at any
+    offset) exceeds the cutoff; clean docs survive."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    shared = " ".join(f"plag{i}" for i in range(25))
+    rows = []
+    for i in range(12):
+        body = " ".join(f"doc{i}w{j}" for j in range(40))
+        if i in (3, 7):  # two docs carry the plagiarized passage at
+            body += " " + shared  # different offsets (doc lengths differ)
+            body = body if i == 3 else shared + " " + body
+        rows.append((i, "web", body))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+        max_dup_frac=0.3,
+    )
+    assert stats["n_substring"] == 10  # docs 3 and 7 dropped
+    back = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in back.collect()}
+    assert 3 not in ids and 7 not in ids and len(ids) == 10

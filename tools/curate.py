@@ -6,7 +6,8 @@ strips repeated lines within each doc first (``--line-dedup``), runs the
 screen pipeline (unicode normalization, Gopher and C4 hard rules, linear
 classifier filter, normalized-text exact dedup, temperature-2 domain
 mixture), optionally collapses MinHash near-dup clusters to their
-keepers (``--minhash-dedup``) and SemDeDup embedding-space near-dups
+keepers (``--minhash-dedup``), stride-1 exact-substring screening
+(``--max-dup-frac``) and SemDeDup embedding-space near-dups
 to their cluster keepers (``--semantic-dedup``), optionally screens by LM perplexity against a reference
 domain (``--ppl-ref``/``--max-log-ppl``), optionally trims each source
 to a quality-ranked token budget
@@ -60,7 +61,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            main_content: bool = False, learned_filter: bool = False,
            ppl_ref: str | None = None, max_log_ppl: float | None = None,
            minhash_threshold: float | None = None, line_dedup: bool = False,
-           semantic_threshold: float | None = None):
+           semantic_threshold: float | None = None,
+           max_dup_frac: float | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -152,6 +154,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     )
     n_out = int(agg["n_out"])
     n_decontaminated = n_dsir = n_ppl = n_minhash = n_semantic = None
+    n_substring = None
     try:
         if minhash_threshold is not None and n_out:
             # fuzzy near-dup pass over the exact-dedup survivors:
@@ -172,6 +175,19 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).filter("is_keeper").select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_minhash = survivors.count()
+        if max_dup_frac is not None and n_out:
+            # stride-1 exact-substring screen (Lee et al. 2022): docs
+            # whose duplicated-token fraction exceeds the cutoff drop —
+            # catches boilerplate passages repeated at ARBITRARY offsets
+            # that exact/chunk hashing misses; hash-only shuffles
+            from timely_spark.operators.dedup import repeated_span_stats
+
+            stats = repeated_span_stats(survivors.select("doc_id", "text"))
+            keep_ids = stats.filter(
+                F.col("dup_frac") <= max_dup_frac
+            ).select("doc_id")
+            survivors = survivors.join(keep_ids, "doc_id")
+            n_out = n_substring = survivors.count()
         if semantic_threshold is not None and n_out:
             # SemDeDup stage: embedding-space near-dup prune over the
             # survivors. vec_id aligns 1:1 with doc_id in the corpus
@@ -289,6 +305,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "learned_filter": learned_filter,
         "n_decontaminated": n_decontaminated,
         "n_minhash": n_minhash,
+        "n_substring": n_substring,
         "n_semantic": n_semantic,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
@@ -344,6 +361,11 @@ def main() -> int:
                     dest="minhash_threshold", metavar="JACCARD",
                     help="fuzzy near-dup pass: drop non-keeper docs in MinHash "
                          "clusters at this shingle-Jaccard threshold")
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    dest="max_dup_frac", metavar="FRAC",
+                    help="stride-1 exact-substring screen: drop docs whose "
+                         "duplicated-token fraction (repeated_span_stats) "
+                         "exceeds FRAC")
     ap.add_argument("--semantic-dedup", type=float, default=None,
                     dest="semantic_threshold", metavar="COSINE",
                     help="SemDeDup: drop non-keeper docs whose embeddings sit "
@@ -377,7 +399,8 @@ def main() -> int:
                    max_log_ppl=args.max_log_ppl,
                    minhash_threshold=args.minhash_threshold,
                    line_dedup=args.line_dedup,
-                   semantic_threshold=args.semantic_threshold)
+                   semantic_threshold=args.semantic_threshold,
+                   max_dup_frac=args.max_dup_frac)
     print(json.dumps(stats))
     return 0
 
