@@ -735,3 +735,52 @@ def test_metrics_report_ignored_tags(spark, tmp_path):
         )
     finally:
         srv.stop()
+
+
+def test_http_gzip_request_and_response(spark, tmp_path):
+    """Transparent content compression, both directions (the reference's
+    Netty HttpContentCompressor/Decompressor pair, Server.java:494-495):
+    a gzip-encoded POST /api/put body ingests, and a query with
+    Accept-Encoding: gzip comes back gzip-encoded with identical JSON."""
+    import gzip
+
+    with server(spark, tmp_path) as srv:
+        metrics = [
+            {"metric": "gz.m", "timestamp": TEST_TIME + 1000 * i,
+             "value": float(i), "tags": {"host": "h1"}}
+            for i in range(40)  # enough dps that the response clears the
+        ]                       # 256-byte compression floor
+        body = gzip.compress(json.dumps(metrics).encode())
+        req = urllib.request.Request(
+            srv.base_url + "/api/put",
+            data=body,
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+
+        q = {
+            "start": TEST_TIME - 1000,
+            "end": TEST_TIME + 60_000,
+            "msResolution": True,
+            "queries": [{"aggregator": "none", "metric": "gz.m", "tags": {}}],
+        }
+        # plain response first (no Accept-Encoding: stdlib default)
+        plain_status, plain_body = post(srv.base_url + "/api/query", q)
+        assert plain_status == 200
+        # now explicitly gzip-accepting
+        req = urllib.request.Request(
+            srv.base_url + "/api/query",
+            data=json.dumps(q).encode(),
+            headers={"Content-Type": "application/json",
+                     "Accept-Encoding": "gzip"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+            assert r.headers.get("Content-Encoding") == "gzip"
+            unz = gzip.decompress(r.read()).decode()
+        assert json.loads(unz) == json.loads(plain_body)
+        assert json.loads(unz)[0]["dps"][str(TEST_TIME + 33000)] == 33.0

@@ -220,6 +220,15 @@ class TimelyHttpServer:
             ) -> None:
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
+                # transparent response compression (the reference's
+                # HttpContentCompressor, Server.java:494): gzip when the
+                # client advertises it and the body is big enough to win
+                accept = (self.headers.get("Accept-Encoding") or "").lower()
+                if "gzip" in accept and len(body) >= 256 and status == 200:
+                    import gzip as _gz
+
+                    body = _gz.compress(body, 6)
+                    self.send_header("Content-Encoding", "gzip")
                 self.send_header("Content-Length", str(len(body)))
                 for k, v in extra:
                     self.send_header(k, v)
@@ -311,6 +320,18 @@ class TimelyHttpServer:
             def _body_json(self):
                 n = int(self.headers.get("Content-Length") or 0)
                 raw = self.rfile.read(n) if n else b""
+                # transparent request decompression (the reference's
+                # HttpContentDecompressor, Server.java:495): collectors
+                # POST large put batches gzip/deflate-encoded
+                enc = (self.headers.get("Content-Encoding") or "").lower()
+                if raw and enc == "gzip":
+                    import gzip as _gz
+
+                    raw = _gz.decompress(raw)
+                elif raw and enc == "deflate":
+                    import zlib as _zl
+
+                    raw = _zl.decompress(raw)
                 return json.loads(raw) if raw else None
 
             def _params(self, parsed) -> dict[str, str]:
