@@ -784,3 +784,25 @@ def test_http_gzip_request_and_response(spark, tmp_path):
             unz = gzip.decompress(r.read()).decode()
         assert json.loads(unz) == json.loads(plain_body)
         assert json.loads(unz)[0]["dps"][str(TEST_TIME + 33000)] == 33.0
+
+
+def test_http_body_size_cap_413(spark, tmp_path):
+    """HttpObjectAggregator(65536) parity (Server.java:496): a body over
+    the 64 KB cap answers 413 without buffering or parsing; a body under
+    it still ingests."""
+    with server(spark, tmp_path) as srv:
+        big = [{"metric": "cap.m", "timestamp": TEST_TIME + i,
+                "value": 1.0, "tags": {"k": "v" * 50}} for i in range(2000)]
+        payload = json.dumps(big).encode()
+        assert len(payload) > 65536
+        req = urllib.request.Request(
+            srv.base_url + "/api/put", data=payload,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 413
+        # under the cap: normal ingest
+        put_lines(srv.base_url, f"cap.ok {TEST_TIME} 1.0 h=x")
+        status, body = get(srv.base_url + "/api/suggest?type=metrics&m=cap&max=5")
+        assert status == 200 and json.loads(body) == ["cap.ok"]

@@ -147,6 +147,7 @@ class TimelyHttpServer:
         static_root: str | None = None,
         static_prefix: str = "/webapp",
         metrics_ignored_tags: list[str] | None = None,
+        max_body_bytes: int = 65536,
     ):
         """``authenticator``: optional per-REQUEST auth source — a callable
         ``(headers: dict) -> set[str] | None`` consulted on every query,
@@ -174,6 +175,10 @@ class TimelyHttpServer:
         # TimelyProperties.getMetricsReportIgnoredTags(): tags hidden from
         # the /api/metrics report (MetricsResponseTestIT.testGenerateHtmlWithIgnoredTags)
         self.metrics_ignored_tags = list(metrics_ignored_tags or [])
+        # the reference aggregates HTTP content at 64 KB
+        # (HttpObjectAggregator(65536), Server.java:496): oversized
+        # bodies answer 413 instead of buffering unboundedly
+        self.max_body_bytes = max_body_bytes
         self.tls = ssl_context is not None
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -317,8 +322,15 @@ class TimelyHttpServer:
                     JSON_TYPE,
                 )
 
+            class _TooLarge(Exception):
+                pass
+
             def _body_json(self):
                 n = int(self.headers.get("Content-Length") or 0)
+                if n > server.max_body_bytes:
+                    # drain nothing; the reference's aggregator rejects
+                    # oversized content with 413 Request Entity Too Large
+                    raise self._TooLarge(n)
                 raw = self.rfile.read(n) if n else b""
                 # transparent request decompression (the reference's
                 # HttpContentDecompressor, Server.java:495): collectors
@@ -396,6 +408,12 @@ class TimelyHttpServer:
                         self._post_lookup(self._body_json() or {})
                     else:
                         self._error(404, f"unknown path {parsed.path}")
+                except self._TooLarge as e:
+                    # HttpObjectAggregator semantics (Server.java:496):
+                    # refuse before buffering; close so the unread body
+                    # never parses as a next request
+                    self._error(413, f"Request entity too large: {e} bytes")
+                    self.close_connection = True
                 except NoMatchingTagsError as e:
                     self._error(400, str(e))
                 except UnauthorizedError as e:
