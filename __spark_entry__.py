@@ -1607,6 +1607,20 @@ def q_doc_substring_dedup(spark, sf_dir):
     return repeated_span_stats(docs, window=16)
 
 
+def q_doc_substring_rewrite(spark, sf_dir):
+    """Stride-1 exact substring dedup as a TRANSFORM (the full Lee et
+    al. 2022 semantics): every maximal duplicated span is excised
+    everywhere except its globally-first occurrence (min (doc, pos)
+    over the span's member windows' repeat groups). Oracle: DuckDB
+    reproduces the keeper rule AND the token-level rebuild from window
+    STRINGS; the md5 of the rewritten text pins byte-exact cross-engine
+    parity (the doc_line_dedup/doc_chunk_rewrite convention)."""
+    from timely_spark.operators.dedup import substring_dedup_rewrite
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup_rewrite(docs, window=16)
+
+
 def q_doc_chunk_dedup(spark, sf_dir):
     """Shared-span (boilerplate) detection: fraction of each doc's
     non-overlapping 16-token chunks that occur in another document —
@@ -2607,7 +2621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase rank is value-pinned by the plain-window oracle and
         # still swept + bench-gated)
         "doc_substring_dedup": q_doc_substring_dedup,
-        "doc_token_budget": q_doc_token_budget,
+        # new r6: stride-1 substring REWRITE (oracle: byte-exact md5) —
+        # takes doc_token_budget's slot (green r5-r6, plan unchanged,
+        # hypothesis-modeled, still swept + bench-gated)
+        "doc_substring_rewrite": q_doc_substring_rewrite,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_perplexity": q_doc_perplexity,
         "media_video_near_dup": q_media_video_near_dup,
@@ -2675,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_native": q_events_sessionize_native,
         "emb_knn": q_emb_knn,
         "doc_global_shuffle": q_doc_global_shuffle,
+        "doc_token_budget": q_doc_token_budget,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "doc_url_dedup": q_doc_url_dedup,
         "doc_seq_pack": q_doc_seq_pack,
@@ -3355,6 +3373,51 @@ SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
        round(coalesce(per.dup_tokens, 0)
              / greatest(CAST(len(tk.t) AS DOUBLE), 1.0), 4) AS dup_frac
 FROM tk LEFT JOIN per ON tk.doc_id = per.doc_id""",
+        # doc_substring_rewrite: the rewrite's keeper rule + token-level
+        # rebuild replayed from window strings; md5 pins byte parity
+        "doc_substring_rewrite": f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+w AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+15], ' ') AS wstr
+  FROM tk, unnest(range(1, greatest(len(t) - 16 + 2, 1))) AS u(i)),
+cnt AS (SELECT wstr, count(*) AS c FROM w GROUP BY 1),
+dup AS (SELECT doc_id, pos, wstr FROM w JOIN cnt USING (wstr) WHERE c > 1),
+firstk AS (SELECT wstr, min(doc_id * 4294967296 + pos) AS fk
+           FROM dup GROUP BY 1),
+flg AS (
+  SELECT d.doc_id, d.pos,
+         CASE WHEN d.doc_id * 4294967296 + d.pos = f.fk THEN 1 ELSE 0 END AS isf
+  FROM dup d JOIN firstk f USING (wstr)),
+brk AS (
+  SELECT doc_id, pos, isf,
+         CASE WHEN pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                + 16 THEN 1 ELSE 0 END AS b
+  FROM flg),
+isl AS (
+  SELECT doc_id, pos, isf,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk),
+spans AS (
+  SELECT doc_id, g, min(pos) AS s, max(pos) + 15 AS e, max(isf) AS keep
+  FROM isl GROUP BY 1, 2),
+cuts AS (SELECT doc_id, s, e FROM spans WHERE keep = 0),
+toks2 AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS ti, unnest(t) AS tok FROM tk),
+kept AS (
+  SELECT t2.doc_id, t2.ti, t2.tok
+  FROM toks2 t2
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = t2.doc_id AND t2.ti BETWEEN c.s AND c.e)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY ti) AS txt
+  FROM kept GROUP BY 1)
+SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(len(tk.t) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+       md5(coalesce(reb.txt, '')) AS dedup_md5
+FROM tk LEFT JOIN reb ON tk.doc_id = reb.doc_id""",
         # doc_bpe_encode: BPE char-mass conservation — token chars ==
         # sum(len(word) + 4) per doc, stated with zero BPE knowledge
         "doc_bpe_encode": f"""

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "media_features",
     "media_text_alignment",
     "doc_substring_dedup",
+    "doc_substring_rewrite",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing

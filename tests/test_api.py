@@ -534,6 +534,7 @@ PLAN_CHANGED_THIS_ROUND = {
     "media_caption_dedup",
     "doc_simhash",
     "doc_substring_dedup",  # new this round: stride-1 substring dedup
+    "doc_substring_rewrite",  # new this round: stride-1 substring rewrite
 }
 
 

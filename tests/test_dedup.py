@@ -469,3 +469,47 @@ def test_repeated_span_stats_stride1(spark):
         df.filter(F.col("doc_id").isin(1, 2)), chunk_tokens=10
     ).collect()}
     assert ch[1]["n_shared_chunks"] == 0  # the aligned chunker misses it
+
+
+def test_substring_dedup_rewrite_global_first(spark):
+    """Stride-1 substring REWRITE (Lee et al. 2022 transform): every
+    duplicated span is removed except its globally-first occurrence —
+    doc 1 (earlier id) keeps the passage, doc 2 loses exactly those
+    tokens; clean/short docs pass through; a DISTANT within-doc repeat
+    loses its second occurrence while adjacent self-overlap (merged
+    into the first span) survives."""
+    import hashlib
+
+    from timely_spark.operators.dedup import substring_dedup_rewrite
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    shared = " ".join(f"tok{i}" for i in range(20))
+    ua = " ".join(f"alpha{i}" for i in range(31))
+    ub = " ".join(f"beta{i}" for i in range(10))
+    mid = " ".join(f"mid{i}" for i in range(12))
+    rows = [
+        (1, ua + " " + shared),
+        (2, shared + " " + ub),
+        (3, " ".join(f"gamma{i}" for i in range(40))),
+        (4, shared + " " + mid + " " + shared),  # distant self-repeat
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup_rewrite(df, window=8).collect()}
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[1]["dedup_md5"] == md5(ua + " " + shared)
+    assert out[2]["n_removed_tokens"] == 20
+    assert out[2]["dedup_md5"] == md5(ub)
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[5]["n_removed_tokens"] == 0
+    # doc 4: shared already first-claimed by doc 1? No — doc 1 < 4 holds
+    # tok windows first, so BOTH of doc 4's copies lose; mid survives
+    assert out[4]["dedup_md5"] == md5(mid)
+    assert out[4]["n_removed_tokens"] == 40
+    # rerun with doc 4 alone (self-repeat only): first copy keeps, the
+    # distant second copy is removed
+    solo = {r["doc_id"]: r for r in substring_dedup_rewrite(
+        df.filter(F.col("doc_id") == 4), window=8
+    ).collect()}
+    assert solo[4]["dedup_md5"] == md5(shared + " " + mid)
+    assert solo[4]["n_removed_tokens"] == 20

@@ -1170,3 +1170,107 @@ def repeated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Stride-1 exact substring dedup as a TRANSFORM — the full Lee et
+    al. 2022 semantics: every maximal duplicated span is REMOVED from
+    every document except the one holding its globally-first occurrence
+    (min (doc id, position) over the span's member windows' repeat
+    groups). :func:`repeated_span_stats` is the detection sibling;
+    :func:`chunk_dedup_rewrite` is the cheaper aligned-chunk variant
+    this upgrades — a passage duplicated at an arbitrary offset is
+    excised here, not just when it lands on a chunk boundary.
+
+    Keeper rule: a merged span survives in the doc where ANY of its
+    member windows is the global first occurrence of its hash;
+    elsewhere its token range [start, end+window-1] is cut. Both the
+    rule and the rebuild are deterministic, so the DuckDB oracle
+    reproduces the rewritten text byte-exactly (md5-pinned).
+
+    Scale shape: identical frames to repeated_span_stats (hash-only
+    corpus shuffle, per-doc islands windows) plus one more hash-keyed
+    aggregate (the global-first min) and a doc-keyed rebuild join where
+    document tokens cross the wire exactly once; removed-range lists
+    are per-doc tiny and the positional filter is a row-local
+    higher-order expression.
+
+    Output: (id, n_tokens, n_removed_tokens, dedup_md5).
+    """
+    toks = _tokens(text_col)
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
+    ).filter(F.col("__h").isNotNull())
+    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    dup_occ = occ.join(counts.filter(F.col("__c") > 1), "__h").select(
+        id_col, "__p", "__h"
+    )
+    first = dup_occ.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))).alias(
+            "__first"
+        )
+    )
+    flagged = dup_occ.join(first, "__h").select(
+        id_col,
+        "__p",
+        (
+            (F.col(id_col) == F.col("__first.d"))
+            & (F.col("__p") == F.col("__first.p"))
+        ).alias("__isf"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("__p") > F.max("__p").over(w_prev) + (window - 1) + 1, 1
+    ).otherwise(0)
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            Window.partitionBy(id_col).orderBy("__p").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    spans = isl.groupBy(id_col, "__isl").agg(
+        F.min("__p").alias("__s"),
+        (F.max("__p") + (window - 1)).alias("__e"),
+        F.max(F.col("__isf").cast("int")).alias("__keep"),
+    )
+    removed = (
+        spans.filter(F.col("__keep") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__cuts")
+        )
+    )
+    cuts = F.coalesce(
+        F.col("__cuts"),
+        F.array().cast("array<struct<__s:int,__e:int>>"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            cuts, lambda r: (i >= r["__s"]) & (i <= r["__e"])
+        ),
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).cast("long").alias(
+                "n_removed_tokens"
+            ),
+            F.md5(F.array_join(kept, " ")).alias("dedup_md5"),
+        )
+    )
