@@ -1049,3 +1049,29 @@ def test_curate_cli_substring_screen(spark, tmp_path):
     back = spark.read.parquet(out)
     ids = {r["doc_id"] for r in back.collect()}
     assert 3 not in ids and 7 not in ids and len(ids) == 10
+
+
+def test_curate_cli_substring_rewrite(spark, tmp_path):
+    """--substring-rewrite: duplicated spans are EXCISED from survivor
+    text (global-first keeper) instead of dropping docs — the later
+    copy's packed output no longer contains the plagiarized passage."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    shared = " ".join(f"plag{i}" for i in range(25))
+    rows = [(i, "web", " ".join(f"doc{i}w{j}" for j in range(40))) for i in range(10)]
+    rows[3] = (3, "web", rows[3][2] + " " + shared)   # first occurrence
+    rows[7] = (7, "web", shared + " " + rows[7][2])   # later copy: excised
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=2048, min_p_keep=0.0,
+        substring_rewrite=True,
+    )
+    assert stats["substring_rewrite"] and stats["n_survivors"] == 10
+    back = spark.read.parquet(out)
+    texts = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert "plag0" in texts[3] and "plag0" not in texts[7]

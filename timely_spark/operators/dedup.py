@@ -1177,6 +1177,7 @@ def substring_dedup_rewrite(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 16,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Stride-1 exact substring dedup as a TRANSFORM — the full Lee et
     al. 2022 semantics: every maximal duplicated span is REMOVED from
@@ -1200,7 +1201,10 @@ def substring_dedup_rewrite(
     are per-doc tiny and the positional filter is a row-local
     higher-order expression.
 
-    Output: (id, n_tokens, n_removed_tokens, dedup_md5).
+    Output: (id, n_tokens, n_removed_tokens, dedup_md5); with
+    ``emit_text=True`` the rebuilt token stream rides along as
+    ``dedup_text`` (the curate CLI's transform mode — md5-only keeps
+    the oracle row's shuffle free of text).
     """
     toks = _tokens(text_col)
     occ = df.select(
@@ -1262,15 +1266,18 @@ def substring_dedup_rewrite(
             cuts, lambda r: (i >= r["__s"]) & (i <= r["__e"])
         ),
     )
+    cols = [
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias(
+            "n_removed_tokens"
+        ),
+        F.md5(F.array_join(kept, " ")).alias("dedup_md5"),
+    ]
+    if emit_text:
+        cols.append(F.array_join(kept, " ").alias("dedup_text"))
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .join(removed, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.size("__toks").cast("long").alias("n_tokens"),
-            (F.size("__toks") - F.size(kept)).cast("long").alias(
-                "n_removed_tokens"
-            ),
-            F.md5(F.array_join(kept, " ")).alias("dedup_md5"),
-        )
+        .select(*cols)
     )

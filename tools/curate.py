@@ -62,7 +62,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            ppl_ref: str | None = None, max_log_ppl: float | None = None,
            minhash_threshold: float | None = None, line_dedup: bool = False,
            semantic_threshold: float | None = None,
-           max_dup_frac: float | None = None):
+           max_dup_frac: float | None = None,
+           substring_rewrite: bool = False):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -175,6 +176,21 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).filter("is_keeper").select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_minhash = survivors.count()
+        if substring_rewrite and n_out:
+            # stride-1 substring REWRITE (Lee et al. 2022 transform):
+            # duplicated spans are EXCISED (global-first keeper) instead
+            # of dropping whole docs; downstream stages see cleaned text
+            from timely_spark.operators.dedup import substring_dedup_rewrite
+
+            rw = substring_dedup_rewrite(
+                survivors.select("doc_id", "text"), emit_text=True
+            ).select("doc_id", F.col("dedup_text").alias("__rw"))
+            survivors = (
+                survivors.join(rw, "doc_id")
+                .drop("text")
+                .withColumnRenamed("__rw", "text")
+            )
+            n_out = survivors.count()
         if max_dup_frac is not None and n_out:
             # stride-1 exact-substring screen (Lee et al. 2022): docs
             # whose duplicated-token fraction exceeds the cutoff drop —
@@ -306,6 +322,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "n_decontaminated": n_decontaminated,
         "n_minhash": n_minhash,
         "n_substring": n_substring,
+        "substring_rewrite": substring_rewrite,
         "n_semantic": n_semantic,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
@@ -361,6 +378,9 @@ def main() -> int:
                     dest="minhash_threshold", metavar="JACCARD",
                     help="fuzzy near-dup pass: drop non-keeper docs in MinHash "
                          "clusters at this shingle-Jaccard threshold")
+    ap.add_argument("--substring-rewrite", action="store_true",
+                    help="excise duplicated stride-1 spans (global-first "
+                         "keeper) from survivor text before downstream stages")
     ap.add_argument("--max-dup-frac", type=float, default=None,
                     dest="max_dup_frac", metavar="FRAC",
                     help="stride-1 exact-substring screen: drop docs whose "
@@ -400,7 +420,8 @@ def main() -> int:
                    minhash_threshold=args.minhash_threshold,
                    line_dedup=args.line_dedup,
                    semantic_threshold=args.semantic_threshold,
-                   max_dup_frac=args.max_dup_frac)
+                   max_dup_frac=args.max_dup_frac,
+                   substring_rewrite=args.substring_rewrite)
     print(json.dumps(stats))
     return 0
 
