@@ -831,3 +831,85 @@ def test_ddsketch_quantile_walk_matches_python_model(spark, buckets, q):
     want = round(vals[math.floor(q * (len(vals) - 1))] + 0.0, 4)
     assert got["n"] == len(vals)
     assert got[pcol] == pytest.approx(want, abs=1e-9)
+
+
+# ------------------------------------------------ stride-1 substring dedup
+
+
+def _py_span_model(docs: list[tuple[int, list[str]]], window: int):
+    """Independent Python model of repeated_span_stats AND the rewrite's
+    keeper rule: dict id -> (n_tokens, spans[(s, e, is_first)]) where a
+    span's is_first means it holds the globally-first occurrence of at
+    least one of its member windows."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for did, toks in docs:
+        for p in range(len(toks) - window + 1):
+            occ.setdefault(tuple(toks[p : p + window]), []).append((did, p))
+    dup_pos: dict[int, list[tuple[int, bool]]] = {}
+    for w, places in occ.items():
+        if len(places) > 1:
+            first = min(places)
+            for did, p in places:
+                dup_pos.setdefault(did, []).append((p, (did, p) == first))
+    out = {}
+    for did, toks in docs:
+        spans = []
+        for p, isf in sorted(dup_pos.get(did, [])):
+            if spans and p <= spans[-1][1] + 1:
+                s, e, f = spans[-1]
+                spans[-1] = (s, max(e, p + window - 1), f or isf)
+            else:
+                spans.append((p, p + window - 1, isf))
+        out[did] = (len(toks), spans)
+    return out
+
+
+_doc_tokens = st.lists(
+    st.sampled_from([f"w{i}" for i in range(8)]),  # tiny vocab => repeats
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(docs=st.lists(_doc_tokens, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_substring_stats_and_rewrite_match_model(spark, docs):
+    """repeated_span_stats and substring_dedup_rewrite vs the
+    independent Python model, over adversarial tiny-vocab corpora where
+    within-doc repeats, overlapping windows, and cross-doc claims all
+    occur: span counts, duplicated token mass, and the rewrite's
+    removed-token mass (non-keeper span lengths) must agree exactly."""
+    import hashlib
+
+    from timely_spark.operators.dedup import (
+        repeated_span_stats,
+        substring_dedup_rewrite,
+    )
+
+    W = 4
+    data = [(i, toks) for i, toks in enumerate(docs)]
+    model = _py_span_model(data, W)
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in data],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in repeated_span_stats(df, window=W).collect()}
+    rewr = {r["doc_id"]: r for r in substring_dedup_rewrite(df, window=W).collect()}
+    for did, toks in data:
+        nt, spans = model[did]
+        assert stats[did]["n_tokens"] == nt
+        assert stats[did]["n_dup_spans"] == len(spans), (did, spans)
+        dup_toks = sum(e - s + 1 for s, e, _ in spans)
+        assert stats[did]["dup_tokens"] == dup_toks
+        removed = sorted(
+            (s, e) for s, e, isf in spans if not isf
+        )
+        n_removed = sum(e - s + 1 for s, e in removed)
+        assert rewr[did]["n_removed_tokens"] == n_removed, (did, spans)
+        kept = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i <= e for s, e in removed)
+        ]
+        want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert rewr[did]["dedup_md5"] == want_md5, (did, spans)
