@@ -206,7 +206,14 @@ class TimelyTcpServer:
 
 
 class TimelyUdpServer:
-    """Datagram ingest: one or many put lines per packet (TimelyUdpIT)."""
+    """Datagram ingest: one or many put lines per packet (TimelyUdpIT).
+
+    Also accepts collectd's binary network protocol on the same port
+    (SURVEY §2.1 S5): a datagram opening with a HOST part decodes
+    through the reference collectd plugin's naming rules
+    (sources/collectd.py) and joins the same put buffer, so a stock
+    collectd ``network`` plugin can point straight at Timely-Spark.
+    ``collectd_tags`` mirrors the plugin's AdditionalTags config."""
 
     def __init__(
         self,
@@ -215,14 +222,27 @@ class TimelyUdpServer:
         port: int = 0,
         flush_lines: int = 5000,
         flush_seconds: float = 5.0,
+        collectd_tags: dict[str, str] | None = None,
     ):
         self.engine = engine
         self.buffer = _PutBuffer(engine, flush_lines, flush_seconds)
         buffer = self.buffer
+        extra_tags = dict(collectd_tags or {})
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
+                from .sources.collectd import (
+                    decode_packets,
+                    is_collectd_packet,
+                    to_put_lines,
+                )
+
                 data = self.request[0]
+                if is_collectd_packet(data):
+                    for md in decode_packets(data):
+                        for line in to_put_lines(md, extra_tags):
+                            buffer.add(line)
+                    return
                 for line in data.decode("utf-8", errors="replace").splitlines():
                     line = line.strip()
                     if line.startswith("put "):
