@@ -173,7 +173,8 @@ def encode_value_list(
 
     parts = [spart(PART_HOST, host)]
     if hr_time:
-        t = math.ceil(time_ms * (1 << 30) / 1000)
+        # integer ceil-div: time_ms * 2^30 overflows double precision
+        t = -(-time_ms * (1 << 30) // 1000)
         parts.append(struct.pack(">HHQ", PART_TIME_HR, 12, t))
     else:
         if time_ms % 1000:
