@@ -2620,6 +2620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_global_shuffle's slot (green r5-r6, plan unchanged, its
         # two-phase rank is value-pinned by the plain-window oracle and
         # still swept + bench-gated)
+        # PLAN_CHANGED_THIS_ROUND (r7): detection refactored onto the
+        # shared substring_spans() core (VERDICT r6 #6); both rows stay
+        # in the checked prefix, re-verified OK at sf0.01 post-refactor
         "doc_substring_dedup": q_doc_substring_dedup,
         # new r6: stride-1 substring REWRITE (oracle: byte-exact md5) —
         # takes doc_token_budget's slot (green r5-r6, plan unchanged,

@@ -513,3 +513,68 @@ def test_substring_dedup_rewrite_global_first(spark):
     ).collect()}
     assert solo[4]["dedup_md5"] == md5(shared + " " + mid)
     assert solo[4]["n_removed_tokens"] == 20
+
+
+def test_substring_spans_shared_detection(spark):
+    """substring_spans is the single detection core: stats and rewrite
+    consumers fed a precomputed (persisted) span frame return exactly
+    what their self-detecting paths return."""
+    from timely_spark.operators.dedup import (
+        repeated_span_stats,
+        substring_dedup_rewrite,
+        substring_spans,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, " ".join(f"alpha{i}" for i in range(31)) + " " + shared),
+        (2, shared + " " + " ".join(f"beta{i}" for i in range(10))),
+        (3, " ".join(f"gamma{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = substring_spans(df, window=8, with_keeper=True).persist()
+    try:
+        key = lambda rs: sorted(tuple(r) for r in rs)
+        assert key(repeated_span_stats(df, window=8, spans=spans).collect()) == key(
+            repeated_span_stats(df, window=8).collect()
+        )
+        assert key(
+            substring_dedup_rewrite(df, window=8, spans=spans).collect()
+        ) == key(substring_dedup_rewrite(df, window=8).collect())
+        # keeper flag: doc 1 holds the global first occurrence
+        flags = {
+            r["doc_id"]: r["__keep"]
+            for r in spans.filter("__keep is not null").collect()
+        }
+        assert flags[1] == 1 and flags[2] == 0
+    finally:
+        spans.unpersist()
+
+
+def test_excise_spans_original_text_verbatim(spark):
+    """The curate-facing transform cuts ONLY the duplicated spans'
+    character ranges: casing, punctuation and whitespace outside the
+    spans stay byte-verbatim (the Lee et al. 2022 excision, per the
+    r6 ADVICE fix — NOT a normalized-token rejoin)."""
+    from timely_spark.operators.dedup import excise_spans_original_text
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    head = "The QUICK brown-fox, (it JUMPED)!  Over the lazy dog; twice."
+    tail = "Unique TAIL text, with CAPS & punctuation... kept as-is!"
+    rows = [
+        (1, f"{shared} trailer one"),  # global first: untouched
+        (2, f"{head} {shared} {tail}"),  # later copy: span excised
+        (3, "An Entirely Clean Document."),  # no spans: verbatim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in excise_spans_original_text(df, window=8).collect()}
+    assert out[1]["text"] == f"{shared} trailer one" and not out[1]["excised"]
+    assert out[3]["text"] == "An Entirely Clean Document." and not out[3]["excised"]
+    got = out[2]["text"]
+    assert out[2]["excised"]
+    # the duplicated range is gone; everything around it is verbatim
+    assert "tok0" not in got and "tok19" not in got
+    assert got.startswith(head)
+    assert got.endswith(tail)
+    # only the span's characters were removed (plus nothing else)
+    assert got == f"{head}  {tail}" or got == f"{head} {tail}"

@@ -806,3 +806,50 @@ def test_http_body_size_cap_413(spark, tmp_path):
         put_lines(srv.base_url, f"cap.ok {TEST_TIME} 1.0 h=x")
         status, body = get(srv.base_url + "/api/suggest?type=metrics&m=cap&max=5")
         assert status == 200 and json.loads(body) == ["cap.ok"]
+
+
+def test_http_gzip_bomb_capped_after_decompression(spark, tmp_path):
+    """The reference's aggregator sits AFTER the decompressor
+    (Server.java:494-496), so its 64 KB cap bounds DECOMPRESSED content.
+    A tiny gzip body that inflates past the cap must answer 413, not
+    expand in memory; a compressed body whose inflated size is under the
+    cap still ingests."""
+    import gzip
+
+    with server(spark, tmp_path) as srv:
+        bomb = gzip.compress(b" " * (8 * 1024 * 1024))  # ~8 MB -> ~8 KB
+        assert len(bomb) < 65536
+        req = urllib.request.Request(
+            srv.base_url + "/api/put", data=bomb,
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 413
+        # deflate leg of the same cap
+        import zlib
+
+        req = urllib.request.Request(
+            srv.base_url + "/api/put",
+            data=zlib.compress(b" " * (8 * 1024 * 1024)),
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "deflate"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 413
+        # compressed-but-legitimate body still works end-to-end
+        metrics = [{"metric": "gzcap.m", "timestamp": TEST_TIME,
+                    "value": 1.0, "tags": {"h": "x"}}]
+        req = urllib.request.Request(
+            srv.base_url + "/api/put",
+            data=gzip.compress(json.dumps(metrics).encode()),
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200

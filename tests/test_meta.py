@@ -55,6 +55,15 @@ def test_suggest_tagk_tagv_reference_semantics(spark):
     assert suggest(m, "sys.cpu.user", "tagv", 10).count() == 0  # t required
 
 
+def test_suggest_unknown_type_answers_empty(spark):
+    """DataStore.suggest (DataStore.java:528-580) silently returns an
+    empty suggestion list (200) for unrecognized types — not an error."""
+    m = _meta(spark)
+    out = suggest(m, "sys.cpu", "bogus-type", 10)
+    assert out.collect() == []
+    assert out.columns == ["suggestion"]
+
+
 def test_search_lookup_regex_and_total(spark):
     m = _meta(spark)
     ordered, total = search_lookup(m, tag_key="host", tag_value_pattern="^h0.*", limit=1)

@@ -334,16 +334,21 @@ class TimelyHttpServer:
                 raw = self.rfile.read(n) if n else b""
                 # transparent request decompression (the reference's
                 # HttpContentDecompressor, Server.java:495): collectors
-                # POST large put batches gzip/deflate-encoded
+                # POST large put batches gzip/deflate-encoded. The
+                # reference places HttpObjectAggregator(65536) AFTER the
+                # decompressor (Server.java:494-496), so the 64 KB cap
+                # bounds DECOMPRESSED content — enforce the same here or
+                # a ~64 KB gzip bomb expands unbounded in memory
                 enc = (self.headers.get("Content-Encoding") or "").lower()
-                if raw and enc == "gzip":
-                    import gzip as _gz
-
-                    raw = _gz.decompress(raw)
-                elif raw and enc == "deflate":
+                if raw and enc in ("gzip", "deflate"):
                     import zlib as _zl
 
-                    raw = _zl.decompress(raw)
+                    # gzip payloads carry a zlib stream behind an RFC 1952
+                    # header; wbits=47 auto-detects zlib vs gzip framing
+                    d = _zl.decompressobj(wbits=47 if enc == "gzip" else 15)
+                    raw = d.decompress(raw, server.max_body_bytes + 1)
+                    if len(raw) > server.max_body_bytes:
+                        raise self._TooLarge(len(raw))
                 return json.loads(raw) if raw else None
 
             def _params(self, parsed) -> dict[str, str]:

@@ -11,6 +11,8 @@ baked into column literals, so results are stable across runs/partitions.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1087,11 +1089,80 @@ def _window_hashes(text_col: str, window: int):
     return F.when(m >= 1, sh).otherwise(F.array().cast("array<long>"))
 
 
+def substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    with_keeper: bool = False,
+) -> DataFrame:
+    """Shared stride-1 detection core: one row per MAXIMAL duplicated
+    token span, ``(id, __s, __e[, __keep])`` with inclusive token
+    indices. :func:`repeated_span_stats` (screen) and
+    :func:`substring_dedup_rewrite` / :func:`excise_spans_original_text`
+    (transforms) are consumers, so a pipeline wanting both runs ONE
+    detection and persists this frame (tools/curate.py does).
+
+    ``with_keeper`` adds the global-first-occurrence flag (``__keep``:
+    1 where any member window of the span is the globally-first
+    occurrence of its hash) — one extra hash-keyed aggregate + join the
+    screen-only path does not pay.
+
+    Scale shape: the only corpus-sized shuffle carries (hash, count) /
+    (hash, pos) ints with map-side combine; the island merge windows
+    over per-DOC position lists (bounded by doc length); span
+    arithmetic is row-local.
+    """
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
+    ).filter(F.col("__h").isNotNull())
+    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    dup_occ = occ.join(counts.filter(F.col("__c") > 1), "__h")
+    if with_keeper:
+        first = dup_occ.groupBy("__h").agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))
+            ).alias("__first")
+        )
+        flagged = dup_occ.join(first, "__h").select(
+            id_col,
+            "__p",
+            (
+                (F.col(id_col) == F.col("__first.d"))
+                & (F.col("__p") == F.col("__first.p"))
+            ).alias("__isf"),
+        )
+    else:
+        flagged = dup_occ.select(id_col, "__p")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("__p") > F.max("__p").over(w_prev) + (window - 1) + 1, 1
+    ).otherwise(0)
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum(brk).over(
+            Window.partitionBy(id_col).orderBy("__p").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    aggs = [F.min("__p").alias("__s"), (F.max("__p") + (window - 1)).alias("__e")]
+    if with_keeper:
+        aggs.append(F.max(F.col("__isf").cast("int")).alias("__keep"))
+    return isl.groupBy(id_col, "__isl").agg(*aggs).drop("__isl")
+
+
 def repeated_span_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 16,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring dedup at STRIDE-1 granularity — the Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better")
@@ -1117,39 +1188,14 @@ def repeated_span_stats(
     the reference technique applies anyway.
 
     Output: (id, n_tokens, n_dup_spans, dup_tokens, dup_frac).
+    ``spans``: a precomputed :func:`substring_spans` frame (any extra
+    columns ignored) — pass it to share one detection across consumers.
     """
-    pos_h = df.select(
-        F.col(id_col),
-        F.size(_tokens(text_col)).alias("__nt"),
-        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
-    )
-    occ = pos_h.filter(F.col("__h").isNotNull())
-    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-    dup = occ.join(counts.filter(F.col("__c") > 1), "__h").select(
-        id_col, "__p"
-    )
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("__p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    brk = F.when(
-        F.col("__p") > F.max("__p").over(w_prev) + (window - 1) + 1, 1
-    ).otherwise(0)
-    isl = dup.withColumn(
-        "__isl",
-        F.sum(brk).over(
-            Window.partitionBy(id_col).orderBy("__p").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
-    )
-    spans = isl.groupBy(id_col, "__isl").agg(
-        (F.max("__p") - F.min("__p") + window).alias("__span_toks")
-    )
+    if spans is None:
+        spans = substring_spans(df, text_col, id_col, window)
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum("__span_toks").alias("dup_tokens"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_tokens"),
     )
     # denominator side: a fresh cheap scan (tokenize + size, no explode).
     # Deduplicating (id, __nt) out of the EXPLODED frame instead was
@@ -1178,6 +1224,7 @@ def substring_dedup_rewrite(
     id_col: str = "doc_id",
     window: int = 16,
     emit_text: bool = False,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Stride-1 exact substring dedup as a TRANSFORM — the full Lee et
     al. 2022 semantics: every maximal duplicated span is REMOVED from
@@ -1204,51 +1251,12 @@ def substring_dedup_rewrite(
     Output: (id, n_tokens, n_removed_tokens, dedup_md5); with
     ``emit_text=True`` the rebuilt token stream rides along as
     ``dedup_text`` (the curate CLI's transform mode — md5-only keeps
-    the oracle row's shuffle free of text).
+    the oracle row's shuffle free of text). ``spans``: a precomputed
+    :func:`substring_spans` frame built ``with_keeper=True``.
     """
     toks = _tokens(text_col)
-    occ = df.select(
-        F.col(id_col),
-        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
-    ).filter(F.col("__h").isNotNull())
-    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-    dup_occ = occ.join(counts.filter(F.col("__c") > 1), "__h").select(
-        id_col, "__p", "__h"
-    )
-    first = dup_occ.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))).alias(
-            "__first"
-        )
-    )
-    flagged = dup_occ.join(first, "__h").select(
-        id_col,
-        "__p",
-        (
-            (F.col(id_col) == F.col("__first.d"))
-            & (F.col("__p") == F.col("__first.p"))
-        ).alias("__isf"),
-    )
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("__p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    brk = F.when(
-        F.col("__p") > F.max("__p").over(w_prev) + (window - 1) + 1, 1
-    ).otherwise(0)
-    isl = flagged.withColumn(
-        "__isl",
-        F.sum(brk).over(
-            Window.partitionBy(id_col).orderBy("__p").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
-    )
-    spans = isl.groupBy(id_col, "__isl").agg(
-        F.min("__p").alias("__s"),
-        (F.max("__p") + (window - 1)).alias("__e"),
-        F.max(F.col("__isf").cast("int")).alias("__keep"),
-    )
+    if spans is None:
+        spans = substring_spans(df, text_col, id_col, window, with_keeper=True)
     removed = (
         spans.filter(F.col("__keep") == 0)
         .groupBy(id_col)
@@ -1281,3 +1289,84 @@ def substring_dedup_rewrite(
         .join(removed, id_col, "left")
         .select(*cols)
     )
+
+
+def excise_spans_original_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Cut duplicated token spans out of the ORIGINAL text, leaving the
+    rest of the document verbatim — the Lee et al. 2022 transform as a
+    corpus rewrite (duplicated character ranges excised, casing /
+    punctuation / whitespace outside the spans untouched). This is what
+    the curate CLI's ``--substring-rewrite`` ships downstream;
+    :func:`substring_dedup_rewrite` is the md5-pinnable normalized-token
+    sibling the oracle row keeps.
+
+    Token index -> character offset mapping happens in an Arrow-batched
+    ``mapInPandas`` pass (text must cross the wire for any rewrite, so
+    the extra cost is one Python pass, the multimodal/WARC precedent);
+    detection stays all-JVM via :func:`substring_spans`. The Python
+    re-tokenization (``[a-z0-9']+`` over ``str.lower()``) matches the
+    JVM tokenizer wherever lowercasing is length-preserving; a doc whose
+    Python token count disagrees with the plan-side count (exotic
+    Unicode case-folding) falls back to its original text, flagged in
+    ``excised`` = false.
+
+    Output: (id, text, excised) with the same id/text column names.
+    """
+    import pandas as pd
+
+    if spans is None:
+        spans = substring_spans(df, text_col, id_col, window, with_keeper=True)
+    removed = (
+        spans.filter(F.col("__keep") == 0)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct(F.col("__s"), F.col("__e"))).alias("__cuts"))
+    )
+    joined = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(_tokens(text_col)).alias("__nt"),
+    ).join(removed, id_col, "left")
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, {text_col} string, excised boolean"
+
+    def emit(batches):
+        word = re.compile(r"[a-z0-9']+")
+        for pdf in batches:
+            out_id, out_text, out_flag = [], [], []
+            for rid, text, nt, cuts in zip(
+                pdf[id_col], pdf[text_col], pdf["__nt"], pdf["__cuts"]
+            ):
+                out_id.append(rid)
+                if cuts is None or len(cuts) == 0 or text is None:
+                    out_text.append(text)
+                    out_flag.append(False)
+                    continue
+                toks = list(word.finditer(text.lower()))
+                if len(toks) != nt or len(text.lower()) != len(text):
+                    out_text.append(text)  # tokenizer-offset mismatch
+                    out_flag.append(False)
+                    continue
+                # token ranges -> char ranges, merged right-to-left
+                ranges = sorted(
+                    (toks[c["__s"]].start(), toks[min(c["__e"], nt - 1)].end())
+                    for c in cuts
+                )
+                pieces, prev = [], 0
+                for s, e in ranges:
+                    pieces.append(text[prev:s])
+                    prev = max(prev, e)
+                pieces.append(text[prev:])
+                out_text.append("".join(pieces))
+                out_flag.append(True)
+            yield pd.DataFrame(
+                {id_col: out_id, text_col: out_text, "excised": out_flag}
+            )
+
+    return joined.mapInPandas(emit, out_schema)

@@ -71,7 +71,10 @@ def suggest(
             out = meta.limit(0)
         col = "tag_value"
     else:
-        raise ValueError(f"unknown suggest type {kind!r}")
+        # DataStore.suggest (DataStore.java:528-580) silently answers an
+        # empty list (200) for unrecognized types; match it
+        out = meta.limit(0)
+        col = "metric"
     out = (
         out.select(F.col(col).alias("suggestion")).distinct().orderBy("suggestion")
     )

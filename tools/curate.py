@@ -176,34 +176,49 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).filter("is_keeper").select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_minhash = survivors.count()
-        if substring_rewrite and n_out:
-            # stride-1 substring REWRITE (Lee et al. 2022 transform):
-            # duplicated spans are EXCISED (global-first keeper) instead
-            # of dropping whole docs; downstream stages see cleaned text
-            from timely_spark.operators.dedup import substring_dedup_rewrite
-
-            rw = substring_dedup_rewrite(
-                survivors.select("doc_id", "text"), emit_text=True
-            ).select("doc_id", F.col("dedup_text").alias("__rw"))
-            survivors = (
-                survivors.join(rw, "doc_id")
-                .drop("text")
-                .withColumnRenamed("__rw", "text")
+        if (substring_rewrite or max_dup_frac is not None) and n_out:
+            # stride-1 exact-substring pass (Lee et al. 2022): ONE
+            # detection (substring_spans, hash-only shuffles) feeds both
+            # the screen (drop docs whose duplicated-token fraction
+            # exceeds the cutoff — catches boilerplate repeated at
+            # ARBITRARY offsets that exact/chunk hashing misses) and the
+            # rewrite (EXCISE each duplicated span's character range
+            # from the ORIGINAL text, global-first occurrence kept;
+            # casing/punctuation/whitespace outside the spans verbatim)
+            from timely_spark.operators.dedup import (
+                excise_spans_original_text,
+                repeated_span_stats,
+                substring_spans,
             )
-            n_out = survivors.count()
-        if max_dup_frac is not None and n_out:
-            # stride-1 exact-substring screen (Lee et al. 2022): docs
-            # whose duplicated-token fraction exceeds the cutoff drop —
-            # catches boilerplate passages repeated at ARBITRARY offsets
-            # that exact/chunk hashing misses; hash-only shuffles
-            from timely_spark.operators.dedup import repeated_span_stats
 
-            stats = repeated_span_stats(survivors.select("doc_id", "text"))
-            keep_ids = stats.filter(
-                F.col("dup_frac") <= max_dup_frac
-            ).select("doc_id")
-            survivors = survivors.join(keep_ids, "doc_id")
-            n_out = n_substring = survivors.count()
+            spans = substring_spans(
+                survivors.select("doc_id", "text"),
+                with_keeper=substring_rewrite,
+            )
+            both = substring_rewrite and max_dup_frac is not None
+            if both:
+                spans = spans.persist()
+            if max_dup_frac is not None:
+                stats = repeated_span_stats(
+                    survivors.select("doc_id", "text"), spans=spans
+                )
+                keep_ids = stats.filter(
+                    F.col("dup_frac") <= max_dup_frac
+                ).select("doc_id")
+                survivors = survivors.join(keep_ids, "doc_id")
+                n_out = n_substring = survivors.count()
+            if substring_rewrite and n_out:
+                rw = excise_spans_original_text(
+                    survivors.select("doc_id", "text"), spans=spans
+                ).select("doc_id", F.col("text").alias("__rw"))
+                survivors = (
+                    survivors.join(rw, "doc_id")
+                    .drop("text")
+                    .withColumnRenamed("__rw", "text")
+                )
+                n_out = survivors.count()
+            if both:
+                spans.unpersist()
         if semantic_threshold is not None and n_out:
             # SemDeDup stage: embedding-space near-dup prune over the
             # survivors. vec_id aligns 1:1 with doc_id in the corpus
@@ -379,8 +394,10 @@ def main() -> int:
                     help="fuzzy near-dup pass: drop non-keeper docs in MinHash "
                          "clusters at this shingle-Jaccard threshold")
     ap.add_argument("--substring-rewrite", action="store_true",
-                    help="excise duplicated stride-1 spans (global-first "
-                         "keeper) from survivor text before downstream stages")
+                    help="excise duplicated stride-1 spans' character ranges "
+                         "from survivor text (global-first keeper; text "
+                         "outside the spans stays verbatim) before "
+                         "downstream stages")
     ap.add_argument("--max-dup-frac", type=float, default=None,
                     dest="max_dup_frac", metavar="FRAC",
                     help="stride-1 exact-substring screen: drop docs whose "
