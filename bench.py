@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "media_text_alignment",
     "doc_substring_dedup",
     "doc_substring_rewrite",
+    "ts_collectd_ingest",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing
