@@ -1349,18 +1349,20 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     prunes to k*rerank candidates by ADC lookup tables, then only those
     candidates re-score in exact cosine against their full vectors — the
     production recall-recovery stage over emb_ivfpq_ann's index.
-    Bounded-oracle verdict (r6): mean recall@10 over 20 queries vs exact
-    cosine, floor 0.2 (0.33-0.42 measured); exactness of the refine step
-    itself stays pinned by the brute-force-equality test (full probing +
-    corpus-covering pool == cosine_topk, scores and ranks).
+    Bounded-oracle verdict: mean recall@10 over 20 queries vs exact
+    cosine, floor 0.45 — r7 sweep (VERDICT r6 #4) moved the index to
+    m=16/ksub=64/nprobe=16 and rerank 4 -> 8, recall@10 0.325 -> 0.735
+    at sf0.1; exactness of the refine step itself stays pinned by the
+    brute-force-equality test (full probing + corpus-covering pool ==
+    cosine_topk, scores and ranks).
     dim=64: the testdata embedding width (same constant the sibling
     emb_ivfpq_ann row uses — no extra .first() job to rediscover it)."""
     from timely_spark.operators.similarity import cosine_topk, ivfpq_rerank_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _ann_queries(emb)
-    ann = ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=4)
-    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.2)
+    ann = ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=8, ncells=32, nprobe=16)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.45)
 
 
 def q_tpch_q4ish(spark, sf_dir):
@@ -1930,31 +1932,33 @@ def q_doc_simhash(spark, sf_dir):
 
 def q_emb_pq_ann(spark, sf_dir):
     """Product-quantization ADC ANN (Jegou et al. 2011): corpus encoded
-    to m=8 sub-codebook indices (16 centroids each, deterministic
+    to m=16 sub-codebook indices (64 centroids each, deterministic
     hash-sample k-means), queries scored via per-subspace lookup tables.
-    Bounded recall verdict (r6): floor 0.15 vs 0.18-0.31 measured —
-    PQ at m=8/ksub=16 is inherently coarse on structureless vectors
-    (RECALL.json documents the full trade-off per round)."""
+    Bounded recall verdict: floor 0.40 — r7 (m,ksub) sweep (VERDICT r6
+    #4, RECALL.json) moved defaults 8/16 -> 16/64, recall@10 0.175 ->
+    0.56 at sf0.1 at comparable scan cost (codes are 16 ints/vector,
+    LUTs 16x64/query)."""
     from timely_spark.operators.similarity import cosine_topk, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _ann_queries(emb)
-    ann = pq_topk(emb, q, dim=64, k=10, m=8, ksub=16)
-    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.15)
+    ann = pq_topk(emb, q, dim=64, k=10, m=16, ksub=64)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.40)
 
 
 def q_emb_ivfpq_ann(spark, sf_dir):
     """IVF + PQ composed (FAISS IVFADC shape): one Arrow pass assigns
     coarse cell + PQ code; queries probe nprobe cells; ADC scoring.
-    Bounded recall verdict (r6): floor 0.12 vs 0.16-0.29 measured
-    (probing 8/32 cells compounds PQ coarseness — emb_ivfpq_rerank is
-    the recovery stage)."""
+    Bounded recall verdict: floor 0.40 — r7 sweep (VERDICT r6 #4)
+    moved m/ksub/nprobe 8/16/8 -> 16/64/16, recall@10 0.155 -> 0.505
+    at sf0.1 (probing half the 32 cells bounds what PQ coarseness can
+    lose; emb_ivfpq_rerank recovers the rest)."""
     from timely_spark.operators.similarity import cosine_topk, ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _ann_queries(emb)
-    ann = ivfpq_topk(emb, q, dim=64, k=10, m=8, ksub=16, ncells=32, nprobe=8)
-    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.12)
+    ann = ivfpq_topk(emb, q, dim=64, k=10, m=16, ksub=64, ncells=32, nprobe=16)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.40)
 
 
 def q_emb_pca_project(spark, sf_dir):
@@ -2693,6 +2697,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_LOCAL)
         "media_text_alignment": q_media_text_alignment,
         # oracle-backed document pipeline
+        # PLAN_CHANGED_THIS_ROUND (r7, ALL tokenizing queries): tokens()
+        # reformulated as regexp_extract_all (identical maximal-run
+        # semantics, contract-tested vs DuckDB; fixes the r6 2x
+        # regression mis-read as host drift — BASELINE.md round-7). The
+        # heavy tokenizer consumers (substring pair, dsir, ngram_jaccard,
+        # decontaminate x2, curation, line_dedup, bpe, perplexity,
+        # classifier x2, minhash) already hold checked prefix slots; the
+        # full sweep re-ran green post-change.
         # NOTE: doc_token_count (green r1-r3, trivial column expr) sits
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
@@ -3396,7 +3408,7 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""",
         # recall-floor boolean; the oracle pins it TRUE — sub-floor
         # recall hash-mismatches the row
         "emb_knn_lsh": _ann_verdict_sql(0.35),
-        "emb_ivfpq_rerank": _ann_verdict_sql(0.2),
+        "emb_ivfpq_rerank": _ann_verdict_sql(0.45),
         "doc_trained_classifier": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0.7 AS DOUBLE) AS auc_floor, TRUE AS auc_ok
@@ -3428,8 +3440,8 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id""",
         # ANN recall verdicts for the remaining index tiers + the PCA
         # contraction bound — same bounded-oracle pattern
-        "emb_pq_ann": _ann_verdict_sql(0.15),
-        "emb_ivfpq_ann": _ann_verdict_sql(0.12),
+        "emb_pq_ann": _ann_verdict_sql(0.40),
+        "emb_ivfpq_ann": _ann_verdict_sql(0.40),
         "emb_knn_ivf": _ann_verdict_sql(0.25),
         "emb_pca_project": """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS contraction_ok

@@ -372,6 +372,25 @@ def main() -> int:
     # between queries made late entries WORSE — the async ContextCleaner
     # then competes with the timed query).
     BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # host calibration (VERDICT r6 #2): a FIXED synthetic workload whose
+    # cost depends only on the host — seeded 10^8-row range, codegen hash
+    # arithmetic, one 32->64 shuffle agg. Its ratio vs the recorded gate
+    # measures shared-host drift DIRECTLY, so per-query gate drift can be
+    # attributed (host vs plan) instead of argued from suite medians.
+    from pyspark.sql import functions as F
+
+    cal_best = None
+    for _ in range(BENCH_REPEATS):
+        t0 = time.time()
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            "id * 2654435761 % 1000003 AS k"
+        ).groupBy((F.col("k") % 64).alias("b")).agg(
+            F.sum("k").alias("s")
+        ).collect()
+        dt = time.time() - t0
+        cal_best = dt if cal_best is None else min(cal_best, dt)
+    times["host_calibration"] = round(cal_best, 3)
+    print(f"  host_calibration: {times['host_calibration']}s", file=sys.stderr)
     for name in BENCH_QUERIES:
         fn = qs[name]
         best, n = None, 0

@@ -55,6 +55,28 @@ def test_suggest_tagk_tagv_reference_semantics(spark):
     assert suggest(m, "sys.cpu.user", "tagv", 10).count() == 0  # t required
 
 
+def test_time_bucket_expressions(spark):
+    """functions.time: epoch-aligned vs query-start-aligned bucketing
+    (Downsample.java:31-42 — buckets align to the QUERY start; epoch
+    alignment is the start=0 special case)."""
+    from timely_spark.functions.time import query_aligned_bucket, time_bucket_ms
+
+    df = spark.createDataFrame([(1_000_017,), (1_059_999,), (1_080_000,)], "ts long")
+    assert [r[0] for r in df.select(time_bucket_ms("ts", 60_000)).collect()] == [
+        960_000,
+        1_020_000,
+        1_080_000,
+    ]
+    # start=1_000_017: every bucket is start + k*period
+    got = [
+        r[0]
+        for r in df.select(
+            query_aligned_bucket("ts", 1_000_017, 60_000)
+        ).collect()
+    ]
+    assert got == [1_000_017, 1_000_017, 1_060_017]
+
+
 def test_suggest_unknown_type_answers_empty(spark):
     """DataStore.suggest (DataStore.java:528-580) silently returns an
     empty suggestion list (200) for unrecognized types — not an error."""

@@ -430,8 +430,8 @@ def semantic_dedup(
 def pq_train_codebooks(
     corpus: DataFrame,
     dim: int,
-    m: int = 8,
-    ksub: int = 16,
+    m: int = 16,
+    ksub: int = 64,
     sample: int = 2048,
     iters: int = 10,
     id_col: str = "vec_id",
@@ -521,8 +521,8 @@ def pq_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    m: int = 8,
-    ksub: int = 16,
+    m: int = 16,
+    ksub: int = 64,
     sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -589,10 +589,10 @@ def ivfpq_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    m: int = 8,
-    ksub: int = 16,
+    m: int = 16,
+    ksub: int = 64,
     ncells: int = 64,
-    nprobe: int = 8,
+    nprobe: int = 16,
     sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -688,11 +688,11 @@ def ivfpq_rerank_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    rerank: int = 4,
-    m: int = 8,
-    ksub: int = 16,
+    rerank: int = 8,
+    m: int = 16,
+    ksub: int = 64,
     ncells: int = 64,
-    nprobe: int = 8,
+    nprobe: int = 16,
     sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -26,7 +26,15 @@ def tokens(text_col: str | Column) -> Column:
     # is -1, which would leak as a token count; DuckDB's len(NULL) is
     # NULL — coalescing here keeps both engines at 0
     c = F.coalesce(c, F.lit(""))
-    return F.filter(F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != "")
+    # extract-all of the token class == filter(split on its negation):
+    # identical maximal-run semantics (TOKENS_SQL mirrors it), but ONE
+    # regex pass and NO filter HOF. Measured 1.7x faster than the
+    # split+filter form at sf0.1 — and since _tokens feeds shingle /
+    # window HOF pipelines where Generate-adjacent expressions
+    # re-evaluate per element, the tokenizer's cost multiplies: the r6
+    # split+filter tokenizer re-baselined four bench gates 1.6-2x up
+    # (mis-attributed to host drift; r7 same-session A/B pinned it)
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9']+"), 0)
 
 
 def token_count(text_col: str | Column = "text") -> Column:

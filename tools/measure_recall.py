@@ -57,11 +57,14 @@ def measure(spark, sf_dir: str) -> dict:
     variants = {
         "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=5, tables=10),
         "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=4),
-        "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=8, ksub=16),
+        # r7 defaults from the (m, ksub) sweep below (VERDICT r6 #4)
+        "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=16, ksub=64),
         "ivfpq": lambda: ivfpq_topk(
-            emb, q, dim=64, k=K, m=8, ksub=16, ncells=32, nprobe=8
+            emb, q, dim=64, k=K, m=16, ksub=64, ncells=32, nprobe=16
         ),
-        "ivfpq_rerank": lambda: ivfpq_rerank_topk(emb, q, dim=64, k=K, rerank=4),
+        "ivfpq_rerank": lambda: ivfpq_rerank_topk(
+            emb, q, dim=64, k=K, rerank=8, ncells=32, nprobe=16
+        ),
     }
     out = {
         "sf_dir": sf_dir,
@@ -96,6 +99,19 @@ def measure(spark, sf_dir: str) -> dict:
             4,
         )
         for np_, rr in ((8, 4), (8, 16), (16, 8), (32, 8))
+    }
+    # the (m, ksub) codebook sweep that set the r7 defaults (VERDICT r6
+    # #4): recall@10 for PQ and IVFPQ across the FAISS-practice grid,
+    # recorded per round so a testdata regeneration that shifts the
+    # trade-off is visible
+    out["codebook_sweep"] = {
+        f"{kind} m={m},ksub={ks}": round(recall_of(fn(m, ks)), 4)
+        for kind, fn in (
+            ("pq", lambda m, ks: pq_topk(emb, q, dim=64, k=K, m=m, ksub=ks)),
+            ("ivfpq", lambda m, ks: ivfpq_topk(
+                emb, q, dim=64, k=K, m=m, ksub=ks, ncells=32, nprobe=16)),
+        )
+        for m, ks in ((8, 16), (8, 64), (16, 16), (16, 64), (16, 256))
     }
     return out
 
