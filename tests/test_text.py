@@ -1075,3 +1075,41 @@ def test_curate_cli_substring_rewrite(spark, tmp_path):
     back = spark.read.parquet(out)
     texts = {r["doc_id"]: r["text"] for r in back.collect()}
     assert "plag0" in texts[3] and "plag0" not in texts[7]
+    # r7 (ADVICE r6): the excision leaves the survivor's own text
+    # VERBATIM — doc 7's body follows the cut span untouched, not a
+    # normalized token rejoin
+    assert "doc7w0" in texts[7] and "doc7w39" in texts[7]
+
+
+def test_curate_cli_substring_screen_plus_rewrite_one_detection(spark, tmp_path):
+    """--max-dup-frac AND --substring-rewrite together: ONE persisted
+    substring_spans detection feeds both (VERDICT r6 #6). A doc over the
+    dup-frac cutoff drops; a survivor carrying a smaller duplicated span
+    keeps its doc but loses the span's characters; the keeper doc stays
+    verbatim."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    shared = " ".join(f"plag{i}" for i in range(25))
+    rows = [(i, "web", " ".join(f"doc{i}w{j}" for j in range(40)))
+            for i in range(10)]
+    rows[3] = (3, "web", rows[3][2] + " " + shared)   # global first: kept
+    rows[7] = (7, "web", shared + " " + rows[7][2])   # later copy: excised
+    # doc 9 is ALMOST ALL duplicated text (its body + the passage twice
+    # over): dup_frac ~1 -> screened out entirely
+    rows[9] = (9, "web", shared + " " + shared)
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=2048, min_p_keep=0.0,
+        max_dup_frac=0.7, substring_rewrite=True,
+    )
+    assert stats["n_substring"] == 9  # doc 9 screened
+    back = spark.read.parquet(out)
+    texts = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert 9 not in texts
+    assert "plag0" in texts[3] and "plag0" not in texts[7]
+    assert "doc7w0" in texts[7]  # remainder verbatim
