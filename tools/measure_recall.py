@@ -55,8 +55,8 @@ def measure(spark, sf_dir: str) -> dict:
 
     # same hyperparameters as the registry rows (__spark_entry__.py)
     variants = {
-        "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=5, tables=10),
-        "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=4),
+        "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=4, tables=12),
+        "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=8),
         # r7 defaults from the (m, ksub) sweep below (VERDICT r6 #4)
         "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=16, ksub=64),
         "ivfpq": lambda: ivfpq_topk(
@@ -112,6 +112,22 @@ def measure(spark, sf_dir: str) -> dict:
                 emb, q, dim=64, k=K, m=m, ksub=ks, ncells=32, nprobe=16)),
         )
         for m, ks in ((8, 16), (8, 64), (16, 16), (16, 64), (16, 256))
+    }
+    # the IVF nprobe / LSH (planes, tables) sweep that set the r7
+    # defaults for the full-precision variants
+    out["knn_sweep"] = {
+        **{
+            f"ivf ncells={nc},nprobe={np_}": round(
+                recall_of(ivf_topk(emb, q, k=K, ncells=nc, nprobe=np_)), 4
+            )
+            for nc, np_ in ((16, 4), (16, 6), (16, 8), (32, 12))
+        },
+        **{
+            f"lsh planes={pl},tables={tb}": round(
+                recall_of(lsh_topk(emb, q, dim=64, k=K, planes=pl, tables=tb)), 4
+            )
+            for pl, tb in ((5, 10), (4, 12), (4, 16))
+        },
     }
     return out
 
