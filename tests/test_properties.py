@@ -913,3 +913,92 @@ def test_substring_stats_and_rewrite_match_model(spark, docs):
         ]
         want_md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
         assert rewr[did]["dedup_md5"] == want_md5, (did, spans)
+
+
+# ------------------------------------------------------------- collectd wire
+
+_cd_text = st.from_regex(r"[a-zA-Z0-9_.\- ]{1,24}", fullmatch=True)
+
+
+@given(
+    host=_cd_text,
+    plugin=_cd_text,
+    plugin_instance=st.one_of(st.just(""), _cd_text),
+    type_=_cd_text,
+    type_instance=st.one_of(st.just(""), _cd_text),
+    time_ms=st.integers(min_value=1, max_value=4_000_000_000_000),
+    values=st.lists(
+        st.integers(min_value=0, max_value=3).flatmap(
+            lambda k: st.tuples(
+                st.floats(
+                    allow_nan=False,
+                    allow_infinity=False,
+                    # COUNTER/ABSOLUTE are unsigned on the wire; the
+                    # encoder rejects negatives loudly (tested below)
+                    min_value=0.0 if k in (0, 3) else -1e15,
+                    max_value=1e15,
+                ),
+                st.just(k),
+            )
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**SETTINGS)
+def test_collectd_encode_decode_roundtrip(
+    host, plugin, plugin_instance, type_, type_instance, time_ms, values
+):
+    """encode -> decode is the identity over the whole ValueList space
+    (collectd's part-framed wire format; the encoder and decoder are
+    independently written, sources/collectd.py). Non-gauge kinds carry
+    integers on the wire, so their floats are truncated going in."""
+    from timely_spark.sources.collectd import decode_packets, encode_value_list
+
+    pkt = encode_value_list(
+        host=host,
+        time_ms=time_ms,
+        plugin=plugin,
+        plugin_instance=plugin_instance,
+        type=type_,
+        type_instance=type_instance,
+        values=values,
+        hr_time=True,
+    )
+    mds = decode_packets(pkt)
+    assert len(mds) == 1
+    md = mds[0]
+    assert (md.host, md.plugin, md.plugin_instance, md.type, md.type_instance) == (
+        host, plugin, plugin_instance, type_, type_instance
+    )
+    assert md.timestamp == time_ms  # HR 2^-30 s units round-trip exactly
+    kinds = {0: "COUNTER", 1: "GAUGE", 2: "DERIVE", 3: "ABSOLUTE"}
+    for (got_v, got_k), (v, k) in zip(md.value_pairs, values):
+        assert got_k == kinds[k]
+        if k == 1:
+            assert got_v == v  # doubles are bit-exact on the wire
+        else:  # integer kinds truncate toward zero going in
+            assert got_v == float(int(v))
+
+
+@given(
+    data=st.binary(min_size=0, max_size=200),
+)
+@settings(**SETTINGS)
+def test_collectd_decoder_total_on_noise(data):
+    """decode_packets never raises on arbitrary bytes (the ingest
+    fire-and-forget contract), and the sniff never claims a put line."""
+    from timely_spark.sources.collectd import decode_packets, is_collectd_packet
+
+    decode_packets(data)  # must not raise
+    assert not is_collectd_packet(b"put " + data)
+
+
+def test_collectd_encoder_rejects_negative_unsigned():
+    from timely_spark.sources.collectd import encode_value_list
+
+    with pytest.raises(ValueError, match="must be >= 0"):
+        encode_value_list(
+            host="h", time_ms=1, plugin="p", type="t",
+            values=[(-1.0, 0)], hr_time=True,
+        )

@@ -194,6 +194,8 @@ def encode_value_list(
         elif k == 2:
             body += struct.pack(">q", int(v))
         else:
+            if v < 0:  # COUNTER/ABSOLUTE are unsigned on the wire
+                raise ValueError(f"kind {k} value must be >= 0, got {v}")
             body += struct.pack(">Q", int(v))
     parts.append(struct.pack(">HH", PART_VALUES, 4 + len(body)) + body)
     return b"".join(parts)
