@@ -915,6 +915,68 @@ def test_substring_stats_and_rewrite_match_model(spark, docs):
         assert rewr[did]["dedup_md5"] == want_md5, (did, spans)
 
 
+@given(
+    docs=st.lists(_doc_tokens, min_size=1, max_size=6),
+    seps=st.lists(st.sampled_from([" ", ", ", "; ", " -- ", "!\n"]),
+                  min_size=1, max_size=8),
+    cases=st.lists(st.sampled_from(["lower", "upper", "title"]),
+                   min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_excise_original_text_matches_model(spark, docs, seps, cases):
+    """excise_spans_original_text vs the model: documents rendered with
+    varied casing and punctuation separators (so token->char mapping is
+    non-trivial), expected output built from char offsets tracked
+    INDEPENDENTLY at construction time — every non-keeper span's exact
+    character range disappears, everything else stays byte-verbatim."""
+    from timely_spark.operators.dedup import excise_spans_original_text
+
+    W = 4
+    data = [(i, toks) for i, toks in enumerate(docs)]
+    model = _py_span_model(data, W)
+
+    def surface(tok, j):
+        mode = cases[j % len(cases)]
+        return tok.upper() if mode == "upper" else (
+            tok.capitalize() if mode == "title" else tok
+        )
+
+    rendered = {}
+    offsets = {}  # did -> [(start, end) per token]
+    for did, toks in data:
+        parts, offs, pos = [], [], 0
+        for j, t in enumerate(toks):
+            s = surface(t, j)
+            offs.append((pos, pos + len(s)))
+            parts.append(s)
+            pos += len(s)
+            sep = seps[(did + j) % len(seps)]
+            parts.append(sep)
+            pos += len(sep)
+        rendered[did] = "".join(parts)
+        offsets[did] = offs
+    df = spark.createDataFrame(
+        [(did, rendered[did]) for did, _ in data], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in excise_spans_original_text(df, window=W).collect()}
+    for did, toks in data:
+        _, spans = model[did]
+        removed = sorted((s, e) for s, e, isf in spans if not isf)
+        text = rendered[did]
+        if not removed:
+            assert got[did]["text"] == text
+            assert not got[did]["excised"]
+            continue
+        pieces, prev = [], 0
+        for s, e in removed:
+            cs, ce = offsets[did][s][0], offsets[did][e][1]
+            pieces.append(text[prev:cs])
+            prev = max(prev, ce)
+        pieces.append(text[prev:])
+        assert got[did]["text"] == "".join(pieces), (did, removed)
+        assert got[did]["excised"]
+
+
 # ------------------------------------------------------------- collectd wire
 
 _cd_text = st.from_regex(r"[a-zA-Z0-9_.\- ]{1,24}", fullmatch=True)
