@@ -2740,7 +2740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_curation": q_doc_curation,
-        "doc_line_dedup": q_doc_line_dedup,
+        # PLAN_CHANGED_THIS_ROUND (r7): summarize percentiles moved from
+        # linear interpolation to the reference's nearest-rank rule
+        # (MetricHistogram.getPercentile parity); rotated in from the
+        # tail, displacing doc_line_dedup (driver-green r6, plan
+        # unchanged, still swept + bench-gated)
+        "ts_summarize": q_ts_summarize,
         # new r7: collectd binary-protocol ingest through the distributed
         # decode path (VERDICT r6 #3, first driver evidence) — takes
         # doc_chunk_dedup's slot (driver-green r6, plan unchanged this
@@ -2756,7 +2761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_none_raw": q_ts_none_raw,
         "ts_multiquery": q_ts_multiquery,
         "ts_ageoff": q_ts_ageoff,
-        "ts_summarize": q_ts_summarize,
+        # r7 rotation out (swapped with ts_summarize's plan-change slot):
+        # driver-green r6, plan unchanged, still swept + bench-gated
+        "doc_line_dedup": q_doc_line_dedup,
         "ts_tag_regex": q_ts_tag_regex,
         "ts_rate_counter": q_ts_rate_counter,
         "ts_fir_ma5": q_ts_fir_ma5,
@@ -3194,10 +3201,10 @@ SELECT metric || '_summarized' AS metric, ts - ts % 86400000 AS bucket_ts,
        count(value) AS n,
        round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
        round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.75), 4) AS p75,
-       round(quantile_cont(value, 0.9), 4) AS p90,
-       round(quantile_cont(value, 0.99), 4) AS p99
+       round(list_sort(list(value))[greatest(CAST(round(0.5 * count(value)) AS BIGINT), 1)], 4) AS p50,
+       round(list_sort(list(value))[greatest(CAST(round(0.75 * count(value)) AS BIGINT), 1)], 4) AS p75,
+       round(list_sort(list(value))[greatest(CAST(round(0.9 * count(value)) AS BIGINT), 1)], 4) AS p90,
+       round(list_sort(list(value))[greatest(CAST(round(0.99 * count(value)) AS BIGINT), 1)], 4) AS p99
 FROM pts GROUP BY 1, 2""",
         # streaming A11: same aggregate per (metric, user, 1h window),
         # restricted to windows strictly below the final watermark —
@@ -3211,9 +3218,9 @@ agg AS (
          count(value) AS n,
          round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
          round(sum(value), 4) AS sum_value, round(avg(value), 4) AS avg_value,
-         round(quantile_cont(value, 0.5), 4) AS p50,
-         round(quantile_cont(value, 0.9), 4) AS p90,
-         round(quantile_cont(value, 0.99), 4) AS p99
+         round(list_sort(list(value))[greatest(CAST(round(0.5 * count(value)) AS BIGINT), 1)], 4) AS p50,
+         round(list_sort(list(value))[greatest(CAST(round(0.9 * count(value)) AS BIGINT), 1)], 4) AS p90,
+         round(list_sort(list(value))[greatest(CAST(round(0.99 * count(value)) AS BIGINT), 1)], 4) AS p99
   FROM pts GROUP BY 1, 2, 3)
 SELECT * FROM agg
 WHERE bucket_ts + 3600000 <= (SELECT m - 120000 - 1 FROM mx)""",

@@ -21,7 +21,25 @@ def test_summarize_batch_golden(spark):
     assert (r["n"], r["min_value"], r["max_value"], r["sum_value"]) == (59, 1.0, 59.0, sum(range(1, 60)))
     assert r["avg_value"] == pytest.approx(30.0)
     assert r["p50"] == pytest.approx(30.0)
-    assert r["p99"] == pytest.approx(58.42)  # linear interpolation at 0.99*(59-1)
+    # nearest-rank, the reference's own rule (getPercentile:85-92):
+    # index max(round(0.99 * 59), 1) = 58 -> value 58.0 (NOT the linear
+    # interpolation 58.42 the r1-r6 implementation emitted)
+    assert r["p99"] == pytest.approx(58.0)
+
+
+def test_summarize_percentiles_match_metric_histogram_test(spark):
+    """MetricHistogramTest.java:20-72 ported: 100 values 1..100 in one
+    window -> min 1, max 100, avg 50.5, count 100, p50 50, p75 75,
+    p90 90, p99 99 — the reference's nearest-rank indexing exactly."""
+    b = 1_447_767_913_000 - (1_447_767_913_000 % 60_000)
+    rows = [("m", b + i * 100, float(i), {}, None) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, viz string"
+    )
+    r = summarize_batch(df, window_ms=60_000, exact=True).collect()[0]
+    assert (r["n"], r["min_value"], r["max_value"]) == (100, 1.0, 100.0)
+    assert r["avg_value"] == pytest.approx(50.5)
+    assert (r["p50"], r["p75"], r["p90"], r["p99"]) == (50.0, 75.0, 90.0, 99.0)
 
 
 def test_streaming_ingest_availablenow(spark, tmp_path):

@@ -22,13 +22,32 @@ SUMMARY_PERCENTILES = [0.5, 0.75, 0.9, 0.99]  # MetricHistogram.java:123-167
 
 
 def _summary_aggs(exact: bool = True):
-    pct = (
-        F.percentile("value", F.array(*[F.lit(p) for p in SUMMARY_PERCENTILES]))
-        if exact
-        else F.percentile_approx(
+    if exact:
+        # the reference's OWN percentile rule, not linear interpolation
+        # (MetricHistogram.getPercentile:85-92): nearest-rank into the
+        # sorted values — index max(round(p*n), 1), 1-based. Java
+        # Math.round == Spark HALF_UP round for positive args. The sorted
+        # per-group list is bounded by one series' points per window
+        # (the summarization bucket), so collect_list here is the same
+        # state the reference's window accumulator holds.
+        vals = F.array_sort(F.collect_list("value"))
+        pct = F.array(
+            *[
+                F.element_at(
+                    vals,
+                    F.greatest(
+                        F.round(F.size(vals) * F.lit(p)).cast("int"), F.lit(1)
+                    ),
+                )
+                for p in SUMMARY_PERCENTILES
+            ]
+        )
+    else:
+        # the 100 TB path: bounded-sketch approximation, documented
+        # divergence from the nearest-rank rule (both converge as n grows)
+        pct = F.percentile_approx(
             "value", F.array(*[F.lit(p) for p in SUMMARY_PERCENTILES]), 10_000
         )
-    )
     return [
         F.count("value").alias("n"),
         F.min("value").alias("min_value"),
