@@ -138,6 +138,50 @@ def test_exclusions_applied(engine):
     assert "secret" not in {r["tag_key"] for r in engine.meta().collect()}
 
 
+def test_exclusions_reference_golden(spark):
+    """ExclusionTest.testMetricExclusions:31-44 ported byte-for-byte:
+    the common/src/test/resources filter files' semantics — patterns
+    full-match the 'metric sorted-tags' LINE with .* auto-appended
+    (so a bare metric name is prefix-matched and a pattern can key off
+    tag values), and tag strips are exact-name key removal."""
+    from timely_spark.operators.exclusions import apply_exclusions
+    from timely_spark.sources.lineprotocol import parse_lines_df
+
+    m1 = ("put sys.interface.if_octets 1740090590221 71838.0 "
+          "host=localhost instance=veth88545ad sampleType=DERIVE")
+    m2 = ("put sys.interface.if_errors 1740090590221 71838.0 "
+          "host=localhost instance=veth88545ad sampleType=DERIVE")
+    pts = parse_lines_df(spark.createDataFrame([(m1,), (m2,)], "value string"))
+    # common/src/test/resources/filteredMetrics.txt + filteredTags.txt
+    blocklist = [
+        "sys.ethstat.(tx|rx)[-]?[0-9]+[_.]",
+        "sys.ethstat.*_to_.*",
+        "sys.interface.if_packets",
+        "sys.interface.if_octets",
+    ]
+    strips = {
+        "sys.interface.if_packets": ["sampleType", "instance"],
+        "sys.interface.if_octets": ["sampleType", "instance"],
+    }
+    out = apply_exclusions(pts, metric_blocklist=blocklist).collect()
+    # metric1 filtered (assertTrue), metric2 survives (assertFalse)
+    assert [r.metric for r in out] == ["sys.interface.if_errors"]
+    # filterExcludedTags(metric1) golden: instance+sampleType removed
+    stripped = apply_exclusions(pts, tag_strips=strips).collect()
+    r = next(x for x in stripped if x.metric == "sys.interface.if_octets")
+    rendered = "put {} {} {} {}".format(
+        r.metric, r.ts, r.value,
+        " ".join(f"{k}={v}" for k, v in sorted(r.tags.items())),
+    )
+    assert rendered == "put sys.interface.if_octets 1740090590221 71838.0 host=localhost"
+    # a tag-keyed pattern (possible because the LINE is matched): drops
+    # only the veth instance's points
+    veth = apply_exclusions(
+        pts, metric_blocklist=["sys.interface.* instance=veth.*"]
+    ).collect()
+    assert veth == []
+
+
 def test_static_endpoints(engine):
     assert engine.version() == "0.0.3"
     assert engine.aggregators() == ["avg", "dev", "max", "min", "sum", "count", "none"]

@@ -1,17 +1,41 @@
 """Ingest exclusions: metric blocklist + per-metric tag stripping.
 
-Reference: common/src/main/java/timely/util/Exclusions.java:26-115 — a
-regex list of metrics to drop entirely and, per metric, tag keys to strip
-before storage; applied on the hot ingest path (DataStore.java:390-395).
+Reference: common/src/main/java/timely/util/Exclusions.java:60-149 — a
+regex list of metrics to drop entirely and, per metric, tag keys to
+strip before storage; applied on the hot ingest path
+(DataStore.java:390-395). Exact reference semantics (pinned by
+ExclusionTest.java:31-44, ported in tests/test_operators.py):
 
-Spark: one Column predicate + one ``map_filter`` — both codegen, applied
-in the ingest stream before the store write.
+- each blocklist pattern gets ``.*`` auto-appended unless it already
+  ends with ``.*`` (Exclusions.getFilteredMetrics:62-69);
+- the pattern FULL-matches (``String.matches``) the *metric line* —
+  ``metric tag1=v1 tag2=v2`` with tags key-sorted
+  (Exclusions.buildMetricLine:118-123) — so exclusions can key off tag
+  values, not just metric names;
+- tag strips are an exact metric-name lookup removing listed keys
+  (Exclusions.filterExcludedTags:140-149).
+
+Spark: one Column predicate + one ``map_filter`` — both codegen,
+applied in the ingest stream before the store write.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _metric_line():
+    """``metric tag1=v1 tag2=v2`` with key-sorted tags — the string the
+    reference matches its exclusion regexes against."""
+    kvs = F.transform(
+        F.array_sort(F.map_keys("tags")),
+        lambda k: F.concat(k, F.lit("="), F.element_at(F.col("tags"), k)),
+    )
+    return F.when(
+        F.size(F.map_keys("tags")) > 0,
+        F.concat(F.col("metric"), F.lit(" "), F.array_join(kvs, " ")),
+    ).otherwise(F.col("metric"))
 
 
 def apply_exclusions(
@@ -21,13 +45,19 @@ def apply_exclusions(
 ) -> DataFrame:
     """Drop blocklisted metrics; strip configured tag keys per metric.
 
-    ``metric_blocklist``: regexes — a metric matching ANY is dropped.
+    ``metric_blocklist``: regexes, reference-normalized (``.*``
+    auto-appended, full-match against the metric line) — a point
+    matching ANY is dropped.
     ``tag_strips``: metric-name -> tag keys to remove from that metric's
-    points ('*' as the metric applies to every metric).
+    points ('*' as the metric applies to every metric — an engine
+    extension the reference's exact-lookup does not have).
     """
     df = points
-    for pattern in metric_blocklist or []:
-        df = df.filter(~F.col("metric").rlike(pattern))
+    if metric_blocklist:
+        line = _metric_line()
+        for pattern in metric_blocklist:
+            pat = pattern if pattern.endswith(".*") else pattern + ".*"
+            df = df.filter(~line.rlike(f"^(?:{pat})$"))
     strips = dict(tag_strips or {})
     global_strip = strips.pop("*", [])
     if global_strip:
