@@ -206,6 +206,52 @@ def test_tag_regex_and_alternation(spark):
     assert total({"host": "h0"}) == 0.0  # literal must match exactly
 
 
+def test_tag_filter_reference_counts(spark):
+    """TagFilterTest.java:56-90 ported: 10 racks x 10 nodes x 3 metrics,
+    AND across tag keys, Matcher.matches() per value — the comma-class
+    regex, plain regex, wildcard and alternation cases return exactly
+    the reference's row counts (15 / 30 / 30 / 12)."""
+    from timely_spark.plans.builder import _tag_predicates
+
+    rows = []
+    for rack in range(1, 11):
+        for node in range(1, 11):
+            tags = {
+                "cluster": "metrics",
+                "host": f"r{rack:02d}n{node:02d}",
+                "rack": f"r{rack:02d}",
+            }
+            for m in ("sys.cpu.user", "sys.cpu.system", "sys.cpu.idle"):
+                rows.append((m, 1_447_767_913_000, 0.0, tags, None))
+    df = spark.createDataFrame(
+        rows, "metric string, ts long, value double, tags map<string,string>, viz string"
+    )
+    cases = [
+        ({"rack": "r07", "host": "r07n0[1,3,5,7,9]"}, 15),  # testHostRangeRegex
+        ({"rack": "r07", "host": "r07n.*"}, 30),             # testHostRegex
+        ({"rack": "r07", "host": ".*"}, 30),                 # testHostWildcard
+        ({"rack": "r08", "host": "r08n01|r08n02|r08n03|r08n04"}, 12),  # testHostOrRegex
+    ]
+    for tags, want in cases:
+        assert _tag_predicates(df, tags).count() == want, tags
+
+
+def test_metric_braces_escaped_commas():
+    """TagListParser.java:20-31: ``\\,`` escapes a comma inside a tag
+    value so regex character classes survive the tag-list split — the
+    escaping TagFilterTest.testHostRangeRegex:58-64 calls out."""
+    from timely_spark.http_facade import _parse_metric_braces
+
+    metric, tags = _parse_metric_braces(
+        r"sys.cpu.user{rack=r07,host=r07n0[1\,3\,5\,7\,9]}"
+    )
+    assert metric == "sys.cpu.user"
+    assert tags == {"rack": "r07", "host": "r07n0[1,3,5,7,9]"}
+    # no braces / empty braces still parse
+    assert _parse_metric_braces("sys.cpu.user") == ("sys.cpu.user", {})
+    assert _parse_metric_braces("m{}") == ("m", {})
+
+
 def test_fir_moving_average(spark, ramp_points):
     """TimeSeriesGroupingIteratorTest: 5-pt MA of the ramp = value-2."""
     base, pts = ramp_points

@@ -112,15 +112,22 @@ def _compact(obj) -> bytes:
 
 def _parse_metric_braces(m: str) -> tuple[str, dict[str, str]]:
     """``metric{k=pat,k2=pat}`` -> (metric, {k: pat}). The lookup/suggest
-    ``m=`` shape (SearchLookupRequest.java:24-60)."""
+    ``m=`` shape (SearchLookupRequest.java:24-60). Commas escape as
+    ``\\,`` inside keys/values so a regex character class like
+    ``r07n0[1\\,3\\,5]`` survives the tag-list split — the reference's
+    TagListParser splits on ``(?<!\\\\),`` then unescapes
+    (TagListParser.java:20-31, exercised by TagFilterTest's
+    testHostRangeRegex)."""
+    import re as _re
+
     if "{" not in m:
         return m, {}
     metric, rest = m.split("{", 1)
     rest = rest.rstrip("}")
     tags: dict[str, str] = {}
-    for pair in filter(None, rest.split(",")):
+    for pair in filter(None, _re.split(r"(?<!\\),", rest)):
         k, _, v = pair.partition("=")
-        tags[k] = v
+        tags[k.replace("\\,", ",")] = v.replace("\\,", ",")
     return metric, tags
 
 
