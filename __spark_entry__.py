@@ -2242,17 +2242,13 @@ def q_ts_collectd_ingest(spark, sf_dir):
                     hr_time=True,
                 )
             )
+    from timely_spark.model import sorted_tag_line
+
     lake = spark.createDataFrame(
         [(bytearray(p),) for p in pkts], "data binary"
     ).repartition(8)
     pts = decode_collectd_df(lake)
-    tag_str = F.array_join(
-        F.transform(
-            F.array_sort(F.map_keys("tags")),
-            lambda k: F.concat(k, F.lit("="), F.element_at(F.col("tags"), k)),
-        ),
-        " ",
-    )
+    tag_str = sorted_tag_line("tags")
     return pts.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.min("ts").alias("min_ts"),

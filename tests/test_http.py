@@ -853,3 +853,57 @@ def test_http_gzip_bomb_capped_after_decompression(spark, tmp_path):
         )
         with urllib.request.urlopen(req, timeout=60) as r:
             assert r.status == 200
+        # a multi-member bomb (many small members concatenated) is
+        # ALSO capped cumulatively, not just the first member
+        member = gzip.compress(b" " * (1024 * 1024))
+        req = urllib.request.Request(
+            srv.base_url + "/api/put", data=member * 80,
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 413
+        # truncated stream -> 400, never half-parsed
+        req = urllib.request.Request(
+            srv.base_url + "/api/put",
+            data=gzip.compress(json.dumps(metrics).encode())[:-5],
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+
+
+def test_http_gzip_multi_member_body(spark, tmp_path):
+    """RFC 1952 allows concatenated gzip members (appended .gz batches);
+    both members' content must reach the parser — the r7 review caught
+    single-member decompression silently dropping member 2."""
+    import gzip
+
+    with server(spark, tmp_path) as srv:
+        m1 = [{"metric": "gzmm.m", "timestamp": TEST_TIME,
+               "value": 1.0, "tags": {"h": "x"}}]
+        m2 = [{"metric": "gzmm.m", "timestamp": TEST_TIME + 1000,
+               "value": 2.0, "tags": {"h": "x"}}]
+        # members must concatenate into ONE valid JSON document, so wrap
+        # as two halves of one array split across members
+        whole = json.dumps(m1 + m2).encode()
+        body = gzip.compress(whole[: len(whole) // 2]) + gzip.compress(
+            whole[len(whole) // 2 :]
+        )
+        req = urllib.request.Request(
+            srv.base_url + "/api/put", data=body,
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+        status, out = get(
+            srv.base_url + "/api/suggest?type=metrics&m=gzmm&max=5"
+        )
+        assert status == 200 and json.loads(out) == ["gzmm.m"]

@@ -250,6 +250,11 @@ def test_metric_braces_escaped_commas():
     # no braces / empty braces still parse
     assert _parse_metric_braces("sys.cpu.user") == ("sys.cpu.user", {})
     assert _parse_metric_braces("m{}") == ("m", {})
+    # a regex quantifier's closing brace survives (r7 review: rstrip
+    # ate every trailing brace, corrupting host=r07n0[0-9]{2})
+    assert _parse_metric_braces("m{host=r07n0[0-9]{2}}") == (
+        "m", {"host": "r07n0[0-9]{2}"}
+    )
 
 
 def test_fir_moving_average(spark, ramp_points):

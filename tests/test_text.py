@@ -1113,3 +1113,37 @@ def test_curate_cli_substring_screen_plus_rewrite_one_detection(spark, tmp_path)
     assert 9 not in texts
     assert "plag0" in texts[3] and "plag0" not in texts[7]
     assert "doc7w0" in texts[7]  # remainder verbatim
+
+
+def test_curate_screen_plus_rewrite_keeper_among_survivors(spark, tmp_path):
+    """The combined pass recomputes duplicate counts and keeper flags
+    over the SURVIVOR corpus (r7 review finding): when the screen drops
+    the doc holding a span's global-first occurrence, the surviving copy
+    is the new keeper — the content must NOT vanish from the output.
+    And a span whose every other copy was screened out is no longer a
+    duplicate at all."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    shared = " ".join(f"plag{i}" for i in range(25))
+    rows = [(i, "web", " ".join(f"doc{i}w{j}" for j in range(40)))
+            for i in range(10)]
+    # doc 1: almost all duplicated (holds the GLOBAL first occurrence of
+    # the passage) -> screened out by dup_frac
+    rows[1] = (1, "web", shared + " " + shared)
+    # doc 7: the only SURVIVING copy of the passage -> keeper, kept
+    rows[7] = (7, "web", rows[7][2] + " " + shared)
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=2048, min_p_keep=0.0,
+        max_dup_frac=0.7, substring_rewrite=True,
+    )
+    assert stats["n_substring"] == 9  # doc 1 screened
+    texts = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert 1 not in texts
+    # doc 7 keeps the passage: among survivors it is unique content
+    assert "plag0" in texts[7] and "plag24" in texts[7]

@@ -123,7 +123,9 @@ def _parse_metric_braces(m: str) -> tuple[str, dict[str, str]]:
     if "{" not in m:
         return m, {}
     metric, rest = m.split("{", 1)
-    rest = rest.rstrip("}")
+    # ONE closing brace: rstrip would also eat a regex quantifier's
+    # brace in a value like host=r07n0[0-9]{2}
+    rest = rest[:-1] if rest.endswith("}") else rest
     tags: dict[str, str] = {}
     for pair in filter(None, _re.split(r"(?<!\\),", rest)):
         k, _, v = pair.partition("=")
@@ -351,11 +353,29 @@ class TimelyHttpServer:
                     import zlib as _zl
 
                     # gzip payloads carry a zlib stream behind an RFC 1952
-                    # header; wbits=47 auto-detects zlib vs gzip framing
-                    d = _zl.decompressobj(wbits=47 if enc == "gzip" else 15)
-                    raw = d.decompress(raw, server.max_body_bytes + 1)
-                    if len(raw) > server.max_body_bytes:
-                        raise self._TooLarge(len(raw))
+                    # header; wbits=47 auto-detects zlib vs gzip framing.
+                    # RFC 1952 allows CONCATENATED members (appended .gz
+                    # batches), so loop decompressobj over unused_data —
+                    # the cap bounds the CUMULATIVE inflated size; a
+                    # stream that ends mid-member (eof never reached) is
+                    # malformed and must not be half-parsed
+                    out, rest = b"", raw
+                    while rest:
+                        d = _zl.decompressobj(wbits=47 if enc == "gzip" else 15)
+                        try:
+                            out += d.decompress(
+                                rest, server.max_body_bytes + 1 - len(out)
+                            )
+                        except _zl.error as e:  # corrupt stream -> 400
+                            raise ValueError(f"bad compressed body: {e}")
+                        if len(out) > server.max_body_bytes:
+                            raise self._TooLarge(len(out))
+                        if not d.eof:
+                            raise ValueError("truncated compressed body")
+                        rest = d.unused_data
+                        if enc == "deflate":
+                            break  # zlib framing has no member concat
+                    raw = out
                 return json.loads(raw) if raw else None
 
             def _params(self, parsed) -> dict[str, str]:

@@ -59,6 +59,20 @@ def series_id(metric: Column | str = "metric", tags: Column | str = "tags") -> C
     return F.concat_ws(",", F.array(m), pairs)
 
 
+def sorted_tag_line(tags: Column | str = "tags", sep: str = " ") -> Column:
+    """Key-sorted ``k=v`` pairs joined by ``sep`` — the TreeMap-style tag
+    rendering shared by exclusion line matching
+    (Exclusions.buildMetricLine:118-123) and the collectd ingest-parity
+    rollup; ONE definition so a rendering change (e.g. escaping) cannot
+    silently diverge between them."""
+    t = F.col(tags) if isinstance(tags, str) else tags
+    pairs = F.transform(
+        F.array_sort(F.map_keys(t)),
+        lambda k: F.concat(k, F.lit("="), F.element_at(t, k)),
+    )
+    return F.array_join(pairs, sep)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

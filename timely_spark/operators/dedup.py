@@ -1089,12 +1089,29 @@ def _window_hashes(text_col: str, window: int):
     return F.when(m >= 1, sh).otherwise(F.array().cast("array<long>"))
 
 
+def window_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """The stride-1 detection's expensive pass in isolation: one row per
+    rolling window hash occurrence, ``(id, __p, __h)``. Persist this to
+    share one hashing of the corpus across several
+    :func:`substring_spans` consumers (ints only — never text)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
+    ).filter(F.col("__h").isNotNull())
+
+
 def substring_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 16,
     with_keeper: bool = False,
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Shared stride-1 detection core: one row per MAXIMAL duplicated
     token span, ``(id, __s, __e[, __keep])`` with inclusive token
@@ -1112,11 +1129,18 @@ def substring_spans(
     (hash, pos) ints with map-side combine; the island merge windows
     over per-DOC position lists (bounded by doc length); span
     arithmetic is row-local.
+
+    ``occ``: a precomputed :func:`window_occurrences` frame — the
+    expensive window-hash explode — so a pipeline that detects over one
+    corpus and re-detects over a filtered subset (curate's screen ->
+    rewrite) hashes each document ONCE and re-runs only the int-only
+    count/keeper aggregates. Duplicate counts and keeper flags are
+    always computed over the rows of ``occ`` actually passed in, so a
+    subset re-detection has honest subset semantics (a span whose other
+    copies were all screened out is no longer a duplicate).
     """
-    occ = df.select(
-        F.col(id_col),
-        F.posexplode_outer(_window_hashes(text_col, window)).alias("__p", "__h"),
-    ).filter(F.col("__h").isNotNull())
+    if occ is None:
+        occ = window_occurrences(df, text_col, id_col, window)
     counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
     dup_occ = occ.join(counts.filter(F.col("__c") > 1), "__h")
     if with_keeper:

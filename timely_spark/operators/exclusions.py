@@ -24,17 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..model import sorted_tag_line
+
 
 def _metric_line():
     """``metric tag1=v1 tag2=v2`` with key-sorted tags — the string the
     reference matches its exclusion regexes against."""
-    kvs = F.transform(
-        F.array_sort(F.map_keys("tags")),
-        lambda k: F.concat(k, F.lit("="), F.element_at(F.col("tags"), k)),
-    )
     return F.when(
         F.size(F.map_keys("tags")) > 0,
-        F.concat(F.col("metric"), F.lit(" "), F.array_join(kvs, " ")),
+        F.concat(F.col("metric"), F.lit(" "), sorted_tag_line("tags")),
     ).otherwise(F.col("metric"))
 
 
@@ -54,10 +52,16 @@ def apply_exclusions(
     """
     df = points
     if metric_blocklist:
-        line = _metric_line()
-        for pattern in metric_blocklist:
-            pat = pattern if pattern.endswith(".*") else pattern + ".*"
-            df = df.filter(~line.rlike(f"^(?:{pat})$"))
+        # materialize the line ONCE and OR the normalized patterns into a
+        # single anchored alternation: per-pattern filters would each
+        # re-render the sorted tag map per point on the hot ingest path
+        pats = [p if p.endswith(".*") else p + ".*" for p in metric_blocklist]
+        alt = "|".join(f"(?:{p})" for p in pats)
+        df = (
+            df.withColumn("__line", _metric_line())
+            .filter(~F.col("__line").rlike(f"^(?:{alt})$"))
+            .drop("__line")
+        )
     strips = dict(tag_strips or {})
     global_strip = strips.pop("*", [])
     if global_strip:

@@ -29,32 +29,44 @@ def _summary_aggs(exact: bool = True):
         # Math.round == Spark HALF_UP round for positive args. The sorted
         # per-group list is bounded by one series' points per window
         # (the summarization bucket), so collect_list here is the same
-        # state the reference's window accumulator holds.
-        vals = F.array_sort(F.collect_list("value"))
-        pct = F.array(
-            *[
-                F.element_at(
-                    vals,
-                    F.greatest(
-                        F.round(F.size(vals) * F.lit(p)).cast("int"), F.lit(1)
-                    ),
-                )
-                for p in SUMMARY_PERCENTILES
-            ]
-        )
+        # state the reference's window accumulator holds. Sort ONCE and
+        # index the named result: the aggregate's result projection is
+        # not codegen'd, so repeating array_sort(collect_list(...)) per
+        # percentile would re-sort the list up to 8x per group.
+        pct = F.array_sort(F.collect_list("value")).alias("__pv")
     else:
         # the 100 TB path: bounded-sketch approximation, documented
         # divergence from the nearest-rank rule (both converge as n grows)
         pct = F.percentile_approx(
             "value", F.array(*[F.lit(p) for p in SUMMARY_PERCENTILES]), 10_000
-        )
+        ).alias("pcts")
     return [
         F.count("value").alias("n"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.sum("value").alias("sum_value"),
         F.avg("value").alias("avg_value"),
-        pct.alias("pcts"),
+        pct,
+    ]
+
+
+def _pct_cols(exact: bool):
+    """The four percentile columns for the POST-agg select: the exact
+    path indexes the once-sorted ``__pv`` list per percentile (indexing
+    N times is cheap; sorting inside the agg result projection N times
+    is not), the approx path unpacks the sketch's array."""
+    if not exact:
+        return [
+            F.col("pcts")[i].alias(n)
+            for i, n in enumerate(["p50", "p75", "p90", "p99"])
+        ]
+    n = F.size(F.col("__pv"))
+    return [
+        F.element_at(
+            F.col("__pv"),
+            F.greatest(F.round(n * F.lit(p)).cast("int"), F.lit(1)),
+        ).alias(name)
+        for p, name in zip(SUMMARY_PERCENTILES, ["p50", "p75", "p90", "p99"])
     ]
 
 
@@ -81,10 +93,7 @@ def summarize_batch(points: DataFrame, window_ms: int, exact: bool = True) -> Da
         "max_value",
         "sum_value",
         "avg_value",
-        F.col("pcts")[0].alias("p50"),
-        F.col("pcts")[1].alias("p75"),
-        F.col("pcts")[2].alias("p90"),
-        F.col("pcts")[3].alias("p99"),
+        *_pct_cols(exact),
     )
 
 
@@ -131,10 +140,7 @@ def summarization_query(
             "max_value",
             "sum_value",
             "avg_value",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p75"),
-            F.col("pcts")[2].alias("p90"),
-            F.col("pcts")[3].alias("p99"),
+            *_pct_cols(exact),
         )
     )
     writer = (

@@ -177,30 +177,37 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_minhash = survivors.count()
         if (substring_rewrite or max_dup_frac is not None) and n_out:
-            # stride-1 exact-substring pass (Lee et al. 2022): ONE
-            # detection (substring_spans, hash-only shuffles) feeds both
-            # the screen (drop docs whose duplicated-token fraction
-            # exceeds the cutoff — catches boilerplate repeated at
-            # ARBITRARY offsets that exact/chunk hashing misses) and the
-            # rewrite (EXCISE each duplicated span's character range
-            # from the ORIGINAL text, global-first occurrence kept;
-            # casing/punctuation/whitespace outside the spans verbatim)
+            # stride-1 exact-substring pass (Lee et al. 2022): the
+            # expensive window-hash explode runs ONCE (persisted
+            # window_occurrences, ints only) and feeds both the screen
+            # (drop docs whose duplicated-token fraction exceeds the
+            # cutoff — catches boilerplate repeated at ARBITRARY offsets
+            # that exact/chunk hashing misses) and the rewrite (EXCISE
+            # each duplicated span's character range from the ORIGINAL
+            # text, global-first occurrence kept; text outside the spans
+            # verbatim). The rewrite re-runs only the cheap count/keeper
+            # aggregates over the SURVIVOR subset of the occurrence
+            # frame, so its duplicate set and keeper flags are honest
+            # post-screen: a span whose global-first copy was screened
+            # out keeps its first surviving copy, and a span whose every
+            # other copy was screened out is no longer a duplicate at all
             from timely_spark.operators.dedup import (
                 excise_spans_original_text,
                 repeated_span_stats,
                 substring_spans,
+                window_occurrences,
             )
 
-            spans = substring_spans(
-                survivors.select("doc_id", "text"),
-                with_keeper=substring_rewrite,
-            )
             both = substring_rewrite and max_dup_frac is not None
+            occ = window_occurrences(survivors.select("doc_id", "text"))
             if both:
-                spans = spans.persist()
+                occ = occ.persist()
             if max_dup_frac is not None:
                 stats = repeated_span_stats(
-                    survivors.select("doc_id", "text"), spans=spans
+                    survivors.select("doc_id", "text"),
+                    spans=substring_spans(
+                        survivors.select("doc_id", "text"), occ=occ
+                    ),
                 )
                 keep_ids = stats.filter(
                     F.col("dup_frac") <= max_dup_frac
@@ -208,8 +215,14 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 survivors = survivors.join(keep_ids, "doc_id")
                 n_out = n_substring = survivors.count()
             if substring_rewrite and n_out:
+                surv_occ = occ.join(survivors.select("doc_id"), "doc_id")
                 rw = excise_spans_original_text(
-                    survivors.select("doc_id", "text"), spans=spans
+                    survivors.select("doc_id", "text"),
+                    spans=substring_spans(
+                        survivors.select("doc_id", "text"),
+                        with_keeper=True,
+                        occ=surv_occ,
+                    ),
                 ).select("doc_id", F.col("text").alias("__rw"))
                 survivors = (
                     survivors.join(rw, "doc_id")
@@ -218,7 +231,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 )
                 n_out = survivors.count()
             if both:
-                spans.unpersist()
+                occ.unpersist()
         if semantic_threshold is not None and n_out:
             # SemDeDup stage: embedding-space near-dup prune over the
             # survivors. vec_id aligns 1:1 with doc_id in the corpus
