@@ -498,18 +498,9 @@ ROTATED_TO_TAIL = {
     "ts_rate",  # r5: green r2-r4, stable plan; the rate machinery stays
     #             covered by ts_rate_bucketed + ts_streaming_rate in the
     #             prefix; displaced by emb_ivfpq_rerank
-    "ts_downsample_avg",  # r5: green r1-r4, trivial 1-exchange plan;
-    #                       downsample stays exercised by ts_engine_query/
-    #                       ts_hybrid_cache/ts_streaming_summarize in the
-    #                       prefix and entry() is driver-smoke-checked;
-    #                       displaced by ts_streaming_ddsketch
     "ts_none_raw",  # r5: green r2-r4, stable trivial plan; raw path also
     #                 covered end-to-end by ts_engine_query + bench
-    "ts_multiquery",  # r5: green r2-r4, a union of two downsample paths
-    #                   each independently prefix-covered; also bench-gated
     "ts_ageoff",  # r5: green r2-r4, trivial guard+filter plan, bench-gated
-    "ts_summarize",  # r5: green r2-r4; A11 evidence now carried by the
-    #                  STRONGER ts_streaming_summarize oracle row
     "ts_tag_regex",  # r5: green r2-r4; the regex path is also exercised
     #                  by ts_suggest/ts_lookup and the engine rows
     "ts_rate_counter",  # r5: green r2-r4; rate machinery stays covered by
@@ -517,6 +508,15 @@ ROTATED_TO_TAIL = {
     "ts_fir_ma5",  # r5: green r2-r4; FIR machinery stays covered by
     #                ts_fir_bucketed in the prefix
     "events_funnel",  # r5: green r2-r4; staged funnel still swept + bench-gated
+    # r7 rotations out (displaced by r7 plan-change slots): driver-green
+    # r6, plans untouched this round, still swept + bench-gated
+    "emb_kmeans_assign",
+    "emb_near_dup",
+    "emb_semantic_dedup",
+    "events_retention",
+    "doc_line_dedup",  # displaced by ts_summarize's plan-change slot;
+    #                    tokenizer plan change covered by the full sweep
+    #                    + the heavy consumers held in-prefix
     "events_anomaly",  # r5: green r2-r4; z-score screen still swept + bench-gated
     "ts_downsample_sum_tag",
     "ts_downsample_minmax",
@@ -547,38 +547,47 @@ ROTATED_TO_TAIL = {
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    # r6 tokenizer unification (dedup._tokens -> text.tokens): every
-    # shingle/feature consumer's plan changed
+    # r7 tokenizer reformulation (split+filter -> regexp_extract_all,
+    # identical semantics, 2x regression fix): EVERY tokenizing query's
+    # plan changed; the heavy consumers below hold checked slots, the
+    # tokenizing tail rows are covered by the refreshed full sweep +
+    # the registry-dict disclosure comment
     "doc_minhash_pairs",
     "doc_simhash",
     "doc_ngram_jaccard",
     "doc_decontaminate",
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
-    # r6 boilerplate anchor-regex word-boundary fix
+    "doc_curation",
+    "doc_bpe_encode",
+    "doc_perplexity",
     "doc_boilerplate",
-    # r6 GIF decode: out-of-range palette indices now rejected
-    "media_features",
-    "media_near_dup",
+    "doc_chunk_rewrite",
+    "doc_corpus_ingest",
+    "doc_streaming_dedup",
     "media_caption_dedup",
-    # r6 bounded-oracle restructure (VERDICT item #7 + extensions)
-    "events_hll_rollup",
-    "emb_knn_lsh",        # recall-verdict shape, 20-query set
-    "emb_ivfpq_rerank",   # recall-verdict shape, 20-query set
-    "media_text_alignment",  # new this round: CLIP-style alignment filter
-    "doc_trained_classifier",  # AUC-verdict shape (bounded oracle)
-    # r6 final conversions: every registry query is now oracle-backed
+    "media_text_alignment",
+    # r7 shared substring_spans detection core (VERDICT r6 #6)
+    "doc_substring_dedup",
+    "doc_substring_rewrite",
+    # r7 new: collectd binary-protocol distributed ingest (VERDICT r6 #3)
+    "ts_collectd_ingest",
+    # r7 nearest-rank percentile parity (MetricHistogram rule)
+    "ts_summarize",
+    "ts_streaming_summarize",
+    # r7 ANN retunes (VERDICT r6 #4 + extension to full-precision tiers)
     "emb_pq_ann",
     "emb_ivfpq_ann",
+    "emb_ivfpq_rerank",
     "emb_knn_ivf",
-    "emb_pca_project",
-    "doc_bpe_encode",
-    "media_video_near_dup",
-    "media_near_dup",
-    "media_caption_dedup",
-    "doc_simhash",
-    "doc_substring_dedup",  # new this round: stride-1 substring dedup
-    "doc_substring_rewrite",  # new this round: stride-1 substring rewrite
+    "emb_knn_lsh",
+    # r7 sf0.1 knife-edge fixes (decimal-exact avg / epsilon rounds)
+    "ts_downsample_avg",
+    "ts_multiquery",
+    "doc_quality",
+    "doc_classifier_score",
+    "doc_token_budget",
+    "doc_trained_classifier",
 }
 
 

@@ -51,6 +51,32 @@ def test_every_module_directly_imported_by_tests():
     )
 
 
+def test_sf01_sweep_artifact_fresh():
+    """CORRECTNESS_SF01.json (r7): the full registry verified against the
+    DuckDB oracles at sf0.1 — ten times the driver's gate scale — as a
+    committed artifact. The sf0.01-green/sf0.1-broken class it exists to
+    catch is real: four round-half knife-edges (summation-order ULPs)
+    appeared only at sf0.1 group sizes. Must cover exactly the current
+    registry with zero failures (refresh:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+    python tools/check_oracle.py --json CORRECTNESS_SF01.json)."""
+    import __spark_entry__ as e
+
+    path = REPO / "CORRECTNESS_SF01.json"
+    d = json.load(open(path))
+    assert set(d) == set(e.queries()), (
+        "registry changed: refresh CORRECTNESS_SF01.json "
+        f"(missing={sorted(set(e.queries()) - set(d))}, "
+        f"stale={sorted(set(d) - set(e.queries()))})"
+    )
+    for name, row in d.items():
+        assert row["err"] in (None, "no_oracle"), (name, row["err"])
+        if row["err"] is None:
+            assert (
+                row["rows_match"] and row["schema_match"] and row["hash_match"]
+            ), f"{name} recorded an sf0.1 mismatch"
+
+
 def test_registry_coverage_within_two_rounds():
     """Every registry query must hold a GREEN row in the committed
     full-sweep artifact (CORRECTNESS_LOCAL.json, refreshed by

@@ -910,11 +910,17 @@ def classifier_score(
     n = F.size(toks)
     mean_score = F.when(n > 0, score / n.cast("double")).otherwise(F.lit(0.0))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_score * 4))
+    # + 1e-9 on BOTH engines before the 6-decimal round: fold-sum
+    # association drifts <=4e-14, libm-vs-JVM exp() ~1 ULP, and DuckDB's
+    # float-multiply round() impl differs from Spark's exact BigDecimal
+    # round by up to ~1e-10 at this scale — any of them flips a boundary
+    # case at sf0.1 corpus sizes (r7 find); the nudge dominates all three
+    # while staying 3 orders below the rounding quantum
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        F.round(mean_score, 6).alias("mean_score"),
-        F.round(p, 6).alias("p_keep"),
+        F.round(mean_score + F.lit(1e-9), 6).alias("mean_score"),
+        F.round(p + F.lit(1e-9), 6).alias("p_keep"),
     )
 
 
@@ -937,8 +943,8 @@ scored AS (
     list_sum(list_transform(ts, t -> w[({idx}) + 1])) AS s
   FROM per)
 SELECT {id_col}, CAST(n AS BIGINT) AS n_tokens,
-  round(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS mean_score,
-  round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END) * 4)), 6) AS p_keep
+  round((CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END) + 1e-9, 6) AS mean_score,
+  round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN s / CAST(n AS DOUBLE) ELSE 0.0 END) * 4)) + 1e-9, 6) AS p_keep
 FROM scored"""
 
 
