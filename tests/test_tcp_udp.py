@@ -93,6 +93,52 @@ def test_tcp_size_triggered_flush(spark, tmp_path):
         srv.stop()
 
 
+def test_tcp_segmented_line_and_frame(spark, tmp_path):
+    """TcpDecoderTest/MetricsBufferDecoderTest's buffering concern at
+    the socket level: a put line split mid-token across TCP sends still
+    parses as ONE line, and a FlatBuffers frame dribbled in 7-byte
+    chunks (the first segment shorter than the 8-byte TMFB sniff) still
+    auto-detects and decodes."""
+    import time
+
+    from timely_spark.sources.flatbuf import encode_metrics
+
+    eng = TimelyEngine(spark, store_path=str(tmp_path / "m"))
+    srv = TimelyTcpServer(eng, flush_seconds=60).start()
+    try:
+        with socket.create_connection((srv.host, srv.port), timeout=30) as sock:
+            half1 = f"put sys.seg.line {B} 1.0 ta".encode()
+            half2 = b"g1=value1\n"
+            sock.sendall(half1)
+            time.sleep(0.2)  # force separate segments
+            sock.sendall(half2)
+        frame = encode_metrics([("sys.seg.frame", B, 2.0, {"t": "v"})])
+        with socket.create_connection((srv.host, srv.port), timeout=30) as sock:
+            for i in range(0, len(frame), 7):
+                sock.sendall(frame[i : i + 7])
+                time.sleep(0.01)
+            sock.shutdown(socket.SHUT_WR)
+            sock.recv(1)  # wait for server-side close (frame processed)
+        # the line rides the flush buffer; the frame writes directly
+        deadline = time.time() + 30
+        total = 0
+        while time.time() < deadline and total < 1:
+            total += srv.flush()
+            if total < 1:
+                time.sleep(0.2)
+        assert total == 1
+        rows = {}
+        while time.time() < deadline and len(rows) < 2:
+            rows = {r.metric: r for r in eng.points(now_ms=B).collect()}
+            if len(rows) < 2:
+                time.sleep(0.5)
+        assert rows["sys.seg.line"].value == 1.0
+        assert rows["sys.seg.line"].tags["tag1"] == "value1"
+        assert rows["sys.seg.frame"].value == 2.0
+    finally:
+        srv.stop()
+
+
 def test_udp_put_datagrams(spark, tmp_path):
     """TimelyUdpIT: single- and multi-line datagrams."""
     eng = TimelyEngine(spark, store_path=str(tmp_path / "m"))
