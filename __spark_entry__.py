@@ -18,6 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from timely_spark.model import stable_round
+
 SF1 = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
@@ -77,17 +79,13 @@ def q_ts_downsample_avg(spark, sf_dir):
         _points(spark, sf_dir)
         .groupBy("metric", _bucket(300_000))
         .agg(
-            # decimal-exact sum -> ONE double division -> round: the
-            # plain double avg's summation order differs between engines
-            # and flips round-half ties at sf0.1 group sizes (r7 find)
-            # decimal-exact sum -> one double division -> +1e-9 -> round:
-            # the nudge absorbs DuckDB's float-multiply round() impl
-            # differing from Spark's exact BigDecimal round by ~1e-12
-            # relative near boundaries (r7 sf0.1 find)
-            F.round(
+            # decimal-exact sum -> ONE double division -> stable_round:
+            # plain double avg's summation order differs between engines,
+            # and DuckDB's round() impl drifts near boundaries — both
+            # flip round-half ties at sf0.1 group sizes (r7 find)
+            stable_round(
                 F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
-                / F.count("value")
-                + F.lit(1e-9),
+                / F.count("value"),
                 4,
             ).alias("avg_value"),
             F.count("value").alias("n"),
@@ -513,10 +511,9 @@ def q_ts_multiquery(spark, sf_dir):
         pts.filter(F.col("metric") == "click")
         .groupBy("metric", _bucket(3_600_000))
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
-                / F.count("value")
-                + F.lit(1e-9),
+                / F.count("value"),
                 4,
             ).alias("value")
         )
@@ -1118,11 +1115,11 @@ def q_doc_quality(spark, sf_dir):
         F.round("mean_token_len", 4).alias("mean_token_len"),
         F.round("punct_ratio", 4).alias("punct_ratio"),
         F.round("stopword_ratio", 4).alias("stopword_ratio"),
-        # + 1e-9 on BOTH sides: the three-term score's association
-        # order differs between the Column tree and the SQL text by
-        # 1 ULP, flipping round-half ties at sf0.1 (r7 find); the nudge
-        # moves every such tie off the boundary identically
-        F.round(F.col("quality_score") + F.lit(1e-9), 4).alias("quality_score"),
+        # stable_round on BOTH sides (model.ROUND_NUDGE rationale):
+        # the three-term score's association order differs between the
+        # Column tree and the SQL text by 1 ULP, flipping round-half
+        # ties at sf0.1 (r7 find)
+        stable_round(F.col("quality_score"), 4).alias("quality_score"),
     )
 
 

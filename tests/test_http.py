@@ -907,3 +907,16 @@ def test_http_gzip_multi_member_body(spark, tmp_path):
             srv.base_url + "/api/suggest?type=metrics&m=gzmm&max=5"
         )
         assert status == 200 and json.loads(out) == ["gzmm.m"]
+        # trailing zero padding after a complete member (GNU gzip
+        # tolerates it; block-aligned writers produce it) still ingests
+        m3 = [{"metric": "gzmm.pad", "timestamp": TEST_TIME,
+               "value": 3.0, "tags": {"h": "x"}}]
+        req = urllib.request.Request(
+            srv.base_url + "/api/put",
+            data=gzip.compress(json.dumps(m3).encode()) + b"\x00" * 8,
+            headers={"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200

@@ -375,6 +375,11 @@ class TimelyHttpServer:
                         rest = d.unused_data
                         if enc == "deflate":
                             break  # zlib framing has no member concat
+                        if rest and not rest.startswith(b"\x1f\x8b"):
+                            # trailing padding/garbage after a complete
+                            # member (GNU gzip tolerates it; block-aligned
+                            # writers zero-pad) — stop, don't 400
+                            break
                     raw = out
                 return json.loads(raw) if raw else None
 

@@ -59,6 +59,23 @@ def series_id(metric: Column | str = "metric", tags: Column | str = "tags") -> C
     return F.concat_ws(",", F.array(m), pairs)
 
 
+#: uniform pre-round nudge for cross-engine float parity: DuckDB's
+#: float-multiply round() differs from Spark's exact BigDecimal round by
+#: up to ~1e-10 near decimal boundaries, expression-tree association and
+#: libm-vs-JVM exp() drift ~1 ULP, and fold sums drift <=4e-14 — 1e-9
+#: dominates all of them while staying >=3 orders below every rounding
+#: quantum used in the registry (1e-4 / 1e-6). ONE constant so the next
+#: knife-edge fix cannot fork the epsilon between engines.
+ROUND_NUDGE = 1e-9
+
+
+def stable_round(c: Column, scale: int) -> Column:
+    """``round(c + ROUND_NUDGE, scale)`` — the Spark side of the
+    cross-engine stable round; oracle SQL mirrors it with
+    ``round((expr) + 1e-9, scale)``."""
+    return F.round(c + F.lit(ROUND_NUDGE), scale)
+
+
 def sorted_tag_line(tags: Column | str = "tags", sep: str = " ") -> Column:
     """Key-sorted ``k=v`` pairs joined by ``sep`` — the TreeMap-style tag
     rendering shared by exclusion line matching

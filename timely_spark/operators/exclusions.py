@@ -52,16 +52,20 @@ def apply_exclusions(
     """
     df = points
     if metric_blocklist:
-        # materialize the line ONCE and OR the normalized patterns into a
-        # single anchored alternation: per-pattern filters would each
-        # re-render the sorted tag map per point on the hot ingest path
-        pats = [p if p.endswith(".*") else p + ".*" for p in metric_blocklist]
-        alt = "|".join(f"(?:{p})" for p in pats)
-        df = (
-            df.withColumn("__line", _metric_line())
-            .filter(~F.col("__line").rlike(f"^(?:{alt})$"))
-            .drop("__line")
-        )
+        # materialize the line ONCE (per-pattern filters would each
+        # re-render the sorted tag map per point on the hot ingest path)
+        # but keep one rlike PER pattern: the reference compiles each
+        # regex independently, so OR-ing them into one alternation would
+        # renumber groups and break patterns using backreferences. The
+        # temp column name is collision-checked against the caller's.
+        tmp = "__excl_line"
+        while tmp in df.columns:
+            tmp += "_"
+        df = df.withColumn(tmp, _metric_line())
+        for p in metric_blocklist:
+            pat = p if p.endswith(".*") else p + ".*"
+            df = df.filter(~F.col(tmp).rlike(f"^(?:{pat})$"))
+        df = df.drop(tmp)
     strips = dict(tag_strips or {})
     global_strip = strips.pop("*", [])
     if global_strip:

@@ -910,17 +910,16 @@ def classifier_score(
     n = F.size(toks)
     mean_score = F.when(n > 0, score / n.cast("double")).otherwise(F.lit(0.0))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_score * 4))
-    # + 1e-9 on BOTH engines before the 6-decimal round: fold-sum
-    # association drifts <=4e-14, libm-vs-JVM exp() ~1 ULP, and DuckDB's
-    # float-multiply round() impl differs from Spark's exact BigDecimal
-    # round by up to ~1e-10 at this scale — any of them flips a boundary
-    # case at sf0.1 corpus sizes (r7 find); the nudge dominates all three
-    # while staying 3 orders below the rounding quantum
+    # stable_round on BOTH engines (model.ROUND_NUDGE rationale): the
+    # fold-sum association, libm-vs-JVM exp(), and DuckDB's round() impl
+    # each drift enough to flip a 6-decimal boundary at sf0.1 (r7 find)
+    from ..model import stable_round
+
     return df.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
-        F.round(mean_score + F.lit(1e-9), 6).alias("mean_score"),
-        F.round(p + F.lit(1e-9), 6).alias("p_keep"),
+        stable_round(mean_score, 6).alias("mean_score"),
+        stable_round(p, 6).alias("p_keep"),
     )
 
 

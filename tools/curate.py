@@ -215,7 +215,14 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 survivors = survivors.join(keep_ids, "doc_id")
                 n_out = n_substring = survivors.count()
             if substring_rewrite and n_out:
-                surv_occ = occ.join(survivors.select("doc_id"), "doc_id")
+                # without a screen the survivor set IS the set occ was
+                # built from — the filter join would be a corpus-sized
+                # identity pass
+                surv_occ = (
+                    occ.join(survivors.select("doc_id"), "doc_id")
+                    if max_dup_frac is not None
+                    else occ
+                )
                 rw = excise_spans_original_text(
                     survivors.select("doc_id", "text"),
                     spans=substring_spans(
