@@ -2281,6 +2281,31 @@ def q_ts_collectd_ingest(spark, sf_dir):
     )
 
 
+def q_doc_text_embedding(spark, sf_dir):
+    """Text -> embedding computation (signed-random-projection feature
+    hashing, the deterministic in-container stand-in for a model
+    embedder): each token flips ±1 per dimension by its md5 sign bits,
+    per-doc sums L2-normalize — closes the text->vector seam so the
+    ANN/SemDeDup stack runs end-to-end from raw documents
+    (test_similarity pins the near-dup composition). Oracle: DuckDB
+    recomputes the identical md5-sign sums — norm2 is an EXACT integer
+    (squared norm of ±1 sums, hash-compared), the first four normalized
+    coordinates stable-round at 6 decimals. Scale shape: one
+    corpus-linear int explode + one groupBy with 32 map-side-combinable
+    sums; no text in the shuffle."""
+    from timely_spark.operators.similarity import hashed_text_embedding
+
+    emb = hashed_text_embedding(_t(spark, sf_dir, "documents"), dim=32)
+    return emb.select(
+        "doc_id",
+        "norm2",
+        *[
+            stable_round(F.element_at("embedding", d + 1), 6).alias(f"e{d}")
+            for d in range(4)
+        ],
+    )
+
+
 def q_doc_corpus_ingest(spark, sf_dir):
     """WARC crawl ingest end-to-end: the committed fixture (one plain
     WARC + one gzip-member-per-record WARC, the CommonCrawl layout;
@@ -2700,7 +2725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched this round, still swept + bench-gated)
         "ts_multiquery": q_ts_multiquery,
         "doc_token_budget": q_doc_token_budget,
-        "events_asof_join": q_events_asof_join,
+        # new r7: text->embedding computation (first driver evidence) —
+        # takes events_asof_join's slot (driver-green r6, plan unchanged
+        # this round, AS-OF still verified vs DuckDB's native ASOF in
+        # the full sweep + bench-gated)
+        "doc_text_embedding": q_doc_text_embedding,
         "events_hll_rollup": q_events_hll_rollup,
         "events_range_join": q_events_range_join,
         "emb_knn_ivf": q_emb_knn_ivf,
@@ -2807,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "events_retention": q_events_retention,
+        "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -4108,6 +4138,19 @@ SELECT * FROM (VALUES
    CAST(423 AS DOUBLE),
    'host=r01n01 instance=inst_1 rack=r01 sampleType=GAUGE')
 ) AS t(metric, n_points, min_ts, max_ts, sum_value, tags_str)"""
+    # doc_text_embedding: DuckDB recomputes the identical md5-sign-bit
+    # ±1 sums; norm2 is exact integer, coords stable-round at 6
+    from timely_spark.operators.similarity import hashed_text_embedding_sql
+
+    _emb_inner = hashed_text_embedding_sql(32)
+    _emb_coords = ", ".join(
+        f"round((CASE WHEN norm2 > 0 THEN s{d} / sqrt(CAST(norm2 AS DOUBLE)) "
+        f"ELSE 0.0 END) + 1e-9, 6) AS e{d}"
+        for d in range(4)
+    )
+    d["doc_text_embedding"] = f"""
+WITH emb AS ({_emb_inner})
+SELECT doc_id, norm2, {_emb_coords} FROM emb"""
     # doc_corpus_ingest: the oracle states the EXPECTED extraction of the
     # committed WARC fixture as independent literals — record bodies are
     # known (tests/fixtures/warc, built by corpus.make_warc), so DuckDB

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "doc_substring_dedup",
     "doc_substring_rewrite",
     "ts_collectd_ingest",
+    "doc_text_embedding",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing

@@ -514,6 +514,7 @@ ROTATED_TO_TAIL = {
     "emb_near_dup",
     "emb_semantic_dedup",
     "events_retention",
+    "events_asof_join",
     "doc_line_dedup",  # displaced by ts_summarize's plan-change slot;
     #                    tokenizer plan change covered by the full sweep
     #                    + the heavy consumers held in-prefix

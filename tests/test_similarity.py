@@ -244,3 +244,45 @@ def test_pair_alignment_planted(spark):
     # JVM-only plan: no Python stages in the alignment path
     plan = pair_alignment(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_hashed_text_embedding_near_dup_composition(spark):
+    """Text -> embedding -> ANN end-to-end: a doc sharing ~95% of its
+    tokens with another lands top-1 by cosine over the hashed
+    embeddings; unrelated docs score far lower; zero-token docs emit
+    the zero vector; dim is bounded by the md5 sign budget."""
+    import pytest
+
+    from timely_spark.operators.similarity import (
+        cosine_topk,
+        hashed_text_embedding,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    rows = [(0, " ".join(base))]
+    # doc 1: two tokens swapped out of 40 (near-dup of 0)
+    rows.append((1, " ".join(base[:-2] + ["xx1", "xx2"])))
+    # unrelated docs on a disjoint vocabulary
+    rows += [
+        (i, " ".join(f"u{i}t{j}" for j in range(40))) for i in range(2, 10)
+    ]
+    rows.append((10, ""))  # zero-token
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_text_embedding(df, dim=32)
+    rowsd = {r["doc_id"]: r for r in emb.collect()}
+    assert rowsd[10]["norm2"] == 0 and set(rowsd[10]["embedding"]) == {0.0}
+    assert rowsd[0]["norm2"] > 0
+    # compose with the ANN stack: query = doc 0's vector
+    q = emb.filter("doc_id = 0").selectExpr(
+        "doc_id AS query_id", "embedding"
+    )
+    corpus = emb.filter("doc_id <> 0").select("doc_id", "embedding").withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    top = cosine_topk(corpus, q, k=3).collect()
+    best = max(top, key=lambda r: r["cosine"])
+    assert best["vec_id"] == 1 and best["cosine"] > 0.85
+    others = [r["cosine"] for r in top if r["vec_id"] != 1]
+    assert all(c < 0.5 for c in others)
+    with pytest.raises(ValueError):
+        hashed_text_embedding(df, dim=33)

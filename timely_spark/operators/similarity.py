@@ -855,3 +855,105 @@ def pair_alignment(
             (cos >= F.lit(threshold)).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------- text -> embedding
+
+
+def hashed_text_embedding(
+    df: DataFrame,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic signed-random-projection text embedding — the
+    in-container stand-in for a model embedder (the multimodal-stub
+    pattern: real Spark plumbing, deterministic fake weights), closing
+    the text -> vector seam so the ANN / SemDeDup stack runs end-to-end
+    from raw documents. Each token contributes ±1 per dimension (sign
+    bit ``d`` of its md5 32-bit prefix — the clf_bucket md5 idiom, so
+    the DuckDB oracle is engine-exact); the per-doc sums L2-normalize.
+    This is classic feature-hashing / SimHash-style projection: near-
+    identical token multisets land at near-identical vectors, cosine
+    degrades smoothly with token edits.
+
+    Scale shape: ONE corpus-linear token explode carrying (id, 32-bit
+    int), ONE groupBy(id) with ``dim`` plain conditional sums (codegen,
+    map-side combinable) — no HOF re-evaluation, no text in the
+    shuffle, no driver state. ``dim`` <= 32 (one md5 prefix's sign
+    budget; a wider variant would chain further md5 chunks).
+
+    Output: (id, embedding array<double> L2-normalized, norm2 long —
+    the EXACT integer squared norm of the raw ±1 sums; zero-token docs
+    emit the zero vector with norm2 0).
+    """
+    if not 1 <= dim <= 32:
+        raise ValueError(f"dim must be in 1..32, got {dim}")
+    from .text import tokens
+
+    h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(id_col, h.alias("__h"))
+    sums = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.lit(1) - F.lit(2) * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
+            ).alias(f"__s{d}")
+            for d in range(dim)
+        ]
+    )
+    norm2 = sum(
+        (F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)), F.lit(0)
+    )
+    emb = F.array(
+        *[
+            F.when(
+                F.col("__norm2") > 0,
+                F.col(f"__s{d}").cast("double")
+                / F.sqrt(F.col("__norm2").cast("double")),
+            ).otherwise(F.lit(0.0))
+            for d in range(dim)
+        ]
+    )
+    out = sums.withColumn("__norm2", norm2).select(
+        F.col(id_col),
+        emb.alias("embedding"),
+        F.col("__norm2").cast("long").alias("norm2"),
+    )
+    # zero-token docs never reach the explode: restore them as zeros
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    base = df.select(F.col(id_col))
+    return (
+        base.join(out, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("embedding", zeros).alias("embedding"),
+            F.coalesce("norm2", F.lit(0)).cast("long").alias("norm2"),
+        )
+    )
+
+
+def hashed_text_embedding_sql(
+    dim: int = 32, c: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB equivalent of :func:`hashed_text_embedding`'s per-doc sums
+    and norm (oracle side; emits norm2 + the first coords as columns is
+    the CALLER's shaping)."""
+    from .text import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(c=c)
+    sign = "CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER"
+    sums = ", ".join(
+        f"sum(1 - 2 * CAST(({sign} >> {d}) & 1 AS BIGINT)) AS s{d}"
+        for d in range(dim)
+    )
+    norm2 = " + ".join(f"s{d}*s{d}" for d in range(dim))
+    return f"""
+WITH tok AS (SELECT {id_col}, unnest({toks}) AS t FROM documents),
+s AS (SELECT {id_col}, {sums} FROM tok GROUP BY 1),
+alldocs AS (SELECT {id_col} FROM documents)
+SELECT alldocs.{id_col},
+       {', '.join(f'coalesce(s.s{d}, 0) AS s{d}' for d in range(dim))},
+       CAST(coalesce({norm2}, 0) AS BIGINT) AS norm2
+FROM alldocs LEFT JOIN s USING ({id_col})"""
