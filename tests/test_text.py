@@ -1115,6 +1115,39 @@ def test_curate_cli_substring_screen_plus_rewrite_one_detection(spark, tmp_path)
     assert "doc7w0" in texts[7]  # remainder verbatim
 
 
+def test_curate_semantic_dedup_computed_embeddings(spark, tmp_path):
+    """--semantic-dedup without an embeddings table: vectors compute
+    from the survivor text itself (hashed_text_embedding), so a planted
+    near-verbatim copy collapses to its lower-id keeper while docs on
+    disjoint vocabularies all survive."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    # 24 docs so semantic_dedup's k=8 clusters hold several vectors
+    # each (k vectors would all become their own singleton centroid)
+    rows = [
+        (i, "web", " ".join(f"d{i}tok{j}" for j in range(40)))
+        for i in range(24)
+    ]
+    # doc 23 = doc 0 with two tokens swapped: ~0.9 cosine in the hashed
+    # embedding space, far above any disjoint-vocab pair
+    rows[23] = (23, "web", rows[0][2].rsplit(" ", 2)[0] + " zz1 zz2")
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    # NOTE: no embeddings.parquet written
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(tmp_path), out, seq_len=64, min_p_keep=0.0,
+        semantic_threshold=0.8,
+    )
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert stats["n_semantic"] == len(ids)
+    assert 0 in ids and 23 not in ids  # near-copy pruned, keeper stays
+    assert set(range(1, 23)).issubset(ids)
+
+
 def test_curate_screen_plus_rewrite_keeper_among_survivors(spark, tmp_path):
     """The combined pass recomputes duplicate counts and keeper flags
     over the SURVIVOR corpus (r7 review finding): when the screen drops

@@ -241,15 +241,33 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 occ.unpersist()
         if semantic_threshold is not None and n_out:
             # SemDeDup stage: embedding-space near-dup prune over the
-            # survivors. vec_id aligns 1:1 with doc_id in the corpus
-            # layout (the embedding for doc i is row vec_id=i); pruned
-            # vectors' docs drop, their cluster keeper survives.
+            # survivors. With an embeddings table, vec_id aligns 1:1
+            # with doc_id in the corpus layout (the embedding for doc i
+            # is row vec_id=i); WITHOUT one, embeddings compute from the
+            # survivor text itself (hashed_text_embedding — the
+            # deterministic signed-projection embedder), so corpora
+            # without precomputed vectors still get semantic dedup.
+            import os as _os
+
             from timely_spark.operators.similarity import semantic_dedup
 
-            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            emb = emb.join(
-                survivors.select(F.col("doc_id").alias("vec_id")), "vec_id"
-            )
+            emb_path = f"{sf_dir}/embeddings.parquet"
+            if _os.path.exists(emb_path):
+                emb = spark.read.parquet(emb_path)
+                emb = emb.join(
+                    survivors.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id",
+                )
+            else:
+                from timely_spark.operators.similarity import (
+                    hashed_text_embedding,
+                )
+
+                emb = hashed_text_embedding(
+                    survivors.select("doc_id", "text")
+                ).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                )
             pruned = semantic_dedup(emb, threshold=semantic_threshold).select(
                 F.col("vec_id").alias("doc_id")
             )
