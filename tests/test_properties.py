@@ -1064,3 +1064,37 @@ def test_collectd_encoder_rejects_negative_unsigned():
             host="h", time_ms=1, plugin="p", type="t",
             values=[(-1.0, 0)], hr_time=True,
         )
+
+
+# --------------------------------------------------- hashed text embedding
+
+
+@given(docs=st.lists(_doc_tokens, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_hashed_text_embedding_matches_model(spark, docs):
+    """hashed_text_embedding vs an independent Python model of the
+    md5-sign arithmetic: exact integer norm2 and bit-exact normalized
+    coordinates for every doc, including zero-token docs."""
+    import hashlib
+    import math
+
+    from timely_spark.operators.similarity import hashed_text_embedding
+
+    DIM = 32
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in hashed_text_embedding(df, dim=DIM).collect()}
+    for did, toks in enumerate(docs):
+        s = [0] * DIM
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for d in range(DIM):
+                s[d] += 1 - 2 * ((h >> d) & 1)
+        n2 = sum(x * x for x in s)
+        assert got[did]["norm2"] == n2, (did, toks)
+        if n2 == 0:
+            assert set(got[did]["embedding"]) == {0.0}
+        else:
+            root = math.sqrt(float(n2))
+            for d in range(DIM):
+                assert got[did]["embedding"][d] == s[d] / root, (did, d)
