@@ -711,6 +711,14 @@ def ivfpq_rerank_topk(
     exact scoring touches candidates only. With ``nprobe=ncells`` and
     ``k * rerank >= |corpus|`` the output equals exact brute-force
     top-k (pinned by test).
+
+    Choosing ``nprobe``: at test-corpus sizes the registry row runs
+    nprobe == ncells (full ADC sweep — still m-lookups-per-vector
+    cheap; the row's demonstrated pruning is the k*rerank exact
+    re-score cut). At production scale ncells grows ~sqrt(|corpus|)
+    (FAISS practice) while nprobe stays O(tens), so the probed
+    fraction shrinks back toward nprobe/ncells — the knob trades a
+    linear ADC term for recall only while the corpus is small.
     """
     cands = ivfpq_topk(
         corpus, queries, dim, k * rerank, m, ksub, ncells, nprobe, sample,

@@ -55,7 +55,9 @@ def measure(spark, sf_dir: str) -> dict:
 
     # same hyperparameters as the registry rows (__spark_entry__.py)
     variants = {
-        "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=4, tables=12),
+        # r8 defaults: the registry rows' operating points (VERDICT r7
+        # #2 — lsh 4x16 / rerank nprobe=32 promoted from the sweeps)
+        "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=4, tables=16),
         "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=8),
         # r7 defaults from the (m, ksub) sweep below (VERDICT r6 #4)
         "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=16, ksub=64),
@@ -63,7 +65,7 @@ def measure(spark, sf_dir: str) -> dict:
             emb, q, dim=64, k=K, m=16, ksub=64, ncells=32, nprobe=16
         ),
         "ivfpq_rerank": lambda: ivfpq_rerank_topk(
-            emb, q, dim=64, k=K, rerank=8, ncells=32, nprobe=16
+            emb, q, dim=64, k=K, rerank=8, ncells=32, nprobe=32
         ),
     }
     out = {
