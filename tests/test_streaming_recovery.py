@@ -1,0 +1,346 @@
+"""Streaming crash-recovery parity (VERDICT r7 #4).
+
+The reference's durability story is BatchWriter retry/recreate
+(server/.../DataStore.java:462-505) and checkpoint-resumed scanners
+(MetricScanner.java:202-268); the Spark analogue is Structured
+Streaming's checkpoint + file-sink transaction log. These tests
+actually EXERCISE the claim instead of citing it: each stops a
+streaming query (between micro-batches via a bounded availableNow
+drain, and once mid-flight via q.stop() while batches run), restarts
+from the SAME checkpoint, and asserts the restarted pipeline's total
+output equals the batch oracle over all input — no loss, no duplicate
+emission.
+
+What restart must preserve, per operator:
+  summarize  windowed agg state — a window OPEN across the restart
+             must emit exactly once with points from both phases
+  dedup      the seen-hash state store — a duplicate arriving AFTER
+             the restart of its original must still drop
+  rate       applyInPandasWithState per-series last-point state — the
+             first post-restart point rates against the last
+             pre-restart point
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+B = 1_447_767_913_000  # shared epoch base used across the suite
+BA = B - (B % 60_000)  # 60s-window-aligned base for the summarize tests
+                       # (tumbling windows align to the epoch, not to B)
+
+
+def _drain(q, timeout=120):
+    q.awaitTermination(timeout)
+
+
+def test_summarize_restart_resumes_open_window(spark, tmp_path):
+    """A window left OPEN at the first shutdown (watermark not past its
+    end) must, after restart, emit ONE row aggregating points from both
+    phases — state restored, nothing re-emitted, nothing lost."""
+    from timely_spark.streaming.summarize import (
+        summarization_query,
+        summarize_batch,
+    )
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def pt(ts, value, host="h1"):
+        return {"metric": "m", "ts": ts, "value": float(value),
+                "tags": {"host": host}}
+
+    # phase 1: window W0 [0, 60s) fully populated, window W1 [60s, 120s)
+    # partially populated; the max event time (BA+70s) puts the watermark
+    # at BA+70s-10s = BA+60s — W0 closes and emits, W1 stays OPEN in state
+    p1 = [pt(BA + i * 10_000, i) for i in range(6)]          # W0: 0..50s
+    p1 += [pt(BA + 60_000, 100), pt(BA + 70_000, 101)]        # W1 partial
+    (src / "f1.json").write_text("\n".join(json.dumps(r) for r in p1) + "\n")
+
+    schema = "metric string, ts long, value double, tags map<string,string>"
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return summarization_query(
+            stream, window_seconds=60, checkpoint=ck, out_path=out,
+            watermark_seconds=10, exact=True, available_now=True,
+        )
+
+    _drain(start())  # first run terminates = stop between micro-batches
+    emitted_phase1 = spark.read.parquet(out).count()
+    w0_only = spark.read.parquet(out).collect()
+    assert emitted_phase1 == 1 and w0_only[0]["bucket_ts"] == BA
+    assert w0_only[0]["n"] == 6
+
+    # phase 2: more W1 points + a sentinel far enough ahead to close W1
+    p2 = [pt(BA + 80_000, 102), pt(BA + 90_000, 103)]
+    p2 += [pt(BA + 300_000, 0)]  # sentinel advances watermark past W1
+    (src / "f2.json").write_text("\n".join(json.dumps(r) for r in p2) + "\n")
+    _drain(start())  # restart from the same checkpoint
+
+    got = spark.read.parquet(out)
+    # no duplicate (series, window) emission across the two runs
+    keys = [(r["metric"], r["bucket_ts"]) for r in got.collect()]
+    assert len(keys) == len(set(keys))
+    # W1 emitted exactly once, with points from BOTH phases (2 + 2)
+    w1 = [r for r in got.collect() if r["bucket_ts"] == BA + 60_000]
+    assert len(w1) == 1 and w1[0]["n"] == 4
+    assert w1[0]["sum_value"] == pytest.approx(100 + 101 + 102 + 103)
+    # full batch parity over every closed window (everything < sentinel
+    # window): batch summarize over all input, same closed subset
+    allpts = spark.createDataFrame(
+        [(r["metric"], r["ts"], r["value"], r["tags"]) for r in p1 + p2],
+        schema,
+    )
+    expect = (
+        summarize_batch(allpts, window_ms=60_000, exact=True)
+        .filter(F.col("bucket_ts") < BA + 300_000 - 60_000)
+        .collect()
+    )
+    got_closed = got.filter(F.col("bucket_ts") < BA + 240_000).collect()
+    em = {(r["bucket_ts"]): (r["n"], r["sum_value"]) for r in expect}
+    gm = {(r["bucket_ts"]): (r["n"], r["sum_value"]) for r in got_closed}
+    assert gm == em
+
+
+def test_dedup_restart_preserves_seen_state(spark, tmp_path):
+    """A duplicate whose original arrived BEFORE the restart must still
+    be dropped after it — i.e. dropDuplicatesWithinWatermark's hash
+    state survives the checkpoint round-trip."""
+    from timely_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "ts": B, "text": "alpha beta"},
+                {"doc_id": 2, "ts": B + 1000, "text": "gamma delta"},
+            ]
+        )
+        + "\n"
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, ts long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        o = streaming_exact_dedup(
+            stream, ts_col="ts", watermark="10 minutes"
+        )
+        return (
+            o.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drain(start())
+    assert spark.read.parquet(out).count() == 2
+
+    # restart with a cross-RESTART duplicate (inside the watermark
+    # window of its phase-1 original) plus one genuinely new doc
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 3, "ts": B + 60_000, "text": "alpha beta"},
+                {"doc_id": 4, "ts": B + 60_001, "text": "epsilon"},
+            ]
+        )
+        + "\n"
+    )
+    _drain(start())
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in rows) == [
+        "alpha beta", "epsilon", "gamma delta",
+    ]
+    assert {r["doc_id"] for r in rows} == {1, 2, 4}
+
+
+def test_rate_restart_resumes_last_point_state(spark, tmp_path):
+    """applyInPandasWithState recovery: the first post-restart point of
+    each series must emit a rate computed against the LAST pre-restart
+    point, and the restarted total must equal the batch operator over
+    all input (8+8 points -> 14 rates: each series loses only its
+    FIRST-ever point, never the restart boundary point)."""
+    from timely_spark.model import series_id
+    from timely_spark.operators.rate import RateOptions, rate
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.streaming.stateful_rate import streaming_rate
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    f1 = [f"put m {B + i * 1000} {float(i * i)} host=h1" for i in range(5)] + [
+        f"put m {B + i * 2000} {float(i)} host=h2" for i in range(3)
+    ]
+    f2 = [f"put m {B + i * 1000} {float(i * i)} host=h1" for i in range(5, 10)] + [
+        f"put m {B + i * 2000} {float(i)} host=h2" for i in range(3, 6)
+    ]
+    (src / "f1.txt").write_text("\n".join(f1) + "\n")
+
+    def start():
+        lines = (
+            spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+        )
+        pts = parse_lines_df(lines)
+        return (
+            streaming_rate(pts, RateOptions(interval_ms=1000))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    _drain(start())
+    phase1 = spark.read.parquet(out).count()
+    assert phase1 == (5 - 1) + (3 - 1)  # each series loses its first point
+
+    (src / "f2.txt").write_text("\n".join(f2) + "\n")
+    _drain(start())
+
+    got = {
+        (r["series_key"], r["ts"]): r["value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_pts = parse_lines_df(
+        spark.createDataFrame([(l,) for l in f1 + f2], ["value"])
+    )
+    expect = {
+        (r["__series"], r["ts"]): r["value"]
+        for r in rate(batch_pts, RateOptions(interval_ms=1000))
+        .withColumn("__series", series_id())
+        .collect()
+    }
+    # 16 points, 2 series -> 14 rates; the boundary points (i=5 for h1,
+    # i=3 for h2) MUST be present — they prove the restored state
+    assert len(got) == len(expect) == 14
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_summarize_midflight_kill_then_restart(spark, tmp_path):
+    """Kill the query WHILE it is processing (q.stop() with batches in
+    flight, not a clean availableNow drain), restart from the same
+    checkpoint, and assert the file sink's exactly-once contract: the
+    final output equals the batch oracle with zero duplicate windows —
+    a half-committed micro-batch must be invisible."""
+    import time as _time
+
+    from timely_spark.streaming.summarize import (
+        summarization_query,
+        summarize_batch,
+    )
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema = "metric string, ts long, value double, tags map<string,string>"
+
+    # six files, one per micro-batch; last file carries the sentinel
+    # that closes every window
+    n_files = 6
+    all_rows = []
+    for fidx in range(n_files):
+        rows = [
+            {
+                "metric": "m",
+                "ts": BA + (fidx * 4 + j) * 15_000,
+                "value": float(fidx * 10 + j),
+                "tags": {"host": "h1"},
+            }
+            for j in range(4)
+        ]
+        if fidx == n_files - 1:
+            rows.append(
+                {"metric": "m", "ts": BA + 3_600_000, "value": 0.0,
+                 "tags": {"host": "h1"}}
+            )
+        all_rows += rows
+        f = src / f"f{fidx}.json"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        # FileStreamSource orders by MODIFICATION TIME; six files written
+        # in the same millisecond arrive in arbitrary order, and if the
+        # sentinel file beats a data file the watermark legitimately
+        # drops that file's rows as late (the X5 out-of-order contract,
+        # not a recovery defect — observed in 2/3 runs before this).
+        # Explicit increasing mtimes pin event-time order = arrival order.
+        import os as _os
+
+        _os.utime(f, (1_700_000_000 + fidx * 60, 1_700_000_000 + fidx * 60))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = summarization_query(
+        stream, window_seconds=60, checkpoint=ck, out_path=out,
+        watermark_seconds=10, exact=True, available_now=False,
+    )
+    # kill as soon as at least one batch has committed — whatever batch
+    # is in flight at stop() is abandoned mid-write
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if any(
+            (p.get("numInputRows") or 0) > 0 for p in q.recentProgress
+        ):
+            break
+        _time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+
+    # restart: drain the remainder from the checkpoint
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = summarization_query(
+        stream2, window_seconds=60, checkpoint=ck, out_path=out,
+        watermark_seconds=10, exact=True, available_now=True,
+    )
+    _drain(q2)
+
+    got = spark.read.parquet(out)
+    keys = [(r["metric"], r["bucket_ts"]) for r in got.collect()]
+    assert len(keys) == len(set(keys)), "duplicate window emission"
+    allpts = spark.createDataFrame(
+        [(r["metric"], r["ts"], r["value"], r["tags"]) for r in all_rows],
+        schema,
+    )
+    closed_below = BA + 3_600_000 - 10_000  # final watermark
+    expect = {
+        r["bucket_ts"]: (r["n"], r["sum_value"])
+        for r in summarize_batch(allpts, window_ms=60_000, exact=True)
+        .filter(F.col("bucket_ts") + 60_000 <= closed_below)
+        .collect()
+    }
+    gm = {
+        r["bucket_ts"]: (r["n"], r["sum_value"])
+        for r in got.filter(
+            F.col("bucket_ts") + 60_000 <= closed_below
+        ).collect()
+    }
+    assert gm == expect

@@ -1,0 +1,304 @@
+#!/usr/bin/env python3
+"""10x scale probe for the Python-stage-heavy operators (VERDICT r7 #3).
+
+Round 7 measured the five heaviest TEXT operators sub-linear on a
+10x-salted corpus (SCALE.md "Round-7 scale probe"). This extends the
+measurement to the rows the r7 verdict flagged as the remaining scale
+risk — the ones whose plans carry Arrow/Python stages or streaming
+state:
+
+  doc_simhash            pigeonhole-blocked Hamming join
+  emb_ivfpq_ann          Arrow encode pass + ADC scoring
+  doc_trained_classifier MLlib fit + zero-shuffle serve + AUC agg
+  media_video_near_dup   AVI parse + T.81 JPEG decode + Hamming join
+  streaming_summarize    stateful event-time windows (state growth too)
+
+Inputs scale 10x WITHOUT creating cross-replica near-duplicates (which
+would quadratically inflate pair outputs and measure fixture artifacts,
+not the operator): document replicas pass through a per-replica letter
+ROTATION (translate a-z -> rot_r(a-z)) so each replica is a disjoint
+token universe with the original length/shape distribution; embedding
+replicas are CYCLIC SHIFTS of the vector (norm-preserving permutation,
+fills different IVF cells); event replicas offset user_id (10x the
+series key space — the state dimension that matters). Replica 0 is the
+unmodified original. Inputs are MATERIALIZED to temp parquet before
+timing, so the timed region reads parquet exactly like production.
+
+Warm best-of-2 at x1 and x10 in ONE session (local[32]), same recipe
+as the r7 probe. Appends nothing; prints one JSON line for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = 10
+
+
+def _rot(s: str, r: int) -> str:
+    return s[r:] + s[:r]
+
+
+def build_docs(spark, sf_dir: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = [base]
+    alpha = string.ascii_lowercase
+    for r in range(1, REPLICAS):
+        parts.append(
+            base.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.translate("text", alpha, _rot(alpha, r)).alias("text"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(out)
+
+
+def build_embeddings(spark, sf_dir: str, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    parts = [base.select("vec_id", "embedding")]
+    for r in range(1, REPLICAS):
+        shifted = F.concat(
+            F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+                shifted.alias("embedding"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(out)
+
+
+def build_events(spark, sf_dir: str, out: str) -> None:
+    # ONE parquet file named exactly like the testdata layout (the
+    # streaming bench symlinks `{sf_dir}/events.parquet` as a file into
+    # its stream source dir — a Spark-written directory would sit as an
+    # unlisted subdir and feed the stream zero rows)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    parts = [t]
+    for r in range(1, REPLICAS):
+        parts.append(
+            t.set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                pc.add(t.column("user_id"), r * 1_000_000),
+            )
+        )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(out, "events.parquet")
+    )
+
+
+def best_of(fn, n: int = 2) -> float:
+    best = None
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best or 1e18, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])  # operator names; empty = all
+    def want(name: str) -> bool:
+        return not only or name in only
+
+    from pyspark.sql import functions as F
+
+    from timely_spark.session import get_spark
+
+    spark = get_spark("timely-scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    tmp = tempfile.mkdtemp(prefix="timely_scale_probe_")
+    docs10 = os.path.join(tmp, "docs10")
+    emb10 = os.path.join(tmp, "emb10")
+    ev10 = os.path.join(tmp, "ev10dir")
+    results: dict[str, dict] = {}
+    try:
+        need_docs = want("doc_simhash") or want("doc_trained_classifier")
+        if need_docs:
+            build_docs(spark, sf_dir, docs10)
+        if want("emb_ivfpq_ann"):
+            build_embeddings(spark, sf_dir, emb10)
+        if want("streaming_summarize"):
+            build_events(spark, sf_dir, ev10)
+
+        if need_docs:
+            docs1 = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).select("doc_id", "text")
+            d10 = spark.read.parquet(docs10)
+
+        # --- doc_simhash ---------------------------------------------
+        if want("doc_simhash"):
+            from timely_spark.operators.dedup import simhash_near_dups
+
+            def simhash(df):
+                return lambda: simhash_near_dups(df, max_hamming=3).count()
+
+            t1 = best_of(simhash(docs1))
+            t10 = best_of(simhash(d10))
+            results["doc_simhash"] = {
+                "x1": round(t1, 2), "x10": round(t10, 2)
+            }
+            print(f"simhash {t1:.2f} -> {t10:.2f}", file=sys.stderr)
+
+        # --- emb_ivfpq_ann -------------------------------------------
+        if want("emb_ivfpq_ann"):
+            from timely_spark.operators.similarity import ivfpq_topk
+
+            e1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            e10 = spark.read.parquet(emb10)
+
+            def ivfpq(df):
+                q = df.filter(F.col("vec_id") < 20).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+                return lambda: ivfpq_topk(
+                    df, q, dim=64, k=10, m=16, ksub=64, ncells=32,
+                    nprobe=16,
+                ).count()
+
+            t1 = best_of(ivfpq(e1))
+            t10 = best_of(ivfpq(e10))
+            results["emb_ivfpq_ann"] = {
+                "x1": round(t1, 2), "x10": round(t10, 2)
+            }
+            print(f"ivfpq {t1:.2f} -> {t10:.2f}", file=sys.stderr)
+
+        # --- doc_trained_classifier ----------------------------------
+        # full shape: fit on the 1-in-5 sample (training set grows 10x
+        # too — the honest probe), serve corpus-wide, AUC agg
+        if want("doc_trained_classifier"):
+            from timely_spark.operators.classifier import (
+                train_classifier_weights,
+            )
+            from timely_spark.operators.text import classifier_score
+
+            def classifier(df):
+                label = F.col("text").rlike("(^| )window( |$)")
+
+                def run():
+                    w = train_classifier_weights(
+                        df.filter(F.col("doc_id") % 5 == 0),
+                        label,
+                        dim=256,
+                        max_iter=10,
+                    )
+                    classifier_score(df, weights=w).agg(
+                        F.sum("p_keep")
+                    ).collect()
+
+                return run
+
+            t1 = best_of(classifier(docs1))
+            t10 = best_of(classifier(d10))
+            results["doc_trained_classifier"] = {
+                "x1": round(t1, 2), "x10": round(t10, 2)
+            }
+            print(f"classifier {t1:.2f} -> {t10:.2f}", file=sys.stderr)
+
+        # --- media_video_near_dup ------------------------------------
+        # fixture BUILT OUTSIDE the timed region (driver-side AVI
+        # synthesis is test scaffolding, not the operator)
+        if want("media_video_near_dup"):
+            from timely_spark.operators.multimodal import (
+                MEDIA_SCHEMA,
+                make_avi_mjpeg,
+                video_near_dups,
+            )
+
+            def media_rows(n):
+                rows = []
+                for i in range(n):
+                    rows.append(
+                        (i, "video", "video/x-msvideo",
+                         make_avi_mjpeg(4, width=48, height=32, fps=2.0,
+                                        seed=100 + i * 7), None)
+                    )
+                    if i % 3 == 0:
+                        rows.append(
+                            (1000 + i, "video", "video/x-msvideo",
+                             make_avi_mjpeg(4, width=48, height=32, fps=2.0,
+                                            seed=100 + i * 7, luma_shift=6),
+                             None)
+                        )
+                return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+            m1, m10 = media_rows(8), media_rows(80)
+
+            def video(df):
+                return lambda: video_near_dups(
+                    df, every_n_seconds=0.5, min_shared_frames=2
+                ).count()
+
+            t1 = best_of(video(m1))
+            t10 = best_of(video(m10))
+            results["media_video_near_dup"] = {
+                "x1": round(t1, 2), "x10": round(t10, 2)
+            }
+            print(f"video {t1:.2f} -> {t10:.2f}", file=sys.stderr)
+
+        # --- streaming_summarize (with state growth) -----------------
+        if want("streaming_summarize"):
+            import bench
+
+            s1 = None
+            for _ in range(2):
+                dt, n_out, srows, sbytes = bench.bench_streaming_summarize(
+                    spark, sf_dir
+                )
+                if s1 is None or dt < s1[0]:
+                    s1 = (dt, n_out, srows, sbytes)
+            s10 = None
+            for _ in range(2):
+                dt, n_out, srows, sbytes = bench.bench_streaming_summarize(
+                    spark, ev10
+                )
+                if s10 is None or dt < s10[0]:
+                    s10 = (dt, n_out, srows, sbytes)
+            results["streaming_summarize"] = {
+                "x1": round(s1[0], 2), "x10": round(s10[0], 2),
+                "state_rows_x1": s1[2], "state_rows_x10": s10[2],
+                "state_bytes_x1": s1[3], "state_bytes_x10": s10[3],
+            }
+            print(f"streaming {s1} -> {s10}", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for k, v in results.items():
+        v["ratio"] = round(v["x10"] / max(v["x1"], 1e-9), 1)
+    print(json.dumps({"sf_dir": sf_dir, "replicas": REPLICAS,
+                      "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
