@@ -578,3 +578,40 @@ def test_excise_spans_original_text_verbatim(spark):
     assert got.endswith(tail)
     # only the span's characters were removed (plus nothing else)
     assert got == f"{head}  {tail}" or got == f"{head} {tail}"
+
+
+def test_excise_fallback_flag_is_null_not_false(spark):
+    """Tri-state ``excised`` (ADVICE r7): a doc whose Python
+    re-tokenization cannot be trusted (length-CHANGING lowercasing —
+    Turkish dotted capital I lowercases to two code points) falls back
+    to its original text with excised = NULL, DISTINCT from the
+    clean-doc False, so pipelines can count silent span retention."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.dedup import excise_spans_original_text
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    tricky = "\u0130stanbul"  # 'İstanbul': len(lower()) != len()
+    assert len(tricky.lower()) != len(tricky)
+    rows = [
+        (1, f"{shared} trailer one"),          # keeper: untouched
+        (2, f"{tricky} {shared} suffix two"),  # dup span + exotic case
+        (3, "a clean document entirely"),      # no spans at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in excise_spans_original_text(df, window=8).collect()
+    }
+    # fallback: text kept VERBATIM (span retained), flag NULL
+    assert out[2]["text"] == f"{tricky} {shared} suffix two"
+    assert out[2]["excised"] is None
+    # clean docs and keepers stay False (not NULL)
+    assert out[1]["excised"] is False and out[3]["excised"] is False
+    # the count a pipeline reports:
+    n_fb = (
+        excise_spans_original_text(df, window=8)
+        .filter(F.col("excised").isNull())
+        .count()
+    )
+    assert n_fb == 1

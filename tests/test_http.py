@@ -786,6 +786,37 @@ def test_http_gzip_request_and_response(spark, tmp_path):
         assert json.loads(unz)[0]["dps"][str(TEST_TIME + 33000)] == 33.0
 
 
+def test_http_deflate_raw_and_zlib_both_accepted(spark, tmp_path):
+    """Content-Encoding: deflate parity with Netty's non-strict
+    ZLIB_OR_NONE wrapper (HttpContentDecompressor): BOTH zlib-framed and
+    RAW deflate bodies must ingest — RFC 2616 says zlib framing, but
+    enough clients send raw deflate that Netty sniffs and accepts both,
+    so the reference does too (ADVICE r7)."""
+    import zlib
+
+    with server(spark, tmp_path) as srv:
+        for i, (name, wbits) in enumerate(
+            [("df.zlib", 15), ("df.raw", -15)]
+        ):
+            metrics = [{"metric": name, "timestamp": TEST_TIME + 1000,
+                        "value": 7.0, "tags": {"host": "h1"}}]
+            c = zlib.compressobj(wbits=wbits)
+            body = c.compress(json.dumps(metrics).encode()) + c.flush()
+            req = urllib.request.Request(
+                srv.base_url + "/api/put",
+                data=body,
+                headers={"Content-Type": "application/json",
+                         "Content-Encoding": "deflate"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 200, name
+            status, sbody = get(
+                srv.base_url + f"/api/suggest?type=metrics&m=df&max=5"
+            )
+            assert status == 200 and name in json.loads(sbody)
+
+
 def test_http_body_size_cap_413(spark, tmp_path):
     """HttpObjectAggregator(65536) parity (Server.java:496): a body over
     the 64 KB cap answers 413 without buffering or parsing; a body under

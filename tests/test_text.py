@@ -1072,6 +1072,10 @@ def test_curate_cli_substring_rewrite(spark, tmp_path):
         substring_rewrite=True,
     )
     assert stats["substring_rewrite"] and stats["n_survivors"] == 10
+    # ASCII corpus: Python/JVM tokenization agrees everywhere, so zero
+    # silent-span-retention fallbacks — and the count is REPORTED, not
+    # dropped (ADVICE r7)
+    assert stats["n_excise_fallback"] == 0
     back = spark.read.parquet(out)
     texts = {r["doc_id"]: r["text"] for r in back.collect()}
     assert "plag0" in texts[3] and "plag0" not in texts[7]

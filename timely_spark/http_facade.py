@@ -359,6 +359,12 @@ class TimelyHttpServer:
                     # the cap bounds the CUMULATIVE inflated size; a
                     # stream that ends mid-member (eof never reached) is
                     # malformed and must not be half-parsed
+                    # deflate: Netty's HttpContentDecompressor uses the
+                    # non-strict ZLIB_OR_NONE wrapper, which sniffs the
+                    # first bytes and accepts RAW deflate alongside
+                    # zlib-framed — clients sending raw deflate succeed
+                    # against the reference, so retry wbits=-15 on a
+                    # zlib header error (ADVICE r7)
                     out, rest = b"", raw
                     while rest:
                         d = _zl.decompressobj(wbits=47 if enc == "gzip" else 15)
@@ -367,7 +373,19 @@ class TimelyHttpServer:
                                 rest, server.max_body_bytes + 1 - len(out)
                             )
                         except _zl.error as e:  # corrupt stream -> 400
-                            raise ValueError(f"bad compressed body: {e}")
+                            if enc == "deflate" and not out:
+                                d = _zl.decompressobj(wbits=-15)
+                                try:
+                                    out += d.decompress(
+                                        rest,
+                                        server.max_body_bytes + 1 - len(out),
+                                    )
+                                except _zl.error as e2:
+                                    raise ValueError(
+                                        f"bad compressed body: {e2}"
+                                    )
+                            else:
+                                raise ValueError(f"bad compressed body: {e}")
                         if len(out) > server.max_body_bytes:
                             raise self._TooLarge(len(out))
                         if not d.eof:

@@ -1338,7 +1338,9 @@ def excise_spans_original_text(
     JVM tokenizer wherever lowercasing is length-preserving; a doc whose
     Python token count disagrees with the plan-side count (exotic
     Unicode case-folding) falls back to its original text, flagged in
-    ``excised`` = false.
+    ``excised`` = NULL — distinct from false (= no duplicated spans to
+    cut), so a pipeline can COUNT silent span retention instead of
+    conflating it with clean docs (ADVICE r7).
 
     Output: (id, text, excised) with the same id/text column names.
     """
@@ -1375,7 +1377,7 @@ def excise_spans_original_text(
                 toks = list(word.finditer(text.lower()))
                 if len(toks) != nt or len(text.lower()) != len(text):
                     out_text.append(text)  # tokenizer-offset mismatch
-                    out_flag.append(False)
+                    out_flag.append(None)  # fallback: spans RETAINED
                     continue
                 # token ranges -> char ranges, merged right-to-left
                 ranges = sorted(

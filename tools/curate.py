@@ -155,7 +155,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     )
     n_out = int(agg["n_out"])
     n_decontaminated = n_dsir = n_ppl = n_minhash = n_semantic = None
-    n_substring = None
+    n_substring = n_excise_fallback = None
     try:
         if minhash_threshold is not None and n_out:
             # fuzzy near-dup pass over the exact-dedup survivors:
@@ -230,13 +230,25 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                         with_keeper=True,
                         occ=surv_occ,
                     ),
-                ).select("doc_id", F.col("text").alias("__rw"))
+                )
+                # excised IS NULL = tokenizer-offset fallback: spans
+                # were detected but silently RETAINED (exotic Unicode
+                # case-folding). Surfacing the count makes silent span
+                # retention observable at corpus scale (ADVICE r7).
+                counts = rw.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.count(
+                        F.when(F.col("excised").isNull(), 1)
+                    ).alias("__fb"),
+                ).collect()[0]
+                n_excise_fallback = int(counts["__fb"])
+                rw = rw.select("doc_id", F.col("text").alias("__rw"))
                 survivors = (
                     survivors.join(rw, "doc_id")
                     .drop("text")
                     .withColumnRenamed("__rw", "text")
                 )
-                n_out = survivors.count()
+                n_out = int(counts["__n"])
             if both:
                 occ.unpersist()
         if semantic_threshold is not None and n_out:
@@ -247,13 +259,27 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             # survivor text itself (hashed_text_embedding — the
             # deterministic signed-projection embedder), so corpora
             # without precomputed vectors still get semantic dedup.
-            import os as _os
+            # existence probe must go through Spark, not
+            # os.path.exists — the corpus dir can be hdfs:// or s3a://,
+            # where a local-FS probe is ALWAYS false and would silently
+            # switch semantic dedup to the hashed-text embedder even
+            # though a real embeddings table exists (ADVICE r7)
+            import sys as _sys
 
             from timely_spark.operators.similarity import semantic_dedup
 
             emb_path = f"{sf_dir}/embeddings.parquet"
-            if _os.path.exists(emb_path):
+            try:
                 emb = spark.read.parquet(emb_path)
+                emb_source = "embeddings table"
+            except Exception:  # AnalysisException: path missing
+                emb = None
+                emb_source = "hashed text embedder (no embeddings table)"
+            print(
+                f"curate: semantic-dedup embeddings from {emb_source}",
+                file=_sys.stderr,
+            )
+            if emb is not None:
                 emb = emb.join(
                     survivors.select(F.col("doc_id").alias("vec_id")),
                     "vec_id",
@@ -376,6 +402,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "n_minhash": n_minhash,
         "n_substring": n_substring,
         "substring_rewrite": substring_rewrite,
+        "n_excise_fallback": n_excise_fallback,
         "n_semantic": n_semantic,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
