@@ -2801,6 +2801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": q_doc_perplexity,
         "media_video_near_dup": q_media_video_near_dup,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        # PLAN_CHANGED_THIS_ROUND (r8): training-side feature assembly
+        # moved from a row-at-a-time Python UDF to all-JVM
+        # map_from_entries/transform/array_to_vector (bit-identical
+        # L-BFGS weights, A/B'd) — already in-prefix, no displacement.
         "doc_trained_classifier": q_doc_trained_classifier,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_streaming_dedup": q_doc_streaming_dedup,
