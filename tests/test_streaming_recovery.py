@@ -344,3 +344,136 @@ def test_summarize_midflight_kill_then_restart(spark, tmp_path):
         ).collect()
     }
     assert gm == expect
+
+
+def test_sessionize_restart_resumes_open_session(spark, tmp_path):
+    """A session OPEN across the restart (more events arrive for it
+    after the checkpoint resume) must emit ONE row spanning both
+    phases — session_window state survives the round-trip; equality
+    against the batch sessionizer over all input."""
+    from timely_spark.streaming.sessionize import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    gap_min, wm_s = 30, 60
+
+    def ev(user, ts, v=1.0):
+        return {"user_id": user, "ts_ms": ts, "value": v}
+
+    # phase 1: u1's session has events at 0s and 100s (still open —
+    # the gap is 30 min); u2's session is closed by the watermark
+    p1 = [ev(1, B), ev(1, B + 100_000), ev(2, B + 10_000)]
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in p1) + "\n"
+    )
+    schema = "user_id long, ts_ms long, value double"
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return sessionize_stream(
+            stream, checkpoint=ck, out_path=out, gap_minutes=gap_min,
+            watermark_seconds=wm_s, available_now=True,
+        )
+
+    _drain(start())
+
+    # phase 2: the SAME u1 session continues (200s < 30 min gap), plus
+    # a sentinel user far ahead that closes everything
+    p2 = [ev(1, B + 200_000, 5.0), ev(9, B + 4 * 3_600_000)]
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in p2) + "\n"
+    )
+    _drain(start())
+
+    got = {
+        r["user_id"]: r
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] in (1, 2)
+    }
+    # u1: ONE session, 3 events across the restart, duration 200s
+    assert got[1]["n_events"] == 3 and got[1]["duration_ms"] == 200_000
+    assert got[1]["sum_value"] == 7.0
+    assert got[2]["n_events"] == 1
+    # batch parity on the closed subset
+    allpts = spark.createDataFrame(
+        [(r["user_id"], r["ts_ms"], r["value"]) for r in p1 + p2], schema
+    )
+    batch = {
+        r["user_id"]: r
+        for r in sessionize(
+            allpts, gap_minutes=gap_min, user_col="user_id",
+            ts_ms_col="ts_ms", value_col="value",
+        ).collect()
+        if r["user_id"] in (1, 2)
+    }
+    for u in (1, 2):
+        assert got[u]["n_events"] == batch[u]["n_events"]
+        assert got[u]["sum_value"] == batch[u]["sum_value"]
+
+
+def test_ddsketch_restart_merges_window_state(spark, tmp_path):
+    """DDSketch partial counts for a window OPEN across the restart
+    must merge points from both phases — bucket counts equal the batch
+    bucketization over all input, with no duplicated partials."""
+    from timely_spark.operators.rollup import ddsketch_partials
+    from timely_spark.streaming.ddsketch import ddsketch_stream_query
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def pt(ts, v):
+        return {"metric": "m", "ts": ts, "value": float(v)}
+
+    p1 = [pt(BA + i * 5_000, 1.5 ** i) for i in range(6)]   # window open
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in p1) + "\n"
+    )
+    schema = "metric string, ts long, value double"
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return ddsketch_stream_query(
+            stream, window_seconds=60, checkpoint=ck, out_path=out,
+            watermark_seconds=10, available_now=True,
+        )
+
+    _drain(start())
+    # phase 2: more points for the SAME window + a closing sentinel
+    p2 = [pt(BA + 30_000 + i * 5_000, 2.5 ** i) for i in range(4)]
+    p2.append(pt(BA + 3_600_000, 1.0))
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps(r) for r in p2) + "\n"
+    )
+    _drain(start())
+
+    got = {
+        (r["bucket_ts"], r["dd_sign"], r["dd_idx"]): r["cnt"]
+        for r in spark.read.parquet(out)
+        .filter(F.col("bucket_ts") == BA)
+        .collect()
+    }
+    allpts = spark.createDataFrame(
+        [(r["metric"], r["ts"], r["value"]) for r in p1 + p2], schema
+    )
+    expect = {
+        (r["bucket_ts"], r["dd_sign"], r["dd_idx"]): r["cnt"]
+        for r in ddsketch_partials(allpts, level_ms=60_000)
+        .filter(F.col("bucket_ts") == BA)
+        .collect()
+    }
+    assert got == expect and sum(got.values()) == len(p1) + 4
