@@ -2234,6 +2234,54 @@ _COLLECTD_FAMILIES = [
 _COLLECTD_T0 = 1456156976840
 
 
+def q_ts_queue_ingest(spark, sf_dir):
+    """Message-queue ingest leg end-to-end (SURVEY §2.1 S5, the
+    WriteNSQPlugin consumer side — WriteNSQPlugin.java:56-64,110-120):
+    events render to put lines, batch into multi-line message BODIES
+    (64 deterministic bodies keyed on user_id — the plugin's
+    one-body-per-write-callback layout), and
+    ``sources.queue.put_lines_from_messages`` reconstructs the points:
+    body -> split -> explode -> the shared line-protocol parse, all
+    column expressions. The row aggregates the reconstructed points per
+    (metric, user tag); the oracle recomputes the same aggregate from
+    the events table DIRECTLY — so any defect in the render/batch/
+    split/parse round trip (value string round-trip, ts normalization,
+    tag assembly, a line lost at a body boundary) hash-mismatches.
+    Spark's double->string is shortest-round-trip, so values survive
+    the wire exactly; ts stays epoch-ms (>= 10^12, no sec rescale)."""
+    from timely_spark.model import ts_epoch_ms
+    from timely_spark.sources.queue import put_lines_from_messages
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat_ws(
+        " ",
+        F.lit("put"),
+        F.col("event_type"),
+        ts_epoch_ms(ev).cast("string"),
+        F.col("value").cast("string"),
+        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+    )
+    bodies = (
+        ev.select(
+            line.alias("__l"),
+            F.pmod(F.col("user_id"), F.lit(64)).alias("__k"),
+        )
+        .groupBy("__k")
+        .agg(F.concat_ws("\n", F.collect_list("__l")).alias("value"))
+    )
+    pts = put_lines_from_messages(bodies)
+    return pts.groupBy(
+        F.col("metric"), F.col("tags")["user"].alias("tag_user")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 def q_ts_collectd_ingest(spark, sf_dir):
     """collectd binary network-protocol ingest end-to-end through the
     DISTRIBUTED path (SURVEY §2.1 S5): a deterministic packet lake — 45
@@ -2737,7 +2785,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full sweep + bench-gated)
         "doc_text_embedding": q_doc_text_embedding,
         "events_hll_rollup": q_events_hll_rollup,
-        "events_range_join": q_events_range_join,
+        # new r8: queue-message ingest round trip (first driver
+        # evidence for the WriteNSQPlugin consumer leg) — takes
+        # events_range_join's slot (driver-green r6+r7, plan unchanged
+        # this round, still verified vs DuckDB in the full sweeps +
+        # bench-gated; its AS-OF sibling already lives in the tail on
+        # the same grounds)
+        "ts_queue_ingest": q_ts_queue_ingest,
         "emb_knn_ivf": q_emb_knn_ivf,
         # PLAN_CHANGED_THIS_ROUND (r7): ts_downsample_avg + doc_quality
         # knife-edge fixes (decimal-exact avg sum / epsilon-stabilized
@@ -2829,6 +2883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entry 51+: multi-round-green stable-plan rows and TPC-H demos
         # (all still verified every round by the committed full-sweep
         # CORRECTNESS_LOCAL.json artifact, tools/check_oracle.py) ----
+        # ROTATED_TO_TAIL (r8): events_range_join — driver-green r6+r7,
+        # plan unchanged, displaced by ts_queue_ingest's first evidence
+        "events_range_join": q_events_range_join,
         "ts_downsample_sum_tag": q_ts_downsample_sum_tag,
         "ts_downsample_minmax": q_ts_downsample_minmax,
         "ts_suggest": q_ts_suggest,
@@ -4091,6 +4148,24 @@ FROM best WHERE r = 1 GROUP BY 1"""
     # rules are pinned byte-for-byte against PluginParentTest goldens in
     # tests/test_collectd.py). Packet values for family fi are
     # (10*fi, 10*fi+1, 10*fi+2) at t0, t0+1s, t0+2s => sum = 30*fi + 3.
+    # ts_queue_ingest: the oracle computes the SAME per-(metric, user)
+    # aggregate directly from the events table — the Spark side must
+    # reproduce it through the render -> message-body -> split ->
+    # parse round trip, so any wire-format defect hash-mismatches.
+    # DECIMAL-exact sum then one round (the sessionize convention);
+    # epoch_ns//1e6 matches ts_epoch_ms's floor-division contract.
+    d["ts_queue_ingest"] = """
+WITH pts AS (SELECT event_type AS metric,
+                    epoch_ns(ts) // 1000000 AS ts,
+                    value,
+                    CAST(user_id AS VARCHAR) AS tag_user
+             FROM events)
+SELECT metric, tag_user, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+           AS sum_value,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM pts GROUP BY 1, 2
+"""
     d["ts_collectd_ingest"] = """
 SELECT * FROM (VALUES
   ('statsd.dfs.BlocksRead', CAST(3 AS BIGINT),

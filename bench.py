@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "doc_substring_rewrite",
     "ts_collectd_ingest",
     "doc_text_embedding",
+    # r8: queue-message ingest round trip (WriteNSQPlugin consumer leg)
+    "ts_queue_ingest",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing

@@ -515,6 +515,11 @@ ROTATED_TO_TAIL = {
     "emb_semantic_dedup",
     "events_retention",
     "events_asof_join",
+    # r8 rotation out: driver-green r6+r7, plan unchanged this round,
+    # still swept at both scales + bench-gated; displaced by
+    # ts_queue_ingest's first driver evidence (its AS-OF sibling
+    # already sits in the tail on the same grounds)
+    "events_range_join",
     "doc_line_dedup",  # displaced by ts_summarize's plan-change slot;
     #                    tokenizer plan change covered by the full sweep
     #                    + the heavy consumers held in-prefix
