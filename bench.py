@@ -403,6 +403,15 @@ def main() -> int:
                 n = len(fn(spark, sf_dir).collect())
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+            # sub-second entries are the ones suite-position noise has
+            # falsely flagged (doc_line_dedup r7 2.4x, both A/B'd
+            # code-equal): a Python-worker or GC hiccup is the same
+            # absolute cost everywhere but a large RATIO only here. One
+            # extra repeat costs <1.5 s and removes most of that tail.
+            if best < 1.5:
+                t0 = time.time()
+                n = len(fn(spark, sf_dir).collect())
+                best = min(best, time.time() - t0)
         except Exception as e:  # a failing query gets a sentinel, not a crash
             print(f"bench query {name} failed: {e}", file=sys.stderr)
             times[name] = -1.0
