@@ -121,3 +121,57 @@ def test_queue_spool_stream_end_to_end(spark, tmp_path):
         eng.points().filter(F.col("metric") == "q.m").count()
         == n_msgs * per_msg
     )
+
+
+def test_queue_body_packing_property(spark):
+    """Hypothesis: for ANY set of valid put lines and ANY packing of
+    them into message bodies (random batch boundaries, with and
+    without trailing newlines), the queue adapter yields exactly the
+    point set parse_lines_df produces line-by-line — body framing can
+    never add, drop, or alter a point."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    metric = st.from_regex(r"[a-zA-Z][a-zA-Z0-9_.]{0,12}", fullmatch=True)
+    tagk = st.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,6}", fullmatch=True)
+    tagv = st.from_regex(r"[a-zA-Z0-9_.:-]{1,8}", fullmatch=True)
+    point = st.tuples(
+        metric,
+        st.integers(min_value=1_400_000_000_000, max_value=1_999_999_999_999),
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=64,
+            min_value=-1e12, max_value=1e12,
+        ),
+        st.dictionaries(tagk, tagv, min_size=1, max_size=3),
+    )
+
+    @given(
+        pts=st.lists(point, min_size=1, max_size=12),
+        cuts=st.lists(st.integers(0, 11), max_size=4),
+        trailing=st.booleans(),
+    )
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(pts, cuts, trailing):
+        lines = [
+            f"put {m} {ts} {v!r} "
+            + " ".join(f"{k}={tv}" for k, tv in sorted(tags.items()))
+            for m, ts, v, tags in pts
+        ]
+        bounds = sorted({c for c in cuts if c < len(lines)} | {0, len(lines)})
+        bodies = [
+            "\n".join(lines[a:b]) + ("\n" if trailing else "")
+            for a, b in zip(bounds, bounds[1:])
+            if lines[a:b]
+        ]
+        msgs = spark.createDataFrame([(b.encode(),) for b in bodies],
+                                     "value binary")
+        got = sorted(_key(r) for r in put_lines_from_messages(msgs).collect())
+        direct = parse_lines_df(
+            spark.createDataFrame([(l,) for l in lines], "value string")
+        )
+        assert got == sorted(_key(r) for r in direct.collect())
+
+    run()
