@@ -92,8 +92,8 @@ def train_classifier_weights(
     weight list directly consumable by ``text.classifier_score`` /
     ``classifier_score_sql`` (coefficients / 4 — see module contract).
 
-    Training is the offline path (one MLlib job over the corpus, UDF
-    vector assembly allowed there); SERVING stays the zero-shuffle
+    Training is the offline path (one MLlib job over the corpus,
+    all-JVM feature assembly since r8); SERVING stays the zero-shuffle
     codegen expression. Deterministic for fixed inputs: L-BFGS from a
     zero start on a deterministic feature frame.
     """

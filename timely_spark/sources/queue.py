@@ -55,7 +55,7 @@ def put_lines_from_messages(
     messages: DataFrame,
     body_col: str = "value",
     keep_corrupt: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """Queue messages (one binary/string body each) -> parsed points.
 
     ``messages`` is anything shaped like Spark's Kafka source output —
@@ -65,7 +65,9 @@ def put_lines_from_messages(
     (DataOutputStream.writeBytes, WriteNSQPlugin.java:110-120). Blank
     lines (trailing newline, keep-alives) are dropped before parsing;
     malformed lines follow the line-protocol contract (dropped, or
-    routed to the corrupt side output with ``keep_corrupt=True``).
+    routed to the corrupt side output with ``keep_corrupt=True``, in
+    which case a ``(good, bad)`` tuple returns — the
+    :func:`parse_lines_df` contract this forwards).
     """
     body = F.col(body_col)
     if dict(messages.dtypes).get(body_col) == "binary":

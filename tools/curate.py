@@ -266,13 +266,24 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             # though a real embeddings table exists (ADVICE r7)
             import sys as _sys
 
+            from pyspark.errors import AnalysisException
+
             from timely_spark.operators.similarity import semantic_dedup
 
             emb_path = f"{sf_dir}/embeddings.parquet"
             try:
                 emb = spark.read.parquet(emb_path)
                 emb_source = "embeddings table"
-            except Exception:  # AnalysisException: path missing
+            except AnalysisException as e:
+                # ONLY a missing table downgrades to the text embedder;
+                # any other read failure (expired credentials, corrupt
+                # footer) must surface, not silently change the
+                # survivor set (self-review r8)
+                msg = str(e)
+                if not (
+                    "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                ):
+                    raise
                 emb = None
                 emb_source = "hashed text embedder (no embeddings table)"
             print(

@@ -54,12 +54,25 @@ def build_docs(spark, sf_dir: str, out: str) -> None:
         "doc_id", "text"
     )
     parts = [base]
-    alpha = string.ascii_lowercase
+    # rotate BOTH cases and digits: the tokenizer lowercases first, so
+    # a lowercase-only rotation would leave acronym/number tokens
+    # identical across replicas and re-create the cross-replica
+    # near-dups the probe design avoids (self-review r8)
+    src = (
+        string.ascii_lowercase
+        + string.ascii_uppercase
+        + string.digits
+    )
     for r in range(1, REPLICAS):
+        dst = (
+            _rot(string.ascii_lowercase, r)
+            + _rot(string.ascii_uppercase, r)
+            + _rot(string.digits, r)
+        )
         parts.append(
             base.select(
                 (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
-                F.translate("text", alpha, _rot(alpha, r)).alias("text"),
+                F.translate("text", src, dst).alias("text"),
             )
         )
     df = parts[0]
