@@ -2248,7 +2248,13 @@ def q_ts_queue_ingest(spark, sf_dir):
     split/parse round trip (value string round-trip, ts normalization,
     tag assembly, a line lost at a body boundary) hash-mismatches.
     Spark's double->string is shortest-round-trip, so values survive
-    the wire exactly; ts stays epoch-ms (>= 10^12, no sec rescale)."""
+    the wire exactly; ts stays epoch-ms (>= 10^12, no sec rescale).
+    Scale note: the 64-body collect_list is FIXTURE construction (the
+    row must manufacture message bodies from the only data it has); in
+    production bodies arrive pre-framed from the queue, bounded by the
+    plugin's per-write-callback batch, and the consumer side — the
+    part this row verifies — is split+explode, corpus-linear with no
+    driver involvement."""
     from timely_spark.model import ts_epoch_ms
     from timely_spark.sources.queue import put_lines_from_messages
 
