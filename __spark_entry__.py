@@ -1535,6 +1535,34 @@ def q_doc_trained_classifier(spark, sf_dir):
     )
 
 
+def q_doc_semantic_decontaminate(spark, sf_dir):
+    """Decontamination's third regime (r8): EMBEDDING-space screening
+    for PARAPHRASED benchmark leakage — token reorderings and light
+    edits break every 8-gram (the exact and Bloom rows' unit), but the
+    hashed-projection embedding is a function of the token MULTISET,
+    so a shuffled benchmark doc still lands near-parallel and flags
+    (pinned by test: ngram_hits = 0, semantic contaminated = TRUE on
+    the same planted paraphrase).
+
+    VALUE-EXACT oracle, not a bounded verdict: the flag is decided in
+    pure integer arithmetic — cos >= tau  <=>  dot > 0 AND q*dot^2 >=
+    p*n1*n2 with tau^2 = p/q exact (0.95 -> 361/400) over the raw ±1
+    md5-sign sums (the doc_text_embedding engine-exact layer), so
+    DuckDB recomputes the identical sums and the identical integer
+    comparison; exactly-at-threshold pairs agree by construction (no
+    float anywhere in the decision).
+
+    Scale: |bench| is benchmark-sized -> broadcast; corpus-linear at
+    dim*|bench| integer multiply-adds per doc; one sum aggregation is
+    the only corpus shuffle. Large benchmark suites block by SimHash
+    sign-bucket first (documented in similarity.py)."""
+    from timely_spark.operators.similarity import semantic_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return semantic_decontaminate(docs, bench, threshold=0.95)
+
+
 def q_doc_bloom_decontaminate(spark, sf_dir):
     """Decontamination for the LARGE-benchmark regime: a Bloom bitset of
     the bench 8-gram hashes broadcasts (~10x smaller than the exact-join
@@ -2869,7 +2897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_streaming_dedup": q_doc_streaming_dedup,
         "doc_boilerplate": q_doc_boilerplate,
-        "doc_chunk_rewrite": q_doc_chunk_rewrite,
+        # new r8: semantic (paraphrase) decontamination, value-exact
+        # integer-arithmetic oracle — takes doc_chunk_rewrite's slot
+        # (driver-green r6+r7, plan unchanged, still swept at both
+        # scales + bench-gated + golden-pinned in pytest)
+        "doc_semantic_decontaminate": q_doc_semantic_decontaminate,
         # r6 rotations IN: plan-changed (tokenizer unification) + first
         # driver evidence for three long-green local-sweep rows
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2892,6 +2924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROTATED_TO_TAIL (r8): events_range_join — driver-green r6+r7,
         # plan unchanged, displaced by ts_queue_ingest's first evidence
         "events_range_join": q_events_range_join,
+        # ROTATED_TO_TAIL (r8): doc_chunk_rewrite — driver-green r6+r7,
+        # plan unchanged, displaced by doc_semantic_decontaminate's
+        # first evidence
+        "doc_chunk_rewrite": q_doc_chunk_rewrite,
         "ts_downsample_sum_tag": q_ts_downsample_sum_tag,
         "ts_downsample_minmax": q_ts_downsample_minmax,
         "ts_suggest": q_ts_suggest,
@@ -3155,6 +3191,15 @@ def _ann_verdict_sql(floor: float) -> str:
 SELECT CAST(20 AS INTEGER) AS n_queries, CAST(10 AS INTEGER) AS k,
        ({_ANN_EXACT_SUM_SQL}) AS exact_cosine_sum,
        CAST({floor} AS DOUBLE) AS recall_floor, TRUE AS recall_ok"""
+
+
+def _semantic_decon_sql() -> str:
+    """doc_semantic_decontaminate's oracle — built by the operator's own
+    SQL twin so the p/q fraction and dim can never drift between the
+    Spark literal and the oracle."""
+    from timely_spark.operators.similarity import semantic_decontaminate_sql
+
+    return semantic_decontaminate_sql("doc_id % 20 = 0", threshold=0.95)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3909,6 +3954,11 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
         # bloom prefilter + exact confirm join == the exact answer (no
         # false negatives; FPs die in the confirm join) — same SQL, the
         # % 20 bench set
+        # semantic decontamination: DuckDB recomputes the identical
+        # integer md5-sign sums and the identical p/q integer predicate
+        # (similarity.semantic_decontaminate_sql) — value-exact, no
+        # float in the decision on either side
+        "doc_semantic_decontaminate": _semantic_decon_sql(),
         "doc_bloom_decontaminate": f"""
 WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
 sh AS (SELECT doc_id,

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "doc_text_embedding",
     # r8: queue-message ingest round trip (WriteNSQPlugin consumer leg)
     "ts_queue_ingest",
+    # r8: embedding-space (paraphrase) decontamination
+    "doc_semantic_decontaminate",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing

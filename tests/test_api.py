@@ -553,47 +553,15 @@ ROTATED_TO_TAIL = {
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    # r7 tokenizer reformulation (split+filter -> regexp_extract_all,
-    # identical semantics, 2x regression fix): EVERY tokenizing query's
-    # plan changed; the heavy consumers below hold checked slots, the
-    # tokenizing tail rows are covered by the refreshed full sweep +
-    # the registry-dict disclosure comment
-    "doc_minhash_pairs",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "doc_decontaminate",
-    "doc_bloom_decontaminate",
-    "doc_dsir_weights",
-    "doc_curation",
-    "doc_bpe_encode",
-    "doc_perplexity",
-    "doc_boilerplate",
-    "doc_chunk_rewrite",
-    "doc_corpus_ingest",
-    "doc_streaming_dedup",
-    "media_caption_dedup",
-    "media_text_alignment",
-    # r7 shared substring_spans detection core (VERDICT r6 #6)
-    "doc_substring_dedup",
-    "doc_substring_rewrite",
-    # r7 new: collectd binary-protocol distributed ingest (VERDICT r6 #3)
-    "ts_collectd_ingest",
-    # r7 nearest-rank percentile parity (MetricHistogram rule)
-    "ts_summarize",
-    "ts_streaming_summarize",
-    # r7 ANN retunes (VERDICT r6 #4 + extension to full-precision tiers)
-    "emb_pq_ann",
-    "emb_ivfpq_ann",
-    "emb_ivfpq_rerank",
-    "emb_knn_ivf",
+    # r8 ANN operating-point promotion (VERDICT r7 #2): lsh 4x12->4x16,
+    # rerank nprobe 16->32, floors 0.60/0.45 -> 0.80/0.90 on both sides
     "emb_knn_lsh",
-    # r7 sf0.1 knife-edge fixes (decimal-exact avg / epsilon rounds)
-    "ts_downsample_avg",
-    "ts_multiquery",
-    "doc_quality",
-    "doc_classifier_score",
-    "doc_token_budget",
+    "emb_ivfpq_rerank",
+    # r8 all-JVM training feature assembly (bit-identical weights, A/B'd)
     "doc_trained_classifier",
+    # r8 new rows (first driver evidence)
+    "ts_queue_ingest",
+    "doc_semantic_decontaminate",
 }
 
 

@@ -286,3 +286,85 @@ def test_hashed_text_embedding_near_dup_composition(spark):
     assert all(c < 0.5 for c in others)
     with pytest.raises(ValueError):
         hashed_text_embedding(df, dim=33)
+
+
+def test_semantic_decontaminate_catches_paraphrase(spark):
+    """The value-add over n-gram decontamination, demonstrated: a
+    benchmark doc's tokens SHUFFLED (plus light edits) break every
+    8-gram — ngram_decontaminate reports zero hits — while the
+    token-multiset embedding stays near-parallel and the semantic
+    screen flags it. Disjoint-vocab and zero-token docs never flag;
+    benchmark members inside the corpus always flag (cos = 1)."""
+    from timely_spark.operators.dedup import ngram_decontaminate
+    from timely_spark.operators.similarity import semantic_decontaminate
+
+    bench_text = " ".join(f"tok{i}" for i in range(40))
+    shuffled = bench_text.split()[::-1]  # deterministic reordering
+    para = " ".join(shuffled[:-2] + ["extra", "words"])
+    rows = [
+        (1, bench_text),                                  # bench member
+        (2, para),                                        # paraphrase
+        (3, " ".join(f"other{i}" for i in range(40))),    # disjoint
+        (4, ""),                                          # zero-token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter("doc_id = 1")
+
+    got = {
+        r["doc_id"]: r
+        for r in semantic_decontaminate(docs, bench, threshold=0.9).collect()
+    }
+    assert got[1]["contaminated"] and got[1]["n_bench_hits"] == 1
+    assert got[2]["contaminated"], "paraphrase must flag semantically"
+    assert not got[3]["contaminated"] and not got[4]["contaminated"]
+
+    ng = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_decontaminate(docs, bench, n=8).collect()
+    }
+    assert not ng[2], "the same paraphrase is INVISIBLE to 8-grams"
+
+
+def test_semantic_decontaminate_integer_threshold_exact(spark):
+    """The flag is an exact integer predicate (q*dot^2 >= p*n1*n2), so a
+    pair EXACTLY at the threshold flags (>=, both engines agree by
+    integer arithmetic, no float knife-edge). Construct cos = 0.5
+    between single-token docs: pick two tokens whose md5 sign vectors
+    agree on exactly 3/4 of dims at dim=4 -> dot=2, n1=n2=4,
+    cos=2/4=0.5; threshold 0.5 -> p/q = 1/4 -> 4*4 == 1*16 flags."""
+    import hashlib
+
+    from timely_spark.operators.similarity import semantic_decontaminate
+
+    def sign_bits(tok, dim):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        return [1 - 2 * ((h >> d) & 1) for d in range(dim)]
+
+    # find a token pair agreeing on exactly 3 of 4 sign dims
+    base = sign_bits("anchor", 4)
+    partner = None
+    for i in range(100000):
+        t = f"w{i}"
+        s = sign_bits(t, 4)
+        if sum(a == b for a, b in zip(base, s)) == 3:
+            partner = t
+            break
+    assert partner is not None
+    docs = spark.createDataFrame(
+        [(1, "anchor"), (2, partner)], "doc_id long, text string"
+    )
+    bench = docs.filter("doc_id = 1")
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in semantic_decontaminate(
+            docs, bench, threshold=0.5, dim=4
+        ).collect()
+    }
+    assert out[2] is True  # exactly AT the floor -> flags (>=)
+    out_above = {
+        r["doc_id"]: r["contaminated"]
+        for r in semantic_decontaminate(
+            docs, bench, threshold=0.51, dim=4
+        ).collect()
+    }
+    assert out_above[2] is False  # one hair above -> clean

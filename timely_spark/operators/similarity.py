@@ -868,6 +868,31 @@ def pair_alignment(
 # ------------------------------------------------- text -> embedding
 
 
+def _hashed_sums(
+    df: DataFrame, dim: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __s0..__s{dim-1}): the raw INTEGER ±1 sums under the shared
+    md5-sign projection — the engine-exact layer both the normalized
+    embedding and the integer-arithmetic consumers
+    (:func:`semantic_decontaminate`) build on. Zero-token docs are
+    absent (no explode rows); callers restore them as needed."""
+    from .text import tokens
+
+    h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(id_col, h.alias("__h"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.lit(1)
+                - F.lit(2) * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
+            ).alias(f"__s{d}")
+            for d in range(dim)
+        ]
+    )
+
+
 def hashed_text_embedding(
     df: DataFrame,
     dim: int = 32,
@@ -897,20 +922,7 @@ def hashed_text_embedding(
     """
     if not 1 <= dim <= 32:
         raise ValueError(f"dim must be in 1..32, got {dim}")
-    from .text import tokens
-
-    h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
-    ex = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
-    ).select(id_col, h.alias("__h"))
-    sums = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.lit(1) - F.lit(2) * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
-            ).alias(f"__s{d}")
-            for d in range(dim)
-        ]
-    )
+    sums = _hashed_sums(df, dim, text_col, id_col)
     norm2 = sum(
         (F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)), F.lit(0)
     )
@@ -965,3 +977,134 @@ SELECT alldocs.{id_col},
        {', '.join(f'coalesce(s.s{d}, 0) AS s{d}' for d in range(dim))},
        CAST(coalesce({norm2}, 0) AS BIGINT) AS norm2
 FROM alldocs LEFT JOIN s USING ({id_col})"""
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus docs whose
+    hashed-embedding cosine against ANY benchmark doc clears
+    ``threshold`` — the screen for PARAPHRASED leakage that n-gram
+    decontamination (``dedup.decontaminate``: exact 8-gram set-join)
+    structurally misses. Token-multiset similarity survives the
+    reorderings and light edits that break every 8-gram, and the
+    signed-projection embedding is a function of the token multiset.
+
+    The flag is decided in EXACT INTEGER arithmetic, never floats:
+    with s, b the raw ±1 sum vectors (integers) and n1 = |s|², n2 = |b|²
+    (integer squared norms),
+
+        cos(s, b) >= tau  <=>  dot > 0  and  q·dot² >= p·n1·n2
+
+    where tau² = p/q as an exact fraction of the DECIMAL threshold
+    (0.8 -> 16/25). Both engines evaluate the same integer predicate,
+    so there is no float knife-edge anywhere — the DuckDB oracle
+    recomputes the identical sums (hashed_text_embedding's engine-exact
+    md5-sign layer) and the identical comparison.
+
+    Scale: |bench| is benchmark-sized (bounded); the pair stage is a
+    broadcast cross join — corpus-linear at dim·|bench| integer
+    multiply-adds per doc, no corpus shuffle beyond the one sum
+    aggregation. For very large benchmark suites, block by SimHash
+    sign-bucket first (the dedup.hamming_near_dups machinery) — same
+    trade the Bloom regime makes for the n-gram path.
+
+    Output: one row per corpus doc — (id, n_bench_hits, contaminated).
+    Zero-token docs (norm 0) never flag.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold)) ** 2
+    p, q = frac.numerator, frac.denominator
+
+    ds = _hashed_sums(docs, dim, text_col, id_col)
+    bs = _hashed_sums(bench, dim, text_col, id_col).select(
+        *[F.col(f"__s{d}").alias(f"__b{d}") for d in range(dim)]
+    )
+    n1 = sum((F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)), F.lit(0))
+    n2 = sum((F.col(f"__b{d}") * F.col(f"__b{d}") for d in range(dim)), F.lit(0))
+    dot = sum(
+        (F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)), F.lit(0)
+    )
+    # decimal(38,0) headroom: |s_d| <= n_tokens, so dot, n1, n2 <= dim·T²
+    # and q·dot² <= q·dim²·T⁴ — long overflows near T ~ 55k tokens at
+    # dim 32; exact decimals never do
+    dec = "decimal(38,0)"
+    pairs = ds.crossJoin(F.broadcast(bs)).select(
+        F.col(id_col),
+        (
+            (dot > 0)
+            & (
+                F.lit(q).cast(dec) * dot.cast(dec) * dot.cast(dec)
+                >= F.lit(p).cast(dec) * n1.cast(dec) * n2.cast(dec)
+            )
+            & (n2 > 0)
+        ).alias("__hit"),
+    )
+    hits = pairs.groupBy(id_col).agg(
+        F.sum(F.col("__hit").cast("long")).alias("n_bench_hits")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bench_hits", F.lit(0)).alias("n_bench_hits"),
+            (F.coalesce("n_bench_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontaminate_sql(
+    bench_pred: str,
+    threshold: float = 0.8,
+    dim: int = 32,
+    c: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`semantic_decontaminate` over the
+    ``documents`` view with the benchmark subset selected by
+    ``bench_pred`` (a SQL predicate on documents). Recomputes the SAME
+    integer sums and the SAME p/q integer comparison — value-exact."""
+    from fractions import Fraction
+
+    from .text import TOKENS_SQL
+
+    frac = Fraction(str(threshold)) ** 2
+    p, q = frac.numerator, frac.denominator
+    toks = TOKENS_SQL.format(c=c)
+    sign = "CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER"
+    sums = ", ".join(
+        f"sum(1 - 2 * CAST((({sign}) >> {d}) & 1 AS BIGINT)) AS s{d}"
+        for d in range(dim)
+    )
+    dot = " + ".join(f"ds.s{d} * bs.s{d}" for d in range(dim))
+    n1 = " + ".join(f"ds.s{d} * ds.s{d}" for d in range(dim))
+    n2 = " + ".join(f"bs.s{d} * bs.s{d}" for d in range(dim))
+    dec = "DECIMAL(38,0)"
+    return f"""
+WITH tok AS (SELECT {id_col}, unnest({toks}) AS t FROM documents),
+ds AS (SELECT {id_col}, {sums} FROM tok GROUP BY 1),
+bt AS (SELECT {id_col}, unnest({toks}) AS t FROM documents
+       WHERE {bench_pred}),
+bs AS (SELECT {id_col} AS bid, {sums} FROM bt GROUP BY 1),
+hits AS (
+  SELECT ds.{id_col},
+         sum(CASE WHEN ({dot}) > 0
+                   AND CAST({q} AS {dec}) * CAST(({dot}) AS {dec})
+                       * CAST(({dot}) AS {dec})
+                       >= CAST({p} AS {dec}) * CAST(({n1}) AS {dec})
+                          * CAST(({n2}) AS {dec})
+                   AND ({n2}) > 0
+             THEN 1 ELSE 0 END) AS n_bench_hits
+  FROM ds CROSS JOIN bs GROUP BY 1)
+SELECT d.{id_col},
+       CAST(coalesce(h.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+       coalesce(h.n_bench_hits, 0) > 0 AS contaminated
+FROM (SELECT {id_col} FROM documents) d
+LEFT JOIN hits h USING ({id_col})"""
