@@ -140,6 +140,19 @@ BENCH_QUERIES = [
     "doc_semantic_decontaminate",
 ]
 
+# Synthetic rows main() emits beyond the registry entries — every name
+# here must carry a BENCH_GATES.json gate (test-enforced via
+# test_registry_bench_completeness, which READS this list: adding a new
+# synthetic timing key without extending it fails the guard).
+BENCH_SYNTHETIC = [
+    "host_calibration",
+    "ingest_lineprotocol",
+    "store_query_pruned",
+    "store_query_tag_pushdown",
+    "store_query_bucketed",
+    "streaming_summarize",
+]
+
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing
 # is test-enforced (tests/test_api.py::test_registry_bench_completeness).
 BENCH_EXEMPT = {

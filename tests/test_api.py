@@ -618,11 +618,22 @@ def test_registry_bench_completeness():
     gates = _json.load(
         open(_os.path.join(_os.path.dirname(bench.__file__), "BENCH_GATES.json"))
     )
-    synthetic = {
-        "host_calibration", "ingest_lineprotocol", "store_query_pruned",
-        "store_query_tag_pushdown", "store_query_bucketed",
-        "streaming_summarize",
-    }
+    # synthetic rows come FROM bench.py (bench.BENCH_SYNTHETIC) so a
+    # new synthetic timing key cannot bypass the gate requirement by
+    # not being mirrored here (self-review r8)
+    synthetic = set(bench.BENCH_SYNTHETIC)
+    # the list must actually cover what main() emits: every times-dict
+    # key main() can produce is either a registry entry or listed
+    import inspect as _inspect
+
+    src = _inspect.getsource(bench.main)
+    import re as _re
+
+    emitted = set(_re.findall(r'times\[(?:"|\')([a-z_0-9]+)(?:"|\')\]', src))
+    assert emitted - benched <= synthetic | {"name"}, (
+        f"bench.main emits un-listed synthetic rows: "
+        f"{sorted(emitted - benched - synthetic - {'name'})}"
+    )
     ungated = (benched | synthetic) - set(gates)
     assert not ungated, f"bench entries without a committed gate: {sorted(ungated)}"
 

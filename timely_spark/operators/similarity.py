@@ -875,7 +875,14 @@ def _hashed_sums(
     md5-sign projection — the engine-exact layer both the normalized
     embedding and the integer-arithmetic consumers
     (:func:`semantic_decontaminate`) build on. Zero-token docs are
-    absent (no explode rows); callers restore them as needed."""
+    absent (no explode rows); callers restore them as needed.
+
+    The guard lives HERE so every consumer inherits it: bits 32+ of
+    the 32-bit md5 prefix are always 0, so an unguarded dim > 32 would
+    silently add +n_tokens coordinates shared by every doc — a large
+    common component that inflates cosines between unrelated docs."""
+    if not 1 <= dim <= 32:
+        raise ValueError(f"dim must be in 1..32, got {dim}")
     from .text import tokens
 
     h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
@@ -920,9 +927,7 @@ def hashed_text_embedding(
     the EXACT integer squared norm of the raw ±1 sums; zero-token docs
     emit the zero vector with norm2 0).
     """
-    if not 1 <= dim <= 32:
-        raise ValueError(f"dim must be in 1..32, got {dim}")
-    sums = _hashed_sums(df, dim, text_col, id_col)
+    sums = _hashed_sums(df, dim, text_col, id_col)  # guards dim 1..32
     norm2 = sum(
         (F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)), F.lit(0)
     )
@@ -954,6 +959,20 @@ def hashed_text_embedding(
     )
 
 
+def _sums_sql(dim: int) -> str:
+    """The DuckDB twin of :func:`_hashed_sums`' aggregate list — ONE
+    definition of the md5-sign layer on the SQL side too, so the two
+    oracle consumers (:func:`hashed_text_embedding_sql`,
+    :func:`semantic_decontaminate_sql`) can never drift from each
+    other (the same reason the Python side refactored onto
+    _hashed_sums)."""
+    sign = "CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER"
+    return ", ".join(
+        f"sum(1 - 2 * CAST((({sign}) >> {d}) & 1 AS BIGINT)) AS s{d}"
+        for d in range(dim)
+    )
+
+
 def hashed_text_embedding_sql(
     dim: int = 32, c: str = "text", id_col: str = "doc_id"
 ) -> str:
@@ -963,11 +982,7 @@ def hashed_text_embedding_sql(
     from .text import TOKENS_SQL
 
     toks = TOKENS_SQL.format(c=c)
-    sign = "CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER"
-    sums = ", ".join(
-        f"sum(1 - 2 * CAST(({sign} >> {d}) & 1 AS BIGINT)) AS s{d}"
-        for d in range(dim)
-    )
+    sums = _sums_sql(dim)
     norm2 = " + ".join(f"s{d}*s{d}" for d in range(dim))
     return f"""
 WITH tok AS (SELECT {id_col}, unnest({toks}) AS t FROM documents),
@@ -1015,19 +1030,38 @@ def semantic_decontaminate(
     trade the Bloom regime makes for the n-gram path.
 
     Output: one row per corpus doc — (id, n_bench_hits, contaminated).
-    Zero-token docs (norm 0) never flag.
+    Zero-token docs (norm 0) never flag. ``threshold`` must be in
+    (0, 1]: the integer equivalence uses a STRICT dot > 0 (so norm-0
+    vectors never divide by zero), which at tau = 0 would diverge from
+    ">= threshold" for exactly-orthogonal pairs.
     """
     from fractions import Fraction
 
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     frac = Fraction(str(threshold)) ** 2
     p, q = frac.numerator, frac.denominator
 
-    ds = _hashed_sums(docs, dim, text_col, id_col)
-    bs = _hashed_sums(bench, dim, text_col, id_col).select(
-        *[F.col(f"__s{d}").alias(f"__b{d}") for d in range(dim)]
+    # squared norms are per-ROW constants: compute them once per doc /
+    # bench row BEFORE the pair join, not dim multiply-adds per PAIR
+    # (Catalyst cannot hoist a subexpression across a join)
+    def with_norm2(df_, prefix, out):
+        n = sum(
+            (F.col(f"{prefix}{d}") * F.col(f"{prefix}{d}") for d in range(dim)),
+            F.lit(0),
+        )
+        return df_.withColumn(out, n)
+
+    ds = with_norm2(
+        _hashed_sums(docs, dim, text_col, id_col), "__s", "__n1"
     )
-    n1 = sum((F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)), F.lit(0))
-    n2 = sum((F.col(f"__b{d}") * F.col(f"__b{d}") for d in range(dim)), F.lit(0))
+    bs = with_norm2(
+        _hashed_sums(bench, dim, text_col, id_col).select(
+            *[F.col(f"__s{d}").alias(f"__b{d}") for d in range(dim)]
+        ),
+        "__b",
+        "__n2",
+    )
     dot = sum(
         (F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)), F.lit(0)
     )
@@ -1041,9 +1075,11 @@ def semantic_decontaminate(
             (dot > 0)
             & (
                 F.lit(q).cast(dec) * dot.cast(dec) * dot.cast(dec)
-                >= F.lit(p).cast(dec) * n1.cast(dec) * n2.cast(dec)
+                >= F.lit(p).cast(dec)
+                * F.col("__n1").cast(dec)
+                * F.col("__n2").cast(dec)
             )
-            & (n2 > 0)
+            & (F.col("__n2") > 0)
         ).alias("__hit"),
     )
     hits = pairs.groupBy(id_col).agg(
@@ -1075,14 +1111,12 @@ def semantic_decontaminate_sql(
 
     from .text import TOKENS_SQL
 
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     frac = Fraction(str(threshold)) ** 2
     p, q = frac.numerator, frac.denominator
     toks = TOKENS_SQL.format(c=c)
-    sign = "CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER"
-    sums = ", ".join(
-        f"sum(1 - 2 * CAST((({sign}) >> {d}) & 1 AS BIGINT)) AS s{d}"
-        for d in range(dim)
-    )
+    sums = _sums_sql(dim)
     dot = " + ".join(f"ds.s{d} * bs.s{d}" for d in range(dim))
     n1 = " + ".join(f"ds.s{d} * ds.s{d}" for d in range(dim))
     n2 = " + ".join(f"bs.s{d} * bs.s{d}" for d in range(dim))
