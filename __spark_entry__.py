@@ -2287,13 +2287,39 @@ def q_ts_queue_ingest(spark, sf_dir):
     from timely_spark.sources.queue import put_lines_from_messages
 
     ev = _t(spark, sf_dir, "events")
-    line = F.concat_ws(
-        " ",
-        F.lit("put"),
+    # concat_ws silently SKIPS NULL fields — a NULL in a regenerated
+    # events fixture would shift tokens, the parser would drop the line,
+    # and the oracle (which still counts the row) would hash-mismatch
+    # with a confusing signature. Guard: any NULL raises AT RENDER TIME
+    # with a message naming the contract (ADVICE r8 #1 — fixture schema
+    # drift fails loudly at the right layer).
+    fields = [
         F.col("event_type"),
         ts_epoch_ms(ev).cast("string"),
         F.col("value").cast("string"),
-        F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        F.col("user_id").cast("string"),
+    ]
+    all_set = None
+    for f in fields:
+        all_set = f.isNotNull() if all_set is None else all_set & f.isNotNull()
+    line = F.when(
+        all_set,
+        F.concat_ws(
+            " ",
+            F.lit("put"),
+            F.col("event_type"),
+            ts_epoch_ms(ev).cast("string"),
+            F.col("value").cast("string"),
+            F.concat(F.lit("user="), F.col("user_id").cast("string")),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "ts_queue_ingest render contract: NULL in "
+                "event_type/ts/value/user_id — events fixture schema "
+                "drifted; fix the fixture or the render, not the parser"
+            )
+        )
     )
     bodies = (
         ev.select(

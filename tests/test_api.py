@@ -553,15 +553,12 @@ ROTATED_TO_TAIL = {
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    # r8 ANN operating-point promotion (VERDICT r7 #2): lsh 4x12->4x16,
-    # rerank nprobe 16->32, floors 0.60/0.45 -> 0.80/0.90 on both sides
-    "emb_knn_lsh",
-    "emb_ivfpq_rerank",
-    # r8 all-JVM training feature assembly (bit-identical weights, A/B'd)
-    "doc_trained_classifier",
-    # r8 new rows (first driver evidence)
+    # r9 NULL-poisoning render guard on the put-line build (ADVICE r8
+    # #1: concat_ws silently skips NULLs; now raise_error at render)
     "ts_queue_ingest",
-    "doc_semantic_decontaminate",
+    # r9 map-access form: Column-keyed getItem -> bracket (ADVICE r8
+    # #2, FutureWarning removal; NULL-on-missing semantics identical)
+    "doc_trained_classifier",
 }
 
 

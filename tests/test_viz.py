@@ -130,3 +130,24 @@ def test_visibility_matrix_from_tcp_it(spark, tmp_path_factory):
     assert total_value({"A"}) == 2.0  # + (A|B)
     assert total_value({"B", "C"}) == 3.0  # + (C&B)
     assert total_value({"C"}) == 1.0  # C alone fails (C&B)
+
+
+def test_eval_batch_memoizes_per_distinct_expression():
+    # VERDICT r8 minor #3: the degraded-path UDF must parse each
+    # DISTINCT expression once per batch, not once per row
+    import pandas as pd
+
+    from timely_spark.functions.viz import _eval_batch
+
+    calls = []
+
+    def counting(e, fauths):
+        calls.append(e)
+        return e == "A"
+
+    col = pd.Series(["A", "(A|B)", "A", "(A|B)", "A", None, None])
+    out = _eval_batch(col, frozenset({"A"}), _evaluate=counting)
+    # 3 distinct values (incl. None) -> exactly 3 evaluator calls
+    assert len(calls) == 3
+    assert set(calls) == {"A", "(A|B)", None}
+    assert list(out) == [True, False, True, False, True, False, False]

@@ -160,6 +160,24 @@ def viz_filter(
     return df.filter(viz_allows(viz_col, auths, allowed=allowed))
 
 
+def _eval_batch(col, fauths, _evaluate=None):
+    """Arrow-batch visibility evaluation with a per-batch memo: the
+    degraded paths (streaming scans, catalog-cap overflow) see batches
+    whose DISTINCT expression count is tiny by construction — parse
+    each distinct expression once per batch, not once per ROW (VERDICT
+    r8 "what's wrong" #3). ``_evaluate`` is injectable for the
+    call-count micro-test; production uses :func:`evaluate_visibility`."""
+    ev = _evaluate or evaluate_visibility
+    memo: dict = {}
+
+    def one(e):
+        if e not in memo:
+            memo[e] = ev(e, fauths)
+        return memo[e]
+
+    return col.map(one)
+
+
 def _viz_pandas_udf(auths: set[str]):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -168,6 +186,6 @@ def _viz_pandas_udf(auths: set[str]):
 
     @pandas_udf("boolean")
     def _eval(col: pd.Series) -> pd.Series:
-        return col.map(lambda e: evaluate_visibility(e, fauths))
+        return _eval_batch(col, fauths)
 
     return _eval

@@ -72,7 +72,10 @@ def hashed_mean_features(
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("__m").getItem(i), F.lit(0.0)),
+        # bracket access, not .getItem(i): Column-keyed getItem is
+        # deprecated (FutureWarning since 3.0, removal announced) while
+        # map[key] has the same NULL-on-missing semantics (ADVICE r8)
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0.0)),
     )
     return counted.select(
         id_col, "label", array_to_vector(dense).alias("features")
