@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "ts_queue_ingest",
     # r8: embedding-space (paraphrase) decontamination
     "doc_semantic_decontaminate",
+    # r9: the large-benchmark cell-probe regime of the same screen
+    "doc_semantic_decontaminate_blocked",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

@@ -559,6 +559,13 @@ PLAN_CHANGED_THIS_ROUND = {
     # r9 map-access form: Column-keyed getItem -> bracket (ADVICE r8
     # #2, FutureWarning removal; NULL-on-missing semantics identical)
     "doc_trained_classifier",
+    # r9 new row (first driver evidence): the large-benchmark
+    # cell-probe decontamination regime (VERDICT r8 top-next #1)
+    "doc_semantic_decontaminate_blocked",
+    # r9: the broadcast row's plan changed shape-neutrally too (the
+    # verdict predicate refactored onto the shared _integer_hit /
+    # _tau_pq helpers) — already in-prefix, re-verified
+    "doc_semantic_decontaminate",
 }
 
 

@@ -368,3 +368,79 @@ def test_semantic_decontaminate_integer_threshold_exact(spark):
         ).collect()
     }
     assert out_above[2] is False  # one hair above -> clean
+
+
+def test_semantic_decontaminate_blocked_dual_path_identity(spark):
+    """The large-benchmark cell-probe regime must be BYTE-IDENTICAL to
+    the broadcast path (VERDICT r8 #1 — the exact->Bloom dual-path
+    precedent): same rows, same hit counts, on a corpus where both run.
+    Exercised across degenerate (ncells=1: every pair is a candidate),
+    moderate, and over-provisioned (ncells > |bench|) cell counts, and
+    at a low threshold where boundary pairs are plentiful."""
+    from timely_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blocked,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 20 = 0")
+    for tau in (0.95, 0.8):
+        want = sorted(
+            map(tuple, semantic_decontaminate(docs, bench, threshold=tau).collect())
+        )
+        for ncells in (1, 8, 10_000):
+            got = sorted(
+                map(
+                    tuple,
+                    semantic_decontaminate_blocked(
+                        docs, bench, threshold=tau, ncells=ncells
+                    ).collect(),
+                )
+            )
+            assert got == want, f"tau={tau} ncells={ncells} diverged"
+
+
+def test_semantic_decontaminate_blocked_paraphrase_and_edges(spark):
+    """The blocked regime inherits the broadcast path's semantics: the
+    planted paraphrase flags, disjoint-vocab and zero-token docs never
+    flag, and an empty / all-zero-norm benchmark yields all-clean
+    without crashing (no centroids to probe)."""
+    from timely_spark.operators.similarity import (
+        semantic_decontaminate_blocked,
+    )
+
+    bench_text = " ".join(f"tok{i}" for i in range(40))
+    para = " ".join(bench_text.split()[::-1][:-2] + ["extra", "words"])
+    rows = [
+        (1, bench_text),
+        (2, para),
+        (3, " ".join(f"other{i}" for i in range(40))),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in semantic_decontaminate_blocked(
+            docs, docs.filter("doc_id = 1"), threshold=0.9, ncells=4
+        ).collect()
+    }
+    assert got[1]["contaminated"] and got[1]["n_bench_hits"] == 1
+    assert got[2]["contaminated"], "paraphrase must flag in the blocked path"
+    assert not got[3]["contaminated"] and not got[4]["contaminated"]
+
+    # empty benchmark -> all clean, schema intact
+    empty = {
+        r["doc_id"]: r["contaminated"]
+        for r in semantic_decontaminate_blocked(
+            docs, docs.filter("doc_id < 0"), threshold=0.9
+        ).collect()
+    }
+    assert empty == {1: False, 2: False, 3: False, 4: False}
+    # all-zero-norm benchmark (zero-token doc) -> same
+    zeroed = {
+        r["doc_id"]: r["contaminated"]
+        for r in semantic_decontaminate_blocked(
+            docs, docs.filter("doc_id = 4"), threshold=0.9
+        ).collect()
+    }
+    assert zeroed == {1: False, 2: False, 3: False, 4: False}

@@ -928,8 +928,8 @@ def hashed_text_embedding(
     emit the zero vector with norm2 0).
     """
     sums = _hashed_sums(df, dim, text_col, id_col)  # guards dim 1..32
-    norm2 = sum(
-        (F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)), F.lit(0)
+    norm2 = _bal_sum(
+        F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)
     )
     emb = F.array(
         *[
@@ -994,6 +994,57 @@ SELECT alldocs.{id_col},
 FROM alldocs LEFT JOIN s USING ({id_col})"""
 
 
+def _bal_sum(cols):
+    """Sum Columns as a BALANCED Add tree (depth log2 n), not the
+    left-deep chain `sum(...)` builds. Catalyst's commutative-chain
+    canonicalization rebuilds subtrees without sharing, so a depth-32
+    chain canonicalizes in O(2^32) — observed as a driver OOM the
+    first time an AQE equi-join plan containing the chain was
+    canonicalized for stage reuse. Integer addition is associative, so
+    the result is bit-identical either way."""
+    items = list(cols)
+    if not items:
+        return F.lit(0)
+    while len(items) > 1:
+        items = [
+            items[i] + items[i + 1] if i + 1 < len(items) else items[i]
+            for i in range(0, len(items), 2)
+        ]
+    return items[0]
+
+
+def _tau_pq(threshold: float) -> tuple[int, int]:
+    """tau² as the exact fraction p/q of the DECIMAL threshold — the
+    single definition both decontamination paths (broadcast and
+    blocked) derive their integer predicate from."""
+    from fractions import Fraction
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    frac = Fraction(str(threshold)) ** 2
+    return frac.numerator, frac.denominator
+
+
+def _integer_hit(dot, n1, n2, p: int, q: int):
+    """The shared EXACT-INTEGER contamination predicate over raw ±1 sum
+    vectors: cos(s, b) >= tau  <=>  dot > 0 AND q·dot² >= p·n1·n2 (with
+    tau² = p/q). decimal(38,0) headroom: |s_d| <= n_tokens, so dot, n1,
+    n2 <= dim·T² and q·dot² <= q·dim²·T⁴ — long overflows near T ~ 55k
+    tokens at dim 32; exact decimals never do. Used verbatim by BOTH
+    :func:`semantic_decontaminate` (broadcast) and
+    :func:`semantic_decontaminate_blocked` (cell-probe) — the verdict
+    layer cannot drift between the two regimes."""
+    dec = "decimal(38,0)"
+    return (
+        (dot > 0)
+        & (
+            F.lit(q).cast(dec) * dot.cast(dec) * dot.cast(dec)
+            >= F.lit(p).cast(dec) * n1.cast(dec) * n2.cast(dec)
+        )
+        & (n2 > 0)
+    )
+
+
 def semantic_decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -1025,9 +1076,11 @@ def semantic_decontaminate(
     Scale: |bench| is benchmark-sized (bounded); the pair stage is a
     broadcast cross join — corpus-linear at dim·|bench| integer
     multiply-adds per doc, no corpus shuffle beyond the one sum
-    aggregation. For very large benchmark suites, block by SimHash
-    sign-bucket first (the dedup.hamming_near_dups machinery) — same
-    trade the Bloom regime makes for the n-gram path.
+    aggregation. For benchmark suites too large to broadcast, use
+    :func:`semantic_decontaminate_blocked` — the cell-probe regime
+    (EXACTLY the same output, proven complete by the angular triangle
+    inequality) — the same trade the Bloom regime makes for the
+    n-gram path.
 
     Output: one row per corpus doc — (id, n_bench_hits, contaminated).
     Zero-token docs (norm 0) never flag. ``threshold`` must be in
@@ -1035,20 +1088,14 @@ def semantic_decontaminate(
     vectors never divide by zero), which at tau = 0 would diverge from
     ">= threshold" for exactly-orthogonal pairs.
     """
-    from fractions import Fraction
-
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    frac = Fraction(str(threshold)) ** 2
-    p, q = frac.numerator, frac.denominator
+    p, q = _tau_pq(threshold)
 
     # squared norms are per-ROW constants: compute them once per doc /
     # bench row BEFORE the pair join, not dim multiply-adds per PAIR
     # (Catalyst cannot hoist a subexpression across a join)
     def with_norm2(df_, prefix, out):
-        n = sum(
-            (F.col(f"{prefix}{d}") * F.col(f"{prefix}{d}") for d in range(dim)),
-            F.lit(0),
+        n = _bal_sum(
+            F.col(f"{prefix}{d}") * F.col(f"{prefix}{d}") for d in range(dim)
         )
         return df_.withColumn(out, n)
 
@@ -1062,29 +1109,23 @@ def semantic_decontaminate(
         "__b",
         "__n2",
     )
-    dot = sum(
-        (F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)), F.lit(0)
+    dot = _bal_sum(
+        F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)
     )
-    # decimal(38,0) headroom: |s_d| <= n_tokens, so dot, n1, n2 <= dim·T²
-    # and q·dot² <= q·dim²·T⁴ — long overflows near T ~ 55k tokens at
-    # dim 32; exact decimals never do
-    dec = "decimal(38,0)"
     pairs = ds.crossJoin(F.broadcast(bs)).select(
         F.col(id_col),
-        (
-            (dot > 0)
-            & (
-                F.lit(q).cast(dec) * dot.cast(dec) * dot.cast(dec)
-                >= F.lit(p).cast(dec)
-                * F.col("__n1").cast(dec)
-                * F.col("__n2").cast(dec)
-            )
-            & (F.col("__n2") > 0)
-        ).alias("__hit"),
+        _integer_hit(dot, F.col("__n1"), F.col("__n2"), p, q).alias("__hit"),
     )
     hits = pairs.groupBy(id_col).agg(
         F.sum(F.col("__hit").cast("long")).alias("n_bench_hits")
     )
+    return _hits_shape(docs, hits, id_col)
+
+
+def _hits_shape(docs: DataFrame, hits: DataFrame, id_col: str) -> DataFrame:
+    """Shared output shaping for both decontamination regimes: restore
+    every corpus doc (zero-token docs never reach the hit stage) with
+    hit count 0 -> contaminated false."""
     return (
         docs.select(F.col(id_col))
         .join(hits, id_col, "left")
@@ -1094,6 +1135,237 @@ def semantic_decontaminate(
             (F.coalesce("n_bench_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_decontaminate_blocked(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 32,
+    ncells: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`semantic_decontaminate` for benchmark suites too large to
+    broadcast — the large-benchmark regime the Bloom path provides for
+    n-gram decontamination (VERDICT r8 top-next #1). Output is
+    BYTE-IDENTICAL to the broadcast path, not approximately: candidate
+    generation is EXACTLY complete (proof below) and the verdict is the
+    same shared :func:`_integer_hit` integer predicate, so the two
+    regimes cannot disagree on any row.
+
+    Blocking: an IVF-style cell probe with a per-cell radius bound.
+    The ``ncells`` benchmark vectors with the smallest xxhash64(id)
+    serve as deterministic centroids (the ivf_topk seeding idiom); every
+    non-zero benchmark vector is assigned to its max-dot centroid, and
+    each cell records its angular radius phi_c = max angle(b, c) over
+    members. A corpus doc probes cell c iff
+
+        angle(s, c) <= acos(tau) + phi_c + eps        (eps = 1e-6 rad)
+
+    evaluated as dot(s, c_unit) >= cos(A_c) * sqrt(n1) with A_c a
+    per-cell driver constant (A_c >= pi probes unconditionally).
+
+    EXACTNESS: angle() = acos(cosine) is the geodesic metric on the
+    unit sphere — a true metric, so the triangle inequality holds. For
+    any pair with cos(s, b) >= tau and b in cell c:
+
+        angle(s, c) <= angle(s, b) + angle(b, c) <= acos(tau) + phi_c
+
+    hence s probes c, the pair is generated, and _integer_hit decides
+    it exactly as the broadcast path would. Candidates the probe
+    over-generates are killed by the same predicate. eps absorbs the
+    double-rounding of the probe constants (~1e-13 rad, six orders
+    below the margin); the verdict itself never touches a float.
+
+    Why not SimHash sign-bucket banding (the documented-but-unbuilt r8
+    sketch): at tau = 0.8 the per-bit sign-agreement probability for
+    correlated hashed embeddings is ~1 - acos(0.8)/pi ~ 0.795, so a
+    band of width w collides with probability 0.795^w (w=16 -> 0.025)
+    — recall at the tau boundary demands hundreds of bands while
+    narrow bands (w <= 4) collide on ~2 random cells per pair and
+    regenerate the cross join. Worse, no Hamming bound is COMPLETE for
+    the tau band: one dominant coordinate keeps cos >= tau with every
+    other sign flipped, so banding could only ever offer a recall
+    argument. The cell-probe bound is exact, with the same
+    corpus-linear probe cost.
+
+    Scale: the benchmark side is never broadcast and never crossed with
+    the corpus — bench flows through one sum aggregation, one tiny
+    centroid collect (ncells rows), one Arrow GEMM assignment pass and
+    one radius aggregation (ncells rows); the corpus pays its one sum
+    aggregation plus ONE Arrow-batch numpy GEMM per partition (the
+    emb_near_dup blocked-GEMM idiom — a wide Catalyst column tree here
+    would blow the 64 KB codegen method limit and fall back to
+    interpreted eval, measured 6x slower), then ONLY the qualifying
+    (doc, cell) rows shuffle into a cell-keyed equi-join against the
+    benchmark cells (AQE handles cell skew). Candidate volume is sum
+    over probed cells of |cell| — bounded by geometry, degrading toward
+    the cross join only if every doc aims at every cell (an
+    unclustered-benchmark worst case that stays corpus-linear)."""
+    import math
+
+    p, q = _tau_pq(threshold)
+    eps = 1e-6
+    theta_tau = math.acos(threshold)
+
+    # NOTE on expression shape: the squared norms are NOT built as
+    # 32-term Catalyst Add chains here (the broadcast path's form).
+    # Under this path's equi-join + AQE planning, canonicalization of
+    # large commutative Add chains (CommutativeExpression
+    # .orderCommutative) blows the driver heap — observed OOM at 8g on
+    # a 500-doc corpus. The norms are instead computed EXACTLY in the
+    # Arrow stages below as int64 (coordinates are bounded by token
+    # count, so the sums stay far below 2^63), and the only norm logic
+    # in SQL is a non-commutative `greatest` zero-norm guard.
+    ds = _hashed_sums(docs, dim, text_col, id_col)
+
+    bs = _hashed_sums(bench, dim, text_col, id_col).select(
+        F.col(id_col).alias("__bid"),
+        *[F.col(f"__s{d}").alias(f"__b{d}") for d in range(dim)],
+    )
+    # zero-norm bench vectors can never satisfy the predicate (__n2 > 0
+    # is part of _integer_hit) — drop them before they'd poison a cell
+    nonzero = F.greatest(*[F.abs(F.col(f"__b{d}")) for d in range(dim)]) > 0
+    bs = bs.filter(nonzero)
+
+    # deterministic centroids: ncells lowest-xxhash64 bench vectors
+    # (ivf_topk's seeded-reservoir idiom), unit-normalized at the driver
+    cent_rows = (
+        bs.orderBy(F.xxhash64(F.col("__bid")), F.col("__bid"))
+        .limit(ncells)
+        .collect()
+    )
+    if not cent_rows:
+        # empty / all-zero benchmark: nothing can be contaminated
+        return _hits_shape(
+            docs, ds.select(id_col, F.lit(0).alias("n_bench_hits")).limit(0),
+            id_col,
+        )
+    import numpy as np
+
+    cent = np.array(
+        [[float(r[f"__b{d}"]) for d in range(dim)] for r in cent_rows],
+        dtype=np.float64,
+    )
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_t = cent.T  # dim x C, the GEMM operand
+
+    # The float stages (assignment / probe) are Arrow-vectorized numpy
+    # GEMMs (the emb_near_dup blocked-GEMM precedent) rather than
+    # Catalyst column trees: ncells*dim multiply-adds per row as wide
+    # expressions blow past the JVM's 64 KB codegen method limit when
+    # fused into the sum aggregate's output (observed at ncells=16,
+    # dim=32 — Spark falls back to interpreted eval, ~6x slower), while
+    # one matrix multiply per Arrow batch is a few microseconds per
+    # thousand rows. The integer columns ride the batch untouched; the
+    # exact verdict never leaves the JVM.
+    b_cols = [f"__b{d}" for d in range(dim)]
+    s_cols = [f"__s{d}" for d in range(dim)]
+
+    def assign_fn(batches):
+        for pdf in batches:
+            Mi = pdf[b_cols].to_numpy(dtype=np.int64)
+            M = Mi.astype(np.float64)
+            dots = M @ cent_t
+            # argmax: first occurrence -> lowest cell id on exact ties
+            cell = dots.argmax(axis=1)
+            best = dots[np.arange(len(pdf)), cell]
+            n2 = (Mi * Mi).sum(axis=1)  # exact int64 squared norm
+            pdf = pdf.copy()
+            pdf["__n2"] = n2
+            pdf["__cell"] = cell.astype("int32")
+            pdf["__ang"] = np.arccos(
+                np.clip(best / np.sqrt(n2.astype(np.float64)), -1.0, 1.0)
+            )
+            yield pdf
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    b_schema = StructType(
+        bs.schema.fields
+        + [
+            StructField("__n2", LongType()),
+            StructField("__cell", IntegerType()),
+            StructField("__ang", DoubleType()),
+        ]
+    )
+    # persist + materialize: the assigned benchmark index is needed
+    # TWICE (radius collect below + the candidate join) — materialize
+    # once instead of recomputing the bench sums, and let the analyzer
+    # swap the cached InMemoryRelation in as a LEAF. The leaf-ing also
+    # matters for the PLANNER: joining two mapInPandas outputs whose
+    # lineages both carry the 33-column sum aggregate sends Catalyst
+    # constraint propagation into a heap-exhausting blowup (driver OOM
+    # at 8g on a 500-doc corpus, getAllValidConstraints in the stack;
+    # either side alone plans fine). persist, not localCheckpoint: the
+    # .rdd conversion inside localCheckpoint replans the Python-stage
+    # query down a path that hits the same blowup. Cost: one
+    # bench-sized cached dataset — the IVF-index build, the same trade
+    # the Bloom regime's bitset build makes.
+    b_assigned = bs.mapInPandas(assign_fn, b_schema).persist()
+    b_assigned.count()
+    radii = {
+        r["__cell"]: r["phi"]
+        for r in b_assigned.groupBy("__cell")
+        .agg(F.max("__ang").alias("phi"))
+        .collect()
+    }
+
+    # corpus probe: cell c qualifies iff angle(s, c) <= theta_tau +
+    # phi_c + eps, evaluated as dot >= cos(A_c)·sqrt(n1) (A_c >= pi
+    # probes unconditionally); cells nobody was assigned to are never
+    # probed. Probe constants are driver floats; eps covers their
+    # rounding.
+    probed = sorted(radii.items())
+    probe_ids = np.array([j for j, _ in probed], dtype=np.int32)
+    cos_a = np.array(
+        [
+            -2.0  # below any cosine -> always probe
+            if theta_tau + phi + eps >= math.pi
+            else math.cos(theta_tau + phi + eps)
+            for _, phi in probed
+        ],
+        dtype=np.float64,
+    )
+    probe_t = cent_t[:, [j for j, _ in probed]]
+
+    def probe_fn(batches):
+        for pdf in batches:
+            Mi = pdf[s_cols].to_numpy(dtype=np.int64)
+            M = Mi.astype(np.float64)
+            n1 = (Mi * Mi).sum(axis=1)  # exact int64 squared norm
+            dots = M @ probe_t
+            mask = dots >= np.outer(np.sqrt(n1.astype(np.float64)), cos_a)
+            mask &= (n1 > 0)[:, None]
+            ri, cj = np.nonzero(mask)
+            out = pdf.iloc[ri].copy()
+            out["__n1"] = n1[ri]
+            out["__cell"] = probe_ids[cj]
+            yield out
+
+    s_schema = StructType(
+        ds.schema.fields
+        + [StructField("__n1", LongType()), StructField("__cell", IntegerType())]
+    )
+    probes = ds.mapInPandas(probe_fn, s_schema)
+
+    dot = _bal_sum(
+        F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)
+    )
+    hits = (
+        probes.join(b_assigned, "__cell")
+        .filter(_integer_hit(dot, F.col("__n1"), F.col("__n2"), p, q))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    )
+    return _hits_shape(docs, hits, id_col)
 
 
 def semantic_decontaminate_sql(
