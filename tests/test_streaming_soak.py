@@ -1,0 +1,195 @@
+"""Live multi-trigger streaming soak (VERDICT r8 #2).
+
+Every streaming oracle row drains via availableNow and the recovery
+tests prove checkpoint state survives restarts — but none of that runs
+the engine the way the reference runs it: MetricScanner.run()
+(server/.../MetricScanner.java:202-268) is a FOREVER loop consuming
+data as it arrives, not a bounded drain. This test runs the real
+summarization query under a processing-time trigger for N >= 5
+micro-batches with files landing BETWEEN triggers (explicit increasing
+mtimes — the r8 X5 lesson: FileStreamSource orders by modification
+time, and a late mtime racing ahead drops other files' rows as "late"
+data), then asserts
+
+  1. at least 5 distinct data-carrying micro-batches actually ran
+     (this was live consumption, not one big drain),
+  2. the final sink equals the batch oracle over every closed window
+     (no loss, no duplicates, no late-drop across trigger boundaries),
+  3. the windowed-aggregation state stayed bounded by the open
+     (series, window) pairs throughout — the state-eviction claim
+     measured under live triggers, not asserted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+B = 1_447_767_913_000
+BA = B - (B % 60_000)  # 60s-window-aligned epoch base
+
+N_FILES = 5
+SERIES = ("h1", "h2")
+
+
+def _pt(ts, value, host):
+    return {"metric": "m", "ts": ts, "value": float(value),
+            "tags": {"host": host}}
+
+
+def _rows_consumed(q):
+    return sum((p.numInputRows or 0) for p in q.recentProgress)
+
+
+def _wait(pred, timeout=90, interval=0.25, msg="condition"):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return
+        time.sleep(interval)
+    raise AssertionError(f"soak timed out waiting for {msg}")
+
+
+def test_summarize_soak_live_triggers(spark, tmp_path):
+    from timely_spark.streaming.summarize import (
+        summarization_query,
+        summarize_batch,
+    )
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema = "metric string, ts long, value double, tags map<string,string>"
+
+    # file i fills window Wi for both series AND (for i > 0) its max
+    # event time pushes the watermark past W(i-1)'s end, closing it:
+    # the per-trigger cadence closes exactly one more window per file
+    def file_rows(i):
+        rows = []
+        for j, host in enumerate(SERIES):
+            base = BA + i * 60_000
+            rows += [
+                _pt(base, 10 * i + j, host),
+                _pt(base + 20_000, 10 * i + j + 1, host),
+                _pt(base + 50_000, 10 * i + j + 2, host),
+            ]
+        return rows
+
+    all_rows = []
+
+    def write_file(idx, rows, mtime_s):
+        p = src / f"f{idx}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        # explicit increasing mtimes (r8 X5 lesson)
+        os.utime(p, (mtime_s, mtime_s))
+        all_rows.extend(rows)
+
+    t0 = time.time()
+    write_file(0, file_rows(0), t0)
+
+    q = summarization_query(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        window_seconds=60,
+        checkpoint=ck,
+        out_path=out,
+        watermark_seconds=10,
+        exact=True,
+        processing_time="500 milliseconds",
+    )
+    try:
+        # land each subsequent file only after the stream has CONSUMED
+        # everything written so far — every file is then processed by a
+        # LATER trigger than its predecessor (genuine multi-trigger
+        # consumption, not one backlog drain)
+        for i in range(1, N_FILES):
+            expect = len(all_rows)
+            _wait(
+                lambda: _rows_consumed(q) >= expect,
+                msg=f"consumption of file {i - 1}",
+            )
+            write_file(i, file_rows(i), t0 + i)
+
+        # sentinel far ahead: closes W(N-1)
+        _wait(lambda: _rows_consumed(q) >= len(all_rows), msg="last file")
+        write_file(
+            N_FILES,
+            [_pt(BA + (N_FILES + 10) * 60_000, 0.0, "h1")],
+            t0 + N_FILES,
+        )
+
+        # all N_FILES windows closed for both series -> 2 * N_FILES rows
+        def sink_complete():
+            try:
+                return (
+                    spark.read.parquet(out)
+                    .filter(F.col("bucket_ts") < BA + N_FILES * 60_000)
+                    .count()
+                    == 2 * N_FILES
+                )
+            except Exception:
+                return False
+
+        _wait(sink_complete, msg="all windows closed in the sink")
+
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    # 1. live multi-trigger consumption: >= N_FILES distinct batches
+    #    carried input rows (each file landed after the previous one was
+    #    consumed, so no two files share a batch)
+    data_batches = [p for p in progresses if (p.numInputRows or 0) > 0]
+    assert len(data_batches) >= N_FILES, (
+        f"expected >= {N_FILES} data-carrying triggers, saw "
+        f"{len(data_batches)}"
+    )
+    assert len({p.batchId for p in data_batches}) >= N_FILES
+
+    # 2. sink == batch oracle over closed windows (loss/dup/late-drop)
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("bucket_ts") < BA + N_FILES * 60_000)
+        .collect()
+    )
+    keys = [(r["tags"]["host"], r["bucket_ts"]) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate (series, window) rows"
+    allpts = spark.createDataFrame(
+        [(r["metric"], r["ts"], r["value"], r["tags"]) for r in all_rows],
+        schema,
+    )
+    expect = {
+        (r["tags"]["host"], r["bucket_ts"]): (r["n"], r["sum_value"])
+        for r in summarize_batch(allpts, window_ms=60_000, exact=True)
+        .filter(F.col("bucket_ts") < BA + N_FILES * 60_000)
+        .collect()
+    }
+    got_m = {
+        (r["tags"]["host"], r["bucket_ts"]): (r["n"], r["sum_value"])
+        for r in got
+    }
+    assert got_m == expect
+
+    # 3. state bounded by open (series, window) pairs at every trigger:
+    #    at most one in-fill window per series plus the not-yet-evicted
+    #    just-closed one, plus the sentinel's — never the whole history
+    max_state = max(
+        (
+            op.numRowsTotal
+            for p in progresses
+            for op in p.stateOperators
+            if op.numRowsTotal is not None
+        ),
+        default=0,
+    )
+    bound = len(SERIES) * 2 + 1  # 2 live windows/series + sentinel
+    assert 0 < max_state <= bound, (
+        f"state rows peaked at {max_state}, bound {bound} — windowed "
+        "state is not being evicted under live triggers"
+    )

@@ -105,6 +105,7 @@ def summarization_query(
     watermark_seconds: int = 120,
     exact: bool = False,
     available_now: bool = False,
+    processing_time: str | None = None,
 ):
     """Streaming variant: event-time tumbling window + watermark,
     append-mode Parquet sink (points flow back into the lake as
@@ -151,6 +152,11 @@ def summarization_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        # the forever-loop mode (MetricScanner.run() is a loop, not a
+        # drain): fire on a wall-clock cadence and keep running as new
+        # files land — the soak test's mode (tests/test_streaming_soak)
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
 
 
