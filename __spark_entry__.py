@@ -1373,9 +1373,12 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     candidates re-score in exact cosine against their full vectors — the
     production recall-recovery stage over emb_ivfpq_ann's index.
     Bounded-oracle verdict: mean recall@10 over 20 queries vs exact
-    cosine, floor 0.90 — r8 adopts the sweep's nprobe=32 point (VERDICT
+    cosine, floor 0.85 — r8 adopted the sweep's nprobe=32 point (VERDICT
     r7 #2): recall@10 0.735 -> 0.965 at sf0.1 / 0.995 at sf0.01, both
-    measured before pinning. nprobe == ncells means the ADC stage scans
+    measured before pinning; r9 eases the floor 0.90 -> 0.85 (ADVICE r8
+    #3: the driver REGENERATES testdata between rounds, and a 0.90
+    floor left thin margin against a reseeded corpus — the operating
+    point is unchanged, only the floor carries reseed headroom). nprobe == ncells means the ADC stage scans
     every cell at THIS corpus size — the pruning the row demonstrates is
     the PQ candidate cut (k*rerank exact re-scores, not |corpus|); at
     production scale ncells grows with the corpus and nprobe/ncells
@@ -1390,7 +1393,7 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _ann_queries(emb)
     ann = ivfpq_rerank_topk(emb, q, dim=64, k=10, rerank=8, ncells=32, nprobe=32)
-    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.90)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.85)
 
 
 def q_tpch_q4ish(spark, sf_dir):
@@ -2150,16 +2153,21 @@ def q_emb_knn_lsh(spark, sf_dir):
 
 def q_emb_knn_ivf(spark, sf_dir):
     """IVF-style ANN: coarse-quantize to seeded centroids, probe nearest
-    cells. Bounded recall verdict: floor 0.50 — the r7 nprobe sweep
-    (RECALL.json knn_sweep) moved nprobe 4 -> 8 at ncells=16,
-    recall@10 0.53 -> 0.765 at sf0.1 and FASTER (fewer empty probe
-    rounds); at production ncells the probe fraction stays small."""
+    cells. Bounded recall verdict: floor 0.80 — r9 adopts the sweep's
+    nprobe=12 point (VERDICT r8 #5: ivf was the one variant left at
+    0.765 after the r8 promotions): recall@10 0.905 at sf0.1 / 0.885
+    at sf0.01 / 0.895 at sf0.001, all measured before pinning, and
+    FASTER than the old nprobe=8 point (2.0 vs 3.0 s — fewer empty
+    re-probe rounds dominate the saved cells). nprobe/ncells = 12/16
+    at THIS corpus size; at production scale ncells grows with the
+    corpus and the probe fraction shrinks back (the rerank row's
+    documented sizing note applies verbatim)."""
     from timely_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _ann_queries(emb)
-    ann = ivf_topk(emb, q, k=10, ncells=16, nprobe=8)
-    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.50)
+    ann = ivf_topk(emb, q, k=10, ncells=16, nprobe=12)
+    return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.80)
 
 
 def q_media_near_dup(spark, sf_dir):
@@ -3676,7 +3684,9 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""",
         # recall-floor boolean; the oracle pins it TRUE — sub-floor
         # recall hash-mismatches the row
         "emb_knn_lsh": _ann_verdict_sql(0.80),
-        "emb_ivfpq_rerank": _ann_verdict_sql(0.90),
+        # r9: floor eased 0.90 -> 0.85 for testdata-reseed headroom
+        # (ADVICE r8 #3); operating point unchanged, measured 0.965/0.995
+        "emb_ivfpq_rerank": _ann_verdict_sql(0.85),
         "doc_trained_classifier": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(0.7 AS DOUBLE) AS auc_floor, TRUE AS auc_ok
@@ -3710,7 +3720,9 @@ FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id""",
         # contraction bound — same bounded-oracle pattern
         "emb_pq_ann": _ann_verdict_sql(0.40),
         "emb_ivfpq_ann": _ann_verdict_sql(0.40),
-        "emb_knn_ivf": _ann_verdict_sql(0.50),
+        # r9: floor raised 0.50 -> 0.80 with the nprobe=12 promotion
+        # (measured 0.885-0.905 across all three scales first)
+        "emb_knn_ivf": _ann_verdict_sql(0.80),
         "emb_pca_project": """
 SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS contraction_ok
 FROM embeddings""",

@@ -562,6 +562,12 @@ PLAN_CHANGED_THIS_ROUND = {
     # r9 new row (first driver evidence): the large-benchmark
     # cell-probe decontamination regime (VERDICT r8 top-next #1)
     "doc_semantic_decontaminate_blocked",
+    # r9 IVF promotion (VERDICT r8 #5): nprobe 8 -> 12 at ncells=16,
+    # recall 0.765 -> 0.905, floor 0.50 -> 0.80 on both oracle sides
+    "emb_knn_ivf",
+    # r9 floor easing only (ADVICE r8 #3 reseed headroom): 0.90 -> 0.85
+    # on both oracle sides; operating point unchanged
+    "emb_ivfpq_rerank",
     # r9: the broadcast row's plan changed shape-neutrally too (the
     # verdict predicate refactored onto the shared _integer_hit /
     # _tau_pq helpers) — already in-prefix, re-verified

@@ -58,7 +58,8 @@ def measure(spark, sf_dir: str) -> dict:
         # r8 defaults: the registry rows' operating points (VERDICT r7
         # #2 — lsh 4x16 / rerank nprobe=32 promoted from the sweeps)
         "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=4, tables=16),
-        "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=8),
+        # r9 default from the nprobe sweep (VERDICT r8 #5)
+        "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=12),
         # r7 defaults from the (m, ksub) sweep below (VERDICT r6 #4)
         "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=16, ksub=64),
         "ivfpq": lambda: ivfpq_topk(
@@ -122,7 +123,7 @@ def measure(spark, sf_dir: str) -> dict:
             f"ivf ncells={nc},nprobe={np_}": round(
                 recall_of(ivf_topk(emb, q, k=K, ncells=nc, nprobe=np_)), 4
             )
-            for nc, np_ in ((16, 4), (16, 6), (16, 8), (32, 12))
+            for nc, np_ in ((16, 6), (16, 8), (16, 10), (16, 12), (32, 12))
         },
         **{
             f"lsh planes={pl},tables={tb}": round(

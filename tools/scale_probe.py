@@ -81,6 +81,51 @@ def build_docs(spark, sf_dir: str, out: str) -> None:
     df.write.mode("overwrite").parquet(out)
 
 
+def build_docs_perm(spark, sf_dir: str, out: str, replicas: int) -> None:
+    """Permutation-salted xN documents (r9, VERDICT r8 #3 — the x100
+    probe). Rotations repeat at 26 replicas, which beyond x26 would
+    plant cross-replica EXACT token duplicates and quadratically
+    inflate pair outputs (fixture artifact, not operator cost); per-
+    replica SEEDED PERMUTATIONS of [a-z]/[A-Z]/[0-9] are distinct for
+    every r, and a 16-token window colliding across two distinct
+    permutations would need every character of every token to be a
+    fixed point of the composed permutation — vanishing. Replica 0 is
+    the unmodified original. ``source`` is salted per replica: a 100x
+    corpus has MORE sources, not 100x-bigger blocks — the
+    block-exhaustive pair contract (doc_ngram_jaccard) would otherwise
+    measure a quadratic fixture artifact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    src = (
+        string.ascii_lowercase + string.ascii_uppercase + string.digits
+    )
+    parts = [base]
+    for r in range(1, replicas):
+        rng = random.Random(r)
+        lo = list(string.ascii_lowercase)
+        up = list(string.ascii_uppercase)
+        dg = list(string.digits)
+        for chars in (lo, up, dg):
+            rng.shuffle(chars)
+        dst = "".join(lo + up + dg)
+        parts.append(
+            base.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                F.translate("text", src, dst).alias("text"),
+                F.concat(F.col("source"), F.lit(f"#{r}")).alias("source"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(out)
+
+
 def build_embeddings(spark, sf_dir: str, out: str) -> None:
     from pyspark.sql import functions as F
 
@@ -238,6 +283,55 @@ def main() -> int:
             }
             print(f"classifier {t1:.2f} -> {t10:.2f}", file=sys.stderr)
 
+        # --- x100 decade probes (VERDICT r8 #3): the three heaviest
+        # text rows, measured x1 -> x10 -> x100 on the permutation-
+        # salted corpus. x1/x10 warm best-of-2; x100 a single timed run
+        # (the warm-up is the x10 run of the same plan).
+        X100 = ("doc_substring_dedup", "doc_substring_rewrite",
+                "doc_ngram_jaccard")
+        if any(want(n) for n in X100):
+            from timely_spark.operators.dedup import (
+                ngram_jaccard_pairs,
+                repeated_span_stats,
+                substring_dedup_rewrite,
+            )
+
+            d10p = os.path.join(tmp, "docs10p")
+            d100p = os.path.join(tmp, "docs100p")
+            build_docs_perm(spark, sf_dir, d10p, 10)
+            build_docs_perm(spark, sf_dir, d100p, 100)
+            frames = {
+                "x1": spark.read.parquet(
+                    f"{sf_dir}/documents.parquet"
+                ).select("doc_id", "text", "source"),
+                "x10": spark.read.parquet(d10p),
+                "x100": spark.read.parquet(d100p),
+            }
+            runners = {
+                "doc_substring_dedup": lambda df: repeated_span_stats(
+                    df, window=16
+                ).count(),
+                "doc_substring_rewrite": lambda df: substring_dedup_rewrite(
+                    df, window=16
+                ).count(),
+                "doc_ngram_jaccard": lambda df: ngram_jaccard_pairs(
+                    df, block_col="source", n=3, threshold=0.0
+                ).count(),
+            }
+            for name in X100:
+                if not want(name):
+                    continue
+                run = runners[name]
+                res = {}
+                for scale, df in frames.items():
+                    n = 1 if scale == "x100" else 2
+                    res[scale] = round(
+                        best_of(lambda: run(df), n=n), 2
+                    )
+                    print(f"{name} {scale}: {res[scale]}s",
+                          file=sys.stderr)
+                results[name] = res
+
         # --- media_video_near_dup ------------------------------------
         # fixture BUILT OUTSIDE the timed region (driver-side AVI
         # synthesis is test scaffolding, not the operator)
@@ -308,6 +402,10 @@ def main() -> int:
 
     for k, v in results.items():
         v["ratio"] = round(v["x10"] / max(v["x1"], 1e-9), 1)
+        if "x100" in v:
+            v["ratio_x100_x10"] = round(
+                v["x100"] / max(v["x10"], 1e-9), 1
+            )
     print(json.dumps({"sf_dir": sf_dir, "replicas": REPLICAS,
                       "results": results}))
     return 0
