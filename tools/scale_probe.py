@@ -307,16 +307,27 @@ def main() -> int:
                 "x10": spark.read.parquet(d10p),
                 "x100": spark.read.parquet(d100p),
             }
+            # force FULL evaluation: a bare count() lets Catalyst prune
+            # the span/rewrite computation down to a row count (first
+            # x100 attempt measured 0.6 s for a 6.9 s operator) — fold
+            # every output column into one checksum instead
+            def checksum(df):
+                return df.agg(
+                    F.sum(F.xxhash64(*df.columns)).alias("c")
+                ).collect()[0]["c"]
+
             runners = {
-                "doc_substring_dedup": lambda df: repeated_span_stats(
-                    df, window=16
-                ).count(),
-                "doc_substring_rewrite": lambda df: substring_dedup_rewrite(
-                    df, window=16
-                ).count(),
-                "doc_ngram_jaccard": lambda df: ngram_jaccard_pairs(
-                    df, block_col="source", n=3, threshold=0.0
-                ).count(),
+                "doc_substring_dedup": lambda df: checksum(
+                    repeated_span_stats(df, window=16)
+                ),
+                "doc_substring_rewrite": lambda df: checksum(
+                    substring_dedup_rewrite(df, window=16)
+                ),
+                "doc_ngram_jaccard": lambda df: checksum(
+                    ngram_jaccard_pairs(
+                        df, block_col="source", n=3, threshold=0.0
+                    )
+                ),
             }
             for name in X100:
                 if not want(name):
