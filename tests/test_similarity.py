@@ -213,6 +213,20 @@ def test_ann_recall_artifact_at_scale(spark):
     )
     assert artifact["rerank_sweep"] == sweep
 
+    # ADVICE r8 #3 automated: the driver REGENERATES testdata between
+    # rounds, and a registry recall floor with no headroom against the
+    # live measurement hash-mismatches a whole row on the next reseed.
+    # These literals mirror the _ann_recall_verdict floors in
+    # __spark_entry__.py (change them together); the margin is the
+    # early-warning buffer — if this fires, either re-sweep the
+    # operating point or ease the floor BEFORE the driver gates on it.
+    registry_floors = {"lsh": 0.80, "ivf": 0.80, "ivfpq_rerank": 0.85}
+    for name, floor in registry_floors.items():
+        assert r[name] >= floor + 0.02, (
+            f"{name} recall {r[name]} has <0.02 headroom over its "
+            f"registry floor {floor} — reseed hazard (ADVICE r8 #3)"
+        )
+
 
 def test_pair_alignment_planted(spark):
     """CLIP-style alignment filter: an aligned (image, caption) pair

@@ -193,3 +193,132 @@ def test_summarize_soak_live_triggers(spark, tmp_path):
         f"state rows peaked at {max_state}, bound {bound} — windowed "
         "state is not being evicted under live triggers"
     )
+
+
+def test_sessionize_soak_live_triggers(spark, tmp_path):
+    """Sessionize sibling of the summarize soak: session_window's
+    MERGING state (not a tumbling window) under a live processing-time
+    trigger — sessions opened in one trigger close in a later one when
+    the watermark passes (last event + gap), the sink matches the batch
+    oracle over closed sessions, and open-session state stays bounded."""
+    from timely_spark.streaming.sessionize import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema = "user_id long, ts_ms long, value double"
+    gap_min = 1
+    users = (1, 2)
+
+    # file i: a 30s burst per user at BA + i*10min — bursts are 10min
+    # apart (>> the 1min gap), so each file opens a NEW session per user
+    # and its events close the PREVIOUS file's sessions via watermark
+    def file_rows(i):
+        base = BA + i * 600_000
+        return [
+            (u, base + j * 15_000, float(10 * i + u + j))
+            for u in users
+            for j in range(3)
+        ]
+
+    all_rows = []
+
+    def write_file(idx, rows, mtime_s):
+        p = src / f"f{idx}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"user_id": r[0], "ts_ms": r[1], "value": r[2]})
+                for r in rows
+            )
+            + "\n"
+        )
+        os.utime(p, (mtime_s, mtime_s))
+        all_rows.extend(rows)
+
+    t0 = time.time()
+    write_file(0, file_rows(0), t0)
+    q = sessionize_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        checkpoint=ck,
+        out_path=out,
+        gap_minutes=gap_min,
+        watermark_seconds=10,
+        processing_time="500 milliseconds",
+    )
+    sentinel_base = BA + (N_FILES + 10) * 600_000
+    try:
+        for i in range(1, N_FILES):
+            expect = len(all_rows)
+            _wait(
+                lambda: _rows_consumed(q) >= expect,
+                msg=f"consumption of file {i - 1}",
+            )
+            write_file(i, file_rows(i), t0 + i)
+        _wait(lambda: _rows_consumed(q) >= len(all_rows), msg="last file")
+        write_file(N_FILES, [(1, sentinel_base, 0.0)], t0 + N_FILES)
+
+        def sink_complete():
+            try:
+                return (
+                    spark.read.parquet(out)
+                    .filter(F.col("session_start_ms") < sentinel_base)
+                    .count()
+                    == len(users) * N_FILES
+                )
+            except Exception:
+                return False
+
+        _wait(sink_complete, msg="all sessions closed in the sink")
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    data_batches = [p for p in progresses if (p.numInputRows or 0) > 0]
+    assert len(data_batches) >= N_FILES
+    assert len({p.batchId for p in data_batches}) >= N_FILES
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("session_start_ms") < sentinel_base)
+        .collect()
+    )
+    keys = [(r["user_id"], r["session_start_ms"]) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate session emission"
+    batch = sessionize(
+        spark.createDataFrame(all_rows, schema), gap_minutes=gap_min
+    )
+    expect = {
+        (r["user_id"], r["session_start_ms"]): (
+            r["n_events"], r["duration_ms"], r["sum_value"]
+        )
+        for r in batch.filter(
+            F.col("session_start_ms") < sentinel_base
+        ).collect()
+    }
+    got_m = {
+        (r["user_id"], r["session_start_ms"]): (
+            r["n_events"], r["duration_ms"], r["sum_value"]
+        )
+        for r in got
+    }
+    assert got_m == expect
+
+    max_state = max(
+        (
+            op.numRowsTotal
+            for p in progresses
+            for op in p.stateOperators
+            if op.numRowsTotal is not None
+        ),
+        default=0,
+    )
+    bound = len(users) * 2 + 1  # open + not-yet-evicted per user + sentinel
+    assert 0 < max_state <= bound, (
+        f"session state peaked at {max_state}, bound {bound}"
+    )

@@ -111,6 +111,7 @@ def sessionize_stream(
     ts_ms_col: str = "ts_ms",
     value_col: str = "value",
     available_now: bool = False,
+    processing_time: str | None = None,
 ):
     """Streaming sessionization: the same session_window aggregation with
     a watermark; Spark's state store keeps open sessions across
@@ -148,4 +149,7 @@ def sessionize_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        # forever-loop mode for the live soak (tests/test_streaming_soak)
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
