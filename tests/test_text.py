@@ -1184,3 +1184,50 @@ def test_curate_screen_plus_rewrite_keeper_among_survivors(spark, tmp_path):
     assert 1 not in texts
     # doc 7 keeps the passage: among survivors it is unique content
     assert "plag0" in texts[7] and "plag24" in texts[7]
+
+
+def test_curate_cli_semantic_decon_regimes(spark, tmp_path):
+    """--semantic-decon screens paraphrased benchmark leakage through
+    whichever regime the measured benchmark size selects: a planted
+    token-reordered copy of a benchmark doc (invisible to the 8-gram
+    --bench stage) is removed in BOTH the broadcast and the blocked
+    regime, with identical survivor sets and the regime recorded in the
+    provenance stats."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    bench_text = " ".join(f"bench{i}" for i in range(40))
+    para = " ".join(bench_text.split()[::-1][:-2] + ["extra", "words"])
+    rows = [(i, "web", filler + f" unique{i}") for i in range(10)]
+    rows.append((50, "web", para))  # paraphrased benchmark leak
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(1000, bench_text)], ["doc_id", "text"]
+    ).write.parquet(str(tmp_path / "bench.parquet"))
+
+    def run(name, blocked_over):
+        out = str(tmp_path / name)
+        stats = curate(
+            spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0,
+            bench_path=str(tmp_path / "bench.parquet"),
+            semantic_decon=0.9, semantic_blocked_over=blocked_over,
+        )
+        back = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        return stats, back
+
+    s_b, ids_b = run("packed_broadcast", 100_000)  # 1 bench doc -> broadcast
+    s_k, ids_k = run("packed_blocked", 0)          # force the cell probe
+    assert s_b["semantic_decon_regime"] == "broadcast"
+    assert s_k["semantic_decon_regime"] == "blocked"
+    # the paraphrase is gone in both regimes; n-gram decon alone (the
+    # --bench stage) did NOT catch it (it survived to the semantic stage)
+    assert 50 not in ids_b and 50 not in ids_k
+    assert s_b["n_decontaminated"] == s_k["n_decontaminated"]
+    assert s_b["n_decontaminated"] > s_b["n_semantic_decon"]
+    # dual-path identity at the pipeline level
+    assert ids_b == ids_k
+    assert s_b["n_semantic_decon"] == s_k["n_semantic_decon"]

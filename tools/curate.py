@@ -63,7 +63,9 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            minhash_threshold: float | None = None, line_dedup: bool = False,
            semantic_threshold: float | None = None,
            max_dup_frac: float | None = None,
-           substring_rewrite: bool = False):
+           substring_rewrite: bool = False,
+           semantic_decon: float | None = None,
+           semantic_blocked_over: int = 100_000):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -155,6 +157,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     )
     n_out = int(agg["n_out"])
     n_decontaminated = n_dsir = n_ppl = n_minhash = n_semantic = None
+    n_semantic_decon = semantic_decon_regime = None
     n_substring = n_excise_fallback = None
     try:
         if minhash_threshold is not None and n_out:
@@ -325,6 +328,46 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 "doc_id",
             )
             n_out = n_decontaminated = survivors.count()
+        if bench_path and semantic_decon is not None and n_out:
+            # PARAPHRASE decontamination against the same benchmark:
+            # the embedding-space screen that catches reordered/edited
+            # leakage the 8-gram stage structurally misses. Regime is
+            # picked by MEASURED benchmark size, mirroring the
+            # exact-vs-bloom trade: a broadcastable suite cross-joins
+            # against the per-doc sums; past the threshold the
+            # cell-probe path runs instead (byte-identical output by
+            # the operator's exactness proof, benchmark never
+            # broadcast).
+            from timely_spark.operators.similarity import (
+                semantic_decontaminate,
+                semantic_decontaminate_blocked,
+            )
+
+            bench = spark.read.parquet(bench_path)
+            n_bench = bench.count()
+            if n_bench > semantic_blocked_over:
+                semantic_decon_regime = "blocked"
+                flags = semantic_decontaminate_blocked(
+                    survivors.select("doc_id", "text"), bench,
+                    threshold=semantic_decon,
+                )
+            else:
+                semantic_decon_regime = "broadcast"
+                flags = semantic_decontaminate(
+                    survivors.select("doc_id", "text"), bench,
+                    threshold=semantic_decon,
+                )
+            print(
+                f"curate: semantic decontamination regime="
+                f"{semantic_decon_regime} (|bench|={n_bench}, "
+                f"blocked over {semantic_blocked_over})",
+                file=sys.stderr,
+            )
+            survivors = survivors.join(
+                flags.filter(~F.col("contaminated")).select("doc_id"),
+                "doc_id",
+            )
+            n_out = n_semantic_decon = survivors.count()
         if dsir_target and dsir_keep and n_out:
             # DSIR importance resampling toward the target sources
             # (hashed-feature production mode: bounded broadcast table)
@@ -415,6 +458,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "substring_rewrite": substring_rewrite,
         "n_excise_fallback": n_excise_fallback,
         "n_semantic": n_semantic,
+        "n_semantic_decon": n_semantic_decon,
+        "semantic_decon_regime": semantic_decon_regime,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
         "bpe_tokens": bpe_tokens,
@@ -483,6 +528,19 @@ def main() -> int:
                     dest="semantic_threshold", metavar="COSINE",
                     help="SemDeDup: drop non-keeper docs whose embeddings sit "
                          "above this cosine to a lower-id cluster mate")
+    ap.add_argument("--semantic-decon", type=float, default=None,
+                    metavar="COSINE",
+                    help="paraphrase decontamination against --bench: flag "
+                         "docs whose hashed-embedding cosine to ANY "
+                         "benchmark doc clears this threshold (exact "
+                         "integer verdict; regime auto-picked by "
+                         "benchmark size)")
+    ap.add_argument("--semantic-blocked-over", type=int, default=100_000,
+                    metavar="N_DOCS",
+                    help="benchmark size above which --semantic-decon "
+                         "switches from the broadcast cross join to the "
+                         "cell-probe (blocked) regime — byte-identical "
+                         "output, benchmark never broadcast")
     ap.add_argument("--ppl-ref", default=None,
                     help="comma-separated source names defining the perplexity reference LM")
     ap.add_argument("--max-log-ppl", type=float, default=None,
@@ -514,7 +572,9 @@ def main() -> int:
                    line_dedup=args.line_dedup,
                    semantic_threshold=args.semantic_threshold,
                    max_dup_frac=args.max_dup_frac,
-                   substring_rewrite=args.substring_rewrite)
+                   substring_rewrite=args.substring_rewrite,
+                   semantic_decon=args.semantic_decon,
+                   semantic_blocked_over=args.semantic_blocked_over)
     print(json.dumps(stats))
     return 0
 
