@@ -322,3 +322,114 @@ def test_sessionize_soak_live_triggers(spark, tmp_path):
     assert 0 < max_state <= bound, (
         f"session state peaked at {max_state}, bound {bound}"
     )
+
+
+def test_stateful_rate_soak_live_triggers(spark, tmp_path):
+    """Custom-state sibling (applyInPandasWithState): per-series rate
+    state must chain ACROSS live triggers — the first point of each
+    newly-landed file rates against the last point of the previous
+    file through the state store, output equals the batch run over all
+    input, and state stays at exactly one row per series."""
+    from timely_spark.operators.rate import RateOptions
+    from timely_spark.streaming.stateful_rate import streaming_rate
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema = "metric string, ts long, value double, tags map<string,string>"
+
+    def file_rows(i):
+        # 3 points per series per file, ts strictly increasing ACROSS
+        # files: the cross-file deltas only exist if state chains
+        return [
+            _pt(B + (i * 3 + j) * 10_000, (i * 3 + j) ** 2 + k, host)
+            for j in range(3)
+            for k, host in enumerate(SERIES)
+        ]
+
+    all_rows = []
+
+    def write_file(idx, rows, mtime_s):
+        p = src / f"f{idx}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (mtime_s, mtime_s))
+        all_rows.extend(rows)
+
+    t0 = time.time()
+    write_file(0, file_rows(0), t0)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_rate(stream, RateOptions(interval_ms=1000))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        for i in range(1, N_FILES):
+            expect = len(all_rows)
+            _wait(
+                lambda: _rows_consumed(q) >= expect,
+                msg=f"consumption of file {i - 1}",
+            )
+            write_file(i, file_rows(i), t0 + i)
+
+        # every point except each series' first produces a rate row
+        n_expected = N_FILES * 3 * len(SERIES) - len(SERIES)
+
+        def sink_complete():
+            try:
+                return spark.read.parquet(out).count() == n_expected
+            except Exception:
+                return False
+
+        _wait(sink_complete, msg="all rate rows in the sink")
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    data_batches = [p for p in progresses if (p.numInputRows or 0) > 0]
+    assert len(data_batches) >= N_FILES
+    assert len({p.batchId for p in data_batches}) >= N_FILES
+
+    got = {
+        (r["series_key"], r["ts"]): r["value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == n_expected
+    # batch parity vs the BATCH rate operator (the W1 reference shape)
+    # — in particular the cross-FILE deltas must match, which only
+    # happens if streaming state chained across triggers
+    from timely_spark.model import series_id
+    from timely_spark.operators.rate import rate
+
+    batch_pts = spark.createDataFrame(
+        [(r["metric"], r["ts"], r["value"], r["tags"]) for r in all_rows],
+        schema,
+    )
+    expect = {
+        (r["__series"], r["ts"]): r["value"]
+        for r in rate(batch_pts, RateOptions(interval_ms=1000))
+        .withColumn("__series", series_id())
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, rel=1e-12)
+
+    # custom state: exactly one state row per live series, at every
+    # trigger that reported state
+    state_counts = {
+        op.numRowsTotal
+        for p in progresses
+        for op in p.stateOperators
+        if op.numRowsTotal
+    }
+    assert state_counts and max(state_counts) == len(SERIES), state_counts
