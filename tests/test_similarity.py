@@ -458,3 +458,22 @@ def test_semantic_decontaminate_blocked_paraphrase_and_edges(spark):
         ).collect()
     }
     assert zeroed == {1: False, 2: False, 3: False, 4: False}
+
+
+def test_semantic_decontaminate_blocked_plan_shape(spark):
+    """The blocked regime's scale claims, pinned in the plan: no
+    cartesian product, no broadcast-nested-loop, and the candidate
+    stage is a cell-keyed EQUI-join — the benchmark side is never
+    crossed with the corpus."""
+    from timely_spark.operators.similarity import (
+        semantic_decontaminate_blocked,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = semantic_decontaminate_blocked(
+        docs, docs.filter("doc_id % 20 = 0"), threshold=0.95, ncells=8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "__cell" in plan  # the cell-keyed candidate join is present

@@ -1238,8 +1238,13 @@ def semantic_decontaminate_blocked(
     )
     if not cent_rows:
         # empty / all-zero benchmark: nothing can be contaminated
+        # (n_bench_hits cast long so the schema matches the non-empty
+        # path's count()/sum() output exactly)
         return _hits_shape(
-            docs, ds.select(id_col, F.lit(0).alias("n_bench_hits")).limit(0),
+            docs,
+            ds.select(
+                id_col, F.lit(0).cast("long").alias("n_bench_hits")
+            ).limit(0),
             id_col,
         )
     import numpy as np
