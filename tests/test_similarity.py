@@ -477,3 +477,28 @@ def test_semantic_decontaminate_blocked_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "__cell" in plan  # the cell-keyed candidate join is present
+
+
+def test_semantic_decontaminate_blocked_lloyd_identity(spark):
+    """Lloyd refinement is an EFFICIENCY knob, never a semantics knob:
+    any centroid set is a valid index (the per-cell radius bound
+    adapts), so refined cells must produce byte-identical output."""
+    from timely_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blocked,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 20 = 0")
+    want = sorted(
+        map(tuple, semantic_decontaminate(docs, bench, threshold=0.9).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            semantic_decontaminate_blocked(
+                docs, bench, threshold=0.9, ncells=8, lloyd_iters=2
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -1137,6 +1137,186 @@ def _hits_shape(docs: DataFrame, hits: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+
+def _decon_cell_index(bs, dim: int, ncells: int, lloyd_iters: int = 0):
+    """Build the benchmark cell index for the blocked decontamination
+    regime: returns (b_assigned persisted DataFrame, cent C x dim unit
+    ndarray, radii {cell: max angle}), or None for an empty/all-zero
+    benchmark. ``bs`` is the renamed, zero-norm-filtered sums frame.
+
+    Seed centroids are the ncells lowest-xxhash64 bench vectors
+    (ivf_topk's deterministic reservoir); ``lloyd_iters`` optional
+    spherical-k-means refinements recompute each centroid as the
+    normalized mean of its members' unit vectors and reassign — purely
+    an EFFICIENCY knob: any centroid set is a valid index (the radius
+    bound adapts), so the exactness proof is untouched; tighter cells
+    mean smaller radii mean fewer probed cells per corpus doc.
+
+    The float assignment is an Arrow-vectorized numpy GEMM (the
+    emb_near_dup blocked-GEMM precedent) rather than a Catalyst column
+    tree: ncells*dim multiply-adds as wide expressions blow past the
+    JVM's 64 KB codegen method limit when fused into the sum
+    aggregate's output (observed at ncells=16, dim=32 — interpreted
+    fallback, ~6x slower). Integer norms ride along as exact int64.
+
+    The returned index is persist()ed and materialized: it is consumed
+    at least twice (radius collect + candidate join), and the cached
+    InMemoryRelation LEAF keeps Catalyst constraint propagation from a
+    heap-exhausting blowup when the candidate join's other side is
+    also a mapInPandas output over the 33-column sum aggregate (driver
+    OOM at 8g on a 500-doc corpus, getAllValidConstraints in the
+    stack; either side alone plans fine). persist, not
+    localCheckpoint: the .rdd conversion inside localCheckpoint
+    replans the Python-stage query down the same blowing-up path."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cent_rows = (
+        bs.orderBy(F.xxhash64(F.col("__bid")), F.col("__bid"))
+        .limit(ncells)
+        .collect()
+    )
+    if not cent_rows:
+        return None
+    cent = np.array(
+        [[float(r[f"__b{d}"]) for d in range(dim)] for r in cent_rows],
+        dtype=np.float64,
+    )
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    b_cols = [f"__b{d}" for d in range(dim)]
+    b_schema = StructType(
+        bs.schema.fields
+        + [
+            StructField("__n2", LongType()),
+            StructField("__cell", IntegerType()),
+            StructField("__ang", DoubleType()),
+        ]
+    )
+    if lloyd_iters > 0:
+        # refinements re-scan the bench sums once per iteration — cache
+        # them so iterations read the materialized frame
+        bs = bs.persist()
+
+    def assign(cent_t):
+        def assign_fn(batches):
+            for pdf in batches:
+                Mi = pdf[b_cols].to_numpy(dtype=np.int64)
+                M = Mi.astype(np.float64)
+                dots = M @ cent_t
+                # argmax: first occurrence -> lowest cell id on ties
+                cell = dots.argmax(axis=1)
+                best = dots[np.arange(len(pdf)), cell]
+                n2 = (Mi * Mi).sum(axis=1)  # exact int64 squared norm
+                pdf = pdf.copy()
+                pdf["__n2"] = n2
+                pdf["__cell"] = cell.astype("int32")
+                pdf["__ang"] = np.arccos(
+                    np.clip(
+                        best / np.sqrt(n2.astype(np.float64)), -1.0, 1.0
+                    )
+                )
+                yield pdf
+
+        return bs.mapInPandas(assign_fn, b_schema)
+
+    for _ in range(lloyd_iters):
+        means = (
+            assign(cent.T)
+            .groupBy("__cell")
+            .agg(
+                *[
+                    F.avg(
+                        F.col(f"__b{d}")
+                        / F.sqrt(F.col("__n2").cast("double"))
+                    ).alias(f"m{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in means:
+            v = np.array([r[f"m{d}"] for d in range(dim)], dtype=np.float64)
+            nrm = float(np.linalg.norm(v))
+            if nrm > 0:
+                new_cent[r["__cell"]] = v / nrm
+            # zero mean (perfect cancellation) or empty cell: keep the
+            # previous centroid — still a valid index point
+        cent = new_cent
+
+    b_assigned = assign(cent.T).persist()
+    b_assigned.count()
+    radii = {
+        r["__cell"]: r["phi"]
+        for r in b_assigned.groupBy("__cell")
+        .agg(F.max("__ang").alias("phi"))
+        .collect()
+    }
+    return b_assigned, cent, radii
+
+
+def _decon_probes(ds, cent, radii, theta_tau: float, eps: float, id_col: str):
+    """Corpus probe stage: one (doc, cell) row per cell whose probe
+    bound admits the doc — cell c qualifies iff angle(s, c) <=
+    theta_tau + phi_c + eps, evaluated as dot >= cos(A_c)·sqrt(n1)
+    (A_c >= pi probes unconditionally); cells nobody was assigned to
+    are never probed. Probe constants are driver floats; eps covers
+    their rounding. Arrow numpy GEMM for the same codegen-limit reason
+    as the assignment stage; exact int64 norms ride along."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    dim = cent.shape[1]
+    s_cols = [f"__s{d}" for d in range(dim)]
+    probed = sorted(radii.items())
+    probe_ids = np.array([j for j, _ in probed], dtype=np.int32)
+    cos_a = np.array(
+        [
+            -2.0  # below any cosine -> always probe
+            if theta_tau + phi + eps >= math.pi
+            else math.cos(theta_tau + phi + eps)
+            for _, phi in probed
+        ],
+        dtype=np.float64,
+    )
+    probe_t = cent.T[:, [j for j, _ in probed]]
+
+    def probe_fn(batches):
+        for pdf in batches:
+            Mi = pdf[s_cols].to_numpy(dtype=np.int64)
+            M = Mi.astype(np.float64)
+            n1 = (Mi * Mi).sum(axis=1)  # exact int64 squared norm
+            dots = M @ probe_t
+            mask = dots >= np.outer(np.sqrt(n1.astype(np.float64)), cos_a)
+            mask &= (n1 > 0)[:, None]
+            ri, cj = np.nonzero(mask)
+            out = pdf.iloc[ri].copy()
+            out["__n1"] = n1[ri]
+            out["__cell"] = probe_ids[cj]
+            yield out
+
+    s_schema = StructType(
+        ds.schema.fields
+        + [StructField("__n1", LongType()), StructField("__cell", IntegerType())]
+    )
+    return ds.mapInPandas(probe_fn, s_schema)
+
+
 def semantic_decontaminate_blocked(
     docs: DataFrame,
     bench: DataFrame,
@@ -1145,6 +1325,7 @@ def semantic_decontaminate_blocked(
     ncells: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """:func:`semantic_decontaminate` for benchmark suites too large to
     broadcast — the large-benchmark regime the Bloom path provides for
@@ -1229,14 +1410,8 @@ def semantic_decontaminate_blocked(
     nonzero = F.greatest(*[F.abs(F.col(f"__b{d}")) for d in range(dim)]) > 0
     bs = bs.filter(nonzero)
 
-    # deterministic centroids: ncells lowest-xxhash64 bench vectors
-    # (ivf_topk's seeded-reservoir idiom), unit-normalized at the driver
-    cent_rows = (
-        bs.orderBy(F.xxhash64(F.col("__bid")), F.col("__bid"))
-        .limit(ncells)
-        .collect()
-    )
-    if not cent_rows:
+    index = _decon_cell_index(bs, dim, ncells, lloyd_iters)
+    if index is None:
         # empty / all-zero benchmark: nothing can be contaminated
         # (n_bench_hits cast long so the schema matches the non-empty
         # path's count()/sum() output exactly)
@@ -1247,119 +1422,8 @@ def semantic_decontaminate_blocked(
             ).limit(0),
             id_col,
         )
-    import numpy as np
-
-    cent = np.array(
-        [[float(r[f"__b{d}"]) for d in range(dim)] for r in cent_rows],
-        dtype=np.float64,
-    )
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    cent_t = cent.T  # dim x C, the GEMM operand
-
-    # The float stages (assignment / probe) are Arrow-vectorized numpy
-    # GEMMs (the emb_near_dup blocked-GEMM precedent) rather than
-    # Catalyst column trees: ncells*dim multiply-adds per row as wide
-    # expressions blow past the JVM's 64 KB codegen method limit when
-    # fused into the sum aggregate's output (observed at ncells=16,
-    # dim=32 — Spark falls back to interpreted eval, ~6x slower), while
-    # one matrix multiply per Arrow batch is a few microseconds per
-    # thousand rows. The integer columns ride the batch untouched; the
-    # exact verdict never leaves the JVM.
-    b_cols = [f"__b{d}" for d in range(dim)]
-    s_cols = [f"__s{d}" for d in range(dim)]
-
-    def assign_fn(batches):
-        for pdf in batches:
-            Mi = pdf[b_cols].to_numpy(dtype=np.int64)
-            M = Mi.astype(np.float64)
-            dots = M @ cent_t
-            # argmax: first occurrence -> lowest cell id on exact ties
-            cell = dots.argmax(axis=1)
-            best = dots[np.arange(len(pdf)), cell]
-            n2 = (Mi * Mi).sum(axis=1)  # exact int64 squared norm
-            pdf = pdf.copy()
-            pdf["__n2"] = n2
-            pdf["__cell"] = cell.astype("int32")
-            pdf["__ang"] = np.arccos(
-                np.clip(best / np.sqrt(n2.astype(np.float64)), -1.0, 1.0)
-            )
-            yield pdf
-
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    b_schema = StructType(
-        bs.schema.fields
-        + [
-            StructField("__n2", LongType()),
-            StructField("__cell", IntegerType()),
-            StructField("__ang", DoubleType()),
-        ]
-    )
-    # persist + materialize: the assigned benchmark index is needed
-    # TWICE (radius collect below + the candidate join) — materialize
-    # once instead of recomputing the bench sums, and let the analyzer
-    # swap the cached InMemoryRelation in as a LEAF. The leaf-ing also
-    # matters for the PLANNER: joining two mapInPandas outputs whose
-    # lineages both carry the 33-column sum aggregate sends Catalyst
-    # constraint propagation into a heap-exhausting blowup (driver OOM
-    # at 8g on a 500-doc corpus, getAllValidConstraints in the stack;
-    # either side alone plans fine). persist, not localCheckpoint: the
-    # .rdd conversion inside localCheckpoint replans the Python-stage
-    # query down a path that hits the same blowup. Cost: one
-    # bench-sized cached dataset — the IVF-index build, the same trade
-    # the Bloom regime's bitset build makes.
-    b_assigned = bs.mapInPandas(assign_fn, b_schema).persist()
-    b_assigned.count()
-    radii = {
-        r["__cell"]: r["phi"]
-        for r in b_assigned.groupBy("__cell")
-        .agg(F.max("__ang").alias("phi"))
-        .collect()
-    }
-
-    # corpus probe: cell c qualifies iff angle(s, c) <= theta_tau +
-    # phi_c + eps, evaluated as dot >= cos(A_c)·sqrt(n1) (A_c >= pi
-    # probes unconditionally); cells nobody was assigned to are never
-    # probed. Probe constants are driver floats; eps covers their
-    # rounding.
-    probed = sorted(radii.items())
-    probe_ids = np.array([j for j, _ in probed], dtype=np.int32)
-    cos_a = np.array(
-        [
-            -2.0  # below any cosine -> always probe
-            if theta_tau + phi + eps >= math.pi
-            else math.cos(theta_tau + phi + eps)
-            for _, phi in probed
-        ],
-        dtype=np.float64,
-    )
-    probe_t = cent_t[:, [j for j, _ in probed]]
-
-    def probe_fn(batches):
-        for pdf in batches:
-            Mi = pdf[s_cols].to_numpy(dtype=np.int64)
-            M = Mi.astype(np.float64)
-            n1 = (Mi * Mi).sum(axis=1)  # exact int64 squared norm
-            dots = M @ probe_t
-            mask = dots >= np.outer(np.sqrt(n1.astype(np.float64)), cos_a)
-            mask &= (n1 > 0)[:, None]
-            ri, cj = np.nonzero(mask)
-            out = pdf.iloc[ri].copy()
-            out["__n1"] = n1[ri]
-            out["__cell"] = probe_ids[cj]
-            yield out
-
-    s_schema = StructType(
-        ds.schema.fields
-        + [StructField("__n1", LongType()), StructField("__cell", IntegerType())]
-    )
-    probes = ds.mapInPandas(probe_fn, s_schema)
+    b_assigned, cent, radii = index
+    probes = _decon_probes(ds, cent, radii, theta_tau, eps, id_col)
 
     dot = _bal_sum(
         F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)
