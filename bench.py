@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "doc_semantic_decontaminate",
     # r9: the large-benchmark cell-probe regime of the same screen
     "doc_semantic_decontaminate_blocked",
+    # r9: Count-Min heavy hitters (mergeable-sketch family) + corpus
+    # snapshot diff (data versioning) + the CMS streaming leg
+    "doc_cms_heavy_hitters",
+    "doc_snapshot_diff",
+    "events_streaming_heavy_hitters",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

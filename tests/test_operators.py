@@ -866,3 +866,57 @@ def test_event_transitions(spark):
         for r in event_transitions(ev.drop("event_id")).collect()
     }
     assert got2[("click", "view")] == 2
+
+
+def test_cms_merge_identity_and_lower_bound(spark):
+    """Count-Min sketch contracts: (1) sketches built over ANY split of
+    the occurrences merge by counter addition into EXACTLY the
+    whole-data sketch (bit-identical rows — the mergeability that lets
+    per-shard sketches at 100 TB combine without a raw re-scan); (2)
+    est >= true count for EVERY item even at a deliberately colliding
+    width (the one-sided CMS error: collisions only ever ADD); (3) at a
+    collision-free width the heavy-hitter estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.rollup import (
+        cms_estimate,
+        cms_merge,
+        cms_partials,
+    )
+
+    # zipf-ish: token t{k} appears ~600/k times, plus a long tail
+    rows = [(f"t{k}",) for k in range(1, 13) for _ in range(600 // k)]
+    rows += [(f"tail{i}",) for i in range(300)]
+    occ = spark.createDataFrame(rows, "token string").withColumn(
+        "par", F.monotonically_increasing_id() % 2
+    )
+
+    # (1) merge identity, deliberately tiny width to force collisions
+    whole = cms_partials(occ, "token", depth=2, width=16)
+    a = cms_partials(occ.filter("par = 0"), "token", depth=2, width=16)
+    b = cms_partials(occ.filter("par = 1"), "token", depth=2, width=16)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(cms_merge(a, b)) == key(whole)
+
+    # (2) one-sided error at the colliding width, over EVERY item
+    truth = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(whole, truth, "token", depth=2, width=16)
+    bad = est.filter(F.col("cms_est") < F.col("n")).count()
+    assert bad == 0, "CMS under-estimated — impossible by construction"
+    # collisions are real at width 16 (otherwise (2) tested nothing)
+    assert est.filter(F.col("cms_est") > F.col("n")).count() > 0
+
+    # (3) exactness at a collision-free width for the planted heavies
+    wide = cms_partials(occ, "token", depth=4, width=4096)
+    heavy = truth.filter(F.col("n") >= 50)
+    exact = cms_estimate(wide, heavy, "token", depth=4, width=4096)
+    off = exact.filter(F.col("cms_est") != F.col("n")).count()
+    assert off == 0, "collision-free sketch must be exact"
+
+    # NULL items are dropped, not hashed
+    with_null = occ.unionByName(
+        spark.createDataFrame([(None, 0)], "token string, par long")
+    )
+    assert key(cms_partials(with_null, "token", depth=2, width=16)) == key(
+        whole
+    )

@@ -958,3 +958,71 @@ def test_subscription_sourced_summarization(spark, tmp_path):
         job.close()
         tcp.stop()
         ws.stop()
+
+
+def test_streaming_cms_state_across_microbatches(spark, tmp_path):
+    """Bounded-state streaming heavy hitters: two micro-batches (the
+    second carrying LATE in-watermark items for an earlier window) fold
+    into CMS partials that match the batch sketch (cms_partials) built
+    over each closed window's items exactly — counter addition across
+    micro-batch state, same contract as the DDSketch sibling."""
+    from timely_spark.operators.rollup import cms_partials
+    from timely_spark.streaming.cms import cms_stream_query
+
+    b = 1_447_767_913_000 - (1_447_767_913_000 % 60_000)
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "ts long, item string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = cms_stream_query(
+            stream, "item", window_seconds=60,
+            checkpoint=str(tmp_path / "ck"),
+            out_path=str(tmp_path / "out"), watermark_seconds=300,
+            available_now=True,
+        )
+        assert q.awaitTermination(180)
+
+    batch1 = [(b + i * 1000, f"u{i % 9}") for i in range(100)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    # late items for window 0, inside the 300 s watermark, plus a
+    # sentinel far ahead to close every real window; one NULL item that
+    # must be dropped, not hashed
+    batch2 = [(b + i, "u0") for i in range(3)] + [
+        (b + 20 * 60_000, "zz"),
+        (b + 1, None),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+
+    sink = spark.read.parquet(str(tmp_path / "out"))
+    real = sink.filter(F.col("bucket_ts") < b + 10 * 60_000)
+    all_pts = spark.createDataFrame(batch1 + batch2, schema).filter(
+        F.col("ts") < b + 10 * 60_000
+    )
+    # append sink may emit a window's partials across runs: re-merge
+    got = {}
+    for r in (
+        real.groupBy("bucket_ts", "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    ):
+        got.setdefault(r["bucket_ts"], set()).add(
+            (r["d"], r["bucket"], r["cnt"])
+        )
+    windows = sorted(got)
+    assert len(windows) >= 2
+    for w in windows:
+        items = all_pts.filter(
+            (F.col("ts") - F.col("ts") % 60_000) == w
+        )
+        want = {
+            tuple(r) for r in cms_partials(items, "item").collect()
+        }
+        assert got[w] == want, f"window {w} partials diverge"

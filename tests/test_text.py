@@ -1231,3 +1231,50 @@ def test_curate_cli_semantic_decon_regimes(spark, tmp_path):
     # dual-path identity at the pipeline level
     assert ids_b == ids_k
     assert s_b["n_semantic_decon"] == s_k["n_semantic_decon"]
+
+
+def test_curate_baseline_snapshot_diff(spark, tmp_path):
+    """--baseline-snapshot records the incremental re-processing bill:
+    added/removed/changed/unchanged counts vs a previous corpus
+    snapshot land in the stats and the provenance manifest."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    old_rows = [(i, "web", filler + f" unique{i}") for i in range(20)]
+    new_rows = [
+        (i, "web", filler + f" unique{i}" + (" rev2" if i % 7 == 0 else ""))
+        for i in range(20)
+        if i != 5  # doc 5 removed
+    ] + [(99, "web", filler + " brand new")]  # doc 99 added
+    base = tmp_path / "v1"
+    cur = tmp_path / "v2"
+    base.mkdir()
+    cur.mkdir()
+    spark.createDataFrame(old_rows, ["doc_id", "source", "text"]).write.parquet(
+        str(base / "documents.parquet")
+    )
+    spark.createDataFrame(new_rows, ["doc_id", "source", "text"]).write.parquet(
+        str(cur / "documents.parquet")
+    )
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark, str(cur), out, seq_len=128, min_p_keep=0.0,
+        baseline_snapshot=str(base),
+    )
+    # ids 0,7,14 changed; 5 removed; 99 added; the other 16 unchanged
+    assert stats["snapshot_diff"] == {
+        "added": 1, "removed": 1, "changed": 3, "unchanged": 16,
+    }
+    manifest = json.load(open(out + "/_curation_manifest.json"))
+    assert manifest["snapshot_diff"] == stats["snapshot_diff"]
+    # without the flag the field stays explicit-null (manifest schema
+    # stable across modes)
+    stats2 = curate(
+        spark, str(cur), str(tmp_path / "packed2"), seq_len=128,
+        min_p_keep=0.0,
+    )
+    assert stats2["snapshot_diff"] is None

@@ -385,3 +385,121 @@ def ddsketch_quantile_raw(
     window) must equal this for any level dividing the window."""
     p = ddsketch_partials(points, window_ms, gamma, key_cols, ts_col, value_col)
     return ddsketch_quantile(p, window_ms, window_ms, qs, gamma, key_cols)
+
+
+# -------------------------------------------------------- count-min sketch
+
+# Count-Min Sketch (Cormode & Muthukrishnan, J. Algorithms 2005): the
+# mergeable point-frequency sketch completing this module's family
+# (sum/count partials, HLL for distincts, DDSketch for quantiles, CMS
+# for heavy hitters). Reference anchor: the reference's analytics tier
+# exposes only exact top-k scans (MetricConsumer summarization,
+# analytics/.../MetricHistogram); at 100 TB an exact token-frequency
+# pass shuffles one row per distinct token — CMS caps the shuffled
+# state at depth x width counters per partition regardless of corpus
+# vocabulary, and partial sketches from any split of the data merge by
+# pure integer addition into exactly the whole-corpus sketch.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(item, d: int, width: int):
+    """Row-d bucket for an item: md5 32-bit-prefix of ``item#d`` mod
+    width — the repo's engine-exact dual-hash idiom (similarity.
+    _hashed_sums / DuckDB from_hex twin), so a DuckDB oracle rebuilds
+    the identical sketch and the ESTIMATES hash-match, not merely a
+    pinned bound. ``#`` is outside the token charset [a-z0-9'] so the
+    salt can never collide with item content."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(item, F.lit(f"#{d}"))), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_partials(
+    items: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(d, bucket, cnt): sparse CMS counters over item OCCURRENCES
+    (pass an exploded frame; each input row increments one counter per
+    hash row). Scale shape: the explode-to-depth is pure codegen and
+    the groupBy has at most depth*width distinct keys, so partial
+    (map-side) aggregation reduces every partition to <= depth*width
+    rows before the shuffle — the shuffle volume is O(partitions *
+    depth * width) ints, INDEPENDENT of corpus size or vocabulary.
+    NULL items are dropped (md5(NULL) would null the bucket)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col(item_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    ex = items.filter(F.col(item_col).isNotNull()).select(
+        F.explode(pairs).alias("p")
+    )
+    return ex.groupBy(
+        F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge partial sketches by counter addition. Integer addition is
+    associative and commutative, so a merge of sketches built over ANY
+    partition of the data is bit-identical to the sketch built over
+    the union — the mergeability contract (pinned by test), same as
+    hll_merge's register-max and ddsketch's bucket-count addition."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates: queries + a ``cms_est`` column =
+    min over hash rows of the item's counter (0 if a bucket is absent
+    from the sparse sketch — only possible for items the sketch never
+    saw). CMS guarantees cms_est >= true count always (every
+    occurrence of the item incremented every probed counter) and
+    overshoots only by colliding mass. The sketch side is <=
+    depth*width rows by construction — broadcast, so estimation adds
+    no shuffle to the query side beyond its own explode."""
+    probes = queries.withColumn(
+        "__p",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col(item_col), d, width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("__p.d") == F.col("d"))
+        & (F.col("__p.bucket") == F.col("bucket")),
+        "left",
+    )
+    others = [c for c in queries.columns]
+    return joined.groupBy(*others).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
+    )

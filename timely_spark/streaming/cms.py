@@ -1,0 +1,86 @@
+"""Streaming Count-Min heavy hitters — bounded-state frequency telemetry.
+
+The streaming counterpart of ``operators/rollup.py``'s CMS tier, and the
+third sketch through the real watermarked engine (after summarize's
+exact histograms and DDSketch's quantile buckets): per (event-time
+window) the streaming aggregation state is the SKETCH — at most
+depth x width integer counters — no matter how many distinct items the
+window receives. The exact alternative (groupBy(window, item) counts)
+carries state linear in per-window cardinality; at 100 TB of events a
+hot window with tens of millions of distinct users makes that state the
+bottleneck, while the CMS state stays at 4096 counters.
+
+The sink carries PARTIALS (mergeable (d, bucket, cnt) rows), not
+estimates: reading heavy-hitter estimates is a batch-side min-over-rows
+probe (``operators.rollup.cms_estimate``-shaped, windowed), so
+re-emissions or multi-run sinks still merge exactly by counter
+addition — the same property the batch sketch family relies on.
+
+Reference analogue: none (the reference's Flink summarization job emits
+exact per-metric histograms, analytics/.../MetricHistogram.java); this
+is the cardinality-bounded upgrade of that path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.rollup import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+
+
+def cms_stream_query(
+    stream: DataFrame,
+    item_col: str,
+    window_seconds: int,
+    checkpoint: str,
+    out_path: str,
+    watermark_seconds: int = 120,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    ts_col: str = "ts",
+    available_now: bool = False,
+):
+    """Event-time tumbling windows + watermark -> CMS partial rows
+    (bucket_ts, d, bucket, cnt) in an append-mode parquet sink; one row
+    per occupied counter per closed window. Drain with
+    ``available_now=True`` for bounded backlogs; probe estimates off
+    the sink batch-side (min over the depth rows of an item's buckets,
+    per window)."""
+    wm = stream.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("event_time", f"{watermark_seconds} seconds")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col(item_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    agg = (
+        wm.filter(F.col(item_col).isNotNull())
+        .select("event_time", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.window("event_time", f"{window_seconds} seconds").alias("w"),
+            F.col("p.d").alias("d"),
+            F.col("p.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("bucket_ts"),
+            "d",
+            "bucket",
+            "cnt",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

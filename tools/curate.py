@@ -14,7 +14,9 @@ to a quality-ranked token budget
 (``token_budget_subset``) and packs in deterministic shuffled order
 (``global_shuffle``), then writes the surviving documents as a
 shard-partitioned packed corpus (``write_packed_corpus``) and prints
-ONE JSON line of stats.
+ONE JSON line of stats. ``--baseline-snapshot DIR`` additionally diffs
+the incoming corpus against a previous snapshot (added/removed/changed/
+unchanged — the incremental re-processing bill) into stats + manifest.
 
 Usage:
     python tools/curate.py [--sf-dir DIR] [--out DIR] [--seq-len N]
@@ -65,7 +67,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            max_dup_frac: float | None = None,
            substring_rewrite: bool = False,
            semantic_decon: float | None = None,
-           semantic_blocked_over: int = 100_000):
+           semantic_blocked_over: int = 100_000,
+           baseline_snapshot: str | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -87,6 +90,21 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
 
         docs = docs.withColumn("text", dedup_lines("text")["cleaned"])
     n_input = docs.count()
+
+    # incremental mode: diff the incoming corpus against a previous
+    # snapshot BEFORE screening — the added+changed count is the
+    # re-processing bill, and a large removed count flags upstream
+    # takedowns worth auditing. Hash-only full-outer join (ids + md5),
+    # document text never shuffles.
+    snapshot_diff_counts = None
+    if baseline_snapshot:
+        from timely_spark.operators.versioning import snapshot_diff_summary
+
+        baseline = load_documents(spark, baseline_snapshot, fmt, main_content)
+        snapshot_diff_counts = {
+            r["status"]: r["n_docs"]
+            for r in snapshot_diff_summary(baseline, docs).collect()
+        }
 
     sig = gopher_signals("text")
     normed = docs.select(
@@ -465,6 +483,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "bpe_tokens": bpe_tokens,
         "token_budget": token_budget,
         "shuffle_seed": shuffle_seed,
+        "snapshot_diff": snapshot_diff_counts,
         "n_survivors": n_out,
         "keep_rate": round(n_out / n_input, 4) if n_input else 0.0,
         "n_shards": n_shards,
@@ -552,6 +571,11 @@ def main() -> int:
                     help="WARC input: jusText-lite boilerplate removal instead of tag-strip")
     ap.add_argument("--learned-filter", action="store_true",
                     help="train classifier weights on Gopher weak labels (sampled) instead of static weights")
+    ap.add_argument("--baseline-snapshot", default=None,
+                    help="previous corpus snapshot dir (same --format): "
+                         "record added/removed/changed/unchanged counts "
+                         "vs it in the stats/manifest (incremental-run "
+                         "re-processing bill)")
     args = ap.parse_args()
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
@@ -574,7 +598,8 @@ def main() -> int:
                    max_dup_frac=args.max_dup_frac,
                    substring_rewrite=args.substring_rewrite,
                    semantic_decon=args.semantic_decon,
-                   semantic_blocked_over=args.semantic_blocked_over)
+                   semantic_blocked_over=args.semantic_blocked_over,
+                   baseline_snapshot=args.baseline_snapshot)
     print(json.dumps(stats))
     return 0
 

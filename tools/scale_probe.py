@@ -343,6 +343,71 @@ def main() -> int:
                           file=sys.stderr)
                 results[name] = res
 
+        # --- x100 decade probes, dedup family (r9 second wave) -------
+        # The three heaviest HASH-JOIN rows: banded MinHash LSH,
+        # pigeonhole-blocked SimHash Hamming join, Bloom-bitset
+        # decontamination. Same permutation-salted corpus as the text
+        # decade (within-replica near-dup structure is preserved — a
+        # character permutation is a bijection on tokens, so Jaccard /
+        # Hamming geometry replicates linearly, no cross-replica pair
+        # inflation). Bench side of the bloom row is doc_id % 20, which
+        # the +r*1e6 id offset preserves per replica — the benchmark
+        # suite scales WITH the corpus, the regime the bitset exists
+        # for. Invoke as `scale_probe.py x100_dedup` (a group key, so
+        # the rotation-corpus x10 simhash probe above doesn't also
+        # trigger).
+        if want("x100_dedup"):
+            from timely_spark.operators.dedup import (
+                bloom_decontaminate,
+                minhash_dedup,
+                simhash_near_dups,
+            )
+
+            d10p = os.path.join(tmp, "docs10p")
+            d100p = os.path.join(tmp, "docs100p")
+            if not os.path.exists(d10p):
+                build_docs_perm(spark, sf_dir, d10p, 10)
+            if not os.path.exists(d100p):
+                build_docs_perm(spark, sf_dir, d100p, 100)
+            dframes = {
+                "x1": spark.read.parquet(
+                    f"{sf_dir}/documents.parquet"
+                ).select("doc_id", "text", "source"),
+                "x10": spark.read.parquet(d10p),
+                "x100": spark.read.parquet(d100p),
+            }
+
+            def dchecksum(df):
+                return df.agg(
+                    F.sum(F.xxhash64(*df.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            drunners = {
+                "doc_minhash_pairs": lambda df: dchecksum(
+                    minhash_dedup(
+                        df, threshold=0.5, num_hashes=64, bands=32
+                    )
+                ),
+                "doc_simhash": lambda df: dchecksum(
+                    simhash_near_dups(
+                        df.select("doc_id", "text"), max_hamming=3
+                    )
+                ),
+                "doc_bloom_decontaminate": lambda df: dchecksum(
+                    bloom_decontaminate(
+                        df, df.filter(F.col("doc_id") % 20 == 0), n=8
+                    )
+                ),
+            }
+            for name, run in drunners.items():
+                res = {}
+                for scale, df in dframes.items():
+                    n = 1 if scale == "x100" else 2
+                    res[scale] = round(best_of(lambda: run(df), n=n), 2)
+                    print(f"{name} {scale}: {res[scale]}s",
+                          file=sys.stderr)
+                results[name] = res
+
         # --- media_video_near_dup ------------------------------------
         # fixture BUILT OUTSIDE the timed region (driver-side AVI
         # synthesis is test scaffolding, not the operator)
