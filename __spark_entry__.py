@@ -1997,6 +1997,20 @@ def q_doc_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_doc_bm25_scores(spark, sf_dir):
+    """BM25 relevance of every document against a fixed probe query
+    (Robertson/Zaragoza, Lucene +1 idf) — the lexical retrieval
+    primitive for curation (score-and-rank against a benchmark prompt /
+    quality exemplar / takedown text), sibling of the embedding-space
+    ANN stack. One corpus-linear explode pruned to the query's terms
+    map-side; df is a |query|-row broadcast; scores rounded 4 dp with
+    the +1e-9 nudge protocol on both engine sides."""
+    from timely_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, "hash join spark window shuffle")
+
+
 def q_doc_snapshot_diff(spark, sf_dir):
     """Corpus snapshot diff (data versioning): per-doc added / removed /
     changed / unchanged status between two deterministic synthetic
@@ -3141,7 +3155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # map_from_entries/transform/array_to_vector (bit-identical
         # L-BFGS weights, A/B'd) — already in-prefix, no displacement.
         "doc_trained_classifier": q_doc_trained_classifier,
-        "doc_dsir_weights": q_doc_dsir_weights,
+        # new r9: BM25 probe-query scoring (first driver evidence for
+        # the retrieval primitive) — takes doc_dsir_weights's slot
+        # (driver-green r6+r7+r8, plan unchanged this round, still
+        # verified vs DuckDB in both full sweeps + bench-gated)
+        "doc_bm25_scores": q_doc_bm25_scores,
         "doc_streaming_dedup": q_doc_streaming_dedup,
         # new r8: semantic (paraphrase) decontamination, value-exact
         # integer-arithmetic oracle — takes doc_chunk_rewrite's slot
@@ -3227,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": q_doc_token_budget,
         "doc_quality": q_doc_quality,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_domain_mixture": q_doc_domain_mixture,
         "doc_bigram_novelty": q_doc_bigram_novelty,
@@ -4650,6 +4669,9 @@ SELECT qp.token, CAST(qp.n_exact AS BIGINT) AS n_exact,
        CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
 FROM qp LEFT JOIN sketch s ON s.d = qp.d AND s.bucket = qp.bucket
 GROUP BY 1, 2"""
+    from timely_spark.operators.retrieval import bm25_scores_sql
+
+    d["doc_bm25_scores"] = bm25_scores_sql("hash join spark window shuffle")
     d["doc_snapshot_diff"] = """
 WITH old AS (SELECT doc_id, md5(text) AS oh FROM documents
              WHERE doc_id % 11 <> 7),

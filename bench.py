@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "doc_cms_heavy_hitters",
     "doc_snapshot_diff",
     "events_streaming_heavy_hitters",
+    # r9: lexical retrieval primitive (BM25 probe-query scoring)
+    "doc_bm25_scores",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name
