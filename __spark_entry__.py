@@ -1997,6 +1997,26 @@ def q_doc_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    """Weight-proportional deterministic sampling (the DSIR-style
+    importance-resampling step): keep with P = min(1, target*w/sum_w),
+    weights = token counts, decided by an INTEGER-EXACT decimal(38)
+    predicate (md5_32(id)*sum_w < target*w*2^32) — zero float
+    knife-edge, reproducible across engines and cluster sizes. One
+    scalar aggregate + a pure Column flag."""
+    from timely_spark.operators.text import (
+        token_count,
+        weighted_hash_sample_flag,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("weight")
+    )
+    return weighted_hash_sample_flag(docs, "weight", target=100).select(
+        "doc_id", "weight", "sampled"
+    )
+
+
 def q_doc_bm25_scores(spark, sf_dir):
     """BM25 relevance of every document against a fixed probe query
     (Robertson/Zaragoza, Lucene +1 idf) — the lexical retrieval
@@ -3236,6 +3256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
+        # new r9 (tail: integer-exact oracle leaves no knife-edge class
+        # for the driver prefix to catch beyond the full sweeps)
+        "doc_weighted_sample": q_doc_weighted_sample,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
@@ -4672,6 +4695,11 @@ GROUP BY 1, 2"""
     from timely_spark.operators.retrieval import bm25_scores_sql
 
     d["doc_bm25_scores"] = bm25_scores_sql("hash join spark window shuffle")
+    from timely_spark.operators.text import weighted_hash_sample_sql
+
+    d["doc_weighted_sample"] = weighted_hash_sample_sql(
+        TOKEN_COUNT_SQL.format(c="text"), 100
+    )
     d["doc_snapshot_diff"] = """
 WITH old AS (SELECT doc_id, md5(text) AS oh FROM documents
              WHERE doc_id % 11 <> 7),

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "events_streaming_heavy_hitters",
     # r9: lexical retrieval primitive (BM25 probe-query scoring)
     "doc_bm25_scores",
+    # r9: integer-exact weight-proportional sampling
+    "doc_weighted_sample",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

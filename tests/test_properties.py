@@ -1098,3 +1098,88 @@ def test_hashed_text_embedding_matches_model(spark, docs):
             root = math.sqrt(float(n2))
             for d in range(DIM):
                 assert got[did]["embedding"][d] == s[d] / root, (did, d)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # doc_id seed
+            st.integers(min_value=0, max_value=5_000),    # weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    target=st.integers(min_value=0, max_value=50),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_matches_python_model(spark, rows, target):
+    """weighted_hash_sample_flag vs a pure-Python reimplementation of
+    the integer predicate (md5_32(id)*sum_w < target*w*2^32) — exact
+    flag agreement for arbitrary ids/weights/targets, including
+    all-zero weights (nothing sampled) and weights big enough that
+    min(1, .) saturates."""
+    import hashlib
+
+    from timely_spark.operators.text import weighted_hash_sample_flag
+
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = {
+        r["doc_id"]: r["sampled"]
+        for r in weighted_hash_sample_flag(df, "weight", target).collect()
+    }
+    total = sum(w for _i, w in rows)
+    want = {}
+    for i, w in rows:
+        if total <= 0:
+            want[i] = False
+        else:
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            want[i] = h * total < target * w * (2**32)
+    assert got == want
+    # saturation sanity: a weight >= sum_w/target is always kept
+    if total > 0 and target > 0:
+        for i, w in rows:
+            if w * target >= total:
+                assert got[i]
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.text(alphabet="abc", max_size=3),
+        max_size=30,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=60),
+        st.text(alphabet="abc", max_size=3),
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_python_model(spark, old, new):
+    """snapshot_diff vs the four-way set model over arbitrary id->text
+    maps (hypothesis drives overlaps, disjoint ids, equal and unequal
+    texts)."""
+    from timely_spark.operators.versioning import snapshot_diff
+
+    if not old and not new:
+        return
+    schema = "doc_id long, text string"
+    odf = spark.createDataFrame(list(old.items()) or [], schema)
+    ndf = spark.createDataFrame(list(new.items()) or [], schema)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(odf, ndf).collect()
+    }
+    want = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            want[i] = "added"
+        elif i not in new:
+            want[i] = "removed"
+        elif old[i] == new[i]:
+            want[i] = "unchanged"
+        else:
+            want[i] = "changed"
+    assert got == want

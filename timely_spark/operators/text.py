@@ -304,6 +304,68 @@ def hash_sample(
     return df.filter(F.substring(F.md5(F.col(key_col)), 1, 2) < F.lit(fraction_hex))
 
 
+def weighted_hash_sample_flag(
+    df: DataFrame,
+    weight_col: str | Column,
+    target: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample: row i is kept
+    with probability min(1, target * w_i / sum(w)) — expected sample
+    size ``target``, heavier rows proportionally likelier (the sampling
+    step importance-resampling schemes like DSIR prescribe; pass any
+    non-negative INTEGER weight — token counts, dedup cluster sizes).
+
+    The keep decision is an INTEGER-EXACT predicate, zero float
+    knife-edge and reproducible across engines/runs/cluster sizes:
+
+        md5_32(id) * sum_w  <  target * w_i * 2^32
+
+    (md5_32 = the id's 32-bit md5 prefix, a uniform draw from
+    [0, 2^32)). All products run in decimal(38,0)/HUGEINT — at
+    corpus scale sum_w ~ 1e12 keeps the left side ~4e21, far inside
+    38 digits. sum(w) is one scalar aggregate; the flag itself is a
+    pure Column predicate (prunes at the scan once hashes
+    materialize). Output: df + ``sampled`` boolean."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    total = df.agg(
+        F.sum(w.cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    if total is None or int(total) <= 0:
+        return df.withColumn("sampled", F.lit(False))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("decimal(38,0)")
+    lhs = h * F.lit(int(total)).cast("decimal(38,0)")
+    rhs = (
+        F.lit(int(target)).cast("decimal(38,0)")
+        * w.cast("decimal(38,0)")
+        * F.lit(2**32).cast("decimal(38,0)")
+    )
+    return df.withColumn("sampled", lhs < rhs)
+
+
+def weighted_hash_sample_sql(
+    weight_expr: str,
+    target: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_hash_sample_flag` (HUGEINT
+    arithmetic — the same exact integers, so the flags hash-match)."""
+    h = (
+        f"CAST(CAST(from_hex(substr(md5(CAST({id_col} AS VARCHAR)), 1, 8)) "
+        "AS BIT)::UINTEGER AS HUGEINT)"
+    )
+    return f"""
+WITH w AS (SELECT {id_col}, CAST({weight_expr} AS HUGEINT) AS wt FROM {table}),
+tot AS (SELECT sum(wt) AS s FROM w)
+SELECT w.{id_col}, CAST(w.wt AS BIGINT) AS weight,
+       {h} * tot.s < {target}::HUGEINT * w.wt * 4294967296::HUGEINT
+         AS sampled
+FROM w CROSS JOIN tot"""
+
+
 # ---------------------------------------------------------------- URL / domain ops
 
 # Java-regex/RE2 common dialect (no lookaround). Captures scheme://host.
