@@ -433,3 +433,146 @@ def test_stateful_rate_soak_live_triggers(spark, tmp_path):
         if op.numRowsTotal
     }
     assert state_counts and max(state_counts) == len(SERIES), state_counts
+
+
+def test_cms_soak_live_triggers_state_sublinear(spark, tmp_path):
+    """The CMS stream under live processing-time triggers, with the
+    claim that matters measured: per-window streaming state is bounded
+    by the SKETCH (depth x width counters), not by per-window item
+    cardinality. Each file lands 50 DISTINCT users into its window; at
+    depth=2 x width=8 the sketch caps a window's state at 16 rows, so
+    item-linear state (>= 50/window) is cleanly distinguishable from
+    sketch-bounded state. Also: >= N live data batches, and the final
+    sink equals batch cms_partials per closed window (no loss/dup/
+    late-drop across trigger boundaries)."""
+    from timely_spark.operators.rollup import cms_partials
+    from timely_spark.streaming.cms import cms_stream_query
+
+    src = tmp_path / "items"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    schema = "ts long, item string"
+    DEPTH, WIDTH = 2, 8
+    N_USERS = 50
+
+    def file_rows(i):
+        base = BA + i * 60_000
+        rows = []
+        for u in range(N_USERS):
+            for rep in range(1 + (u + i) % 3):
+                rows.append(
+                    {"ts": base + (u * 997 + rep * 13) % 59_000,
+                     "item": f"user{i}_{u}"}
+                )
+        return rows
+
+    all_rows = []
+
+    def write_file(idx, rows, mtime_s):
+        p = src / f"f{idx}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (mtime_s, mtime_s))
+        all_rows.extend(rows)
+
+    t0 = time.time()
+    write_file(0, file_rows(0), t0)
+
+    q = cms_stream_query(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        "item",
+        window_seconds=60,
+        checkpoint=ck,
+        out_path=out,
+        watermark_seconds=10,
+        depth=DEPTH,
+        width=WIDTH,
+        processing_time="500 milliseconds",
+    )
+    try:
+        for i in range(1, N_FILES):
+            expect = len(all_rows)
+            _wait(
+                lambda: _rows_consumed(q) >= expect,
+                msg=f"consumption of file {i - 1}",
+            )
+            write_file(i, file_rows(i), t0 + i)
+
+        _wait(lambda: _rows_consumed(q) >= len(all_rows), msg="last file")
+        write_file(
+            N_FILES,
+            [{"ts": BA + (N_FILES + 10) * 60_000, "item": "sentinel"}],
+            t0 + N_FILES,
+        )
+
+        def sink_complete():
+            try:
+                return (
+                    spark.read.parquet(out)
+                    .filter(F.col("bucket_ts") < BA + N_FILES * 60_000)
+                    .select("bucket_ts")
+                    .distinct()
+                    .count()
+                    == N_FILES
+                )
+            except Exception:
+                return False
+
+        _wait(sink_complete, msg="all windows closed in the sink")
+        progresses = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    # 1. live multi-trigger consumption
+    data_batches = [p for p in progresses if (p.numInputRows or 0) > 0]
+    assert len(data_batches) >= N_FILES
+    assert len({p.batchId for p in data_batches}) >= N_FILES
+
+    # 2. sink == batch sketch per closed window (counter addition across
+    #    micro-batch state folds exactly)
+    sink = (
+        spark.read.parquet(out)
+        .filter(F.col("bucket_ts") < BA + N_FILES * 60_000)
+        .groupBy("bucket_ts", "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    got = {}
+    for r in sink:
+        got.setdefault(r["bucket_ts"], set()).add(
+            (r["d"], r["bucket"], r["cnt"])
+        )
+    assert len(got) == N_FILES
+    allpts = spark.createDataFrame(
+        [(r["ts"], r["item"]) for r in all_rows], schema
+    )
+    for w, rows in got.items():
+        items = allpts.filter((F.col("ts") - F.col("ts") % 60_000) == w)
+        want = {
+            tuple(r)
+            for r in cms_partials(items, "item", DEPTH, WIDTH).collect()
+        }
+        assert rows == want, f"window {w} sketch diverges"
+
+    # 3. the point of the operator: state stays sketch-bounded while
+    #    per-window item cardinality (50) is far above the cap (16)
+    max_state = max(
+        (
+            op.numRowsTotal
+            for p in progresses
+            for op in p.stateOperators
+            if op.numRowsTotal is not None
+        ),
+        default=0,
+    )
+    open_windows_bound = 3  # in-fill + not-yet-evicted + sentinel
+    cap = open_windows_bound * DEPTH * WIDTH
+    assert 0 < max_state <= cap, (
+        f"state rows peaked at {max_state}, sketch cap {cap}"
+    )
+    assert max_state < N_USERS, (
+        f"state ({max_state}) reached item-linear scale — the sketch "
+        "bound is not holding"
+    )

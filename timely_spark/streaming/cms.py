@@ -40,6 +40,7 @@ def cms_stream_query(
     width: int = CMS_WIDTH,
     ts_col: str = "ts",
     available_now: bool = False,
+    processing_time: str | None = None,
 ):
     """Event-time tumbling windows + watermark -> CMS partial rows
     (bucket_ts, d, bucket, cnt) in an append-mode parquet sink; one row
@@ -83,4 +84,6 @@ def cms_stream_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
