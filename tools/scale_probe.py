@@ -147,6 +147,48 @@ def build_embeddings(spark, sf_dir: str, out: str) -> None:
     df.write.mode("overwrite").parquet(out)
 
 
+def build_embeddings_perm(
+    spark, sf_dir: str, out: str, replicas: int
+) -> None:
+    """Permutation-salted xN embeddings (r9 second wave): cyclic shifts
+    alone repeat at dim=64 replicas (x100 would plant exact duplicate
+    vectors), so each replica r applies a SEEDED +/-1 sign mask and a
+    cyclic shift by r % 64 — both norm-preserving, distinct per
+    replica, and sign-flipped vectors are far from their originals
+    (no cross-replica near-dup inflation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    parts = [base]
+    for r in range(1, replicas):
+        rng = random.Random(10_000 + r)
+        signs = [rng.choice((-1.0, 1.0)) for _ in range(64)]
+        sh = r % 64
+        shifted = F.concat(
+            F.slice("embedding", sh + 1, 64 - sh),
+            F.slice("embedding", 1, sh),
+        )
+        signed = F.zip_with(
+            shifted,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: x * s,
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+                signed.alias("embedding"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(out)
+
+
 def build_events(spark, sf_dir: str, out: str) -> None:
     # ONE parquet file named exactly like the testdata layout (the
     # streaming bench symlinks `{sf_dir}/events.parquet` as a file into
@@ -402,6 +444,66 @@ def main() -> int:
             for name, run in drunners.items():
                 res = {}
                 for scale, df in dframes.items():
+                    n = 1 if scale == "x100" else 2
+                    res[scale] = round(best_of(lambda: run(df), n=n), 2)
+                    print(f"{name} {scale}: {res[scale]}s",
+                          file=sys.stderr)
+                results[name] = res
+
+        # --- x100 decade probes, ANN index family (r9 second wave) ---
+        # emb_ivfpq_ann (encode + ADC scan, corpus-linear by design) and
+        # emb_knn_lsh (banded multi-table index, output-bounded probe)
+        # at x1/x10/x100 on the sign-mask+shift-salted embeddings.
+        # Exhaustive emb_near_dup is EXCLUDED by contract: all-pairs
+        # verification is quadratic on purpose; its scale path is
+        # emb_semantic_dedup's cluster-then-prune, whose Sum|c|^2 bound
+        # requires k to grow with the corpus (documented on the
+        # operator) — probing it at fixed k measures a mis-deployment.
+        if want("x100_emb"):
+            from timely_spark.operators.similarity import (
+                ivfpq_topk,
+                lsh_topk,
+            )
+
+            e10p = os.path.join(tmp, "emb10p")
+            e100p = os.path.join(tmp, "emb100p")
+            build_embeddings_perm(spark, sf_dir, e10p, 10)
+            build_embeddings_perm(spark, sf_dir, e100p, 100)
+            eframes = {
+                "x1": spark.read.parquet(
+                    f"{sf_dir}/embeddings.parquet"
+                ).select("vec_id", "embedding"),
+                "x10": spark.read.parquet(e10p),
+                "x100": spark.read.parquet(e100p),
+            }
+
+            def echecksum(df):
+                return df.agg(
+                    F.sum(F.xxhash64(*df.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            def equeries(df):
+                return df.filter(F.col("vec_id") < 20).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+
+            erunners = {
+                "emb_ivfpq_ann": lambda df: echecksum(
+                    ivfpq_topk(
+                        df, equeries(df), dim=64, k=10, m=16, ksub=64,
+                        ncells=32, nprobe=16,
+                    )
+                ),
+                "emb_knn_lsh": lambda df: echecksum(
+                    lsh_topk(
+                        df, equeries(df), dim=64, k=10, planes=4,
+                        tables=16,
+                    )
+                ),
+            }
+            for name, run in erunners.items():
+                res = {}
+                for scale, df in eframes.items():
                     n = 1 if scale == "x100" else 2
                     res[scale] = round(best_of(lambda: run(df), n=n), 2)
                     print(f"{name} {scale}: {res[scale]}s",
