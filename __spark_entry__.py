@@ -3150,7 +3150,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the tail to keep evidence-needing queries inside the
         # driver-checked 50-entry prefix (test_registry_order contract)
         "doc_corpus_ingest": q_doc_corpus_ingest,
-        "doc_classifier_score": q_doc_classifier_score,
+        # r9 second wave: doc_weighted_sample's plan changed in the
+        # self-review pass (decimal-string sum_w literal + SQL NULL
+        # guard) — the standing rule pins plan-changed rows in the
+        # checked prefix; takes doc_classifier_score's slot
+        # (driver-green r6-r8, plan unchanged, its sibling
+        # doc_trained_classifier stays in-prefix, still swept +
+        # bench-gated)
+        "doc_weighted_sample": q_doc_weighted_sample,
         # r9 rotation out: emb_pca_project -> tail (displaced by
         # doc_semantic_decontaminate_blocked's first driver evidence;
         # see ROTATED_TO_TAIL justification)
@@ -3256,9 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ttr": q_doc_ttr,
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
-        # new r9 (tail: integer-exact oracle leaves no knife-edge class
-        # for the driver prefix to catch beyond the full sweeps)
-        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_classifier_score": q_doc_classifier_score,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,

@@ -572,6 +572,11 @@ PLAN_CHANGED_THIS_ROUND = {
     # verdict predicate refactored onto the shared _integer_hit /
     # _tau_pq helpers) — already in-prefix, re-verified
     "doc_semantic_decontaminate",
+    # r9 second wave (self-review): sum_w re-enters the plan as a
+    # decimal string literal (int64-overflow fix) and the SQL twin
+    # gained the NULL/zero-total FALSE guard — semantics identical on
+    # non-degenerate corpora, re-verified at both scales
+    "doc_weighted_sample",
 }
 
 

@@ -45,6 +45,19 @@ def _rows_consumed(q):
     return sum((p.numInputRows or 0) for p in q.recentProgress)
 
 
+
+def _land_file(src, idx, rows, mtime_s, all_rows):
+    """Write one JSON-lines source file with an EXPLICIT mtime and
+    record its rows. The mtime discipline is the r8 X5 lesson in ONE
+    place: FileStreamSource orders files by modification time, and a
+    late-mtime file racing ahead drops other files' rows as late data
+    — every soak must land files with strictly increasing mtimes."""
+    p = src / f"f{idx}.json"
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    os.utime(p, (mtime_s, mtime_s))
+    all_rows.extend(rows)
+
+
 def _wait(pred, timeout=90, interval=0.25, msg="condition"):
     deadline = time.time() + timeout
     while time.time() < deadline:
@@ -83,11 +96,7 @@ def test_summarize_soak_live_triggers(spark, tmp_path):
     all_rows = []
 
     def write_file(idx, rows, mtime_s):
-        p = src / f"f{idx}.json"
-        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
-        # explicit increasing mtimes (r8 X5 lesson)
-        os.utime(p, (mtime_s, mtime_s))
-        all_rows.extend(rows)
+        _land_file(src, idx, rows, mtime_s, all_rows)
 
     t0 = time.time()
     write_file(0, file_rows(0), t0)
@@ -228,15 +237,16 @@ def test_sessionize_soak_live_triggers(spark, tmp_path):
     all_rows = []
 
     def write_file(idx, rows, mtime_s):
-        p = src / f"f{idx}.json"
-        p.write_text(
-            "\n".join(
-                json.dumps({"user_id": r[0], "ts_ms": r[1], "value": r[2]})
+        _land_file(
+            src,
+            idx,
+            [
+                {"user_id": r[0], "ts_ms": r[1], "value": r[2]}
                 for r in rows
-            )
-            + "\n"
+            ],
+            mtime_s,
+            [],  # recorded below as tuples, not serialized dicts
         )
-        os.utime(p, (mtime_s, mtime_s))
         all_rows.extend(rows)
 
     t0 = time.time()
@@ -351,10 +361,7 @@ def test_stateful_rate_soak_live_triggers(spark, tmp_path):
     all_rows = []
 
     def write_file(idx, rows, mtime_s):
-        p = src / f"f{idx}.json"
-        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
-        os.utime(p, (mtime_s, mtime_s))
-        all_rows.extend(rows)
+        _land_file(src, idx, rows, mtime_s, all_rows)
 
     t0 = time.time()
     write_file(0, file_rows(0), t0)
@@ -470,10 +477,7 @@ def test_cms_soak_live_triggers_state_sublinear(spark, tmp_path):
     all_rows = []
 
     def write_file(idx, rows, mtime_s):
-        p = src / f"f{idx}.json"
-        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
-        os.utime(p, (mtime_s, mtime_s))
-        all_rows.extend(rows)
+        _land_file(src, idx, rows, mtime_s, all_rows)
 
     t0 = time.time()
     write_file(0, file_rows(0), t0)

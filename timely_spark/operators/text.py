@@ -336,7 +336,10 @@ def weighted_hash_sample_flag(
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("decimal(38,0)")
-    lhs = h * F.lit(int(total)).cast("decimal(38,0)")
+    # total re-enters the plan as a STRING literal: F.lit(int) only
+    # encodes 64-bit longs, and sum_w is legitimately > 2^63 at corpus
+    # scale (the decimal(38) headroom this function advertises)
+    lhs = h * F.lit(str(int(total))).cast("decimal(38,0)")
     rhs = (
         F.lit(int(target)).cast("decimal(38,0)")
         * w.cast("decimal(38,0)")
@@ -361,8 +364,10 @@ def weighted_hash_sample_sql(
 WITH w AS (SELECT {id_col}, CAST({weight_expr} AS HUGEINT) AS wt FROM {table}),
 tot AS (SELECT sum(wt) AS s FROM w)
 SELECT w.{id_col}, CAST(w.wt AS BIGINT) AS weight,
-       {h} * tot.s < {target}::HUGEINT * w.wt * 4294967296::HUGEINT
-         AS sampled
+       CASE WHEN tot.s IS NULL OR tot.s <= 0 THEN FALSE
+            ELSE {h} * tot.s
+                 < {target}::HUGEINT * w.wt * 4294967296::HUGEINT
+       END AS sampled
 FROM w CROSS JOIN tot"""
 
 

@@ -82,6 +82,11 @@ def cms_stream_query(
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
     )
+    if available_now and processing_time:
+        raise ValueError(
+            "available_now and processing_time are conflicting trigger "
+            "specs — pass exactly one"
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif processing_time:

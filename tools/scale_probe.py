@@ -172,11 +172,15 @@ def build_embeddings_perm(
             F.slice("embedding", sh + 1, 64 - sh),
             F.slice("embedding", 1, sh),
         )
+        # keep the element type at FLOAT: the double sign literals widen
+        # the product to array<double>, and unionByName then widens
+        # replica 0 too — 2x the bytes/vector, which would inflate the
+        # x10/x100 ratios with storage width instead of corpus growth
         signed = F.zip_with(
             shifted,
             F.array(*[F.lit(s) for s in signs]),
             lambda x, s: x * s,
-        )
+        ).cast("array<float>")
         parts.append(
             base.select(
                 (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
