@@ -1997,6 +1997,40 @@ def q_doc_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_doc_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries candidate-free heavy hitters (the half the CMS row
+    can't do: CMS estimates counts for KNOWN tokens, MG FINDS them
+    without a candidate pass). Bounded-verdict oracle on the two
+    integer-exact MG guarantees, evaluated per TRUE heavy hitter
+    ((b+1)*count > N, b=64): `found` — the summary must contain it —
+    and `within_band` — est <= true and (b+1)*(true-est) <= N. Both
+    hold under ANY partitioning, so the booleans pin TRUE regardless
+    of batch layout; the oracle recomputes the heavy set and N exactly
+    in DuckDB."""
+    from timely_spark.operators.rollup import mg_summary
+    from timely_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(tokens("text")).alias("token"))
+    n_total = occ.count()  # one scalar job; bounded driver state
+    mg = mg_summary(occ, "token", b=64)
+    exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    heavy = exact.filter(F.col("n_exact") * 65 > F.lit(n_total))
+    j = heavy.join(
+        mg.select(F.col("item").alias("token"), "est"), "token", "left"
+    )
+    est = F.coalesce(F.col("est"), F.lit(0))
+    return j.select(
+        "token",
+        "n_exact",
+        F.col("est").isNotNull().alias("found"),
+        (
+            (est <= F.col("n_exact"))
+            & ((F.col("n_exact") - est) * 65 <= F.lit(n_total))
+        ).alias("within_band"),
+    )
+
+
 def q_doc_weighted_sample(spark, sf_dir):
     """Weight-proportional deterministic sampling (the DSIR-style
     importance-resampling step): keep with P = min(1, target*w/sum_w),
@@ -3264,6 +3298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_classifier_score": q_doc_classifier_score,
+        # new r9 second wave (tail: both verdict booleans are provable
+        # under any partitioning, full sweeps gate them at both scales)
+        "doc_mg_heavy_hitters": q_doc_mg_heavy_hitters,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
@@ -4705,6 +4742,13 @@ GROUP BY 1, 2"""
     d["doc_weighted_sample"] = weighted_hash_sample_sql(
         TOKEN_COUNT_SQL.format(c="text"), 100
     )
+    d["doc_mg_heavy_hitters"] = f"""
+WITH occ AS (SELECT unnest({toks}) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM occ),
+exact AS (SELECT token, count(*) AS n_exact FROM occ GROUP BY 1)
+SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
+       TRUE AS found, TRUE AS within_band
+FROM exact CROSS JOIN tot WHERE n_exact * 65 > tot.n"""
     d["doc_snapshot_diff"] = """
 WITH old AS (SELECT doc_id, md5(text) AS oh FROM documents
              WHERE doc_id % 11 <> 7),

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "doc_bm25_scores",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
+    # r9: candidate-free heavy hitters (Misra-Gries summary)
+    "doc_mg_heavy_hitters",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

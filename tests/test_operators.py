@@ -920,3 +920,66 @@ def test_cms_merge_identity_and_lower_bound(spark):
     assert key(cms_partials(with_null, "token", depth=2, width=16)) == key(
         whole
     )
+
+
+def test_mg_summary_bounds_under_any_partitioning(spark):
+    """Misra-Gries guarantees, exercised under three deliberately
+    different layouts (1 partition, 7 partitions, items pre-sorted so
+    heavy tokens cluster): est <= true for every emitted item,
+    (b+1)*(true - est) <= N for every TRUE item (emitted or not, est=0
+    when absent), and every item with (b+1)*true > N is present. Also:
+    a batch where every count ties at the (b+1)-th largest emits
+    nothing (all subtract to zero) rather than crashing."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.rollup import mg_summary
+
+    b = 8
+    # 3 heavies far above N/(b+1), a band of mid items, a long tail
+    rows = (
+        [("hot1",)] * 400 + [("hot2",)] * 300 + [("hot3",)] * 200
+        + [(f"mid{i}",) for i in range(10) for _ in range(30)]
+        + [(f"tail{i}",) for i in range(250)]
+    )
+    n = len(rows)
+    truth = {}
+    for (t,) in rows:
+        truth[t] = truth.get(t, 0) + 1
+
+    base = spark.createDataFrame(rows, "token string")
+    layouts = [
+        base.repartition(1),
+        base.repartition(7),
+        base.orderBy("token"),
+    ]
+    for df in layouts:
+        got = {
+            r["item"]: r["est"]
+            for r in mg_summary(df, "token", b=b).collect()
+        }
+        for item, est in got.items():
+            assert est <= truth[item], (item, est, truth[item])
+        for item, true_n in truth.items():
+            est = got.get(item, 0)
+            assert (b + 1) * (true_n - est) <= n, (item, est, true_n)
+            if (b + 1) * true_n > n:
+                assert item in got, f"guaranteed heavy {item} missing"
+
+    # all-tied batch: every count equals the (b+1)-th largest -> empty
+    tied = spark.createDataFrame(
+        [(f"t{i}",) for i in range(b + 5) for _ in range(3)],
+        "token string",
+    ).repartition(1)
+    out = mg_summary(tied, "token", b=b).collect()
+    for r in out:
+        assert r["est"] <= 3
+
+    # NULLs dropped, not counted
+    with_null = base.unionByName(
+        spark.createDataFrame([(None,)], "token string")
+    )
+    got_n = {
+        r["item"]: r["est"]
+        for r in mg_summary(with_null.repartition(1), "token", b=b).collect()
+    }
+    assert None not in got_n

@@ -503,3 +503,67 @@ def cms_estimate(
     return joined.groupBy(*others).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est")
     )
+
+
+def mg_summary(
+    items: DataFrame,
+    item_col: str,
+    b: int = 64,
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary (the candidate-free complement
+    of the CMS: CMS estimates counts for KNOWN candidates, MG FINDS the
+    candidates): (item, est) lower-bound counts such that, with N total
+    occurrences,
+
+        est <= true                            (never overestimates)
+        (b+1) * (true - est) <= N              (bounded undercount)
+
+    hence every item with (b+1)*true > N is guaranteed present — both
+    bounds are integer-exact and hold under ANY partitioning/batching.
+
+    Spark shape: one Arrow pass applies the MG reduction per batch
+    (exact pandas value_counts, then subtract the (b+1)-th largest
+    count and drop non-positives — each batch emits <= b rows... <= b
+    only after truncation; untruncated small batches emit their exact
+    counts), then one groupBy(item) SUM merges batch summaries. The MG
+    merge theorem (Agarwal et al., PODS 2012) gives the additive
+    bound: each truncating batch subtracts sub_b <= N_batch/(b+1) from
+    every item, so the total undercount is <= N/(b+1). The merged
+    summary's size is bounded by the surviving distinct items (<= b
+    per truncated batch), NOT by corpus cardinality — the whole-vocab
+    shuffle exact counting needs never happens. NULL items dropped."""
+    import pandas as pd  # noqa: F401 (Arrow path)
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src_field = items.schema[item_col]
+
+    out_schema = StructType(
+        [
+            StructField("item", src_field.dataType),
+            StructField("cnt", LongType()),
+        ]
+    )
+
+    def reduce_batches(batches):
+        for pdf in batches:
+            col = pdf[item_col].dropna()
+            if col.empty:
+                continue
+            counts = col.value_counts()  # exact, descending
+            if len(counts) > b:
+                sub = int(counts.iloc[b])  # the (b+1)-th largest
+                counts = counts - sub
+                counts = counts[counts > 0]
+            out = counts.rename_axis("item").reset_index(name="cnt")
+            out["cnt"] = out["cnt"].astype("int64")
+            yield out
+
+    partials = items.select(item_col).mapInPandas(
+        reduce_batches, out_schema
+    )
+    return partials.groupBy("item").agg(F.sum("cnt").alias("est"))
