@@ -1997,6 +1997,34 @@ def q_doc_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_doc_corpus_line_dedup(spark, sf_dir):
+    """CORPUS-level line dedup (CCNet/RefinedWeb boilerplate removal):
+    strip lines appearing in >= 3 distinct documents. Deterministic
+    boilerplate planted on BOTH engine sides (the doc_pii_scrub
+    augmentation trick): a banner shared by every doc, 7 nav variants
+    (~each in 1/7 of docs), and a per-doc unique trailer — min_docs=3
+    must strip exactly the first two classes and keep the original
+    line + trailer, pinned byte-exact via md5 of the rebuilt text."""
+    from timely_spark.operators.text import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nShared cookie banner accept to continue"),
+            F.lit("\nnav variant "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nunique trailer "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = corpus_line_dedup(aug, min_docs=3)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_kept", "n_stripped"
+    )
+
+
 def q_doc_mg_heavy_hitters(spark, sf_dir):
     """Misra-Gries candidate-free heavy hitters (the half the CMS row
     can't do: CMS estimates counts for KNOWN tokens, MG FINDS them
@@ -3301,6 +3329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r9 second wave (tail: both verdict booleans are provable
         # under any partitioning, full sweeps gate them at both scales)
         "doc_mg_heavy_hitters": q_doc_mg_heavy_hitters,
+        # new r9 second wave (tail: byte-exact md5 oracle over a
+        # deterministic planted construction — knife-edge-free class)
+        "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
@@ -4742,6 +4773,28 @@ GROUP BY 1, 2"""
     d["doc_weighted_sample"] = weighted_hash_sample_sql(
         TOKEN_COUNT_SQL.format(c="text"), 100
     )
+    d["doc_corpus_line_dedup"] = """
+WITH aug AS (SELECT doc_id,
+                    text || chr(10) || 'Shared cookie banner accept to continue'
+                         || chr(10) || 'nav variant ' || CAST(doc_id % 7 AS VARCHAR)
+                         || chr(10) || 'unique trailer ' || CAST(doc_id AS VARCHAR)
+                      AS text
+             FROM documents),
+l AS (SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM aug),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY 1),
+k AS (SELECT l.doc_id, l.pos, l.line
+      FROM l JOIN freq USING (line) WHERE freq.nd < 3),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM k GROUP BY 1),
+cnt AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1)
+SELECT a.doc_id, md5(coalesce(reb.text, '')) AS text_md5,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(cnt.n_lines - coalesce(reb.n_kept, 0) AS BIGINT) AS n_stripped
+FROM aug a JOIN cnt USING (doc_id) LEFT JOIN reb USING (doc_id)"""
     d["doc_mg_heavy_hitters"] = f"""
 WITH occ AS (SELECT unnest({toks}) AS token FROM documents),
 tot AS (SELECT count(*) AS n FROM occ),

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)
     "doc_mg_heavy_hitters",
+    # r9: CCNet-style corpus-level line dedup (cross-doc boilerplate)
+    "doc_corpus_line_dedup",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

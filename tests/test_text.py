@@ -1278,3 +1278,41 @@ def test_curate_baseline_snapshot_diff(spark, tmp_path):
         min_p_keep=0.0,
     )
     assert stats2["snapshot_diff"] is None
+
+
+def test_corpus_line_dedup_semantics(spark):
+    """Planted matrix: a line in 3 docs strips everywhere (>= min_docs),
+    a line in 2 docs survives, per-doc uniques survive in order, a doc
+    whose EVERY line is boilerplate survives with empty text, and NULL
+    text behaves as one empty line (stripped iff common)."""
+    from timely_spark.operators.text import corpus_line_dedup
+
+    rows = [
+        (1, "unique one\ncommon3\ncommon2"),
+        (2, "common3\nkeep me\ncommon2"),
+        (3, "common3\nunique three"),
+        (4, "common3"),          # all-boilerplate doc
+        (5, None),               # NULL -> one empty line (unique here)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_stripped"])
+        for r in corpus_line_dedup(df, min_docs=3).collect()
+    }
+    assert got[1] == ("unique one\ncommon2", 2, 1)
+    assert got[2] == ("keep me\ncommon2", 2, 1)
+    assert got[3] == ("unique three", 1, 1)
+    assert got[4] == ("", 0, 1)
+    assert got[5] == ("", 1, 0)  # the lone empty line is kept
+
+    # the empty line strips too once it is corpus-common (per-doc
+    # unique first/last lines so ONLY the blank line is common)
+    df2 = spark.createDataFrame(
+        [(i, f"keep{i}\n\ntail{i}") for i in range(3)] + [(9, "solo")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: (r["text"], r["n_stripped"])
+        for r in corpus_line_dedup(df2, min_docs=3).collect()
+    }
+    assert got2[0] == ("keep0\ntail0", 1) and got2[9] == ("solo", 0)

@@ -1127,3 +1127,71 @@ SELECT {id_col},
          AND NOT regexp_matches(lower({cc}), '(^|[^a-z])javascript([^a-z]|$)')
          AND NOT contains({cc}, '{{') AS c4_pass
 FROM documents"""
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style CORPUS-level line dedup: strip every line
+    that appears in >= ``min_docs`` DISTINCT documents — the classic
+    cross-document boilerplate remover (cookie banners, nav bars,
+    license footers), complementing :func:`dedup_lines`' intra-doc
+    pass. Empty lines are counted like any line (a blank line shared
+    by the whole corpus is boilerplate too).
+
+    Scale shape: one posexplode; the frequency aggregate and the
+    keep-decision join shuffle (id, pos, xxhash64(line)) INTS — line
+    text never enters the frequency shuffle; the only textful shuffle
+    is the final doc-keyed rebuild (the substring_rewrite precedent).
+    Rebuild is order-exact: array_sort on (pos, line) structs, then a
+    newline join. Docs whose every line was stripped survive with
+    empty text (LEFT join restore).
+
+    Output: (id, text cleaned, n_kept, n_stripped)."""
+    ln = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__h", F.xxhash64("__line"))
+    freq = ln.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    dec = (
+        ln.select(id_col, "__pos", "__h")
+        .join(freq, "__h")
+        .select(id_col, "__pos", (F.col("__nd") < min_docs).alias("__keep"))
+    )
+    kept = (
+        ln.join(dec, [id_col, "__pos"])
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("__line"),
+                ),
+                "\n",
+            ).alias("__text"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias(
+                "n_stripped"
+            ),
+        )
+    )
+    return df.select(F.col(id_col)).join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("__text", F.lit("")).alias(text_col),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("n_stripped", F.lit(0)).cast("long").alias("n_stripped"),
+    )
