@@ -2010,8 +2010,12 @@ def q_doc_corpus_line_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     aug = docs.select(
         "doc_id",
+        # coalesce BEFORE concat on BOTH engine sides: concat(NULL,..)
+        # nulls the whole augmented text in Spark while DuckDB's ||
+        # propagates NULL into zero split rows — the two sides would
+        # diverge on a NULL-text doc (self-review r9 second wave)
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("\nShared cookie banner accept to continue"),
             F.lit("\nnav variant "),
             (F.col("doc_id") % 7).cast("string"),
@@ -2040,10 +2044,16 @@ def q_doc_mg_heavy_hitters(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     occ = docs.select(F.explode(tokens("text")).alias("token"))
-    n_total = occ.count()  # one scalar job; bounded driver state
     mg = mg_summary(occ, "token", b=64)
     exact = occ.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
-    heavy = exact.filter(F.col("n_exact") * 65 > F.lit(n_total))
+    # N derived IN-PLAN from the exact aggregate (sum of group counts ==
+    # total occurrences) — exactly the oracle's CROSS JOIN tot shape; a
+    # driver-side occ.count() here cost a third full tokenize pass
+    # (self-review r9 second wave)
+    tot = exact.agg(F.sum("n_exact").alias("n_total"))
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(
+        F.col("n_exact") * 65 > F.col("n_total")
+    )
     j = heavy.join(
         mg.select(F.col("item").alias("token"), "est"), "token", "left"
     )
@@ -2054,7 +2064,7 @@ def q_doc_mg_heavy_hitters(spark, sf_dir):
         F.col("est").isNotNull().alias("found"),
         (
             (est <= F.col("n_exact"))
-            & ((F.col("n_exact") - est) * 65 <= F.lit(n_total))
+            & ((F.col("n_exact") - est) * 65 <= F.col("n_total"))
         ).alias("within_band"),
     )
 
@@ -3264,9 +3274,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_semantic_decontaminate_blocked": q_doc_semantic_decontaminate_blocked,
         # r6 rotations IN: plan-changed (tokenizer unification) + first
         # driver evidence for three long-green local-sweep rows
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        # r9 second wave: both rows' plans changed in the self-review
+        # pass (in-plan N / coalesce-before-concat) — the standing rule
+        # pins plan-changed rows in the checked prefix; they take
+        # doc_ngram_jaccard's and doc_curation's slots (driver-green
+        # r6-r8, plans unchanged this round, still swept at both
+        # scales + bench-gated)
+        "doc_mg_heavy_hitters": q_doc_mg_heavy_hitters,
+        "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         "doc_decontaminate": q_doc_decontaminate,
-        "doc_curation": q_doc_curation,
         # PLAN_CHANGED_THIS_ROUND (r7): summarize percentiles moved from
         # linear interpolation to the reference's nearest-rank rule
         # (MetricHistogram.getPercentile parity); rotated in from the
@@ -3326,12 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_stats": q_doc_length_stats,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_classifier_score": q_doc_classifier_score,
-        # new r9 second wave (tail: both verdict booleans are provable
-        # under any partitioning, full sweeps gate them at both scales)
-        "doc_mg_heavy_hitters": q_doc_mg_heavy_hitters,
-        # new r9 second wave (tail: byte-exact md5 oracle over a
-        # deterministic planted construction — knife-edge-free class)
-        "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_curation": q_doc_curation,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
@@ -4775,7 +4787,7 @@ GROUP BY 1, 2"""
     )
     d["doc_corpus_line_dedup"] = """
 WITH aug AS (SELECT doc_id,
-                    text || chr(10) || 'Shared cookie banner accept to continue'
+                    coalesce(text, '') || chr(10) || 'Shared cookie banner accept to continue'
                          || chr(10) || 'nav variant ' || CAST(doc_id % 7 AS VARCHAR)
                          || chr(10) || 'unique trailer ' || CAST(doc_id AS VARCHAR)
                       AS text

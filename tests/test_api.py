@@ -577,6 +577,12 @@ PLAN_CHANGED_THIS_ROUND = {
     # gained the NULL/zero-total FALSE guard — semantics identical on
     # non-degenerate corpora, re-verified at both scales
     "doc_weighted_sample",
+    # r9 second wave (self-review #2): N derived in-plan from the
+    # exact aggregate instead of a driver-side occ.count() third scan
+    "doc_mg_heavy_hitters",
+    # r9 second wave (self-review #2): coalesce-before-concat on both
+    # engine sides so NULL-text docs can't diverge the dual paths
+    "doc_corpus_line_dedup",
 }
 
 

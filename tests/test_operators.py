@@ -971,8 +971,7 @@ def test_mg_summary_bounds_under_any_partitioning(spark):
         "token string",
     ).repartition(1)
     out = mg_summary(tied, "token", b=b).collect()
-    for r in out:
-        assert r["est"] <= 3
+    assert out == [], f"all-tied batch must subtract to empty, got {out}"
 
     # NULLs dropped, not counted
     with_null = base.unionByName(

@@ -1142,13 +1142,16 @@ def corpus_line_dedup(
     pass. Empty lines are counted like any line (a blank line shared
     by the whole corpus is boilerplate too).
 
-    Scale shape: one posexplode; the frequency aggregate and the
-    keep-decision join shuffle (id, pos, xxhash64(line)) INTS — line
-    text never enters the frequency shuffle; the only textful shuffle
-    is the final doc-keyed rebuild (the substring_rewrite precedent).
-    Rebuild is order-exact: array_sort on (pos, line) structs, then a
-    newline join. Docs whose every line was stripped survive with
-    empty text (LEFT join restore).
+    Scale shape: one posexplode; the frequency aggregate shuffles
+    xxhash64(line) ints only, and its keep decisions come back keyed
+    by (id, pos) — so line TEXT crosses two shuffles (the decision
+    join and the doc-keyed rebuild), but both are keyed by well-spread
+    (id, pos)/id, never by the line hash: joining decisions onto the
+    text rows by hash directly would hot-key the textful exchange on
+    exactly the corpus-wide boilerplate lines this operator exists to
+    find. Rebuild is order-exact: array_sort on (pos, line) structs,
+    then a newline join. Docs whose every line was stripped survive
+    with empty text (LEFT join restore).
 
     Output: (id, text cleaned, n_kept, n_stripped)."""
     ln = df.select(

@@ -70,7 +70,6 @@ def main() -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "source"
     )
-    n_docs = docs.count()
 
     # ---- exact dedup: one md5 group owns 10% of the corpus ----------
     from timely_spark.operators.dedup import exact_dup_groups
