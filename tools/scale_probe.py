@@ -514,6 +514,48 @@ def main() -> int:
                           file=sys.stderr)
                 results[name] = res
 
+        # --- SemDeDup deployed-recipe probe (r9 second wave) ----------
+        # The cluster-then-prune bound Sum|c|^2 holds only when k GROWS
+        # with the corpus (similarity.py documents the recipe; the ANN
+        # decade probe deliberately excluded semantic_dedup because
+        # fixed-k is a mis-deployment). This measures the recipe AS
+        # DEPLOYED: k=8 at x1 -> k=80 at x10, so mean cluster size
+        # stays ~constant and pair work should scale ~linearly.
+        if want("x10_semdedup"):
+            from timely_spark.operators.similarity import semantic_dedup
+
+            e10p2 = os.path.join(tmp, "emb10p")
+            if not os.path.exists(e10p2):
+                build_embeddings_perm(spark, sf_dir, e10p2, 10)
+            sframes = {
+                ("x1", 8): spark.read.parquet(
+                    f"{sf_dir}/embeddings.parquet"
+                ).select("vec_id", "embedding"),
+                ("x10", 80): spark.read.parquet(e10p2),
+            }
+
+            def schecksum(df):
+                return df.agg(
+                    F.sum(F.xxhash64(*df.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            res = {}
+            for (scale, k), df in sframes.items():
+                res[scale] = round(
+                    best_of(
+                        lambda: schecksum(
+                            semantic_dedup(df, k=k, threshold=0.4)
+                        ),
+                        n=2,
+                    ),
+                    2,
+                )
+                print(
+                    f"emb_semantic_dedup {scale} (k={k}): {res[scale]}s",
+                    file=sys.stderr,
+                )
+            results["emb_semantic_dedup"] = res
+
         # --- media_video_near_dup ------------------------------------
         # fixture BUILT OUTSIDE the timed region (driver-side AVI
         # synthesis is test scaffolding, not the operator)
