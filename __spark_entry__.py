@@ -2069,6 +2069,24 @@ def q_doc_mg_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_doc_chunk_extract(spark, sf_dir):
+    """RAG-prep chunk extraction: fixed 12-token windows at stride 8
+    (overlapping retrieval contexts) from every document — one
+    tokenize, a sequence/transform window build, one posexplode; a
+    map-only pass at any scale. Byte-exact oracle: DuckDB rebuilds the
+    identical windows by list slicing and md5-compares every chunk."""
+    from timely_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=12, stride=8)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
 def q_doc_weighted_sample(spark, sf_dir):
     """Weight-proportional deterministic sampling (the DSIR-style
     importance-resampling step): keep with P = min(1, target*w/sum_w),
@@ -3344,6 +3362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_classifier_score": q_doc_classifier_score,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_curation": q_doc_curation,
+        # new r9 second wave (tail: byte-exact md5 oracle class)
+        "doc_chunk_extract": q_doc_chunk_extract,
         "doc_domains": q_doc_domains,
         "doc_token_count": q_doc_token_count,
         "doc_token_freq": q_doc_token_freq,
@@ -4814,6 +4834,20 @@ exact AS (SELECT token, count(*) AS n_exact FROM occ GROUP BY 1)
 SELECT token, CAST(n_exact AS BIGINT) AS n_exact,
        TRUE AS found, TRUE AS within_band
 FROM exact CROSS JOIN tot WHERE n_exact * 65 > tot.n"""
+    d["doc_chunk_extract"] = f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+w AS (SELECT doc_id, t,
+             1 + CAST(ceil(greatest(len(t) - 12, 0) / 8.0) AS INT) AS nc
+      FROM tk WHERE len(t) > 0),
+idx AS (SELECT doc_id, t, CAST(unnest(range(nc)) AS INT) AS chunk_idx
+        FROM w),
+c AS (SELECT doc_id, chunk_idx,
+             array_to_string(t[chunk_idx*8 + 1 : chunk_idx*8 + 12], ' ')
+               AS chunk_text
+      FROM idx)
+SELECT doc_id, chunk_idx, md5(chunk_text) AS chunk_md5,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_tokens
+FROM c"""
     d["doc_snapshot_diff"] = """
 WITH old AS (SELECT doc_id, md5(text) AS oh FROM documents
              WHERE doc_id % 11 <> 7),

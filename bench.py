@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "doc_mg_heavy_hitters",
     # r9: CCNet-style corpus-level line dedup (cross-doc boilerplate)
     "doc_corpus_line_dedup",
+    # r9: RAG-prep overlapping chunk extraction
+    "doc_chunk_extract",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

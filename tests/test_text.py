@@ -1316,3 +1316,36 @@ def test_corpus_line_dedup_semantics(spark):
         for r in corpus_line_dedup(df2, min_docs=3).collect()
     }
     assert got2[0] == ("keep0\ntail0", 1) and got2[9] == ("solo", 0)
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Window arithmetic pinned against a hand model: exact coverage
+    (every token in >= 1 chunk), overlap = chunk - stride, short tail,
+    a doc shorter than one chunk emits exactly one chunk, zero-token
+    docs emit nothing, and the stride guard rejects stride >
+    chunk_tokens."""
+    import pytest as _pytest
+
+    from timely_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: 3 chunks
+        (2, "a b c"),                               # < chunk: 1 chunk
+        (3, ""),                                    # 0 toks: no rows
+        (4, " ".join(f"u{i}" for i in range(4))),   # == chunk: 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, stride=3)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: n=10 -> 1 + ceil(6/3) = 3 chunks at starts 0,3,6
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(2, 0)] == ("a b c", 3)
+    assert got[(4, 0)] == ("u0 u1 u2 u3", 4)
+    assert {k[0] for k in got} == {1, 2, 4}
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=5)

@@ -1198,3 +1198,50 @@ def corpus_line_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("n_stripped", F.lit(0)).cast("long").alias("n_stripped"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-prep chunking: split each document into fixed-token windows
+    with overlap — (id, chunk_idx, chunk_text, n_tokens), chunk_idx
+    0-based, window i covering tokens [i*stride, i*stride+chunk_tokens).
+    ``stride < chunk_tokens`` overlaps consecutive chunks (the usual
+    retrieval-context recipe); the last window may be shorter; the
+    chunk count is 1 + ceil(max(n - chunk_tokens, 0) / stride), so
+    every token is covered and a no-tail doc emits exactly one chunk.
+    Zero-token docs emit no row (there is nothing to retrieve).
+
+    Pure Column expressions — ONE tokenize, a sequence + transform to
+    build windows, one posexplode. The shuffle-free per-doc shape stays
+    in codegen; at 100 TB chunking is a map-only pass."""
+    if not 1 <= stride <= chunk_tokens:
+        raise ValueError(
+            f"need 1 <= stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+        )
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+        / F.lit(float(stride))
+    ).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    ex = df.filter(n > 0).select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_idx", "chunk_text"),
+    )
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+    )
