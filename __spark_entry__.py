@@ -4856,9 +4856,9 @@ new AS (SELECT doc_id,
                         ELSE text END) AS nh
         FROM documents WHERE doc_id % 13 <> 5)
 SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
-       CASE WHEN oh IS NULL THEN 'added'
-            WHEN nh IS NULL THEN 'removed'
-            WHEN oh = nh THEN 'unchanged'
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN oh IS NOT DISTINCT FROM nh THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"""
     return d

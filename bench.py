@@ -518,24 +518,25 @@ def main() -> int:
         if v > 0 and gates.get(k, 0) > 0
     )
     total = round(sum(v for v in times.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "gate_ratio_max": ratios[-1] if ratios else None,
-                "gate_ratio_median": ratios[len(ratios) // 2] if ratios else None,
-                "ungated": sorted(
-                    k for k, v in times.items() if v > 0 and not gates.get(k)
-                ),
-                "streaming_state_rows": ss_state_rows,
-                "streaming_state_bytes": ss_state_bytes,
-            }
-        )
-    )
+    # ONE compact JSON line, emitted LAST with no separator spacing, so
+    # the whole ~124-entry map fits the driver's tail-capture window
+    # (r9 verdict: the padded line was truncated mid-map → parsed:null)
+    summary = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "gate_ratio_max": ratios[-1] if ratios else None,
+        "gate_ratio_median": ratios[len(ratios) // 2] if ratios else None,
+        "ungated": sorted(
+            k for k, v in times.items() if v > 0 and not gates.get(k)
+        ),
+        "streaming_state_rows": ss_state_rows,
+        "streaming_state_bytes": ss_state_bytes,
+    }
+    sys.stderr.flush()
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     spark.stop()
     return 0
 

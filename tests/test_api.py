@@ -553,36 +553,20 @@ ROTATED_TO_TAIL = {
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    # r9 NULL-poisoning render guard on the put-line build (ADVICE r8
-    # #1: concat_ws silently skips NULLs; now raise_error at render)
-    "ts_queue_ingest",
-    # r9 map-access form: Column-keyed getItem -> bracket (ADVICE r8
-    # #2, FutureWarning removal; NULL-on-missing semantics identical)
-    "doc_trained_classifier",
-    # r9 new row (first driver evidence): the large-benchmark
-    # cell-probe decontamination regime (VERDICT r8 top-next #1)
-    "doc_semantic_decontaminate_blocked",
-    # r9 IVF promotion (VERDICT r8 #5): nprobe 8 -> 12 at ncells=16,
-    # recall 0.765 -> 0.905, floor 0.50 -> 0.80 on both oracle sides
-    "emb_knn_ivf",
-    # r9 floor easing only (ADVICE r8 #3 reseed headroom): 0.90 -> 0.85
-    # on both oracle sides; operating point unchanged
-    "emb_ivfpq_rerank",
-    # r9: the broadcast row's plan changed shape-neutrally too (the
-    # verdict predicate refactored onto the shared _integer_hit /
-    # _tau_pq helpers) — already in-prefix, re-verified
-    "doc_semantic_decontaminate",
-    # r9 second wave (self-review): sum_w re-enters the plan as a
-    # decimal string literal (int64-overflow fix) and the SQL twin
-    # gained the NULL/zero-total FALSE guard — semantics identical on
-    # non-degenerate corpora, re-verified at both scales
-    "doc_weighted_sample",
-    # r9 second wave (self-review #2): N derived in-plan from the
-    # exact aggregate instead of a driver-side occ.count() third scan
-    "doc_mg_heavy_hitters",
-    # r9 second wave (self-review #2): coalesce-before-concat on both
-    # engine sides so NULL-text docs can't diverge the dual paths
+    # r10 (ADVICE r9 #3, upgraded from docstring fix to real fix):
+    # bm25 restructured to a genuine single-pass — one explode, one
+    # groupBy(doc) exchange carrying dl + per-term conditional tfs,
+    # corpus stats (N/avgdl/df) from a reused-exchange scalar agg, no
+    # driver collect. Same formula, same 4-dp rounding.
+    "doc_bm25_scores",
+    # r10 (ADVICE r9 #4): corpus line dedup frequency key widened from
+    # one xxhash64 to a 128-bit pair (xxhash64(line), xxhash64(line,1))
+    # — collision tolerance now explicit in the operator contract
     "doc_corpus_line_dedup",
+    # r10 (ADVICE r9 #2): doc_snapshot_diff ORACLE presence test moved
+    # from hash-nullness to join-key nullness (md5(NULL)=NULL made
+    # NULL-text docs mislabel); Spark plan unchanged, twin re-verified
+    "doc_snapshot_diff",
 }
 
 

@@ -87,6 +87,33 @@ def test_bm25_sql_twin_agrees(spark):
     assert got == want
 
 
+def test_bm25_sql_twin_apostrophe_term(spark):
+    """Apostrophe-bearing query terms ("don't") are inside the
+    tokenizer charset [a-z0-9'] — the SQL twin must escape them into
+    well-formed string literals and still agree with the engine."""
+    import duckdb
+
+    docs = [
+        (1, "don't panic and don't shout"),
+        (2, "panic stations everyone"),
+        (3, "nothing relevant at all"),
+        (4, "don't"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, bm25_scores(df, "Don't panic!").collect()))
+    con = duckdb.connect()
+    con.register(
+        "documents_in",
+        __import__("pandas").DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_in")
+    want = sorted(
+        map(tuple, con.execute(bm25_scores_sql("Don't panic!")).fetchall())
+    )
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 4}
+
+
 def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="no terms"):

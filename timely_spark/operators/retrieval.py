@@ -8,14 +8,15 @@ reference has no retrieval tier (its lookups are key-structured,
 server/.../store/MetaQuery-style); this follows the Robertson/Zaragoza
 BM25 formulation with the Lucene (+1) idf.
 
-Spark-first scale shape: ONE corpus-linear token explode filtered to
-the query's terms BEFORE the aggregation (a handful of terms — the
-filter prunes the explode output to near-nothing map-side), a per-doc
-tf aggregation over those terms only, a per-term df aggregation whose
-output is at most |query| rows (broadcast back), and per-doc length
-from the same pass. No shuffle carries text; the big shuffle keys are
-(doc, term-hash) integers. Corpus statistics (N, avgdl) are two
-scalars from one aggregate.
+Spark-first scale shape: ONE corpus-linear token explode feeding ONE
+per-doc aggregation that computes the doc length AND each query
+term's tf as conditional sums in the same pass (a handful of terms —
+the conditional columns cost nothing map-side), so the corpus is
+tokenized exactly once and the only corpus-sized shuffle is the
+groupBy(doc) exchange, which the corpus-statistics aggregate (N,
+avgdl, per-term df — one broadcastable scalar row) REUSES
+(ReusedExchange; no second scan, no driver collect). No shuffle
+carries text; the shuffle keys are doc ids plus small ints.
 
 Floats: scores are rounded to 4 dp with the repo's +1e-9 half-boundary
 nudge on BOTH engine sides (the classifier_score / fir protocol) —
@@ -62,60 +63,82 @@ def bm25_scores(
     with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)) — Lucene's
     shifted idf (always positive). dl is the doc's FULL token count and
     avgdl the corpus mean over ALL docs (zero-token docs included),
-    both from one corpus-linear aggregate. Non-matching docs emit no
-    row (at 100 TB the result is query-selective, not corpus-sized).
-    ``score`` is rounded to 4 dp (+1e-9 nudge); ties in downstream
-    top-k consumption must re-break on the id."""
+    both from the same single-pass aggregate. Non-matching docs emit no
+    row (at 100 TB the result is query-selective, not corpus-sized);
+    an empty corpus therefore yields an empty result. ``score`` is
+    rounded to 4 dp (+1e-9 nudge); ties in downstream top-k
+    consumption must re-break on the id."""
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query tokenizes to no terms")
+    # explode_outer so zero-token docs still emit one (NULL-token) row
+    # and count toward N / avgdl; F.count skips the NULL so dl == 0
     ex = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
     )
-    # per-doc length (all tokens) — also the corpus N/avgdl source;
-    # LEFT join from docs so zero-token docs count toward N and avgdl
-    dl = (
-        docs.select(id_col)
-        .join(
-            ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")),
-            id_col,
-            "left",
+    perdoc = ex.groupBy(id_col).agg(
+        F.count("__t").alias("__dl"),
+        *[
+            F.sum(
+                F.when(F.col("__t") == F.lit(t), 1).otherwise(0)
+            ).alias(f"__tf{i}")
+            for i in range(len(terms))
+            for t in [terms[i]]
+        ],
+    )
+    # corpus statistics: ONE scalar row (N, total tokens, per-term df)
+    # over the same grouped frame — Catalyst reuses the groupBy(doc)
+    # exchange, so the corpus is scanned and tokenized exactly once
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__total"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = perdoc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__total").cast("double") / F.col("__n")
+
+    def term_score(i: int):
+        dfc = F.col(f"__df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n").cast("double") - dfc + F.lit(0.5))
+            / (dfc + F.lit(0.5))
         )
-        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
-    ).collect()[0]
-    n_docs, total = int(stats["n"]), int(stats["total"] or 0)
-    if n_docs == 0:
-        raise ValueError("empty corpus")
-    avgdl = total / n_docs
-    hits = ex.filter(F.col("__t").isin(terms))
-    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    term_score = (
-        idf
-        * F.col("tf")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        tf = F.col(f"__tf{i}")
+        return (
+            idf
+            * tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+            )
         )
+
+    # balanced pairwise sum — keeps the Add chain shallow for long
+    # queries (canonicalization-depth lesson, BASELINE.md engineering
+    # notes); a zero-tf term contributes exactly 0.0
+    def bal(lo: int, hi: int):
+        if hi - lo == 1:
+            return term_score(lo)
+        mid = (lo + hi) // 2
+        return bal(lo, mid) + bal(mid, hi)
+
+    hit = bal(0, len(terms))
+    n_hit = sum(
+        (F.col(f"__tf{i}") > 0).cast("int") for i in range(len(terms))
     )
-    scored = (
-        tf.join(F.broadcast(df_), "__t")
-        .join(dl, id_col)
-        .select(F.col(id_col), F.col("__t"), term_score.alias("__s"))
-    )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.round(F.sum("__s") + F.lit(1e-9), 4).alias("score"),
+    return (
+        j.select(
+            F.col(id_col),
+            n_hit.cast("long").alias("n_terms_hit"),
+            F.round(hit + F.lit(1e-9), 4).alias("score"),
+        )
+        .filter(F.col("n_terms_hit") > 0)
     )
 
 
@@ -135,7 +158,9 @@ def bm25_scores_sql(
     if not terms:
         raise ValueError("query tokenizes to no terms")
     toks = TOKENS_SQL.format(c=text_col)
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    # the tokenizer charset [a-z0-9'] admits apostrophes ("don't") —
+    # double them so the SQL string literals stay well-formed
+    term_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
 WITH ex AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
 dl AS (SELECT d.{id_col}, coalesce(l.dl, 0) AS dl

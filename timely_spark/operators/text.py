@@ -1142,16 +1142,22 @@ def corpus_line_dedup(
     pass. Empty lines are counted like any line (a blank line shared
     by the whole corpus is boilerplate too).
 
-    Scale shape: one posexplode; the frequency aggregate shuffles
-    xxhash64(line) ints only, and its keep decisions come back keyed
-    by (id, pos) — so line TEXT crosses two shuffles (the decision
-    join and the doc-keyed rebuild), but both are keyed by well-spread
-    (id, pos)/id, never by the line hash: joining decisions onto the
-    text rows by hash directly would hot-key the textful exchange on
-    exactly the corpus-wide boilerplate lines this operator exists to
-    find. Rebuild is order-exact: array_sort on (pos, line) structs,
-    then a newline join. Docs whose every line was stripped survive
-    with empty text (LEFT join restore).
+    Scale shape: one posexplode; the frequency aggregate shuffles a
+    PAIR of independent xxhash64 ints (128 bits of line identity —
+    a 64-bit key alone hits birthday collisions around 2^32 distinct
+    lines, i.e. within a 100 TB corpus, and a collision falsely strips
+    a unique line; at 128 bits the expected collision count stays
+    << 1 out to ~2^64 distinct lines, far beyond any real corpus —
+    that residual tolerance is the operator's contract), and its keep
+    decisions come back keyed by (id, pos) — so line TEXT crosses two
+    shuffles (the decision join and the doc-keyed rebuild), but both
+    are keyed by well-spread (id, pos)/id, never by the line hash:
+    joining decisions onto the text rows by hash directly would
+    hot-key the textful exchange on exactly the corpus-wide
+    boilerplate lines this operator exists to find. Rebuild is
+    order-exact: array_sort on (pos, line) structs, then a newline
+    join. Docs whose every line was stripped survive with empty text
+    (LEFT join restore).
 
     Output: (id, text cleaned, n_kept, n_stripped)."""
     ln = df.select(
@@ -1159,13 +1165,18 @@ def corpus_line_dedup(
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
             "__pos", "__line"
         ),
-    ).withColumn("__h", F.xxhash64("__line"))
-    freq = ln.groupBy("__h").agg(
+    ).withColumn("__h", F.xxhash64("__line")).withColumn(
+        # second independent 64-bit hash (seeded by an extra column) —
+        # together 128 bits of line identity, see scale-shape note
+        "__h2",
+        F.xxhash64("__line", F.lit(1)),
+    )
+    freq = ln.groupBy("__h", "__h2").agg(
         F.countDistinct(id_col).alias("__nd")
     )
     dec = (
-        ln.select(id_col, "__pos", "__h")
-        .join(freq, "__h")
+        ln.select(id_col, "__pos", "__h", "__h2")
+        .join(freq, ["__h", "__h2"])
         .select(id_col, "__pos", (F.col("__nd") < min_docs).alias("__keep"))
     )
     kept = (
