@@ -13,8 +13,23 @@ row-group level, the columnar analogue of Accumulo's hour-range seek).
 
 Scale notes (100 TB / 1000 executors):
 - day-level directories keep the partition count ~O(metrics x days); a
-  deployment with >100k metric names should bucket the metric dimension
-  (``metric_bucket = hash(metric) % N``) — provided via ``bucket_metrics``.
+  deployment whose metric count pushes that past ~5k directories should
+  bucket the metric dimension (``metric_bucket = hash(metric) % N``) —
+  provided via ``bucket_metrics``.
+- **metric_bucket sizing rule (MEASURED, r10 x100 store probe —
+  SCALE.md round-10 table):** bucket when ``metrics x retention_days``
+  exceeds ~5 000 directories, and pick
+  ``bucket_metrics ~ daily_ingest_bytes / 512 MB`` (the compaction file
+  target), clamped to [16, 4096]. Measured at a 100x metric fan-out on
+  the sf0.1 backlog: the flat layout's 15 000 dirs cost 2.7x on ingest
+  and 4.4-4.7x on engine queries (listing + footer reads dominate);
+  ``bucket_metrics=64`` (1 920 dirs) restored both to within noise of
+  the small-metric-set store, because ``_layout.json`` lets the query
+  side prune ``metric_bucket = hash(metric) % N`` + dt exactly like
+  metric-directory pruning. The SERIES dimension needs no knob: 100x
+  rows per partition left both query tiers flat (sortWithinPartitions
+  keeps row-group ts stats tight — the seek reads the same row groups
+  it read at x1).
 - compaction (the TieredCompactionStrategy analogue,
   server/.../store/compaction/TieredCompactionStrategy.java:25-156) is a
   per-partition rewrite targeting ~512 MB files.

@@ -193,29 +193,86 @@ def build_embeddings_perm(
     df.write.mode("overwrite").parquet(out)
 
 
-def build_events(spark, sf_dir: str, out: str) -> None:
+def build_events(spark, sf_dir: str, out: str, replicas: int = REPLICAS) -> None:
     # ONE parquet file named exactly like the testdata layout (the
     # streaming bench symlinks `{sf_dir}/events.parquet` as a file into
     # its stream source dir — a Spark-written directory would sit as an
-    # unlisted subdir and feed the stream zero rows)
-    import pyarrow as pa
+    # unlisted subdir and feed the stream zero rows). Replicas offset
+    # user_id — the SERIES key space, the state dimension that matters —
+    # streamed through a ParquetWriter so x100 stays memory-bounded.
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/events.parquet")
-    parts = [t]
-    for r in range(1, REPLICAS):
-        parts.append(
-            t.set_column(
+    os.makedirs(out, exist_ok=True)
+    w = pq.ParquetWriter(os.path.join(out, "events.parquet"), t.schema)
+    for r in range(replicas):
+        w.write_table(
+            t
+            if r == 0
+            else t.set_column(
                 t.schema.get_field_index("user_id"),
                 "user_id",
                 pc.add(t.column("user_id"), r * 1_000_000),
             )
         )
+    w.close()
+
+
+def build_events_volume(
+    spark, sf_dir: str, out: str, replicas: int
+) -> None:
+    """Volume-ONLY xN backlog: same user_ids (same series key space),
+    each replica's timestamps jittered by +r milliseconds so rows stay
+    inside the same event-time windows. Input grows xN while the
+    stateful keys (series x window) stay ~x1 — the leg that separates
+    'state grows with series' from 'state grows with volume'."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
     os.makedirs(out, exist_ok=True)
-    pq.write_table(
-        pa.concat_tables(parts), os.path.join(out, "events.parquet")
-    )
+    w = pq.ParquetWriter(os.path.join(out, "events.parquet"), t.schema)
+    ts_i = t.schema.get_field_index("ts")
+    unit = t.schema.field("ts").type.unit
+    per_ms = {"s": 0, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+    for r in range(replicas):
+        if r == 0 or per_ms == 0:
+            w.write_table(t)
+            continue
+        shifted = pc.add(
+            t.column("ts").cast(pa.int64()), r * per_ms
+        ).cast(t.schema.field("ts").type)
+        w.write_table(t.set_column(ts_i, "ts", shifted))
+    w.close()
+
+
+def build_events_scaled(
+    spark, sf_dir: str, out: str, replicas: int, salt_metrics: bool = False
+) -> None:
+    """User-offset xN event backlog as a parquet DIRECTORY (batch reads
+    — the store probe). ``salt_metrics`` additionally suffixes
+    event_type per replica: an xN backlog with N-times MORE metric
+    names, the dimension that multiplies the store's partition-dir
+    count (metrics x days) rather than its per-partition volume."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parts = [ev]
+    for r in range(1, replicas):
+        p = ev.withColumn(
+            "user_id", F.col("user_id") + F.lit(r * 1_000_000)
+        )
+        if salt_metrics:
+            p = p.withColumn(
+                "event_type", F.concat("event_type", F.lit(f"#{r}"))
+            )
+        parts.append(p)
+    df = parts[0]
+    for q in parts[1:]:
+        df = df.unionByName(q)
+    df.write.mode("overwrite").parquet(out)
 
 
 def best_of(fn, n: int = 2) -> float:
@@ -556,6 +613,279 @@ def main() -> int:
                 )
             results["emb_semantic_dedup"] = res
 
+        # --- x100 store/ingest decade probe (r10, VERDICT r9 #1) -----
+        # The core-engine path: salted line-protocol backlog ->
+        # parse_lines_df -> write_points partitioned store at x1/x10/
+        # x100, then the engine-query tiers over each store
+        # (store_query_pruned = 6h dt-pruned slice, store_query_tag =
+        # one promoted-tag series over the full range — both through
+        # the FULL OpenTSDB request pipeline, bench's own runners).
+        # Two scaling dimensions, probed separately:
+        #   * SERIES (user-offset replicas): partition-dir count stays
+        #     metrics x days; per-partition volume grows 100x — the
+        #     regime the hour-partition row key (MetricAdapter.java:
+        #     47-49) handles by seek, the Parquet layout by row-group
+        #     stats inside bigger files.
+        #   * METRICS (salted event_type at x100): dir count grows
+        #     100x (15k dirs) — the small-file regime metric_bucket
+        #     exists for; measured unbucketed vs bucket_metrics=64.
+        if want("x100_store"):
+            import bench
+
+            from timely_spark.model import ts_epoch_ms
+            from timely_spark.sources.lineprotocol import parse_lines_df
+            from timely_spark.sources.store import write_points
+
+            def put_lines(ev):
+                return ev.select(
+                    F.concat_ws(
+                        " ",
+                        F.lit("put"),
+                        F.col("event_type"),
+                        ts_epoch_ms(ev),
+                        F.col("value").cast("string"),
+                        F.concat(
+                            F.lit("user="), F.col("user_id").cast("string")
+                        ),
+                    ).alias("value")
+                )
+
+            def store_stats(path):
+                ndirs = nfiles = nbytes = 0
+                for root, _dirs, files in os.walk(path):
+                    pf = [f for f in files if f.endswith(".parquet")]
+                    if pf:
+                        ndirs += 1
+                    nfiles += len(pf)
+                    nbytes += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in pf
+                    )
+                return ndirs, nfiles, nbytes
+
+            def probe_store(label, ev, bucket_metrics=None, nrun=2):
+                lines = put_lines(ev)
+                n = lines.count()
+                store = os.path.join(tmp, f"store_{label}")
+                best = None
+                for _ in range(nrun):
+                    t0 = time.time()
+                    write_points(
+                        parse_lines_df(lines),
+                        store,
+                        mode="overwrite",
+                        bucket_metrics=bucket_metrics,
+                        promote_tags=["user"],
+                    )
+                    best = min(best or 1e18, time.time() - t0)
+                ndirs, nfiles, nbytes = store_stats(store)
+                q6h = min(
+                    bench.bench_store_query(spark, store)[0]
+                    for _ in range(2)
+                )
+                qtag = min(
+                    bench.bench_store_query_tag(spark, store)[0]
+                    for _ in range(2)
+                )
+                r = {
+                    "points": n,
+                    "ingest_s": round(best, 2),
+                    "points_per_s": int(n / best),
+                    "partition_dirs": ndirs,
+                    "files": nfiles,
+                    "mb": round(nbytes / 1e6, 1),
+                    "query_pruned_s": round(q6h, 2),
+                    "query_tag_s": round(qtag, 2),
+                }
+                print(f"store {label}: {r}", file=sys.stderr)
+                return r
+
+            stres = {}
+            for scale, reps in (("x1", 1), ("x10", 10), ("x100", 100)):
+                if reps == 1:
+                    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+                else:
+                    evdir = os.path.join(tmp, f"sev_{scale}")
+                    build_events_scaled(spark, sf_dir, evdir, reps)
+                    ev = spark.read.parquet(evdir)
+                stres[scale] = probe_store(
+                    scale, ev, nrun=1 if reps == 100 else 2
+                )
+            evm = os.path.join(tmp, "sev_x100m")
+            build_events_scaled(spark, sf_dir, evm, 100, salt_metrics=True)
+            evmetrics = spark.read.parquet(evm)
+            stres["x100_metrics_unbucketed"] = probe_store(
+                "x100m_flat", evmetrics, nrun=1
+            )
+            stres["x100_metrics_bucket64"] = probe_store(
+                "x100m_b64", evmetrics, bucket_metrics=64, nrun=1
+            )
+            results["store_ingest_decade"] = stres
+
+        # --- x100 streaming-state decade probe (r10, VERDICT r9 #2) --
+        # MetricScanner.run() (202-268) is a forever-loop — state
+        # growth is the one thing that kills it at 100x backlog. Drain
+        # the x1/x10/x100 user-offset backlog (100x the SERIES key
+        # space) through three stateful shapes via availableNow and
+        # record wall + state rows/bytes from stream progress:
+        #   * summarize: state ~ open (metric, series, window) tuples
+        #     -> expected to grow with the series dimension;
+        #   * sessionize: state ~ OPEN sessions (users inside the
+        #     watermark) -> grows with series, never with total volume;
+        #   * CMS heavy hitters: state is the SKETCH (depth x width
+        #     counters per open window) -> expected ~FLAT at x100 —
+        #     the scale-safe design the r9 verdict called out.
+        if want("x100_stream"):
+            import bench
+
+            from timely_spark.model import ts_epoch_ms
+            from timely_spark.streaming.cms import cms_stream_query
+            from timely_spark.streaming.sessionize import sessionize_stream
+
+            # MEASURED r10: the default HDFSBackedStateStoreProvider
+            # holds every open key's state in executor heap — the x100
+            # summarize tier (9.9M open (series, window) keys, ~4.2 GB
+            # of state) OOMs the 8 GiB local JVM outright. The
+            # production lever past ~1M open keys/executor is the
+            # RocksDB provider (off-heap + disk-backed, bounded block
+            # cache); x100 tiers run under it, and an x10_rocksdb tier
+            # measures its overhead apples-to-apples vs in-heap x10.
+            _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+            _ROCKSDB = (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+
+            def with_provider(provider, fn):
+                old = None
+                try:
+                    old = spark.conf.get(_PROVIDER_KEY)
+                except Exception:
+                    pass
+                if provider:
+                    spark.conf.set(_PROVIDER_KEY, provider)
+                try:
+                    return fn()
+                finally:
+                    if provider:
+                        if old:
+                            spark.conf.set(_PROVIDER_KEY, old)
+                        else:
+                            spark.conf.unset(_PROVIDER_KEY)
+
+            def drain(make_query, srcdir):
+                ck = tempfile.mkdtemp(prefix="tsp_ck_", dir=tmp)
+                outp = tempfile.mkdtemp(prefix="tsp_out_", dir=tmp)
+                t0 = time.time()
+                q = make_query(srcdir, ck, outp)
+                q.awaitTermination()
+                dt = time.time() - t0
+                srows = sbytes = 0
+                for p in q.recentProgress:
+                    for so in p.get("stateOperators") or []:
+                        srows = max(srows, so.get("numRowsTotal") or 0)
+                        sbytes = max(
+                            sbytes, so.get("memoryUsedBytes") or 0
+                        )
+                n_out = spark.read.parquet(outp).count()
+                shutil.rmtree(ck, ignore_errors=True)
+                shutil.rmtree(outp, ignore_errors=True)
+                return round(dt, 2), n_out, srows, sbytes
+
+            def stream_events(srcdir):
+                schema = spark.read.parquet(
+                    f"{sf_dir}/events.parquet"
+                ).schema
+                return spark.readStream.schema(schema).parquet(srcdir)
+
+            def make_sessionize(srcdir, ck, outp):
+                ev = stream_events(srcdir)
+                ev = ev.withColumn("ts_ms", ts_epoch_ms(ev))
+                return sessionize_stream(
+                    ev, ck, outp, gap_minutes=30,
+                    watermark_seconds=120, available_now=True,
+                )
+
+            def make_cms(srcdir, ck, outp):
+                ev = stream_events(srcdir)
+                ev = ev.withColumn("ts", ts_epoch_ms(ev))
+                return cms_stream_query(
+                    ev, "user_id", window_seconds=3600, checkpoint=ck,
+                    out_path=outp, watermark_seconds=120,
+                    available_now=True,
+                )
+
+            def run_tier(srcdir, provider=None):
+                tier = {"provider": "rocksdb" if provider else "heap"}
+
+                def _summ():
+                    return bench.bench_streaming_summarize(spark, srcdir)
+
+                dt, n_out, srows, sbytes = with_provider(provider, _summ)
+                tier["summarize"] = {
+                    "s": round(dt, 2), "out_rows": n_out,
+                    "state_rows": srows, "state_bytes": sbytes,
+                }
+                dt, n_out, srows, sbytes = with_provider(
+                    provider, lambda: drain(make_sessionize, srcdir)
+                )
+                tier["sessionize"] = {
+                    "s": dt, "out_rows": n_out,
+                    "state_rows": srows, "state_bytes": sbytes,
+                }
+                dt, n_out, srows, sbytes = with_provider(
+                    provider, lambda: drain(make_cms, srcdir)
+                )
+                tier["cms"] = {
+                    "s": dt, "out_rows": n_out,
+                    "state_rows": srows, "state_bytes": sbytes,
+                }
+                return tier
+
+            sres = {}
+            srcdirs = {}
+            for scale, reps in (("x1", 1), ("x10", 10), ("x100", 100)):
+                if reps == 1:
+                    srcdir = os.path.join(tmp, "stream_x1")
+                    os.makedirs(srcdir, exist_ok=True)
+                    dst = os.path.join(srcdir, "events.parquet")
+                    if not os.path.exists(dst):
+                        os.symlink(
+                            os.path.abspath(f"{sf_dir}/events.parquet"),
+                            dst,
+                        )
+                else:
+                    srcdir = os.path.join(tmp, f"stream_{scale}")
+                    if not os.path.exists(
+                        os.path.join(srcdir, "events.parquet")
+                    ):
+                        build_events(spark, sf_dir, srcdir, replicas=reps)
+                srcdirs[scale] = srcdir
+                # x100 state (~10M open keys, ~4.2 GB) OOMs the in-heap
+                # provider on this JVM — measured, recorded in SCALE.md;
+                # the tier runs under RocksDB (the production choice)
+                tier = run_tier(
+                    srcdir, provider=_ROCKSDB if scale == "x100" else None
+                )
+                print(f"stream {scale}: {tier}", file=sys.stderr)
+                sres[scale] = tier
+            # RocksDB overhead at a size the heap provider also
+            # handles: same backlog, both providers
+            tier = run_tier(srcdirs["x10"], provider=_ROCKSDB)
+            print(f"stream x10_rocksdb: {tier}", file=sys.stderr)
+            sres["x10_rocksdb"] = tier
+            # volume-ONLY x100: same series keys, input x100 — state
+            # must stay ~x1 (the separating evidence: state follows
+            # open keys, never raw volume)
+            vdir = os.path.join(tmp, "stream_x100vol")
+            if not os.path.exists(os.path.join(vdir, "events.parquet")):
+                build_events_volume(spark, sf_dir, vdir, 100)
+            # heap provider on purpose: state stays ~x1-sized, which is
+            # exactly the claim this leg exists to prove
+            tier = run_tier(vdir)
+            print(f"stream x100_volume: {tier}", file=sys.stderr)
+            sres["x100_volume"] = tier
+            results["streaming_state_decade"] = sres
+
         # --- media_video_near_dup ------------------------------------
         # fixture BUILT OUTSIDE the timed region (driver-side AVI
         # synthesis is test scaffolding, not the operator)
@@ -625,6 +955,10 @@ def main() -> int:
         shutil.rmtree(tmp, ignore_errors=True)
 
     for k, v in results.items():
+        # the decade-probe groups nest per-tier dicts; plain-operator
+        # entries carry flat x1/x10[/x100] floats to ratio over
+        if not isinstance(v.get("x1"), (int, float)):
+            continue
         v["ratio"] = round(v["x10"] / max(v["x1"], 1e-9), 1)
         if "x100" in v:
             v["ratio_x100_x10"] = round(
