@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     "doc_corpus_line_dedup",
     # r9: RAG-prep overlapping chunk extraction
     "doc_chunk_extract",
+    # r10: corpus comparison & selection-integrity family
+    "doc_source_overlap",
+    "doc_source_drift",
+    "doc_split_guarded",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

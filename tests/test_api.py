@@ -567,6 +567,16 @@ PLAN_CHANGED_THIS_ROUND = {
     # from hash-nullness to join-key nullness (md5(NULL)=NULL made
     # NULL-text docs mislabel); Spark plan unchanged, twin re-verified
     "doc_snapshot_diff",
+    # r10 (VERDICT r9 #4): raw-PQ operating point promoted ksub 64 ->
+    # 256 (sweep-measured 0.56 -> 0.715 / 0.505 -> 0.59), floors 0.40
+    # -> 0.60 / 0.50 on both oracle sides
+    "emb_pq_ann",
+    "emb_ivfpq_ann",
+    # r10 new rows (first driver evidence): the corpus comparison &
+    # selection-integrity family (operators/corpus_compare.py)
+    "doc_source_overlap",
+    "doc_source_drift",
+    "doc_split_guarded",
 }
 
 

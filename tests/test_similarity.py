@@ -220,7 +220,14 @@ def test_ann_recall_artifact_at_scale(spark):
     # __spark_entry__.py (change them together); the margin is the
     # early-warning buffer — if this fires, either re-sweep the
     # operating point or ease the floor BEFORE the driver gates on it.
-    registry_floors = {"lsh": 0.80, "ivf": 0.80, "ivfpq_rerank": 0.85}
+    registry_floors = {
+        "lsh": 0.80,
+        "ivf": 0.80,
+        "ivfpq_rerank": 0.85,
+        # r10 ksub=256 promotion (VERDICT r9 #4): measured 0.715 / 0.59
+        "pq": 0.60,
+        "ivfpq": 0.50,
+    }
     for name, floor in registry_floors.items():
         assert r[name] >= floor + 0.02, (
             f"{name} recall {r[name]} has <0.02 headroom over its "

@@ -81,6 +81,20 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         normalize_text,
     )
 
+    # per-stage wall clock (VERDICT r9 #5: the composition-level view —
+    # a recomputed stage or missing persist only surfaces here, not in
+    # per-operator benches). Stage boundaries are the existing actions;
+    # marking them costs nothing extra.
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _last = [_time.time()]
+
+    def _mark(stage: str) -> None:
+        now = _time.time()
+        timings[stage] = round(now - _last[0], 2)
+        _last[0] = now
+
     docs = load_documents(spark, sf_dir, fmt, main_content)
     if line_dedup:
         # intra-doc repeated-line strip FIRST: every downstream signal
@@ -90,6 +104,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
 
         docs = docs.withColumn("text", dedup_lines("text")["cleaned"])
     n_input = docs.count()
+    _mark("load_input")
 
     # incremental mode: diff the incoming corpus against a previous
     # snapshot BEFORE screening — the added+changed count is the
@@ -105,6 +120,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             r["status"]: r["n_docs"]
             for r in snapshot_diff_summary(baseline, docs).collect()
         }
+        _mark("snapshot_diff")
 
     sig = gopher_signals("text")
     normed = docs.select(
@@ -170,6 +186,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         F.sum((F.col("p_keep") >= min_p_keep).cast("long")).alias("n_clf"),
         F.sum(keep.cast("long")).alias("n_out"),
     ).collect()[0]
+    _mark("screen")
     survivors = staged.filter(keep).select(
         "doc_id", "source", "n_tokens", "p_keep", "text"
     )
@@ -197,6 +214,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).filter("is_keeper").select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_minhash = survivors.count()
+            _mark("minhash_dedup")
         if (substring_rewrite or max_dup_frac is not None) and n_out:
             # stride-1 exact-substring pass (Lee et al. 2022): the
             # expensive window-hash explode runs ONCE (persisted
@@ -235,6 +253,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 ).select("doc_id")
                 survivors = survivors.join(keep_ids, "doc_id")
                 n_out = n_substring = survivors.count()
+                _mark("substring_screen")
             if substring_rewrite and n_out:
                 # without a screen the survivor set IS the set occ was
                 # built from — the filter join would be a corpus-sized
@@ -270,6 +289,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                     .withColumnRenamed("__rw", "text")
                 )
                 n_out = int(counts["__n"])
+                _mark("substring_rewrite")
             if both:
                 occ.unpersist()
         if semantic_threshold is not None and n_out:
@@ -331,6 +351,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             )
             survivors = survivors.join(pruned, "doc_id", "left_anti")
             n_out = n_semantic = survivors.count()
+            _mark("semantic_dedup")
         if bench_path and n_out:
             # benchmark decontamination via the bloom + confirm-join
             # operator (the large-benchmark default; byte-identical to
@@ -346,6 +367,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 "doc_id",
             )
             n_out = n_decontaminated = survivors.count()
+            _mark("decontaminate")
         if bench_path and semantic_decon is not None and n_out:
             # PARAPHRASE decontamination against the same benchmark:
             # the embedding-space screen that catches reordered/edited
@@ -386,6 +408,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 "doc_id",
             )
             n_out = n_semantic_decon = survivors.count()
+            _mark("semantic_decon")
         if dsir_target and dsir_keep and n_out:
             # DSIR importance resampling toward the target sources
             # (hashed-feature production mode: bounded broadcast table)
@@ -400,6 +423,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).select("doc_id")
             survivors = survivors.join(keep_ids, "doc_id")
             n_out = n_dsir = survivors.count()
+            _mark("dsir")
         if ppl_ref and max_log_ppl is not None and n_out:
             # CCNet-style LM perplexity screen: bigram LM fit on the
             # reference sources, docs above the log-ppl cutoff dropped
@@ -415,6 +439,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             ).select("doc_id")
             survivors = survivors.join(kept, "doc_id")
             n_out = n_ppl = survivors.count()
+            _mark("perplexity")
         if bpe_tokens and n_out:
             # budget in REAL token space: train BPE on a survivor
             # sample, re-derive n_tokens corpus-wide (one Arrow pass)
@@ -425,6 +450,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
             )
             survivors = survivors.drop("n_tokens").join(enc, "doc_id")
+            _mark("bpe_tokens")
         if token_budget and n_out:
             # per-source quality-ranked token budget over the screen
             # survivors (token_budget_subset's banded two-phase cumsum)
@@ -438,6 +464,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 tb.filter("kept").select("doc_id"), "doc_id"
             )
             n_out = survivors.count()
+            _mark("token_budget")
         pack_input = survivors.select("doc_id", "text")
         pack_id = "doc_id"
         if shuffle_seed is not None and n_out:
@@ -454,6 +481,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             if n_out
             else 0
         )
+        _mark("pack_write")
     finally:
         staged.unpersist()
     stats = {
@@ -487,6 +515,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "n_survivors": n_out,
         "keep_rate": round(n_out / n_input, 4) if n_input else 0.0,
         "n_shards": n_shards,
+        "stage_wall_s": timings,
         "seq_len": seq_len,
         "out": out,
     }

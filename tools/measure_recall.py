@@ -60,10 +60,11 @@ def measure(spark, sf_dir: str) -> dict:
         "lsh": lambda: lsh_topk(emb, q, dim=64, k=K, planes=4, tables=16),
         # r9 default from the nprobe sweep (VERDICT r8 #5)
         "ivf": lambda: ivf_topk(emb, q, k=K, ncells=16, nprobe=12),
-        # r7 defaults from the (m, ksub) sweep below (VERDICT r6 #4)
-        "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=16, ksub=64),
+        # r10 defaults: ksub 64 -> 256 promoted from the codebook sweep
+        # (VERDICT r9 #4) — same ADC scan cost, +0.155/+0.085 recall
+        "pq": lambda: pq_topk(emb, q, dim=64, k=K, m=16, ksub=256),
         "ivfpq": lambda: ivfpq_topk(
-            emb, q, dim=64, k=K, m=16, ksub=64, ncells=32, nprobe=16
+            emb, q, dim=64, k=K, m=16, ksub=256, ncells=32, nprobe=16
         ),
         "ivfpq_rerank": lambda: ivfpq_rerank_topk(
             emb, q, dim=64, k=K, rerank=8, ncells=32, nprobe=32
