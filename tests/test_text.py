@@ -755,6 +755,25 @@ def test_trained_classifier_learns_and_serves(spark):
         assert scored[i] == pytest.approx(probs[i], abs=5e-3)
 
 
+def test_trained_classifier_single_class_labels_fail_loud(spark):
+    """Single-class weak labels must raise (r10: the curate x10
+    rehearsal's Gopher labels passed 0 synthetic docs — a silent
+    degenerate fit zeroed the whole corpus downstream; curate's
+    fallback_static path catches this ValueError)."""
+    import pytest
+
+    from timely_spark.operators.classifier import train_classifier_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="single-class"):
+        train_classifier_weights(docs, F.lit(False), dim=64)
+    with pytest.raises(ValueError, match="single-class"):
+        train_classifier_weights(docs, F.lit(True), dim=64)
+
+
 def test_curate_cli_learned_filter(spark, tmp_path):
     """--learned-filter trains weights on Gopher weak labels and still
     produces a coherent pipeline run (counts consistent, output
@@ -766,7 +785,16 @@ def test_curate_cli_learned_filter(spark, tmp_path):
 
     filler = ("plenty of ordinary readable prose words that the gopher "
               "rules accept without any complaint at all in this row ")
-    rows = [(i, "web", filler * 3 + f"unique{i}") for i in range(25)]
+    junk = "@@ ## !! %% zz "  # symbol-heavy: fails the Gopher rules
+    rows = [
+        (i, "web",
+         junk * 40 if i % 4 == 0 else filler * 3 + f"unique{i}")
+        for i in range(25)
+    ]
+    # both label classes must exist in the 1-in-5 (doc_id % 5 == 0)
+    # training sample — junk lands on % 4 so the sample {0,5,10,15,20}
+    # mixes junk (0, 20) with prose (5, 10, 15); single-class weak
+    # labels now fail loudly into fallback_static (r10 guard)
     docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     out = str(tmp_path / "packed")

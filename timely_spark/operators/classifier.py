@@ -115,6 +115,18 @@ def train_classifier_weights(
             raise ValueError(
                 "train_classifier_weights: no training rows with >0 tokens"
             )
+        if feats.select("label").distinct().limit(2).count() < 2:
+            # single-class weak labels: L-BFGS converges to a degenerate
+            # all-one-way scorer that silently zeroes (or passes) the
+            # whole corpus downstream — the r10 curate x10 rehearsal hit
+            # exactly this (Gopher prose rules pass 0 synthetic docs ->
+            # all-negative labels -> 0 survivors). Fail loudly; callers
+            # with a fallback (curate --learned-filter) catch ValueError
+            # and record fallback_static in the manifest.
+            raise ValueError(
+                "train_classifier_weights: weak labels are single-class "
+                "on the training sample — a fit would be degenerate"
+            )
         lr = LogisticRegression(
             maxIter=max_iter,
             regParam=reg_param,

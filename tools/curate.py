@@ -95,6 +95,32 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         timings[stage] = round(now - _last[0], 2)
         _last[0] = now
 
+    # Stage-boundary materialization (r10: the x10 full-chain rehearsal
+    # OOMed the driver at the blocked-decon stage). Root cause is
+    # COMPOSITIONAL and exponential, not a slow operator: every stage
+    # filters survivors by a keep-set derived FROM survivors, so each
+    # stage's logical plan embeds TWO copies of the previous stage's —
+    # ten chained stages build ~2^10 copies of the screen subtree, and
+    # even persist() dies just RENDERING that plan's string
+    # (CachedRDDBuilder.cachedName treeString OOM, measured). persist()
+    # does not truncate logical lineage; only a real checkpoint does.
+    # Each stage therefore round-trips its survivor frame through
+    # parquet: plan lineage resets to a scan, peak driver state is one
+    # stage's plan, and the boundary doubles as the durable restart
+    # point an incremental 100 TB pipeline wants anyway (the same
+    # fix-shape as Spark's checkpoint(), but visible/debuggable files).
+    _stage_root = tempfile.mkdtemp(prefix="curate_stages_")
+    _stage_seq = [0]
+
+    def _materialize(df):
+        path = os.path.join(_stage_root, f"stage{_stage_seq[0]}")
+        _stage_seq[0] += 1
+        df.write.mode("overwrite").parquet(path)
+        # explicit schema: a 0-row stage writes no part files, and
+        # schema inference on an empty dir would throw
+        out_df = spark.read.schema(df.schema).parquet(path)
+        return out_df, out_df.count()
+
     docs = load_documents(spark, sf_dir, fmt, main_content)
     if line_dedup:
         # intra-doc repeated-line strip FIRST: every downstream signal
@@ -212,8 +238,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             keep_ids = dedup_cluster_assignment(
                 survivors.select("doc_id"), pairs
             ).filter("is_keeper").select("doc_id")
-            survivors = survivors.join(keep_ids, "doc_id")
-            n_out = n_minhash = survivors.count()
+            survivors, n_out = _materialize(survivors.join(keep_ids, "doc_id"))
+            n_minhash = n_out
             _mark("minhash_dedup")
         if (substring_rewrite or max_dup_frac is not None) and n_out:
             # stride-1 exact-substring pass (Lee et al. 2022): the
@@ -251,8 +277,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 keep_ids = stats.filter(
                     F.col("dup_frac") <= max_dup_frac
                 ).select("doc_id")
-                survivors = survivors.join(keep_ids, "doc_id")
-                n_out = n_substring = survivors.count()
+                survivors, n_out = _materialize(survivors.join(keep_ids, "doc_id"))
+                n_substring = n_out
                 _mark("substring_screen")
             if substring_rewrite and n_out:
                 # without a screen the survivor set IS the set occ was
@@ -283,7 +309,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 ).collect()[0]
                 n_excise_fallback = int(counts["__fb"])
                 rw = rw.select("doc_id", F.col("text").alias("__rw"))
-                survivors = (
+                survivors, _n = _materialize(
                     survivors.join(rw, "doc_id")
                     .drop("text")
                     .withColumnRenamed("__rw", "text")
@@ -349,8 +375,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             pruned = semantic_dedup(emb, threshold=semantic_threshold).select(
                 F.col("vec_id").alias("doc_id")
             )
-            survivors = survivors.join(pruned, "doc_id", "left_anti")
-            n_out = n_semantic = survivors.count()
+            survivors, n_out = _materialize(survivors.join(pruned, "doc_id", "left_anti"))
+            n_semantic = n_out
             _mark("semantic_dedup")
         if bench_path and n_out:
             # benchmark decontamination via the bloom + confirm-join
@@ -366,7 +392,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 flags.filter(~F.col("contaminated")).select("doc_id"),
                 "doc_id",
             )
-            n_out = n_decontaminated = survivors.count()
+            survivors, n_out = _materialize(survivors)
+            n_decontaminated = n_out
             _mark("decontaminate")
         if bench_path and semantic_decon is not None and n_out:
             # PARAPHRASE decontamination against the same benchmark:
@@ -407,7 +434,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 flags.filter(~F.col("contaminated")).select("doc_id"),
                 "doc_id",
             )
-            n_out = n_semantic_decon = survivors.count()
+            survivors, n_out = _materialize(survivors)
+            n_semantic_decon = n_out
             _mark("semantic_decon")
         if dsir_target and dsir_keep and n_out:
             # DSIR importance resampling toward the target sources
@@ -421,8 +449,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 target.select("doc_id", "text"),
                 keep_n=dsir_keep,
             ).select("doc_id")
-            survivors = survivors.join(keep_ids, "doc_id")
-            n_out = n_dsir = survivors.count()
+            survivors, n_out = _materialize(survivors.join(keep_ids, "doc_id"))
+            n_dsir = n_out
             _mark("dsir")
         if ppl_ref and max_log_ppl is not None and n_out:
             # CCNet-style LM perplexity screen: bigram LM fit on the
@@ -437,8 +465,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 ref.select("doc_id", "text"),
                 max_log_ppl=max_log_ppl,
             ).select("doc_id")
-            survivors = survivors.join(kept, "doc_id")
-            n_out = n_ppl = survivors.count()
+            survivors, n_out = _materialize(survivors.join(kept, "doc_id"))
+            n_ppl = n_out
             _mark("perplexity")
         if bpe_tokens and n_out:
             # budget in REAL token space: train BPE on a survivor
@@ -463,7 +491,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             survivors = survivors.join(
                 tb.filter("kept").select("doc_id"), "doc_id"
             )
-            n_out = survivors.count()
+            survivors, n_out = _materialize(survivors)
             _mark("token_budget")
         pack_input = survivors.select("doc_id", "text")
         pack_id = "doc_id"
@@ -484,6 +512,9 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         _mark("pack_write")
     finally:
         staged.unpersist()
+        import shutil as _shutil
+
+        _shutil.rmtree(_stage_root, ignore_errors=True)
     stats = {
         "n_input": n_input,
         "stage_pass": {
