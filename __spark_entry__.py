@@ -778,6 +778,25 @@ def q_ts_rollup_query(spark, sf_dir):
     )
 
 
+def q_events_kmv_setops(spark, sf_dir):
+    """KMV (theta-family) set-operation sketch (r10): pairwise
+    distinct-user union AND intersection estimates between event
+    types — the set-op capability HLL registers cannot provide
+    losslessly (operators/rollup.py kmv_set_ops, Beyer et al. 2007 /
+    DataSketches theta shape). Sketches are the k=256 smallest md5-64
+    hashes per type (dual-engine idiom), so DuckDB rebuilds them
+    byte-identically and the oracle compare is VALUE-EXACT on the
+    estimates themselves, not bound-pinned; exact counts +
+    sigma-banded *_ok booleans ride along. At sf0.01 (150 users < k)
+    every pair takes the sketch-is-the-set exact branch; at sf0.1
+    (1500 users) the saturated estimator runs — the driver gates one
+    regime, the committed sf0.1 sweep the other."""
+    from timely_spark.operators.rollup import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_ops(ev, "event_type", "user_id", k=256)
+
+
 def q_events_hll_rollup(spark, sf_dir):
     """Mergeable distinct-count rollup: per-(event_type, day) HLL
     sketch partials (Datasketches, hll_sketch_agg) unioned to weekly
@@ -2145,6 +2164,21 @@ def q_doc_split_guarded(spark, sf_dir):
     return split_leakage_guard_md5(docs.unionByName(planted))
 
 
+def q_doc_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (r10): per candidate vocab size V, the
+    token-occurrence fraction the top-V types cover (complement = the
+    OOV rate a V-entry tokenizer vocabulary pays) — the budgeting
+    primitive run before training a tokenizer. Corpus-sized shuffle is
+    the (128-bit token hash -> count) aggregate only; the global
+    cumsum runs on the count-of-counts frame (distinct frequencies —
+    tiny at any corpus size). Oracle: DuckDB rebuilds the curve from
+    token text; tie boundaries are mass-invariant by construction."""
+    from timely_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_sizes=[256, 1024, 4096, 16384, 65536])
+
+
 def q_doc_weighted_sample(spark, sf_dir):
     """Weight-proportional deterministic sampling (the DSIR-style
     importance-resampling step): keep with P = min(1, target*w/sum_w),
@@ -3304,14 +3338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + bench-gated; JSONL/WARC decode also golden-pinned in
         # tests/test_corpus_sources.py)
         "doc_source_overlap": q_doc_source_overlap,
-        # r9 second wave: doc_weighted_sample's plan changed in the
-        # self-review pass (decimal-string sum_w literal + SQL NULL
-        # guard) — the standing rule pins plan-changed rows in the
-        # checked prefix; takes doc_classifier_score's slot
-        # (driver-green r6-r8, plan unchanged, its sibling
-        # doc_trained_classifier stays in-prefix, still swept +
-        # bench-gated)
-        "doc_weighted_sample": q_doc_weighted_sample,
+        # new r10: KMV theta-sketch set operations (first driver
+        # evidence; the set-INTERSECTION capability the HLL tier lacks)
+        # — takes doc_weighted_sample's slot (driver-green r9, plan
+        # unchanged this round, hypothesis-modeled in pytest, still
+        # swept at both scales + bench-gated)
+        "events_kmv_setops": q_events_kmv_setops,
         # r9 rotation out: emb_pca_project -> tail (displaced by
         # doc_semantic_decontaminate_blocked's first driver evidence;
         # see ROTATED_TO_TAIL justification)
@@ -3319,10 +3351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_global_shuffle's slot (green r5-r6, plan unchanged, its
         # two-phase rank is value-pinned by the plain-window oracle and
         # still swept + bench-gated)
-        # PLAN_CHANGED_THIS_ROUND (r7): detection refactored onto the
-        # shared substring_spans() core (VERDICT r6 #6); both rows stay
-        # in the checked prefix, re-verified OK at sf0.01 post-refactor
-        "doc_substring_dedup": q_doc_substring_dedup,
+        # new r10: vocabulary coverage curve (first driver evidence) —
+        # takes doc_substring_dedup's slot (driver-green r6-r9, plan
+        # unchanged this round, its sibling doc_substring_rewrite stays
+        # in-prefix, still swept at both scales + bench-gated)
+        "doc_vocab_coverage": q_doc_vocab_coverage,
         # new r6: stride-1 substring REWRITE (oracle: byte-exact md5) —
         # takes doc_token_budget's slot (green r5-r6, plan unchanged,
         # hypothesis-modeled, still swept + bench-gated)
@@ -3394,6 +3427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_corpus_ingest": q_doc_corpus_ingest,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_perplexity": q_doc_perplexity,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_substring_dedup": q_doc_substring_dedup,
         # ROTATED_TO_TAIL (r8): events_range_join — driver-green r6+r7,
         # plan unchanged, displaced by ts_queue_ingest's first evidence
         "events_range_join": q_events_range_join,
@@ -4937,6 +4972,15 @@ FROM c"""
         split_leakage_guard_md5_sql,
     )
 
+    from timely_spark.operators.rollup import kmv_set_ops_sql
+    from timely_spark.operators.text import vocab_coverage_sql
+
+    d["events_kmv_setops"] = kmv_set_ops_sql(
+        "event_type", "user_id", "events", k=256
+    )
+    d["doc_vocab_coverage"] = vocab_coverage_sql(
+        vocab_sizes=[256, 1024, 4096, 16384, 65536]
+    )
     d["doc_source_overlap"] = source_overlap_matrix_sql(n=8)
     d["doc_source_drift"] = source_drift_sql(
         "SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 7",

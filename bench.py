@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     "doc_source_overlap",
     "doc_source_drift",
     "doc_split_guarded",
+    # r10: KMV theta-sketch set operations (union + intersection)
+    "events_kmv_setops",
+    # r10: vocabulary coverage curve (tokenizer budgeting)
+    "doc_vocab_coverage",
 ]
 
 # Synthetic rows main() emits beyond the registry entries — every name

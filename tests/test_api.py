@@ -577,6 +577,10 @@ PLAN_CHANGED_THIS_ROUND = {
     "doc_source_overlap",
     "doc_source_drift",
     "doc_split_guarded",
+    # r10 new row: KMV theta-sketch set operations (rollup.kmv_set_ops)
+    "events_kmv_setops",
+    # r10 new row: vocabulary coverage curve (text.vocab_coverage)
+    "doc_vocab_coverage",
 }
 
 

@@ -982,3 +982,73 @@ def test_mg_summary_bounds_under_any_partitioning(spark):
         for r in mg_summary(with_null.repartition(1), "token", b=b).collect()
     }
     assert None not in got_n
+
+
+def test_kmv_sketch_exact_when_unsaturated(spark):
+    """A group with fewer than k distinct items IS its sketch: every
+    estimate equals the exact value, including pairwise set ops."""
+    from timely_spark.operators.rollup import kmv_set_ops
+
+    rows = (
+        [("A", i) for i in range(40)]          # A = {0..39}
+        + [("B", i) for i in range(20, 70)]    # B = {20..69}, |A∩B|=20
+        + [("A", i) for i in range(10)]        # duplicates: distinct only
+    )
+    df = spark.createDataFrame(rows, "grp string, item long")
+    out = kmv_set_ops(df, "grp", "item", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"], r["inter_exact"]) == (40, 50, 20)
+    assert (r["est_a"], r["est_b"]) == (40.0, 50.0)
+    assert r["est_union"] == 70.0 and r["est_inter"] == 20.0
+    assert r["union_ok"] and r["inter_ok"]
+
+
+def test_kmv_saturated_estimates_within_band(spark):
+    """Saturated sketches (distinct >> k): estimates land within the
+    band for asymmetric sets with partial overlap, and the union
+    estimate is consistent with inclusion-exclusion to sketch error."""
+    from timely_spark.operators.rollup import kmv_set_ops
+
+    rows = (
+        [("A", i) for i in range(3000)]            # A = {0..2999}
+        + [("B", i) for i in range(2000, 6000)]    # B = {2000..5999}
+    )
+    df = spark.createDataFrame(rows, "grp string, item long")
+    r = kmv_set_ops(df, "grp", "item", k=256).collect()[0]
+    assert (r["n_a"], r["n_b"], r["inter_exact"]) == (3000, 4000, 1000)
+    assert abs(r["est_a"] - 3000) <= 0.25 * 3000
+    assert abs(r["est_b"] - 4000) <= 0.25 * 4000
+    assert r["union_ok"] and r["inter_ok"]
+
+
+def test_kmv_sql_twin_value_exact(spark):
+    """The DuckDB twin rebuilds the identical md5-64 sketches — every
+    column (estimates included) compares value-exactly, across both the
+    exact and saturated regimes in one frame."""
+    import duckdb
+    import pandas as pd
+
+    from timely_spark.operators.rollup import kmv_set_ops, kmv_set_ops_sql
+
+    rows = (
+        [("small", i) for i in range(100)]        # unsaturated
+        + [("big1", i) for i in range(50, 1000)]  # saturated
+        + [("big2", i) for i in range(500, 1500)] # saturated
+    )
+    df = spark.createDataFrame(rows, "grp string, item long")
+    got = sorted(map(tuple, kmv_set_ops(df, "grp", "item").collect()))
+    con = duckdb.connect()
+    con.register("events_in", pd.DataFrame(rows, columns=["grp", "item"]))
+    con.execute("CREATE VIEW events AS SELECT * FROM events_in")
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                kmv_set_ops_sql("grp", "item", "events")
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert len(got) == 3  # all three pairs emitted, incl. zero-overlap

@@ -1377,3 +1377,47 @@ def test_chunk_documents_window_semantics(spark):
     assert {k[0] for k in got} == {1, 2, 4}
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+def test_vocab_coverage_planted(spark):
+    """Hand-computed coverage curve: frequencies 10/5/5/1, ladder
+    hitting a tie boundary (V=2: either 5-count token gives the same
+    mass — the invariance the operator's contract states) and a V past
+    the whole vocabulary (full cover)."""
+    from timely_spark.operators.text import vocab_coverage
+
+    text = " ".join(["alpha"] * 10 + ["beta"] * 5 + ["gamma"] * 5 + ["delta"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(df, vocab_sizes=[1, 2, 3, 10]).collect()
+    }
+    assert set(out) == {1, 2, 3, 10}
+    for v, frac in ((1, 10 / 21), (2, 15 / 21), (3, 20 / 21), (10, 1.0)):
+        assert out[v]["covered_frac"] == round(frac + 1e-9, 4), (v, out[v])
+        assert out[v]["n_types"] == 4 and out[v]["total_tokens"] == 21
+
+
+def test_vocab_coverage_sql_twin(spark):
+    """DuckDB twin agreement over a multi-doc Zipf-ish corpus."""
+    import duckdb
+    import pandas as pd
+
+    from timely_spark.operators.text import vocab_coverage, vocab_coverage_sql
+
+    docs = [
+        (i, " ".join(f"tok{j % (1 + j % 17)}" for j in range(i, i + 60)))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, vocab_coverage(df, vocab_sizes=[4, 16, 64]).collect()))
+    con = duckdb.connect()
+    con.register("documents_in", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_in")
+    want = sorted(
+        map(
+            tuple,
+            con.execute(vocab_coverage_sql(vocab_sizes=[4, 16, 64])).fetchall(),
+        )
+    )
+    assert got == want

@@ -567,3 +567,287 @@ def mg_summary(
         reduce_batches, out_schema
     )
     return partials.groupBy("item").agg(F.sum("cnt").alias("est"))
+
+
+# ------------------------------------------------------------------ KMV theta
+
+KMV_K = 256
+
+
+def _md5_64(col):
+    """Deterministic 64-bit item hash shared with DuckDB: the repo's
+    dual-engine md5-prefix idiom widened to 16 hex chars. Spark's conv
+    returns the unsigned value as a string; decimal(20,0) holds all of
+    [0, 2^64) exactly and orders like DuckDB's UBIGINT."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 16), 16, 10
+    ).cast("decimal(20,0)")
+
+
+def kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values / theta) sketch: the k smallest
+    md5-64 hashes of the group's DISTINCT items, as a sorted array —
+    (group, sketch, n_exact).
+
+    The KMV sketch is the mergeable-summary answer to the set-OPERATION
+    questions HLL registers cannot answer losslessly: because every
+    group keeps actual hash VALUES below its theta, sketches compose
+    under union (merge + re-truncate) AND intersection (matching values
+    under the union theta) — Beyer et al. 2007 / the DataSketches theta
+    family. HLL (hll_partials above) stays the cheaper choice for pure
+    distinct counts; KMV buys cross-group overlap analytics for k
+    values per group.
+
+    Plan: one partial-aggregated distinct over (group, item-hash) —
+    ints after the hash projection — then a per-group bottom-k via
+    window row_number (the only per-group state downstream of the
+    distinct is k rows). ``n_exact`` (exact distinct, same aggregation
+    pass shape) rides along for the bound columns in
+    :func:`kmv_set_ops`. Deterministic for fixed input: the sketch is
+    a pure function of the item set, so a DuckDB twin rebuilds it
+    byte-identically (the CMS oracle pattern)."""
+    from pyspark.sql.window import Window
+
+    u = (
+        df.select(
+            F.col(group_col).alias("group"),
+            _md5_64(F.col(item_col)).alias("__h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("group").orderBy("__h")
+    sk = (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("group")
+        .agg(F.array_sort(F.collect_list("__h")).alias("sketch"))
+    )
+    n = u.groupBy("group").agg(F.count(F.lit(1)).alias("n_exact"))
+    return sk.join(n, "group")
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = KMV_K,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups:
+    (group_a, group_b, n_a, n_b, inter_exact, est_a, est_b, est_union,
+    est_inter, union_ok, inter_ok) with group_a < group_b.
+
+    Estimators (Beyer et al. 2007): an UNSATURATED sketch (fewer than k
+    values) IS its set — estimates are exact. Saturated:
+    est = (k - 1) / theta_k with theta_k the k-th smallest normalized
+    hash; for the union the merged sketch is re-truncated to its m =
+    min(k, |merged|) smallest and uses (m - 1) / theta_m; the
+    intersection counts matching values under the union's theta and
+    scales by the same theta. ``inter_exact`` (and n_a/n_b) are
+    computed exactly in the same job — the *_ok booleans assert the
+    estimate sits within ``sigmas`` standard deviations of its
+    estimator: std(union) ~ union/sqrt(k-1) and std(inter) ~
+    sqrt(inter * union / (k-1)) (the matching count is ~Binomial(inter,
+    theta) with 1/theta ~ union/(k-1)), both derived from the EXACT
+    columns so the bound needs no extra state; unsaturated pairs are
+    exact and the bands hold trivially. Everything after the sketches
+    is |groups|^2 arithmetic on k-length arrays — driver-free,
+    broadcast-sized.
+
+    Float contract: estimates are exact-integer-derived doubles (one
+    division of exact decimals), rounded to 4 dp with the +1e-9 nudge
+    on both engine sides; the DuckDB twin rebuilds identical sketches,
+    so the oracle compare is value-exact, not bound-pinned."""
+    sks = kmv_sketches(df, group_col, item_col, k)
+    a = sks.select(
+        F.col("group").alias("group_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = sks.select(
+        F.col("group").alias("group_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("group_a") < F.col("group_b"))
+
+    two64 = float(2**64)
+
+    def est_solo(sk):
+        sat = F.size(sk) >= k
+        theta = F.element_at(sk, k).cast("double") / F.lit(two64)
+        return F.when(
+            sat, F.lit(float(k - 1)) / theta
+        ).otherwise(F.size(sk).cast("double"))
+
+    merged = F.array_sort(F.array_union(F.col("sk_a"), F.col("sk_b")))
+    m = F.least(F.lit(k), F.size(merged))
+    # saturated iff EITHER input sketch is saturated: then the merged
+    # k smallest are a sample, not the union itself
+    u_sat = (F.size("sk_a") >= k) | (F.size("sk_b") >= k)
+    theta_u = F.element_at(merged, m).cast("double") / F.lit(two64)
+    est_union = F.when(
+        u_sat, (m.cast("double") - F.lit(1.0)) / theta_u
+    ).otherwise(F.size(merged).cast("double"))
+    common = F.array_intersect(F.col("sk_a"), F.col("sk_b"))
+    # matching values under the union theta (only those are inside the
+    # jointly-sampled region)
+    k_int = F.size(
+        F.filter(common, lambda x: x <= F.element_at(merged, m))
+    )
+    est_inter = F.when(
+        u_sat, k_int.cast("double") / theta_u
+    ).otherwise(F.size(common).cast("double"))
+
+    # exact pairwise intersections from per-item group sets (the
+    # source_overlap_matrix shape: per-item in-memory pair emission,
+    # no self-join; |groups| bounds the set)
+    per_item = (
+        df.select(
+            F.col(group_col).alias("group"),
+            _md5_64(F.col(item_col)).alias("__h"),
+        )
+        .distinct()
+        .groupBy("__h")
+        .agg(F.array_sort(F.collect_set("group")).alias("gs"))
+        .filter(F.size("gs") >= 2)
+    )
+    inter_exact = (
+        per_item.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("gs"),
+                        lambda g, i: F.transform(
+                            F.slice(
+                                F.col("gs"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("gs") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda h: F.struct(
+                                g.alias("group_a"), h.alias("group_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.group_a").alias("group_a"),
+            F.col("p.group_b").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    out = pairs.join(
+        F.broadcast(inter_exact), ["group_a", "group_b"], "left"
+    ).withColumn("inter_exact", F.coalesce("inter_exact", F.lit(0)))
+    eu = F.round(est_union + F.lit(1e-9), 4)
+    ei = F.round(est_inter + F.lit(1e-9), 4)
+    union_exact = F.col("n_a") + F.col("n_b") - F.col("inter_exact")
+    return out.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("inter_exact").cast("long").alias("inter_exact"),
+        F.round(est_solo(F.col("sk_a")) + F.lit(1e-9), 4).alias("est_a"),
+        F.round(est_solo(F.col("sk_b")) + F.lit(1e-9), 4).alias("est_b"),
+        eu.alias("est_union"),
+        ei.alias("est_inter"),
+        (
+            F.abs(eu - union_exact)
+            <= F.lit(sigmas)
+            * F.greatest(union_exact, F.lit(k)).cast("double")
+            / F.lit(float((k - 1) ** 0.5))
+        ).alias("union_ok"),
+        (
+            F.abs(ei - F.col("inter_exact"))
+            <= F.lit(sigmas)
+            * F.sqrt(
+                F.greatest(F.col("inter_exact"), F.lit(1)).cast("double")
+                * union_exact.cast("double")
+                / F.lit(float(k - 1))
+            )
+            + F.lit(1.0)
+        ).alias("inter_ok"),
+    )
+
+
+def kmv_set_ops_sql(
+    group_col: str,
+    item_col: str,
+    table: str,
+    k: int = KMV_K,
+    sigmas: float = 3.0,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` — rebuilds the IDENTICAL
+    md5-64 sketches (UBIGINT orders like Spark's decimal(20,0)), so
+    the estimate columns compare value-exactly."""
+    two64 = "18446744073709551616.0"
+    h = (
+        f"CAST(from_hex(substr(md5(CAST({item_col} AS VARCHAR)), 1, 16)) "
+        f"AS BIT)::UBIGINT"
+    )
+    return f"""
+WITH u AS (SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}),
+ranked AS (SELECT grp, h,
+                  row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           FROM u),
+sk AS (SELECT grp, list_sort(list(h)) AS sk FROM ranked
+       WHERE rn <= {k} GROUP BY 1),
+n AS (SELECT grp, count(*) AS n_exact FROM u GROUP BY 1),
+s AS (SELECT sk.grp, sk.sk, n.n_exact FROM sk JOIN n USING (grp)),
+pairs AS (SELECT a.grp AS group_a, a.sk AS ska, a.n_exact AS na,
+                 b.grp AS group_b, b.sk AS skb, b.n_exact AS nb
+          FROM s a JOIN s b ON a.grp < b.grp),
+ie AS (SELECT a.grp AS group_a, b.grp AS group_b,
+              count(*) AS inter_exact
+       FROM u a JOIN u b ON a.h = b.h AND a.grp < b.grp
+       GROUP BY 1, 2),
+calc AS (SELECT pairs.*,
+                coalesce(ie.inter_exact, 0) AS inter_exact,
+                list_sort(list_distinct(list_concat(ska, skb))) AS merged
+         FROM pairs LEFT JOIN ie USING (group_a, group_b)),
+calc2 AS (SELECT *,
+                 least({k}, len(merged)) AS m,
+                 len(ska) >= {k} OR len(skb) >= {k} AS u_sat
+          FROM calc),
+calc3 AS (SELECT *,
+    CASE WHEN len(ska) >= {k}
+         THEN CAST({k - 1} AS DOUBLE) / (ska[{k}]::DOUBLE / {two64})
+         ELSE len(ska)::DOUBLE END AS raw_est_a,
+    CASE WHEN len(skb) >= {k}
+         THEN CAST({k - 1} AS DOUBLE) / (skb[{k}]::DOUBLE / {two64})
+         ELSE len(skb)::DOUBLE END AS raw_est_b,
+    CASE WHEN u_sat
+         THEN (m::DOUBLE - 1.0) / (merged[m]::DOUBLE / {two64})
+         ELSE len(merged)::DOUBLE END AS raw_est_union,
+    CASE WHEN u_sat
+         THEN len(list_filter(list_intersect(ska, skb),
+                              x -> x <= merged[m]))::DOUBLE
+              / (merged[m]::DOUBLE / {two64})
+         ELSE len(list_intersect(ska, skb))::DOUBLE END AS raw_est_inter
+  FROM calc2)
+SELECT group_a, group_b,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(inter_exact AS BIGINT) AS inter_exact,
+       round(raw_est_a + 1e-9, 4) AS est_a,
+       round(raw_est_b + 1e-9, 4) AS est_b,
+       round(raw_est_union + 1e-9, 4) AS est_union,
+       round(raw_est_inter + 1e-9, 4) AS est_inter,
+       abs(round(raw_est_union + 1e-9, 4) - (na + nb - inter_exact))
+         <= {sigmas} * CAST(greatest(na + nb - inter_exact, {k}) AS DOUBLE)
+            / {float((k - 1) ** 0.5)!r} AS union_ok,
+       abs(round(raw_est_inter + 1e-9, 4) - inter_exact)
+         <= {sigmas} * sqrt(CAST(greatest(inter_exact, 1) AS DOUBLE)
+                            * (na + nb - inter_exact) / {float(k - 1)!r})
+            + 1.0 AS inter_ok
+FROM calc3"""

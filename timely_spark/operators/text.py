@@ -1256,3 +1256,122 @@ def chunk_documents(
         "chunk_text",
         F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: list[int] = (256, 1024, 4096, 16384, 65536),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budgeting primitive:
+    for each candidate vocab size V, the fraction of ALL token
+    occurrences covered by the top-V most frequent tokens (its
+    complement is the OOV rate a V-entry vocabulary would pay).
+    Output: (vocab_size, n_types, total_tokens, covered_frac), one row
+    per requested V, covered_frac rounded to 4 dp.
+
+    Scale shape: the only corpus-sized shuffle is the (token-hash ->
+    count) aggregate (128-bit hash pair, ints, map-side combinable).
+    Coverage then needs only the COUNT-OF-COUNTS frame — (frequency f,
+    number of token types with frequency f), at most a few thousand
+    rows at any corpus size — so the global ordering/cumsum that looks
+    like a single-partition sort runs on a frame the size of the
+    distinct-frequency set, never the vocabulary. Tie handling is
+    exact by construction: types tied at the V boundary all carry the
+    same frequency, so top-V occurrence mass is invariant to which of
+    them a real tokenizer would pick. A V past the full vocabulary
+    covers everything (covered_frac = 1.0)."""
+    from pyspark.sql import Window
+
+    sizes = sorted(set(int(v) for v in vocab_sizes))
+    if not sizes or sizes[0] <= 0:
+        raise ValueError(f"vocab_sizes must be positive: {vocab_sizes}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("__t"))
+        .groupBy(
+            F.xxhash64("__t").alias("__h1"),
+            F.xxhash64("__t", F.lit(1)).alias("__h2"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cc = counts.groupBy("__cnt").agg(F.count(F.lit(1)).alias("__ntok"))
+    w = (
+        Window.orderBy(F.col("__cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cc.select(
+        "__cnt",
+        "__ntok",
+        F.sum("__ntok").over(w).alias("__cum_types"),
+        F.sum(F.col("__ntok") * F.col("__cnt")).over(w).alias("__cum_occ"),
+    )
+    ladder = df.sparkSession.createDataFrame(
+        [(v,) for v in sizes], "vocab_size int"
+    )
+    # boundary row per V: the first frequency tier whose cumulative
+    # type count reaches V (none when V >= total types -> full cover)
+    j = ladder.join(
+        F.broadcast(cum),
+        F.col("__cum_types") >= F.col("vocab_size"),
+        "left",
+    )
+    per_v = j.groupBy("vocab_size").agg(
+        F.min_by(
+            F.struct("__cnt", "__ntok", "__cum_types", "__cum_occ"),
+            F.col("__cum_types"),
+        ).alias("b")
+    )
+    totals = cum.orderBy(F.col("__cum_types").desc()).limit(1).select(
+        F.col("__cum_types").alias("__n_types"),
+        F.col("__cum_occ").alias("__total"),
+    )
+    b = F.col("b")
+    covered = F.when(b.isNull(), F.col("__total")).otherwise(
+        b["__cum_occ"]
+        - (b["__cum_types"] - F.col("vocab_size")) * b["__cnt"]
+    )
+    return (
+        per_v.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("__n_types").cast("long").alias("n_types"),
+            F.col("__total").cast("long").alias("total_tokens"),
+            F.round(
+                covered.cast("double") / F.col("__total") + F.lit(1e-9), 4
+            ).alias("covered_frac"),
+        )
+    )
+
+
+def vocab_coverage_sql(
+    vocab_sizes: list[int] = (256, 1024, 4096, 16384, 65536),
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage` (token text instead of the
+    128-bit hash pair — identical counts up to the documented collision
+    tolerance)."""
+    sizes = sorted(set(int(v) for v in vocab_sizes))
+    toks = TOKENS_SQL.format(c=text_col)
+    ladder = ", ".join(f"({v})" for v in sizes)
+    return f"""
+WITH occ AS (SELECT unnest({toks}) AS t FROM {table}),
+counts AS (SELECT t, count(*) AS cnt FROM occ GROUP BY 1),
+cc AS (SELECT cnt, count(*) AS ntok FROM counts GROUP BY 1),
+cum AS (SELECT cnt, ntok,
+               sum(ntok) OVER (ORDER BY cnt DESC) AS cum_types,
+               sum(ntok * cnt) OVER (ORDER BY cnt DESC) AS cum_occ
+        FROM cc),
+tot AS (SELECT max(cum_types) AS n_types, max(cum_occ) AS total FROM cum),
+ladder(vocab_size) AS (VALUES {ladder}),
+b AS (SELECT vocab_size, min_by(cum, cum.cum_types) AS b
+      FROM ladder LEFT JOIN cum ON cum.cum_types >= vocab_size
+      GROUP BY 1)
+SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+       CAST(tot.n_types AS BIGINT) AS n_types,
+       CAST(tot.total AS BIGINT) AS total_tokens,
+       round(CAST(CASE WHEN b.b IS NULL THEN tot.total
+                       ELSE b.b.cum_occ
+                            - (b.b.cum_types - vocab_size) * b.b.cnt
+                  END AS DOUBLE) / tot.total + 1e-9, 4) AS covered_frac
+FROM b CROSS JOIN tot"""
