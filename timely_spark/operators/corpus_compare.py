@@ -223,7 +223,6 @@ def source_drift(
     new: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-source distribution drift between two snapshot versions:
     (source, n_docs_old, n_docs_new, tokens_old, tokens_new, js_div).
@@ -237,10 +236,15 @@ def source_drift(
     so only one KL half contributes) — appearing/vanishing sources are
     drift, not noise. A (0-token vs 0-token) source scores 0.0.
 
-    Plan: one token explode per side; per-(source, token) counts meet
-    in a full-outer join keyed by (source, 128-bit token hash pair) —
-    ints only — then one per-source aggregate folds the JS terms.
-    Token text never crosses an exchange; output is |sources| rows."""
+    Plan: ONE token explode per side (the tokenize-bearing pass);
+    per-(source, token) counts meet in a full-outer join keyed by
+    (source, 128-bit token hash pair) — ints only — then one
+    per-source aggregate folds the JS terms. Per-source token totals
+    come from the SAME counts frame (sum of per-token counts — exactly
+    the occurrence total, no second tokenize; the r10 review caught a
+    first cut re-running the corpus regex in a separate totals pass),
+    and doc counts are a tokenize-free count(*). Token text never
+    crosses an exchange; output is |sources| rows."""
 
     def counts(df, side):
         toks = tokens(text_col)
@@ -257,19 +261,26 @@ def source_drift(
             .agg(F.count(F.lit(1)).alias(f"c_{side}"))
         )
 
-    def doc_tok(df, side):
+    co_f, cn_f = counts(old, "old"), counts(new, "new")
+
+    def doc_count(df, side):
         return df.groupBy(F.col(source_col).alias("source")).agg(
-            F.count(F.lit(1)).alias(f"n_docs_{side}"),
-            F.sum(F.size(tokens(text_col)))
-            .cast("long")
-            .alias(f"tokens_{side}"),
+            F.count(F.lit(1)).alias(f"n_docs_{side}")
         )
 
-    j = counts(old, "old").join(
-        counts(new, "new"), ["source", "h1", "h2"], "full_outer"
-    )
-    totals = doc_tok(old, "old").join(
-        doc_tok(new, "new"), ["source"], "full_outer"
+    def tok_total(cf, side):
+        # Catalyst reuses the (source, h1, h2) exchange between this
+        # aggregate and the join below (the bm25 ReusedExchange shape)
+        return cf.groupBy("source").agg(
+            F.sum(f"c_{side}").cast("long").alias(f"tokens_{side}")
+        )
+
+    j = co_f.join(cn_f, ["source", "h1", "h2"], "full_outer")
+    totals = (
+        doc_count(old, "old")
+        .join(doc_count(new, "new"), ["source"], "full_outer")
+        .join(tok_total(co_f, "old"), ["source"], "left")
+        .join(tok_total(cn_f, "new"), ["source"], "left")
     )
     co = F.coalesce(F.col("c_old"), F.lit(0)).cast("double")
     cn = F.coalesce(F.col("c_new"), F.lit(0)).cast("double")
@@ -317,18 +328,20 @@ oc AS (SELECT {source_col} AS source, unnest({toks}) AS t FROM old_s),
 nc AS (SELECT {source_col} AS source, unnest({toks}) AS t FROM new_s),
 ocnt AS (SELECT source, t, count(*) AS c_old FROM oc GROUP BY 1, 2),
 ncnt AS (SELECT source, t, count(*) AS c_new FROM nc GROUP BY 1, 2),
-ot AS (SELECT {source_col} AS source, count(*) AS n_docs_old,
-              coalesce(sum(len({toks})), 0) AS tokens_old
+ot AS (SELECT {source_col} AS source, count(*) AS n_docs_old
        FROM old_s GROUP BY 1),
-nt AS (SELECT {source_col} AS source, count(*) AS n_docs_new,
-              coalesce(sum(len({toks})), 0) AS tokens_new
+nt AS (SELECT {source_col} AS source, count(*) AS n_docs_new
        FROM new_s GROUP BY 1),
+otok AS (SELECT source, sum(c_old) AS tokens_old FROM ocnt GROUP BY 1),
+ntok AS (SELECT source, sum(c_new) AS tokens_new FROM ncnt GROUP BY 1),
 tot AS (SELECT coalesce(ot.source, nt.source) AS source,
                coalesce(n_docs_old, 0) AS n_docs_old,
                coalesce(n_docs_new, 0) AS n_docs_new,
                coalesce(tokens_old, 0) AS tokens_old,
                coalesce(tokens_new, 0) AS tokens_new
-        FROM ot FULL OUTER JOIN nt ON ot.source = nt.source),
+        FROM ot FULL OUTER JOIN nt ON ot.source = nt.source
+        LEFT JOIN otok ON otok.source = coalesce(ot.source, nt.source)
+        LEFT JOIN ntok ON ntok.source = coalesce(ot.source, nt.source)),
 j AS (SELECT coalesce(ocnt.source, ncnt.source) AS source,
              coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
       FROM ocnt FULL OUTER JOIN ncnt
@@ -380,28 +393,37 @@ def split_leakage_guard(
     — map-side partial min, text never exchanged. Unique-text docs
     (the overwhelming mass after dedup) take the broadcast-free hash
     path untouched."""
+    def bucket(c):
+        return F.pmod(F.xxhash64(c), F.lit(100))
+
+    return _guard(df, bucket, weights, text_col, id_col)
+
+
+def _guard(df, bucket, weights, text_col: str, id_col: str) -> DataFrame:
+    """Shared guard body for the two bucket-hash variants (r10 review:
+    a copy-pasted pair lets the 'semantics identical' claim silently
+    diverge). ``bucket`` maps an id Column to a [0, 100) bucket."""
     if len(weights) != 3 or any(w < 0 for w in weights) or sum(weights) != 100:
         raise ValueError(f"weights must be 3 non-negatives summing to 100: {weights}")
-    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(100))
-    raw = (
-        F.when(b < weights[0], F.lit("train"))
-        .when(b < weights[0] + weights[1], F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+
+    def split_of(c):
+        b = bucket(c)
+        return (
+            F.when(b < weights[0], F.lit("train"))
+            .when(b < weights[0] + weights[1], F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
     base = df.select(
         F.col(id_col),
         F.coalesce(F.md5(text_col), F.lit("__null__")).alias("__h"),
     )
     keeper = base.groupBy("__h").agg(F.min(id_col).alias("__keep_id"))
-    kb = F.pmod(F.xxhash64(F.col("__keep_id")), F.lit(100))
-    keeper_split = (
-        F.when(kb < weights[0], F.lit("train"))
-        .when(kb < weights[0] + weights[1], F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        base.withColumn("__raw", raw)
-        .join(keeper.withColumn("__ks", keeper_split), "__h")
+        base.withColumn("__raw", split_of(F.col(id_col)))
+        .join(
+            keeper.withColumn("__ks", split_of(F.col("__keep_id"))), "__h"
+        )
         .select(
             F.col(id_col),
             F.col("__ks").alias("split"),
@@ -419,39 +441,16 @@ def split_leakage_guard_md5(
     """Oracle-matched variant of :func:`split_leakage_guard`: the
     bucket is ``conv(md5(id)[:8], 16, 10) % 100`` — the repo's
     dual-engine hash idiom — so DuckDB reproduces assignments exactly.
-    Same guard, same output schema. (The xxhash64 variant is the
-    production default: one less md5 over the id; semantics
-    identical.)"""
-    if len(weights) != 3 or any(w < 0 for w in weights) or sum(weights) != 100:
-        raise ValueError(f"weights must be 3 non-negatives summing to 100: {weights}")
+    Same guard body (``_guard``), same output schema. (The xxhash64
+    variant is the production default: one less md5 over the id;
+    semantics identical.)"""
 
     def bucket(c):
         return F.conv(
             F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
         ).cast("long") % 100
 
-    def split_of(c):
-        bb = bucket(c)
-        return (
-            F.when(bb < weights[0], F.lit("train"))
-            .when(bb < weights[0] + weights[1], F.lit("val"))
-            .otherwise(F.lit("test"))
-        )
-
-    base = df.select(
-        F.col(id_col),
-        F.coalesce(F.md5(text_col), F.lit("__null__")).alias("__h"),
-    )
-    keeper = base.groupBy("__h").agg(F.min(id_col).alias("__keep_id"))
-    return (
-        base.withColumn("__raw", split_of(F.col(id_col)))
-        .join(keeper.withColumn("__ks", split_of(F.col("__keep_id"))), "__h")
-        .select(
-            F.col(id_col),
-            F.col("__ks").alias("split"),
-            (F.col("__ks") != F.col("__raw")).alias("moved"),
-        )
-    )
+    return _guard(df, bucket, weights, text_col, id_col)
 
 
 def split_leakage_guard_md5_sql(

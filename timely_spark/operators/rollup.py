@@ -218,26 +218,33 @@ def refresh_rollup(
     days = [r["dt"] for r in newp.select("dt").distinct().collect()]
     if not days:
         return 0
-    import os
-
     from pyspark.errors import AnalysisException
 
+    # existence probe goes through SPARK, not os.path — a local-FS
+    # probe is ALWAYS false for hdfs://, s3a://, ... paths, and a false
+    # "first write" here silently overwrites touched day partitions
+    # with only the batch (r10 review; same bug class curate's
+    # embeddings probe fixed in r8). Only a missing path or an empty
+    # schemaless directory means first write; anything else (executor
+    # loss, corrupt footer, FS errors) propagates.
     existing = None
-    if os.path.isdir(path):
-        try:
-            # localCheckpoint BEFORE the overwrite: the merged plan must
-            # not lazily read files the commit is about to replace
-            existing = (
-                spark.read.parquet(path)
-                .filter(F.col("dt").isin(days))
-                .localCheckpoint(eager=True)
-            )
-        except AnalysisException:
-            # empty directory with no readable parquet => first write.
-            # Anything else (executor loss, corrupt footer, FS errors)
-            # propagates: silently treating it as first-write would
-            # OVERWRITE the touched day partitions with only the batch.
-            existing = None
+    try:
+        # localCheckpoint BEFORE the overwrite: the merged plan must
+        # not lazily read files the commit is about to replace
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col("dt").isin(days))
+            .localCheckpoint(eager=True)
+        )
+    except AnalysisException as e:
+        msg = str(e)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            raise
+        existing = None
     merged = newp if existing is None else (
         existing.select(*newp.columns).unionByName(newp)
         .groupBy(*key_cols, "bucket_ts", *extra_group, "dt")
@@ -584,11 +591,23 @@ def _md5_64(col):
     ).cast("decimal(20,0)")
 
 
+def _kmv_distinct(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """The (group, item-hash) distinct frame both the sketch build and
+    the exact-intersection pass consume — factored so kmv_set_ops
+    issues it ONCE (Catalyst reuses the dedup exchange between the two
+    aggregations instead of re-scanning the corpus)."""
+    return df.select(
+        F.col(group_col).alias("group"),
+        _md5_64(F.col(item_col)).alias("__h"),
+    ).distinct()
+
+
 def kmv_sketches(
     df: DataFrame,
     group_col: str,
     item_col: str,
     k: int = KMV_K,
+    u: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group KMV (k-minimum-values / theta) sketch: the k smallest
     md5-64 hashes of the group's DISTINCT items, as a sorted array —
@@ -613,13 +632,8 @@ def kmv_sketches(
     byte-identically (the CMS oracle pattern)."""
     from pyspark.sql.window import Window
 
-    u = (
-        df.select(
-            F.col(group_col).alias("group"),
-            _md5_64(F.col(item_col)).alias("__h"),
-        )
-        .distinct()
-    )
+    if u is None:
+        u = _kmv_distinct(df, group_col, item_col)
     w = Window.partitionBy("group").orderBy("__h")
     sk = (
         u.withColumn("__rn", F.row_number().over(w))
@@ -663,7 +677,8 @@ def kmv_set_ops(
     division of exact decimals), rounded to 4 dp with the +1e-9 nudge
     on both engine sides; the DuckDB twin rebuilds identical sketches,
     so the oracle compare is value-exact, not bound-pinned."""
-    sks = kmv_sketches(df, group_col, item_col, k)
+    u = _kmv_distinct(df, group_col, item_col)
+    sks = kmv_sketches(df, group_col, item_col, k, u=u)
     a = sks.select(
         F.col("group").alias("group_a"),
         F.col("sketch").alias("sk_a"),
@@ -708,12 +723,7 @@ def kmv_set_ops(
     # source_overlap_matrix shape: per-item in-memory pair emission,
     # no self-join; |groups| bounds the set)
     per_item = (
-        df.select(
-            F.col(group_col).alias("group"),
-            _md5_64(F.col(item_col)).alias("__h"),
-        )
-        .distinct()
-        .groupBy("__h")
+        u.groupBy("__h")
         .agg(F.array_sort(F.collect_set("group")).alias("gs"))
         .filter(F.size("gs") >= 2)
     )

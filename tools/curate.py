@@ -81,6 +81,17 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         normalize_text,
     )
 
+    # paired-flag stages must be fully specified or absent: a silent
+    # skip here ships a corpus WITHOUT the screen the caller asked for
+    # (r10 review: --semantic-decon with a forgotten --bench packed a
+    # contaminated corpus with only a null in the stats as evidence)
+    if semantic_decon is not None and not bench_path:
+        raise ValueError("--semantic-decon requires --bench")
+    if (dsir_target is None) != (dsir_keep is None):
+        raise ValueError("--dsir-target and --dsir-keep must be given together")
+    if (ppl_ref is None) != (max_log_ppl is None):
+        raise ValueError("--ppl-ref and --max-log-ppl must be given together")
+
     # per-stage wall clock (VERDICT r9 #5: the composition-level view —
     # a recomputed stage or missing persist only surfaces here, not in
     # per-operator benches). Stage boundaries are the existing actions;
@@ -105,11 +116,15 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     # (CachedRDDBuilder.cachedName treeString OOM, measured). persist()
     # does not truncate logical lineage; only a real checkpoint does.
     # Each stage therefore round-trips its survivor frame through
-    # parquet: plan lineage resets to a scan, peak driver state is one
-    # stage's plan, and the boundary doubles as the durable restart
-    # point an incremental 100 TB pipeline wants anyway (the same
-    # fix-shape as Spark's checkpoint(), but visible/debuggable files).
-    _stage_root = tempfile.mkdtemp(prefix="curate_stages_")
+    # parquet: plan lineage resets to a scan and peak driver state is
+    # one stage's plan. The stage dir lives UNDER the output path (an
+    # underscore prefix keeps Spark parquet readers blind to it), so on
+    # a cluster it sits on the same shared filesystem the job can
+    # actually write to — a driver-local tempdir would scatter task
+    # files across executor disks (r10 review). On success it is
+    # removed; on failure it is LEFT IN PLACE as the debuggable/restart
+    # state of the last completed stage.
+    _stage_root = os.path.join(out, "_stages")
     _stage_seq = [0]
 
     def _materialize(df):
@@ -121,22 +136,17 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         out_df = spark.read.schema(df.schema).parquet(path)
         return out_df, out_df.count()
 
-    docs = load_documents(spark, sf_dir, fmt, main_content)
-    if line_dedup:
-        # intra-doc repeated-line strip FIRST: every downstream signal
-        # (normalize, gopher, classifier, dedup hash) sees the cleaned
-        # text — zero extra shuffles, pure column expression
-        from timely_spark.operators.text import dedup_lines
-
-        docs = docs.withColumn("text", dedup_lines("text")["cleaned"])
-    n_input = docs.count()
-    _mark("load_input")
+    docs_raw = load_documents(spark, sf_dir, fmt, main_content)
 
     # incremental mode: diff the incoming corpus against a previous
-    # snapshot BEFORE screening — the added+changed count is the
+    # snapshot BEFORE screening — the added+removed count is the
     # re-processing bill, and a large removed count flags upstream
     # takedowns worth auditing. Hash-only full-outer join (ids + md5),
-    # document text never shuffles.
+    # document text never shuffles. The diff runs on the RAW text of
+    # both sides (r10 review: diffing line-dedup-rewritten incoming
+    # against the raw baseline mislabeled every repeated-line doc as
+    # 'changed' — the diff is about UPSTREAM changes, so both sides
+    # must see the same representation).
     snapshot_diff_counts = None
     if baseline_snapshot:
         from timely_spark.operators.versioning import snapshot_diff_summary
@@ -144,9 +154,21 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         baseline = load_documents(spark, baseline_snapshot, fmt, main_content)
         snapshot_diff_counts = {
             r["status"]: r["n_docs"]
-            for r in snapshot_diff_summary(baseline, docs).collect()
+            for r in snapshot_diff_summary(baseline, docs_raw).collect()
         }
         _mark("snapshot_diff")
+
+    docs = docs_raw
+    if line_dedup:
+        # intra-doc repeated-line strip before all SCREEN stages: every
+        # downstream signal (normalize, gopher, classifier, dedup hash)
+        # sees the cleaned text — zero extra shuffles, pure column
+        # expression
+        from timely_spark.operators.text import dedup_lines
+
+        docs = docs.withColumn("text", dedup_lines("text")["cleaned"])
+    n_input = docs.count()
+    _mark("load_input")
 
     sig = gopher_signals("text")
     normed = docs.select(
@@ -297,24 +319,29 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                         occ=surv_occ,
                     ),
                 )
-                # excised IS NULL = tokenizer-offset fallback: spans
-                # were detected but silently RETAINED (exotic Unicode
-                # case-folding). Surfacing the count makes silent span
-                # retention observable at corpus scale (ADVICE r7).
-                counts = rw.agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    F.count(
-                        F.when(F.col("excised").isNull(), 1)
-                    ).alias("__fb"),
-                ).collect()[0]
-                n_excise_fallback = int(counts["__fb"])
-                rw = rw.select("doc_id", F.col("text").alias("__rw"))
-                survivors, _n = _materialize(
+                # carry `excised` THROUGH the stage materialization and
+                # derive both counts from the checkpointed parquet —
+                # the excision pipeline (the chain's most expensive
+                # stage) runs exactly once (r10 review: a fallback-count
+                # collect before the materialize executed it twice)
+                rw = rw.select(
+                    "doc_id",
+                    F.col("text").alias("__rw"),
+                    F.col("excised").alias("__excised"),
+                )
+                survivors, n_out = _materialize(
                     survivors.join(rw, "doc_id")
                     .drop("text")
                     .withColumnRenamed("__rw", "text")
                 )
-                n_out = int(counts["__n"])
+                # excised IS NULL = tokenizer-offset fallback: spans
+                # were detected but silently RETAINED (exotic Unicode
+                # case-folding). Surfacing the count makes silent span
+                # retention observable at corpus scale (ADVICE r7).
+                n_excise_fallback = int(
+                    survivors.filter(F.col("__excised").isNull()).count()
+                )
+                survivors = survivors.drop("__excised")
                 _mark("substring_rewrite")
             if both:
                 occ.unpersist()
@@ -512,9 +539,11 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         _mark("pack_write")
     finally:
         staged.unpersist()
-        import shutil as _shutil
+    # success-only cleanup: a failed run leaves _stages in place as the
+    # last completed stage's debuggable/restart state (see _materialize)
+    import shutil as _shutil
 
-        _shutil.rmtree(_stage_root, ignore_errors=True)
+    _shutil.rmtree(_stage_root, ignore_errors=True)
     stats = {
         "n_input": n_input,
         "stage_pass": {

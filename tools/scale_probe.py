@@ -613,6 +613,72 @@ def main() -> int:
                 )
             results["emb_semantic_dedup"] = res
 
+        # --- x100 decade probe, corpus-compare family (r10 debut) ----
+        # source_overlap / source_drift / split_guard on the
+        # permutation-salted corpus. The salting is the right shape
+        # here too: each replica's `source` names are salted (#r), so
+        # sources grow 100x but replicas share no grams (disjoint token
+        # universes) — co-occurring pairs grow LINEARLY in replicas
+        # (within-replica only), exactly like a real federation of
+        # independent feeds; a naive |sources|^2 materialization would
+        # instead explode 10^4x and this probe would catch it.
+        if want("x100_compare"):
+            from timely_spark.operators.corpus_compare import (
+                source_drift,
+                source_overlap_matrix,
+                split_leakage_guard,
+            )
+
+            d10p = os.path.join(tmp, "docs10p")
+            d100p = os.path.join(tmp, "docs100p")
+            if not os.path.exists(d10p):
+                build_docs_perm(spark, sf_dir, d10p, 10)
+            if not os.path.exists(d100p):
+                build_docs_perm(spark, sf_dir, d100p, 100)
+            cframes = {
+                "x1": spark.read.parquet(
+                    f"{sf_dir}/documents.parquet"
+                ).select("doc_id", "text", "source"),
+                "x10": spark.read.parquet(d10p),
+                "x100": spark.read.parquet(d100p),
+            }
+
+            def cchecksum(df):
+                return df.agg(
+                    F.sum(F.xxhash64(*df.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            def drift_pair(df):
+                old = df.filter(F.col("doc_id") % 11 != 7)
+                new = df.filter(F.col("doc_id") % 13 != 5).withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") % 17 == 0,
+                        F.concat("text", F.lit(" rev2")),
+                    ).otherwise(F.col("text")),
+                )
+                return old, new
+
+            crunners = {
+                "doc_source_overlap": lambda df: cchecksum(
+                    source_overlap_matrix(df, n=8)
+                ),
+                "doc_source_drift": lambda df: cchecksum(
+                    source_drift(*drift_pair(df))
+                ),
+                "doc_split_guarded": lambda df: cchecksum(
+                    split_leakage_guard(df.select("doc_id", "text"))
+                ),
+            }
+            for name, run in crunners.items():
+                res = {}
+                for scale, df in cframes.items():
+                    n = 1 if scale == "x100" else 2
+                    res[scale] = round(best_of(lambda: run(df), n=n), 2)
+                    print(f"{name} {scale}: {res[scale]}s",
+                          file=sys.stderr)
+                results[name] = res
+
         # --- x100 store/ingest decade probe (r10, VERDICT r9 #1) -----
         # The core-engine path: salted line-protocol backlog ->
         # parse_lines_df -> write_points partitioned store at x1/x10/
