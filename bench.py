@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "events_streaming_heavy_hitters",
     # r9: lexical retrieval primitive (BM25 probe-query scoring)
     "doc_bm25_scores",
+    "doc_bm25_topk",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)
@@ -526,25 +527,80 @@ def main() -> int:
         if v > 0 and gates.get(k, 0) > 0
     )
     total = round(sum(v for v in times.values() if v >= 0), 3)
-    # ONE compact JSON line, emitted LAST with no separator spacing, so
-    # the whole ~124-entry map fits the driver's tail-capture window
-    # (r9 verdict: the padded line was truncated mid-map → parsed:null)
+    # The ~125-entry per-query map is ~3.5 KB — bigger than the driver's
+    # 2000-char tail capture, so it overflowed the summary line two rounds
+    # running (BENCH_r09/r10 parsed:null, host_calibration itself truncated
+    # out). Split the artifact: the FULL map goes to a committed sidecar
+    # file next to the gates; the stdout line (emitted LAST) carries only
+    # summary scalars plus the top-10 worst gate ratios — provably small,
+    # so host_calibration (the attribution row everything else depends on)
+    # always survives the tail window.
+    # second calibration AFTER the suite: the host swings 0.5 -> 2.1 s
+    # on this fixed workload within minutes (r11 probes), so a single
+    # start-of-run number can't attribute a late-suite degradation;
+    # start/end bracket the run
+    cal_end = None
+    for _ in range(BENCH_REPEATS):
+        t0 = time.time()
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            "id * 2654435761 % 1000003 AS k"
+        ).groupBy((F.col("k") % 64).alias("b")).agg(
+            F.sum("k").alias("s")
+        ).collect()
+        cal_end = min(cal_end or 1e9, time.time() - t0)
+    worst = dict(
+        sorted(
+            (
+                (k, round(v / gates[k], 3))
+                for k, v in times.items()
+                if v > 0 and gates.get(k, 0) > 0
+            ),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    ungated = sorted(k for k, v in times.items() if v > 0 and not gates.get(k))
+    cal_gate = gates.get("host_calibration", 0)
     summary = {
         "metric": "total_headline_query_sec",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
+        "n_queries": len(times),
+        "host_calibration": times.get("host_calibration"),
+        "host_cal_end": round(cal_end, 3),
+        "host_cal_ratio": (
+            round(times["host_calibration"] / cal_gate, 3)
+            if cal_gate and times.get("host_calibration")
+            else None
+        ),
         "gate_ratio_max": ratios[-1] if ratios else None,
         "gate_ratio_median": ratios[len(ratios) // 2] if ratios else None,
-        "ungated": sorted(
-            k for k, v in times.items() if v > 0 and not gates.get(k)
-        ),
+        # top-10 worst entries, both shapes: ratio (for adjudication) and
+        # seconds under "queries" (the driver's expected map key)
+        "worst": worst,
+        "queries": {k: times[k] for k in worst},
+        "queries_file": "BENCH_LOCAL.json",
+        "ungated": ungated,
         "streaming_state_rows": ss_state_rows,
         "streaming_state_bytes": ss_state_bytes,
     }
+    local = dict(summary)
+    local["queries"] = times  # the full map lives in the committed sidecar
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(local, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1600:  # belt-and-braces: never overflow the 2000-char tail
+        for trim in ("queries", "worst", "ungated"):
+            summary.pop(trim, None)
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 1600:
+                break
     sys.stderr.flush()
-    print(json.dumps(summary, separators=(",", ":")), flush=True)
+    print(line, flush=True)
     spark.stop()
     return 0
 

@@ -553,34 +553,15 @@ ROTATED_TO_TAIL = {
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    # r10 (ADVICE r9 #3, upgraded from docstring fix to real fix):
-    # bm25 restructured to a genuine single-pass — one explode, one
-    # groupBy(doc) exchange carrying dl + per-term conditional tfs,
-    # corpus stats (N/avgdl/df) from a reused-exchange scalar agg, no
-    # driver collect. Same formula, same 4-dp rounding.
-    "doc_bm25_scores",
-    # r10 (ADVICE r9 #4): corpus line dedup frequency key widened from
-    # one xxhash64 to a 128-bit pair (xxhash64(line), xxhash64(line,1))
-    # — collision tolerance now explicit in the operator contract
-    "doc_corpus_line_dedup",
-    # r10 (ADVICE r9 #2): doc_snapshot_diff ORACLE presence test moved
-    # from hash-nullness to join-key nullness (md5(NULL)=NULL made
-    # NULL-text docs mislabel); Spark plan unchanged, twin re-verified
-    "doc_snapshot_diff",
-    # r10 (VERDICT r9 #4): raw-PQ operating point promoted ksub 64 ->
-    # 256 (sweep-measured 0.56 -> 0.715 / 0.505 -> 0.59), floors 0.40
-    # -> 0.60 / 0.50 on both oracle sides
-    "emb_pq_ann",
-    "emb_ivfpq_ann",
-    # r10 new rows (first driver evidence): the corpus comparison &
-    # selection-integrity family (operators/corpus_compare.py)
+    # r11 (VERDICT r10 hazard #1): per-gram/per-item pair emission
+    # rewritten from the single-row flatten-all-pairs idiom to the
+    # streamed two-level Generate (corpus_compare.pair_emit) — no
+    # C(|sources|,2) array ever materializes in one value
     "doc_source_overlap",
-    "doc_source_drift",
-    "doc_split_guarded",
-    # r10 new row: KMV theta-sketch set operations (rollup.kmv_set_ops)
     "events_kmv_setops",
-    # r10 new row: vocabulary coverage curve (text.vocab_coverage)
-    "doc_vocab_coverage",
+    # r11 new row (VERDICT r10 #5): batched lexical retrieval — one
+    # corpus pass scoring all probe queries, salted two-phase top-k
+    "doc_bm25_topk",
 }
 
 

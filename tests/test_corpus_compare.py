@@ -177,3 +177,68 @@ def test_split_guard_md5_sql_twin(spark):
     for i, t in docs:
         groups[t].add(split_of[i])
     assert all(len(s) == 1 for s in groups.values())
+
+
+def test_pair_emit_streams_without_single_row_blowup(spark):
+    """pair_emit on a 1 200-element array yields exactly C(1200, 2)
+    ordered pairs — the planted universal-gram shape (VERDICT r10
+    hazard #1) where the old flatten-all-pairs idiom materialized the
+    whole pair set (~719 400 structs) inside ONE row's value. The
+    two-level Generate emits the same pairs as streamed rows; no
+    intermediate array exceeds |arr| - 1 elements by construction."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.corpus_compare import pair_emit
+
+    srcs = [f"s{i:04d}" for i in range(1200)]
+    df = spark.createDataFrame([(srcs,)], "ss array<string>")
+    pairs = pair_emit(df, "ss", "a", "b")
+    n = 1200
+    assert pairs.count() == n * (n - 1) // 2
+    # ordering contract: a < b, every left element pairs with its tail
+    head = pairs.filter(F.col("a") == "s0000")
+    assert head.count() == n - 1
+    corner = sorted(
+        map(tuple, pairs.filter(F.col("a") == "s1198").collect())
+    )
+    assert corner == [("s1198", "s1199")]
+    assert pairs.filter(F.col("a") >= F.col("b")).count() == 0
+
+
+def test_source_overlap_universal_gram_planted(spark):
+    """1 000 sources all sharing ONE boilerplate 8-gram (each doc also
+    carries a source-unique gram): the overlap matrix must emit all
+    C(1000, 2) pairs with shared_grams == 1 and grams_a == grams_b == 2
+    — the skew shape the ×100 probe's disjoint-universe salting could
+    not produce."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.corpus_compare import source_overlap_matrix
+
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(f"src{i:04d}", f"u{i:04d} {boiler}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    m = source_overlap_matrix(df, n=8)
+    n = 1000
+    assert m.count() == n * (n - 1) // 2
+    bad = m.filter(
+        (F.col("shared_grams") != 1)
+        | (F.col("grams_a") != 2)
+        | (F.col("grams_b") != 2)
+    )
+    assert bad.count() == 0
+
+
+def test_kmv_inter_exact_universal_item(spark):
+    """kmv_set_ops' exact pairwise intersection uses the same streamed
+    pair emission: an item present in EVERY group must produce
+    inter_exact >= 1 for all C(|groups|, 2) pairs without building the
+    pair set as one array value."""
+    from timely_spark.operators.rollup import kmv_set_ops
+
+    rows = [(f"g{i:02d}", "shared_item") for i in range(40)]
+    rows += [(f"g{i:02d}", f"own_{i}_{j}") for i in range(40) for j in range(3)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = kmv_set_ops(df, "grp", "item", k=64).collect()
+    assert len(out) == 40 * 39 // 2
+    assert all(r["inter_exact"] >= 1 for r in out)

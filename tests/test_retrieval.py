@@ -120,3 +120,124 @@ def test_bm25_rejects_empty_query(spark):
         bm25_scores(df, "!!! ???")
     with pytest.raises(ValueError, match="no terms"):
         bm25_scores_sql("%%%")
+
+
+def _expected_topk(docs, probes, k=10):
+    """Per-query top-k from the pure-Python golden: (score DESC, id ASC),
+    rank 1-based over the ROUNDED score — the bm25_topk contract."""
+    out = []
+    for qid, q in probes.items():
+        scored = _expected(docs, q)
+        ranked = sorted(
+            ((i, h, s) for i, (h, s) in scored.items()),
+            key=lambda r: (-r[2], r[0]),
+        )[:k]
+        out.extend(
+            (qid, i, h, s, rk + 1) for rk, (i, h, s) in enumerate(ranked)
+        )
+    return sorted(out)
+
+
+_PROBES = {
+    "qa": "alpha gamma",
+    "qb": "beta gamma missingterm",
+    "qc": "epsilon alpha",
+}
+
+
+def _fixture_docs():
+    return [
+        (1, "alpha beta alpha gamma delta"),
+        (2, "alpha beta beta beta"),
+        (3, "gamma gamma gamma epsilon zeta eta theta iota"),
+        (4, "unrelated words only here"),
+        (5, ""),
+        (6, "epsilon epsilon alpha beta gamma"),
+        (7, "alpha alpha alpha alpha alpha"),
+    ]
+
+
+def test_bm25_topk_matches_pure_python_golden(spark):
+    """Batched scoring of 3 overlapping probe queries equals the
+    independently-coded per-query BM25 golden, including ranks, with
+    terms shared between queries counted once in the union."""
+    from timely_spark.operators.retrieval import bm25_topk
+
+    docs = _fixture_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, bm25_topk(df, _PROBES, k=3).collect()))
+    assert got == _expected_topk(docs, _PROBES, k=3)
+
+
+def test_bm25_topk_sql_twin_agrees(spark):
+    """The DuckDB twin emits identical (query_id, doc_id, n_terms_hit,
+    score, rank) rows — the doc_bm25_topk registry contract."""
+    import duckdb
+
+    import pandas as pd
+    from timely_spark.operators.retrieval import bm25_topk, bm25_topk_sql
+
+    docs = [
+        (i, " ".join(["alpha"] * (i % 4) + ["beta"] * (i % 3) + ["pad"] * (i % 5)))
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, bm25_topk(df, _PROBES, k=5).collect()))
+    con = duckdb.connect()
+    con.register("documents_in", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_in")
+    want = sorted(map(tuple, con.execute(bm25_topk_sql(_PROBES, k=5)).fetchall()))
+    assert got == want
+
+
+def test_bm25_topk_consistent_with_single_query_scores(spark):
+    """Each query's batched scores equal the single-probe bm25_scores
+    result (same formula, same rounding) — batching must not change a
+    score, only amortize the corpus pass."""
+    from timely_spark.operators.retrieval import bm25_scores, bm25_topk
+
+    docs = _fixture_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    batched = {}
+    for r in bm25_topk(df, _PROBES, k=100).collect():
+        batched[(r["query_id"], r["doc_id"])] = (r["n_terms_hit"], r["score"])
+    for qid, q in _PROBES.items():
+        single = {
+            r["doc_id"]: (r["n_terms_hit"], r["score"])
+            for r in bm25_scores(df, q).collect()
+        }
+        assert {d: v for (qq, d), v in batched.items() if qq == qid} == single
+
+
+def test_bm25_rowshape_path_matches_wide(spark, monkeypatch):
+    """Past WIDE_TERMS_MAX distinct union terms the row-shaped plan
+    takes over (ADVICE r10: hundreds of per-term aggregate columns blow
+    up codegen) — force the threshold to 1 and require bit-identical
+    rows from both plans, for bm25_topk and the bm25_scores fallback."""
+    import timely_spark.operators.retrieval as retrieval
+
+    docs = _fixture_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wide = sorted(map(tuple, retrieval.bm25_topk(df, _PROBES, k=4).collect()))
+    wide_scores = sorted(
+        map(tuple, retrieval.bm25_scores(df, "alpha gamma").collect())
+    )
+    monkeypatch.setattr(retrieval, "WIDE_TERMS_MAX", 1)
+    narrow = sorted(map(tuple, retrieval.bm25_topk(df, _PROBES, k=4).collect()))
+    narrow_scores = sorted(
+        map(tuple, retrieval.bm25_scores(df, "alpha gamma").collect())
+    )
+    assert wide == narrow
+    assert wide_scores == narrow_scores
+
+
+def test_bm25_topk_rejects_bad_batches(spark):
+    from timely_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no queries"):
+        bm25_topk(df, {})
+    with pytest.raises(ValueError, match="tokenizes to no terms"):
+        bm25_topk(df, {"q1": "!!!"})
+    with pytest.raises(ValueError, match="duplicate query id"):
+        bm25_topk(df, [("q1", "alpha"), ("q1", "beta")])

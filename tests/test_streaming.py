@@ -1026,3 +1026,76 @@ def test_streaming_cms_state_across_microbatches(spark, tmp_path):
             tuple(r) for r in cms_partials(items, "item").collect()
         }
         assert got[w] == want, f"window {w} partials diverge"
+
+
+def test_state_store_provider_resolution():
+    """The state_store knob maps to provider classes per the MEASURED
+    sizing rule (SCALE.md r10: heap OOMs ~1M open keys/GiB; RocksDB
+    drains 10M cleanly): auto stays on heap below the threshold or when
+    the key count is unknown, flips to RocksDB above it."""
+    import pytest
+
+    from timely_spark.streaming.state import (
+        HEAP_KEYS_MAX,
+        HEAP_PROVIDER,
+        ROCKSDB_PROVIDER,
+        resolve_provider,
+    )
+
+    assert resolve_provider("heap") == HEAP_PROVIDER
+    assert resolve_provider("rocksdb") == ROCKSDB_PROVIDER
+    assert resolve_provider("auto") == HEAP_PROVIDER
+    assert resolve_provider("auto", HEAP_KEYS_MAX) == HEAP_PROVIDER
+    assert resolve_provider("auto", HEAP_KEYS_MAX + 1) == ROCKSDB_PROVIDER
+    with pytest.raises(ValueError, match="state_store"):
+        resolve_provider("mapdb")
+
+
+def test_state_store_knob_lands_in_checkpoint(spark, tmp_path):
+    """state_store='rocksdb' on a query constructor must be captured by
+    the query's checkpoint at start (Spark pins the provider class into
+    OffsetSeqMetadata and enforces it on restart) AND must not leak
+    into the session conf afterwards."""
+    import json
+
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.streaming.state import _PROVIDER_KEY, ROCKSDB_PROVIDER
+    from timely_spark.streaming.summarize import summarization_query
+
+    src = tmp_path / "pts"
+    src.mkdir()
+    b = 1_447_767_913_000 - (1_447_767_913_000 % 60_000)
+    (src / "batch1.txt").write_text(
+        "\n".join(
+            f"put m {b + i * 1000} {float(i)} host=h1" for i in range(1, 61)
+        )
+        + "\n"
+    )
+    lines = spark.readStream.text(str(src))
+    pts = parse_lines_df(lines)
+    before = spark.conf.get(_PROVIDER_KEY, None)
+    q = summarization_query(
+        pts,
+        window_seconds=60,
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        watermark_seconds=1,
+        available_now=True,
+        state_store="rocksdb",
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    # the provider was captured by the checkpoint, not the session
+    assert spark.conf.get(_PROVIDER_KEY, None) == before
+    off = tmp_path / "ck" / "offsets" / "0"
+    meta = None
+    for line in off.read_text().splitlines():
+        if line.startswith("{") and "stateStore" in line:
+            meta = json.loads(line)
+            break
+    assert meta is not None, "offsets/0 carries no OffsetSeqMetadata"
+    assert (
+        meta["conf"][_PROVIDER_KEY] == ROCKSDB_PROVIDER
+    ), meta["conf"]

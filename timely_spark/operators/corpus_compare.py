@@ -95,6 +95,48 @@ _GRAMS_SQL = (
 )
 
 
+def pair_emit(df: DataFrame, arr_col: str, a_name: str, b_name: str) -> DataFrame:
+    """All unordered pairs ``(arr[i], arr[j>i])`` from a sorted-array
+    column, WITHOUT materializing C(|arr|, 2) structs inside one row.
+
+    The previous idiom — ``flatten(transform(arr, i -> transform(
+    slice(arr, i+2, ...))))`` — built the ENTIRE pair set as one array
+    value in one row before exploding: a universal boilerplate gram
+    shared by 2 000 sources would allocate ~2M structs (~tens of MB)
+    for a single cell, a skew/memory spike Generate can't stream
+    around (VERDICT r10 hazard #1; the ×100 probe salted sources into
+    disjoint token universes and so structurally couldn't see it).
+
+    Two-level Generate instead: ``posexplode`` the array (one output
+    row per LEFT element, streamed), then per row build only that
+    element's tail slice and explode it. No intermediate array value
+    ever exceeds ``|arr| - 1`` elements, and both Generates pipeline
+    row-at-a-time — the C(|arr|, 2) pairs still exist (they are the
+    true output) but as streamed rows feeding a map-side-combinable
+    groupBy, never as one in-memory value. Verified by the planted
+    universal-gram test at |sources| = 1 200
+    (tests/test_corpus_compare.py) and the shared-gram ``x100_compare``
+    probe leg (SCALE.md r11)."""
+    return (
+        df.select(
+            F.posexplode(arr_col).alias("__i", a_name),
+            F.col(arr_col).alias("__arr"),
+        )
+        .select(
+            F.col(a_name),
+            F.explode(
+                F.slice(
+                    F.col("__arr"),
+                    F.col("__i") + 2,
+                    F.greatest(
+                        F.size("__arr") - F.col("__i") - 1, F.lit(0)
+                    ),
+                )
+            ).alias(b_name),
+        )
+    )
+
+
 def source_overlap_matrix(
     df: DataFrame,
     n: int = 8,
@@ -117,8 +159,9 @@ def source_overlap_matrix(
     |distinct grams|-row frame, already aggregated — instead of a
     second corpus-wide pass (a first cut shuffled the corpus-sized
     frame three times: distinct + two groupBys; measured 7.6 s vs
-    ~3 s fused at sf0.1). Pair emission is a per-gram in-memory
-    combination (no self-join); the shuffle keys are (h1, h2) ints."""
+    ~3 s fused at sf0.1). Pair emission streams through
+    :func:`pair_emit` (no self-join, no single-row C(|sources|,2)
+    blowup); the shuffle keys are (h1, h2) ints."""
     g = df.select(
         F.col(source_col).alias("source"),
         F.explode(_gram_pairs(text_col, n)).alias("g"),
@@ -134,32 +177,10 @@ def source_overlap_matrix(
         .agg(F.count(F.lit(1)).alias("n_grams"))
     )
     pairs = (
-        srcs.filter(F.size("ss") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ss"),
-                        lambda a, i: F.transform(
-                            F.slice(
-                                F.col("ss"),
-                                i + 2,
-                                F.greatest(
-                                    F.size("ss") - i - 1, F.lit(0)
-                                ),
-                            ),
-                            lambda b: F.struct(
-                                a.alias("source_a"), b.alias("source_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+        pair_emit(
+            srcs.filter(F.size("ss") >= 2), "ss", "source_a", "source_b"
         )
-        .groupBy(
-            F.col("p.source_a").alias("source_a"),
-            F.col("p.source_b").alias("source_b"),
-        )
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
     a = per_source.select(

@@ -26,13 +26,21 @@ JVM and libm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+# Above this many DISTINCT terms the wide-aggregate plan (one
+# conditional-sum column per term) is abandoned for the row-shaped
+# plan: hundreds of __tf/__df columns blow up codegen method size and
+# analyzer time, where a (doc, term) row shape degrades gracefully
+# (ADVICE r10). 96 doubles comfortably inside the 64 KB codegen-method
+# ceiling observed for ncells*dim Column trees (BASELINE.md notes).
+WIDE_TERMS_MAX = 96
 
 
 def _query_terms(query: str) -> list[str]:
@@ -71,6 +79,13 @@ def bm25_scores(
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query tokenizes to no terms")
+    if len(terms) > WIDE_TERMS_MAX:
+        # graceful degradation for free-text probes with hundreds of
+        # distinct terms (ADVICE r10): the row-shaped multi-query plan
+        # with a single query, projected back to this function's schema
+        return _bm25_rowshape(
+            docs, [("q", terms)], text_col, id_col, k1, b
+        ).select(id_col, "n_terms_hit", "score")
     # explode_outer so zero-token docs still emit one (NULL-token) row
     # and count toward N / avgdl; F.count skips the NULL so dl == 0
     ex = docs.select(
@@ -181,3 +196,299 @@ s AS (SELECT tf.{id_col},
 SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_terms_hit,
        round(sum(ts) + 1e-9, 4) AS score
 FROM s GROUP BY 1"""
+
+
+def _parse_queries(queries) -> list[tuple[str, list[str]]]:
+    """Normalize a {query_id: text} dict (or (id, text) pair list) to
+    ordered (query_id, distinct-terms) tuples under the ONE tokenizer
+    contract; rejects empty-term queries and duplicate ids loudly."""
+    items = list(queries.items()) if isinstance(queries, dict) else list(queries)
+    if not items:
+        raise ValueError("no queries given")
+    seen: set[str] = set()
+    out: list[tuple[str, list[str]]] = []
+    for qid, text in items:
+        if qid in seen:
+            raise ValueError(f"duplicate query id: {qid!r}")
+        seen.add(qid)
+        terms = _query_terms(text)
+        if not terms:
+            raise ValueError(f"query {qid!r} tokenizes to no terms")
+        out.append((qid, terms))
+    return out
+
+
+def _bm25_term_score(tf, dfc, n, dl, avgdl, k1: float, b: float):
+    """One term's BM25 contribution as a Column expression (Lucene +1
+    idf) — shared by the wide and row-shaped plans so the two paths are
+    bit-identical before rounding."""
+    idf = F.log(
+        F.lit(1.0) + (n.cast("double") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+    )
+    return (
+        idf
+        * tf
+        * F.lit(k1 + 1.0)
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+    )
+
+
+def _bm25_rowshape(
+    docs: DataFrame,
+    qterms: list[tuple[str, list[str]]],
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """(query_id, id, n_terms_hit, score) for every (doc, query) with
+    >= 1 term hit — the row-shaped batched plan.
+
+    Scale shape: the corpus is tokenized twice (once for dl / corpus
+    stats, once map-side-pruned to the UNION of all query terms for
+    tf), but NO shuffle carries text and every join except dl is
+    broadcast: df (one row per union term) and the (term -> query)
+    fan-out map are both query-sized. The (doc, term) tf frame is
+    union-term-selective, so the dl equi-join and the (doc, query)
+    aggregation shuffle rows proportional to matches, not the corpus.
+    Preferred over the wide plan past WIDE_TERMS_MAX distinct terms,
+    where per-term aggregate columns stop fitting codegen."""
+    union_terms = []
+    for _, ts in qterms:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
+    )
+    dl = ex.groupBy(id_col).agg(F.count("__t").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total")
+    )
+    tf = (
+        ex.filter(F.col("__t").isin(union_terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_ = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms for t in ts], ["query_id", "__t"]
+    )
+    avgdl = F.col("__total").cast("double") / F.col("__n")
+    scored = (
+        tf.join(F.broadcast(df_), "__t")
+        .join(F.broadcast(qt), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            _bm25_term_score(
+                F.col("__tf"),
+                F.col("__df"),
+                F.col("__n"),
+                F.col("__dl"),
+                avgdl,
+                k1,
+                b,
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(F.sum("__s") + F.lit(1e-9), 4).alias("score"),
+        )
+    )
+    return scored
+
+
+def _topk_per_query(
+    scored: DataFrame, id_col: str, k: int, salt_buckets: int = 32
+) -> DataFrame:
+    """Per-query top-k by (score DESC, id ASC) in two phases: a salted
+    local top-k first, so the global rank window never sorts more than
+    salt_buckets * k rows per query — one query matching the whole
+    corpus would otherwise funnel every matched doc through a single
+    window partition (the per-query skew hazard at 100 TB). Ranking
+    uses the ROUNDED score so both engines order identically; ties
+    re-break on the id (the documented contract)."""
+    w_local = Window.partitionBy("query_id", "__salt").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= k)
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("__salt", "__r")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, id, n_terms_hit, score, rank) — the top ``k`` BM25
+    hits for EACH of N probe queries in ONE corpus pass (the batched
+    lexical sibling of the ANN stack's multi-query shape: a real
+    curation run scores hundreds of benchmark prompts / quality
+    exemplars / takedown texts, and one pass per probe would rescan the
+    corpus N times).
+
+    ``queries`` is {query_id: text} (or (id, text) pairs). Plan: with
+    <= WIDE_TERMS_MAX distinct terms across ALL queries, the single
+    tokenize-explode feeds one groupBy(doc) aggregate computing dl plus
+    one conditional tf column per UNION term (terms shared between
+    queries are counted once); corpus stats reuse that exchange; each
+    query's score is then a per-row expression over its own terms, and
+    the per-doc row unpivots to (query, score) structs only for queries
+    the doc actually hits. Past the threshold the row-shaped plan
+    (_bm25_rowshape) takes over. Top-k is the salted two-phase window
+    (_topk_per_query). ``rank`` is 1-based, dense within a query by
+    construction (row_number), ordered by (score DESC, id ASC)."""
+    qterms = _parse_queries(queries)
+    union_terms: list[str] = []
+    for _, ts in qterms:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    if len(union_terms) > WIDE_TERMS_MAX:
+        scored = _bm25_rowshape(docs, qterms, text_col, id_col, k1, b)
+        return _topk_per_query(scored, id_col, k)
+
+    idx = {t: i for i, t in enumerate(union_terms)}
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
+    )
+    perdoc = ex.groupBy(id_col).agg(
+        F.count("__t").alias("__dl"),
+        *[
+            F.sum(
+                F.when(F.col("__t") == F.lit(t), 1).otherwise(0)
+            ).alias(f"__tf{i}")
+            for i, t in enumerate(union_terms)
+        ],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__total"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).alias(f"__df{i}")
+            for i in range(len(union_terms))
+        ],
+    )
+    j = perdoc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__total").cast("double") / F.col("__n")
+
+    def q_struct(qid: str, ts: list[str]):
+        ids = [idx[t] for t in ts]
+
+        def bal(lo: int, hi: int):
+            if hi - lo == 1:
+                i = ids[lo]
+                return _bm25_term_score(
+                    F.col(f"__tf{i}"),
+                    F.col(f"__df{i}"),
+                    F.col("__n"),
+                    F.col("__dl"),
+                    avgdl,
+                    k1,
+                    b,
+                )
+            mid = (lo + hi) // 2
+            return bal(lo, mid) + bal(mid, hi)
+
+        n_hit = sum((F.col(f"__tf{i}") > 0).cast("int") for i in ids)
+        return F.struct(
+            F.lit(qid).alias("query_id"),
+            n_hit.cast("long").alias("n_terms_hit"),
+            F.round(bal(0, len(ids)) + F.lit(1e-9), 4).alias("score"),
+        )
+
+    # unpivot to (doc, query) rows, keeping only actual hits — the
+    # exploded frame is match-selective, never |docs| x |queries|
+    scored = (
+        j.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.array(*[q_struct(qid, ts) for qid, ts in qterms]),
+                    lambda s: s["n_terms_hit"] > 0,
+                )
+            ).alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("__q.n_terms_hit").alias("n_terms_hit"),
+            F.col("__q.score").alias("score"),
+        )
+    )
+    return _topk_per_query(scored, id_col, k)
+
+
+def bm25_topk_sql(
+    queries,
+    k: int = 10,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer contract, same
+    Lucene idf and rounding nudge, rank over the ROUNDED score with the
+    same (score DESC, id ASC) tie-break."""
+    from .text import TOKENS_SQL
+
+    qterms = _parse_queries(queries)
+    union_terms: list[str] = []
+    for _, ts in qterms:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    toks = TOKENS_SQL.format(c=text_col)
+
+    def lit(s: str) -> str:
+        return "'{}'".format(s.replace("'", "''"))
+
+    term_list = ", ".join(lit(t) for t in union_terms)
+    qt_rows = ", ".join(
+        f"({lit(qid)}, {lit(t)})" for qid, ts in qterms for t in ts
+    )
+    return f"""
+WITH ex AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
+dl AS (SELECT d.{id_col}, coalesce(l.dl, 0) AS dl
+       FROM {table} d LEFT JOIN (SELECT {id_col}, count(*) AS dl
+                                 FROM ex GROUP BY 1) l USING ({id_col})),
+stats AS (SELECT count(*) AS n, coalesce(sum(dl), 0) AS total FROM dl),
+qt(query_id, t) AS (VALUES {qt_rows}),
+tf AS (SELECT {id_col}, t, count(*) AS tf FROM ex
+       WHERE t IN ({term_list}) GROUP BY 1, 2),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT qt.query_id, tf.{id_col},
+             CAST(count(*) AS BIGINT) AS n_terms_hit,
+             round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * {k1 + 1.0}
+                       / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl
+                          / (CAST(stats.total AS DOUBLE) / stats.n))))
+                   + 1e-9, 4) AS score
+      FROM tf JOIN df USING (t) JOIN qt USING (t)
+      JOIN dl USING ({id_col}) CROSS JOIN stats
+      GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, {id_col}) AS rank
+      FROM s)
+SELECT query_id, {id_col}, n_terms_hit, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""

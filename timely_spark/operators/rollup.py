@@ -237,9 +237,23 @@ def refresh_rollup(
             .localCheckpoint(eager=True)
         )
     except AnalysisException as e:
+        # match the structured error class first (stable across Spark
+        # versions), falling back to message text only for builds that
+        # don't populate it (ADVICE r10 #3 — coupling correctness to
+        # error prose is brittle; an unmatched benign first write
+        # raises, fail-safe, rather than overwriting)
+        klass = None
+        get_class = getattr(e, "getErrorClass", None)
+        if callable(get_class):
+            try:
+                klass = get_class()
+            except Exception:
+                klass = None
+        first_write_classes = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
         msg = str(e)
         if not (
-            "PATH_NOT_FOUND" in msg
+            (klass or "").startswith(first_write_classes)
+            or "PATH_NOT_FOUND" in msg
             or "Path does not exist" in msg
             or "UNABLE_TO_INFER_SCHEMA" in msg
         ):
@@ -720,39 +734,20 @@ def kmv_set_ops(
     ).otherwise(F.size(common).cast("double"))
 
     # exact pairwise intersections from per-item group sets (the
-    # source_overlap_matrix shape: per-item in-memory pair emission,
-    # no self-join; |groups| bounds the set)
+    # source_overlap_matrix shape: streamed two-level pair emission,
+    # no self-join and no single-row C(|groups|,2) array — an item in
+    # EVERY group would otherwise build the whole pair set as one
+    # value; see corpus_compare.pair_emit)
+    from .corpus_compare import pair_emit
+
     per_item = (
         u.groupBy("__h")
         .agg(F.array_sort(F.collect_set("group")).alias("gs"))
         .filter(F.size("gs") >= 2)
     )
     inter_exact = (
-        per_item.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("gs"),
-                        lambda g, i: F.transform(
-                            F.slice(
-                                F.col("gs"),
-                                i + 2,
-                                F.greatest(
-                                    F.size("gs") - i - 1, F.lit(0)
-                                ),
-                            ),
-                            lambda h: F.struct(
-                                g.alias("group_a"), h.alias("group_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .groupBy(
-            F.col("p.group_a").alias("group_a"),
-            F.col("p.group_b").alias("group_b"),
-        )
+        pair_emit(per_item, "gs", "group_a", "group_b")
+        .groupBy("group_a", "group_b")
         .agg(F.count(F.lit(1)).alias("inter_exact"))
     )
     out = pairs.join(

@@ -41,13 +41,20 @@ def cms_stream_query(
     ts_col: str = "ts",
     available_now: bool = False,
     processing_time: str | None = None,
+    state_store: str = "auto",
+    expected_keys: int | None = None,
 ):
     """Event-time tumbling windows + watermark -> CMS partial rows
     (bucket_ts, d, bucket, cnt) in an append-mode parquet sink; one row
     per occupied counter per closed window. Drain with
     ``available_now=True`` for bounded backlogs; probe estimates off
     the sink batch-side (min over the depth rows of an item's buckets,
-    per window)."""
+    per window). ``state_store`` / ``expected_keys``: provider knob per
+    streaming/state.py — open-state keys here are OCCUPIED COUNTERS
+    (depth x width x in-flight windows, the r10 probe measured the cap
+    at 2 949 109 of a 2 949 120-counter construction ceiling), so pass
+    depth*width*expected_windows; 'auto' flips to RocksDB past the
+    measured ~1M-keys-per-GiB heap ceiling."""
     wm = stream.withColumn(
         "event_time", F.timestamp_millis(F.col(ts_col))
     ).withWatermark("event_time", f"{watermark_seconds} seconds")
@@ -91,4 +98,7 @@ def cms_stream_query(
         writer = writer.trigger(availableNow=True)
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    from .state import provider_for_start
+
+    with provider_for_start(stream.sparkSession, state_store, expected_keys):
+        return writer.start()

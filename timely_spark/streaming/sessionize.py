@@ -112,12 +112,17 @@ def sessionize_stream(
     value_col: str = "value",
     available_now: bool = False,
     processing_time: str | None = None,
+    state_store: str = "auto",
+    expected_keys: int | None = None,
 ):
     """Streaming sessionization: the same session_window aggregation with
     a watermark; Spark's state store keeps open sessions across
     micro-batches and emits each one when the watermark passes its close
     (append mode). At scale, state is bounded by OPEN sessions only —
-    closed sessions leave the store on emission."""
+    closed sessions leave the store on emission. ``state_store`` /
+    ``expected_keys`` (open sessions, not users): provider knob per
+    streaming/state.py — 'auto' flips to RocksDB past the measured
+    ~1M-open-keys-per-GiB heap ceiling."""
     wm = stream.withColumn(
         "event_time", F.timestamp_millis(F.col(ts_ms_col))
     ).withWatermark("event_time", f"{watermark_seconds} seconds")
@@ -152,4 +157,7 @@ def sessionize_stream(
     elif processing_time:
         # forever-loop mode for the live soak (tests/test_streaming_soak)
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    from .state import provider_for_start
+
+    with provider_for_start(stream.sparkSession, state_store, expected_keys):
+        return writer.start()

@@ -106,6 +106,8 @@ def summarization_query(
     exact: bool = False,
     available_now: bool = False,
     processing_time: str | None = None,
+    state_store: str = "auto",
+    expected_keys: int | None = None,
 ):
     """Streaming variant: event-time tumbling window + watermark,
     append-mode Parquet sink (points flow back into the lake as
@@ -120,6 +122,11 @@ def summarization_query(
     the default approx path is the 100 TB choice. ``available_now``
     drains a bounded backlog in one run then terminates (the batch-mode
     execution of the same streaming plan).
+
+    ``state_store`` / ``expected_keys``: state-store provider knob
+    (streaming/state.py) — 'auto' flips to RocksDB past the MEASURED
+    ~1M-open-keys-per-GiB heap ceiling; pass the expected open-window
+    key count ((metric, series) x in-flight windows) when known.
     """
     wm = stream.withColumn(
         "event_time", F.timestamp_millis(F.col("ts"))
@@ -157,7 +164,10 @@ def summarization_query(
         # drain): fire on a wall-clock cadence and keep running as new
         # files land — the soak test's mode (tests/test_streaming_soak)
         writer = writer.trigger(processingTime=processing_time)
-    return writer.start()
+    from .state import provider_for_start
+
+    with provider_for_start(stream.sparkSession, state_store, expected_keys):
+        return writer.start()
 
 
 # sample-tag vocabulary of the reference's put-line serializer

@@ -117,14 +117,18 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     # does not truncate logical lineage; only a real checkpoint does.
     # Each stage therefore round-trips its survivor frame through
     # parquet: plan lineage resets to a scan and peak driver state is
-    # one stage's plan. The stage dir lives UNDER the output path (an
-    # underscore prefix keeps Spark parquet readers blind to it), so on
-    # a cluster it sits on the same shared filesystem the job can
-    # actually write to — a driver-local tempdir would scatter task
-    # files across executor disks (r10 review). On success it is
-    # removed; on failure it is LEFT IN PLACE as the debuggable/restart
-    # state of the last completed stage.
-    _stage_root = os.path.join(out, "_stages")
+    # one stage's plan. The stage dir is a SIBLING of the output path
+    # (out + '_stages'), not under it: the final write_packed_corpus
+    # does mode('overwrite') on out, and a stage dir under out would be
+    # deleted while the survivor lineage still lazily reads it — a
+    # cache-block loss during the final write would then recompute from
+    # deleted files (ADVICE r10 #1, the refresh_rollup replaced-file
+    # hazard). A sibling stays on the same shared filesystem the job
+    # can write to (a driver-local tempdir would scatter task files
+    # across executor disks, r10 review). On success it is removed; on
+    # failure it is LEFT IN PLACE as the debuggable/restart state of
+    # the last completed stage.
+    _stage_root = out.rstrip("/") + "_stages"
     _stage_seq = [0]
 
     def _materialize(df):
@@ -540,10 +544,16 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     finally:
         staged.unpersist()
     # success-only cleanup: a failed run leaves _stages in place as the
-    # last completed stage's debuggable/restart state (see _materialize)
-    import shutil as _shutil
-
-    _shutil.rmtree(_stage_root, ignore_errors=True)
+    # last completed stage's debuggable/restart state (see _materialize).
+    # Deletion goes through the Hadoop FileSystem API so it works on the
+    # same filesystems Spark wrote to (hdfs://, s3a://) — a driver-local
+    # shutil.rmtree silently no-ops there and would retain up to one
+    # full corpus copy per stage (ADVICE r10 #2).
+    _jvm = spark._jvm
+    _hpath = _jvm.org.apache.hadoop.fs.Path(_stage_root)
+    _hfs = _hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if _hfs.exists(_hpath):
+        _hfs.delete(_hpath, True)
     stats = {
         "n_input": n_input,
         "stage_pass": {

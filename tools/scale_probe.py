@@ -679,6 +679,50 @@ def main() -> int:
                           file=sys.stderr)
                 results[name] = res
 
+        # --- shared-gram pair-emission leg (r11, VERDICT r10 #4) ------
+        # The disjoint-universe salting above grows co-occurring pairs
+        # LINEARLY, so it structurally cannot exercise the quadratic-
+        # OUTPUT regime: one universal boilerplate gram shared by ALL
+        # sources makes the pair set C(|sources|, 2) — 100, 1 000 and
+        # 4 000 sources give ~5.0k / ~500k / ~8.0M pairs (a ~100x then
+        # ~16x output decade). The streamed pair_emit must track the
+        # OUTPUT size; the old single-row flatten would instead build
+        # the full pair array inside one value (at 4 000 sources, ~8M
+        # structs in one cell) before any reduction could run.
+        if want("x100_shared"):
+            from timely_spark.operators.corpus_compare import (
+                source_overlap_matrix,
+            )
+
+            boiler = " w1 w2 w3 w4 w5 w6 w7 w8"
+            res = {}
+            for label, S in (("s100", 100), ("s1000", 1000), ("s4000", 4000)):
+                docs = spark.range(S * 5).select(
+                    F.concat(
+                        F.lit("src"), (F.col("id") % S).cast("string")
+                    ).alias("source"),
+                    F.concat(
+                        F.lit("u"), F.col("id").cast("string"), F.lit(boiler)
+                    ).alias("text"),
+                )
+                n_pairs = S * (S - 1) // 2
+
+                def run_shared(d=docs, want_pairs=n_pairs):
+                    m = source_overlap_matrix(d, n=8)
+                    got = m.count()
+                    assert got == want_pairs, (got, want_pairs)
+                    return got
+
+                res[label] = round(
+                    best_of(lambda: run_shared(), n=1 if S >= 4000 else 2), 2
+                )
+                print(
+                    f"doc_source_overlap shared-gram {label} "
+                    f"({n_pairs} pairs): {res[label]}s",
+                    file=sys.stderr,
+                )
+            results["doc_source_overlap_shared"] = res
+
         # --- x100 store/ingest decade probe (r10, VERDICT r9 #1) -----
         # The core-engine path: salted line-protocol backlog ->
         # parse_lines_df -> write_points partitioned store at x1/x10/
