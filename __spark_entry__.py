@@ -2226,6 +2226,24 @@ _BM25_PROBES = {
 }
 
 
+def q_doc_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval (RRF fusion, Cormack et al. 2009): BM25 and
+    hashed-embedding-cosine rankings for the 5 probe queries fused by
+    reciprocal rank, ONE corpus pass — a single tokenize-explode feeds
+    one groupBy(doc) computing doc length, union-term tfs AND the 32
+    md5-sign embedding sums together; query-side sums are exact
+    integers inlined driver-side; both rankings run the salted
+    two-phase top-k. The standard lexical+semantic curation recipe
+    (exact terminology + paraphrase recall) over the same text->vector
+    seam the ANN stack uses (doc_text_embedding). Oracle: DuckDB
+    rebuilds both rankings engine-exactly (integer sums, 6-dp rounded
+    cosine and RRF, id tie-breaks) — value-exact, not bound-pinned."""
+    from timely_spark.operators.retrieval import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return hybrid_topk(docs, _BM25_PROBES, k=10)
+
+
 def q_doc_bm25_topk(spark, sf_dir):
     """Batched BM25: top-10 documents for EACH of 5 probe queries in
     ONE corpus pass (VERDICT r10 #5 — a real curation run scores
@@ -3417,6 +3435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver-green r2..r10, plan unchanged this round, still
         # verified vs DuckDB in both full sweeps + bench-gated)
         "doc_bm25_topk": q_doc_bm25_topk,
+        # new r11: hybrid RRF retrieval (lexical + embedding fusion,
+        # one corpus pass) — takes doc_mg_heavy_hitters's slot
+        # (driver-green r8..r10, stable sketch plan, still swept at
+        # both scales + bench-gated)
+        "doc_hybrid_retrieval": q_doc_hybrid_retrieval,
         "doc_streaming_dedup": q_doc_streaming_dedup,
         # new r8: semantic (paraphrase) decontamination, value-exact
         # integer-arithmetic oracle — takes doc_chunk_rewrite's slot
@@ -3438,7 +3461,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_ngram_jaccard's and doc_curation's slots (driver-green
         # r6-r8, plans unchanged this round, still swept at both
         # scales + bench-gated)
-        "doc_mg_heavy_hitters": q_doc_mg_heavy_hitters,
         "doc_corpus_line_dedup": q_doc_corpus_line_dedup,
         # PLAN_CHANGED_THIS_ROUND (r7): summarize percentiles moved from
         # linear interpolation to the reference's nearest-rank rule
@@ -3463,6 +3485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast decontamination, driver-green r2..r10, plan
         # unchanged, still swept at both scales + bench-gated
         "doc_decontaminate": q_doc_decontaminate,
+        # rotated to tail r11 (displaced by doc_hybrid_retrieval):
+        # Misra-Gries heavy hitters, driver-green r8..r10, stable
+        # sketch plan, still swept at both scales + bench-gated
+        "doc_mg_heavy_hitters": q_doc_mg_heavy_hitters,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_perplexity": q_doc_perplexity,
         "doc_weighted_sample": q_doc_weighted_sample,
@@ -4955,6 +4981,9 @@ GROUP BY 1, 2"""
     from timely_spark.operators.retrieval import bm25_topk_sql
 
     d["doc_bm25_topk"] = bm25_topk_sql(_BM25_PROBES, k=10)
+    from timely_spark.operators.retrieval import hybrid_topk_sql
+
+    d["doc_hybrid_retrieval"] = hybrid_topk_sql(_BM25_PROBES, k=10)
     from timely_spark.operators.text import weighted_hash_sample_sql
 
     d["doc_weighted_sample"] = weighted_hash_sample_sql(

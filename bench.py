@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     # r9: lexical retrieval primitive (BM25 probe-query scoring)
     "doc_bm25_scores",
     "doc_bm25_topk",
+    "doc_hybrid_retrieval",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)

@@ -562,6 +562,9 @@ PLAN_CHANGED_THIS_ROUND = {
     # r11 new row (VERDICT r10 #5): batched lexical retrieval — one
     # corpus pass scoring all probe queries, salted two-phase top-k
     "doc_bm25_topk",
+    # r11 new row: hybrid RRF retrieval (lexical + embedding fusion,
+    # single-pass wide aggregate)
+    "doc_hybrid_retrieval",
 }
 
 

@@ -241,3 +241,108 @@ def test_bm25_topk_rejects_bad_batches(spark):
         bm25_topk(df, {"q1": "!!!"})
     with pytest.raises(ValueError, match="duplicate query id"):
         bm25_topk(df, [("q1", "alpha"), ("q1", "beta")])
+
+
+def _expected_hybrid(docs, probes, k=10, k_fuse=20, rrf_k=60, dim=32):
+    """Independent pure-Python hybrid RRF golden: BM25 ranking (from
+    _expected), md5-sign cosine ranking, reciprocal-rank fusion."""
+    import hashlib
+    import re
+
+    def sums_of(text):
+        s = [0] * dim
+        for t in re.findall(r"[a-z0-9']+", (text or "").lower()):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for d in range(dim):
+                s[d] += 1 - 2 * ((h >> d) & 1)
+        return s
+
+    doc_sums = {i: sums_of(t) for i, t in docs}
+    out = []
+    for qid, q in probes.items():
+        bm = sorted(
+            ((i, s) for i, (_h, s) in _expected(docs, q).items()),
+            key=lambda r: (-r[1], r[0]),
+        )[:k_fuse]
+        bm_rank = {i: r + 1 for r, (i, _s) in enumerate(bm)}
+        qs = sums_of(q)
+        q2 = sum(x * x for x in qs)
+        cos_rows = []
+        for i, ds in doc_sums.items():
+            n2 = sum(x * x for x in ds)
+            dot = sum(a * b for a, b in zip(qs, ds))
+            if q2 > 0 and n2 > 0 and dot > 0:
+                cos_rows.append(
+                    (i, round(dot / ((n2 * q2) ** 0.5) + 1e-9, 6))
+                )
+        em = sorted(cos_rows, key=lambda r: (-r[1], r[0]))[:k_fuse]
+        em_rank = {i: r + 1 for r, (i, _c) in enumerate(em)}
+        fused = []
+        for i in set(bm_rank) | set(em_rank):
+            s = (1.0 / (rrf_k + bm_rank[i]) if i in bm_rank else 0.0) + (
+                1.0 / (rrf_k + em_rank[i]) if i in em_rank else 0.0
+            )
+            fused.append(
+                (i, round(s + 1e-9, 6), bm_rank.get(i), em_rank.get(i))
+            )
+        ranked = sorted(fused, key=lambda r: (-r[1], r[0]))[:k]
+        out.extend(
+            (qid, i, s, br, er, rk + 1)
+            for rk, (i, s, br, er) in enumerate(ranked)
+        )
+    return sorted(out, key=lambda r: (r[0], r[5]))
+
+
+def test_hybrid_topk_matches_pure_python_golden(spark):
+    """RRF fusion of BM25 + md5-sign cosine rankings equals an
+    independently-coded golden, including per-source ranks — a doc in
+    only one ranking must still fuse (outer-join semantics)."""
+    from timely_spark.operators.retrieval import hybrid_topk
+
+    docs = _fixture_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, hybrid_topk(df, _PROBES, k=4, k_fuse=5).collect()),
+        key=lambda r: (r[0], r[5]),
+    )
+    assert got == _expected_hybrid(docs, _PROBES, k=4, k_fuse=5)
+
+
+def test_hybrid_topk_sql_twin_agrees(spark):
+    """The DuckDB twin emits identical fused rows — the
+    doc_hybrid_retrieval registry contract (value-exact oracle)."""
+    import duckdb
+    import pandas as pd
+
+    from timely_spark.operators.retrieval import hybrid_topk, hybrid_topk_sql
+
+    docs = [
+        (
+            i,
+            " ".join(
+                ["alpha"] * (i % 4)
+                + ["beta"] * (i % 3)
+                + ["gamma"] * (i % 2)
+                + ["pad", f"w{i}"] * (i % 5)
+            ),
+        )
+        for i in range(1, 45)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, hybrid_topk(df, _PROBES, k=6).collect()))
+    con = duckdb.connect()
+    con.register("documents_in", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_in")
+    want = sorted(
+        map(tuple, con.execute(hybrid_topk_sql(_PROBES, k=6)).fetchall())
+    )
+    assert got == want
+
+
+def test_hybrid_topk_rejects_oversized_union(spark):
+    from timely_spark.operators.retrieval import WIDE_TERMS_MAX, hybrid_topk
+
+    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    big = {"q": " ".join(f"t{i}" for i in range(WIDE_TERMS_MAX + 1))}
+    with pytest.raises(ValueError, match="distinct terms"):
+        hybrid_topk(df, big)

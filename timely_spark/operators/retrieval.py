@@ -492,3 +492,340 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM s)
 SELECT query_id, {id_col}, n_terms_hit, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}"""
+
+
+def _query_hash_sums(text: str, dim: int = 32) -> tuple[list[int], int]:
+    """Driver-side twin of similarity._hashed_sums for a probe query's
+    token multiset (repeats kept — the embedding is over occurrences,
+    unlike BM25's distinct-term sum): per-dimension ±1 md5-sign sums
+    plus the exact integer squared norm. A query is a few words, so the
+    sums inline as literals — zero extra corpus work, and hashlib.md5
+    reproduces the engines' md5 bit-for-bit."""
+    import hashlib
+    import re
+
+    sums = [0] * dim
+    for t in re.findall(r"[a-z0-9']+", text.lower()):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for d in range(dim):
+            sums[d] += 1 - 2 * ((h >> d) & 1)
+    return sums, sum(s * s for s in sums)
+
+
+def _bal(exprs):
+    """Balanced Add tree over a non-empty list of Columns (the
+    canonicalization-depth lesson — see similarity._bal_sum)."""
+    n = len(exprs)
+    if n == 1:
+        return exprs[0]
+    return _bal(exprs[: n // 2]) + _bal(exprs[n // 2:])
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    k_fuse: int = 20,
+    rrf_k: int = 60,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, id, rrf_score, bm25_rank, emb_rank, rank) — hybrid
+    retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the BM25
+    ranking and the hashed-embedding cosine ranking, per probe query,
+    in ONE corpus pass. This is the standard modern curation recipe —
+    lexical recall for exact terminology, embedding recall for
+    paraphrase — and the capstone over bm25_topk + the ANN stack's
+    text->vector seam (similarity.hashed_text_embedding).
+
+    Scale shape: ONE tokenize-explode feeds ONE groupBy(doc) aggregate
+    computing the doc length, every union query term's tf AND the
+    ``dim`` md5-sign embedding sums together (all plain conditional
+    sums — codegen, map-side combinable); corpus stats reuse that
+    exchange. Query-side embedding sums are exact integers computed
+    driver-side and inlined (a probe is a few words). Both rankings
+    run through the salted two-phase top-k (_topk_per_query), so no
+    window partition ever sorts more than 32 * k_fuse rows per query;
+    the fusion join keys are (query, doc) over two <= |queries| *
+    k_fuse frames.
+
+    RRF: score = sum over rankings of 1 / (rrf_k + rank), ranks capped
+    at k_fuse (a doc absent from a ranking contributes 0); rounded to
+    6 dp (+1e-9 nudge), final order (rrf_score DESC, id ASC). Cosine
+    ranks on the 6-dp rounded cosine of exact-integer dot / norms —
+    deterministic on both engines; docs with cosine <= 0 or zero-norm
+    never enter the embedding ranking."""
+    qterms = _parse_queries(queries)
+    union_terms: list[str] = []
+    for _, ts in qterms:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    if len(union_terms) > WIDE_TERMS_MAX:
+        raise ValueError(
+            f"hybrid_topk supports <= {WIDE_TERMS_MAX} distinct terms "
+            f"across the probe batch (got {len(union_terms)}); split the "
+            "batch — the single-pass wide aggregate is the point here"
+        )
+    qsums = {qid: _query_hash_sums(text, dim) for qid, text in (
+        list(queries.items()) if isinstance(queries, dict) else list(queries)
+    )}
+    idx = {t: i for i, t in enumerate(union_terms)}
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
+    )
+    h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    perdoc = ex.select(id_col, F.col("__t"), h.alias("__h")).groupBy(
+        id_col
+    ).agg(
+        F.count("__t").alias("__dl"),
+        *[
+            F.sum(
+                F.when(F.col("__t") == F.lit(t), 1).otherwise(0)
+            ).alias(f"__tf{i}")
+            for i, t in enumerate(union_terms)
+        ],
+        *[
+            F.sum(
+                F.lit(1)
+                - F.lit(2)
+                * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
+            ).alias(f"__e{d}")
+            for d in range(dim)
+        ],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__total"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("int")).alias(f"__df{i}")
+            for i in range(len(union_terms))
+        ],
+    )
+    j = perdoc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__total").cast("double") / F.col("__n")
+    doc_norm2 = F.coalesce(
+        _bal([F.col(f"__e{d}") * F.col(f"__e{d}") for d in range(dim)]),
+        F.lit(0),
+    )
+
+    def q_struct(qid: str, ts: list[str]):
+        ids = [idx[t] for t in ts]
+        bm = _bal(
+            [
+                _bm25_term_score(
+                    F.col(f"__tf{i}"),
+                    F.col(f"__df{i}"),
+                    F.col("__n"),
+                    F.col("__dl"),
+                    avgdl,
+                    k1,
+                    b,
+                )
+                for i in ids
+            ]
+        )
+        n_hit = sum((F.col(f"__tf{i}") > 0).cast("int") for i in ids)
+        qs, q2 = qsums[qid]
+        dot_terms = [
+            F.lit(qs[d]) * F.col(f"__e{d}") for d in range(dim) if qs[d]
+        ]
+        if q2 > 0 and dot_terms:
+            dot = F.coalesce(_bal(dot_terms), F.lit(0))
+            cos = F.when(
+                (F.col("__norm2") > 0) & (dot > 0),
+                F.round(
+                    dot.cast("double")
+                    / F.sqrt((F.col("__norm2") * F.lit(q2)).cast("double"))
+                    + F.lit(1e-9),
+                    6,
+                ),
+            )
+        else:  # zero-norm query: no embedding ranking
+            cos = F.lit(None).cast("double")
+        return F.struct(
+            F.lit(qid).alias("query_id"),
+            n_hit.cast("long").alias("n_hit"),
+            F.round(bm + F.lit(1e-9), 4).alias("bm"),
+            cos.alias("cos"),
+        )
+
+    scored = (
+        j.withColumn("__norm2", doc_norm2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.array(*[q_struct(qid, ts) for qid, ts in qterms]),
+                    lambda s: (s["n_hit"] > 0) | s["cos"].isNotNull(),
+                )
+            ).alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("__q.n_hit").alias("n_hit"),
+            F.col("__q.bm").alias("bm"),
+            F.col("__q.cos").alias("cos"),
+        )
+    )
+    # the two rankings below self-join this frame (full outer fusion);
+    # without a persist Spark duplicates the whole corpus aggregate per
+    # branch (plan audit measured 4 scans / 14 exchanges). scored is
+    # match-selective (<= |queries| x matched docs), so caching it is
+    # the correct 100 TB shape: ONE corpus pass materializes the
+    # query-sized frame, both rankings and the fusion read the cache.
+    scored = scored.persist()
+    bm_ranked = _topk_per_query(
+        scored.filter(F.col("n_hit") > 0).select(
+            "query_id", id_col, F.col("bm").alias("score")
+        ),
+        id_col,
+        k_fuse,
+    ).select("query_id", id_col, F.col("rank").alias("bm25_rank"))
+    em_ranked = _topk_per_query(
+        scored.filter(F.col("cos").isNotNull()).select(
+            "query_id", id_col, F.col("cos").alias("score")
+        ),
+        id_col,
+        k_fuse,
+    ).select("query_id", id_col, F.col("rank").alias("emb_rank"))
+    fused = (
+        bm_ranked.join(em_ranked, ["query_id", id_col], "full_outer")
+        .withColumn(
+            "score",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("bm25_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("emb_rank")),
+                    F.lit(0.0),
+                )
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    return (
+        _topk_per_query(fused, id_col, k)
+        .select(
+            "query_id",
+            id_col,
+            F.col("score").alias("rrf_score"),
+            "bm25_rank",
+            "emb_rank",
+            "rank",
+        )
+    )
+
+
+def hybrid_topk_sql(
+    queries,
+    k: int = 10,
+    k_fuse: int = 20,
+    rrf_k: int = 60,
+    dim: int = 32,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`hybrid_topk` — identical tokenizer, BM25
+    formula, md5-sign sums (similarity._sums_sql idiom), inlined
+    query-side integer sums, rounding and tie-breaks."""
+    from .text import TOKENS_SQL
+
+    qterms = _parse_queries(queries)
+    union_terms: list[str] = []
+    for _, ts in qterms:
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    qsums = {qid: _query_hash_sums(text, dim) for qid, text in (
+        list(queries.items()) if isinstance(queries, dict) else list(queries)
+    )}
+    toks = TOKENS_SQL.format(c=text_col)
+
+    def lit(s: str) -> str:
+        return "'{}'".format(s.replace("'", "''"))
+
+    term_list = ", ".join(lit(t) for t in union_terms)
+    qt_rows = ", ".join(
+        f"({lit(qid)}, {lit(t)})" for qid, ts in qterms for t in ts
+    )
+    sign = "CAST(from_hex(substr(md5(t), 1, 8)) AS BIT)::UINTEGER"
+    esums = ", ".join(
+        f"sum(1 - 2 * CAST((({sign}) >> {d}) & 1 AS BIGINT)) AS e{d}"
+        for d in range(dim)
+    )
+    norm2 = " + ".join(f"e{d}*e{d}" for d in range(dim))
+    cos_rows = []
+    for qid, (qs, q2) in qsums.items():
+        if q2 <= 0:
+            continue
+        dot = " + ".join(
+            f"({qs[d]})*e{d}" for d in range(dim) if qs[d]
+        ) or "0"
+        cos_rows.append(
+            f"SELECT {lit(qid)} AS query_id, {id_col},"
+            f" round(CAST({dot} AS DOUBLE)"
+            f" / sqrt(CAST(({norm2}) * {q2} AS DOUBLE)) + 1e-9, 6) AS cos,"
+            f" {dot} AS dot, {norm2} AS n2 FROM sums"
+        )
+    cos_union = " UNION ALL ".join(cos_rows) if cos_rows else (
+        f"SELECT NULL AS query_id, NULL AS {id_col}, NULL AS cos,"
+        " 0 AS dot, 0 AS n2 WHERE FALSE"
+    )
+    return f"""
+WITH ex AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
+dl AS (SELECT d.{id_col}, coalesce(l.dl, 0) AS dl
+       FROM {table} d LEFT JOIN (SELECT {id_col}, count(*) AS dl
+                                 FROM ex GROUP BY 1) l USING ({id_col})),
+stats AS (SELECT count(*) AS n, coalesce(sum(dl), 0) AS total FROM dl),
+qt(query_id, t) AS (VALUES {qt_rows}),
+tf AS (SELECT {id_col}, t, count(*) AS tf FROM ex
+       WHERE t IN ({term_list}) GROUP BY 1, 2),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT qt.query_id, tf.{id_col},
+             round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * {k1 + 1.0}
+                       / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl
+                          / (CAST(stats.total AS DOUBLE) / stats.n))))
+                   + 1e-9, 4) AS score
+      FROM tf JOIN df USING (t) JOIN qt USING (t)
+      JOIN dl USING ({id_col}) CROSS JOIN stats
+      GROUP BY 1, 2),
+bm AS (SELECT query_id, {id_col},
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, {id_col})
+                AS bm25_rank
+       FROM s QUALIFY bm25_rank <= {k_fuse}),
+sums AS (SELECT {id_col}, {esums} FROM ex GROUP BY 1),
+cosall AS ({cos_union}),
+em AS (SELECT query_id, {id_col},
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, {id_col}) AS emb_rank
+       FROM cosall WHERE dot > 0 AND n2 > 0
+       QUALIFY emb_rank <= {k_fuse}),
+fused AS (SELECT coalesce(bm.query_id, em.query_id) AS query_id,
+                 coalesce(bm.{id_col}, em.{id_col}) AS {id_col},
+                 round(coalesce(1.0 / ({rrf_k} + bm25_rank), 0.0)
+                       + coalesce(1.0 / ({rrf_k} + emb_rank), 0.0)
+                       + 1e-9, 6) AS rrf_score,
+                 CAST(bm25_rank AS BIGINT) AS bm25_rank,
+                 CAST(emb_rank AS BIGINT) AS emb_rank
+          FROM bm FULL JOIN em
+            ON bm.query_id = em.query_id AND bm.{id_col} = em.{id_col}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, {id_col})
+        AS rank
+      FROM fused)
+SELECT query_id, {id_col}, rrf_score, bm25_rank, emb_rank,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""
