@@ -1421,3 +1421,44 @@ def test_vocab_coverage_sql_twin(spark):
         )
     )
     assert got == want
+
+
+def test_curate_cli_retrieval_decon(spark, tmp_path):
+    """--probes retrieval decontamination: the docs that RANK against a
+    probe query (its top-k BM25 hits) are dropped — including docs that
+    share no 8-gram with any benchmark text — and the stage count lands
+    in the stats/manifest. --probe-topk without --probes fails loudly
+    (the paired-flag rule)."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    rows = [(i, "web", filler + f" unique{i}") for i in range(20)]
+    # two docs rich in the probe's terms but sharing no long n-gram
+    # with anything: the ranked screen must catch exactly these
+    rows.append((200, "web", "quantum flux capacitor " * 15))
+    rows.append((201, "web", "flux capacitor quantum array " * 12))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = str(tmp_path / "packed")
+    stats = curate(
+        spark,
+        str(tmp_path),
+        out,
+        seq_len=128,
+        min_p_keep=0.0,
+        probe_queries={"probe_a": "quantum flux capacitor"},
+        probe_topk=2,
+    )
+    assert stats["n_retrieval_decon"] is not None
+    assert stats["probe_topk"] == 2
+    back_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 200 not in back_ids and 201 not in back_ids
+    assert len(back_ids) == stats["n_survivors"]
+    assert "retrieval_decon" in stats["stage_wall_s"]
+    with _pytest.raises(ValueError, match="--probe-topk requires"):
+        curate(spark, str(tmp_path), str(tmp_path / "p2"), probe_topk=5)

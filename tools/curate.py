@@ -68,7 +68,9 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            substring_rewrite: bool = False,
            semantic_decon: float | None = None,
            semantic_blocked_over: int = 100_000,
-           baseline_snapshot: str | None = None):
+           baseline_snapshot: str | None = None,
+           probe_queries: dict | None = None,
+           probe_topk: int | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -91,6 +93,10 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         raise ValueError("--dsir-target and --dsir-keep must be given together")
     if (ppl_ref is None) != (max_log_ppl is None):
         raise ValueError("--ppl-ref and --max-log-ppl must be given together")
+    if probe_topk is not None and probe_queries is None:
+        raise ValueError("--probe-topk requires --probes")
+    if probe_queries is not None and probe_topk is None:
+        probe_topk = 100
 
     # per-stage wall clock (VERDICT r9 #5: the composition-level view —
     # a recomputed stage or missing persist only surfaces here, not in
@@ -245,6 +251,7 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     n_out = int(agg["n_out"])
     n_decontaminated = n_dsir = n_ppl = n_minhash = n_semantic = None
     n_semantic_decon = semantic_decon_regime = None
+    n_retrieval_decon = None
     n_substring = n_excise_fallback = None
     try:
         if minhash_threshold is not None and n_out:
@@ -468,6 +475,33 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             survivors, n_out = _materialize(survivors)
             n_semantic_decon = n_out
             _mark("semantic_decon")
+        if probe_queries is not None and n_out:
+            # RETRIEVAL decontamination: drop the documents that RANK
+            # against the probe suite (benchmark prompts / takedown
+            # texts) — the ranked complement of the 8-gram and
+            # paraphrase screens: a doc can leak a benchmark by being
+            # its best retrieval hit without sharing an 8-gram or
+            # clearing a cosine threshold. ONE corpus pass scores every
+            # probe (bm25_topk's union-of-terms aggregate); the hit set
+            # is |probes| x k — broadcast-tiny — so the removal is a
+            # broadcast anti-join, never a corpus-sized shuffle.
+            from timely_spark.operators.retrieval import bm25_topk
+
+            hits = (
+                bm25_topk(
+                    survivors.select("doc_id", "text"),
+                    probe_queries,
+                    k=probe_topk,
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(
+                F.broadcast(hits), "doc_id", "left_anti"
+            )
+            survivors, n_out = _materialize(survivors)
+            n_retrieval_decon = n_out
+            _mark("retrieval_decon")
         if dsir_target and dsir_keep and n_out:
             # DSIR importance resampling toward the target sources
             # (hashed-feature production mode: bounded broadcast table)
@@ -576,6 +610,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "n_semantic": n_semantic,
         "n_semantic_decon": n_semantic_decon,
         "semantic_decon_regime": semantic_decon_regime,
+        "n_retrieval_decon": n_retrieval_decon,
+        "probe_topk": probe_topk,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
         "bpe_tokens": bpe_tokens,
@@ -675,7 +711,19 @@ def main() -> int:
                          "record added/removed/changed/unchanged counts "
                          "vs it in the stats/manifest (incremental-run "
                          "re-processing bill)")
+    ap.add_argument("--probes", default=None,
+                    help="JSON file {query_id: probe text}: retrieval "
+                         "decontamination — drop docs ranking in the "
+                         "per-probe BM25 top-k (one corpus pass for all "
+                         "probes)")
+    ap.add_argument("--probe-topk", type=int, default=None, metavar="K",
+                    help="per-probe removal depth for --probes "
+                         "(default 100; requires --probes)")
     args = ap.parse_args()
+    probe_queries = None
+    if args.probes:
+        with open(args.probes) as f:
+            probe_queries = json.load(f)
     out = args.out or tempfile.mkdtemp(prefix="curated_")
 
     from timely_spark.session import get_spark
@@ -698,7 +746,9 @@ def main() -> int:
                    substring_rewrite=args.substring_rewrite,
                    semantic_decon=args.semantic_decon,
                    semantic_blocked_over=args.semantic_blocked_over,
-                   baseline_snapshot=args.baseline_snapshot)
+                   baseline_snapshot=args.baseline_snapshot,
+                   probe_queries=probe_queries,
+                   probe_topk=args.probe_topk)
     print(json.dumps(stats))
     return 0
 

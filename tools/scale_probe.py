@@ -723,6 +723,62 @@ def main() -> int:
                 )
             results["doc_source_overlap_shared"] = res
 
+        # --- retrieval decade probe (r11: bm25_topk / hybrid_topk) ----
+        # The permutation-salted corpus rotates letters per replica, so
+        # the probe terms only match replica 0 — which is the realistic
+        # regime (probes match a tiny slice of a 100 TB corpus): the
+        # corpus-linear parts (tokenize, dl/stats aggregate, embedding
+        # sign sums) scale with the decade while the match-selective
+        # unpivot/top-k stays x1-sized. A probe suite whose matches
+        # ALSO scaled 100x would conflate the two growth terms.
+        if want("x100_retrieval"):
+            from timely_spark.operators.retrieval import (
+                bm25_topk,
+                hybrid_topk,
+            )
+
+            probes = {
+                "q_join": "hash join spark window shuffle",
+                "q_scan": "fast scan filter column batch",
+                "q_sort": "sort merge join order key",
+                "q_stream": "stream window state value",
+                "q_dup": "dup data big table key",
+            }
+            d10p = os.path.join(tmp, "docs10p")
+            d100p = os.path.join(tmp, "docs100p")
+            if not os.path.exists(d10p):
+                build_docs_perm(spark, sf_dir, d10p, 10)
+            if not os.path.exists(d100p):
+                build_docs_perm(spark, sf_dir, d100p, 100)
+            rframes = {
+                "x1": spark.read.parquet(
+                    f"{sf_dir}/documents.parquet"
+                ).select("doc_id", "text"),
+                "x10": spark.read.parquet(d10p).select("doc_id", "text"),
+                "x100": spark.read.parquet(d100p).select("doc_id", "text"),
+            }
+
+            def rchecksum(df):
+                return df.agg(
+                    F.sum(F.xxhash64(*df.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            rrunners = {
+                "doc_bm25_topk": lambda df: rchecksum(
+                    bm25_topk(df, probes, k=10)
+                ),
+                "doc_hybrid_retrieval": lambda df: rchecksum(
+                    hybrid_topk(df, probes, k=10)
+                ),
+            }
+            for name, run in rrunners.items():
+                res = {}
+                for scale, df in rframes.items():
+                    n = 1 if scale == "x100" else 2
+                    res[scale] = round(best_of(lambda: run(df), n=n), 2)
+                    print(f"{name} {scale}: {res[scale]}s", file=sys.stderr)
+                results[name] = res
+
         # --- x100 store/ingest decade probe (r10, VERDICT r9 #1) -----
         # The core-engine path: salted line-protocol backlog ->
         # parse_lines_df -> write_points partitioned store at x1/x10/
