@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "doc_bm25_scores",
     "doc_bm25_topk",
     "doc_hybrid_retrieval",
+    "emb_cluster_capped",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)
@@ -436,30 +437,35 @@ def main() -> int:
         cal_best = dt if cal_best is None else min(cal_best, dt)
     times["host_calibration"] = round(cal_best, 3)
     print(f"  host_calibration: {times['host_calibration']}s", file=sys.stderr)
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        best, n = None, 0
-        try:
-            for _ in range(BENCH_REPEATS):
+    # SPACED repeats: full passes over the suite, min per entry — NOT
+    # back-to-back per-entry repeats. A multi-second host stall covers
+    # both back-to-back repeats of whichever entries it lands on (r11
+    # round-close: five sub-second rows read 2.2-2.8x in-suite, all
+    # 0.6-1.3x isolated the same hour); spacing the repeats a full
+    # suite apart makes the two samples independent, so the min
+    # approximates the isolated-warm number the gates were recorded
+    # against. Pass 1 doubles as the warm-up for pass 2.
+    failed: set[str] = set()
+    for _pass in range(BENCH_REPEATS):
+        for name in BENCH_QUERIES:
+            if name in failed:
+                continue
+            fn = qs[name]
+            try:
                 t0 = time.time()
                 n = len(fn(spark, sf_dir).collect())
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            # sub-second entries are the ones suite-position noise has
-            # falsely flagged (doc_line_dedup r7 2.4x, both A/B'd
-            # code-equal): a Python-worker or GC hiccup is the same
-            # absolute cost everywhere but a large RATIO only here. One
-            # extra repeat costs <1.5 s and removes most of that tail.
-            if best < 1.5:
-                t0 = time.time()
-                n = len(fn(spark, sf_dir).collect())
-                best = min(best, time.time() - t0)
-        except Exception as e:  # a failing query gets a sentinel, not a crash
-            print(f"bench query {name} failed: {e}", file=sys.stderr)
-            times[name] = -1.0
-            continue
-        times[name] = round(best, 3)
-        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+            except Exception as e:  # failing query -> sentinel, not a crash
+                print(f"bench query {name} failed: {e}", file=sys.stderr)
+                times[name] = -1.0
+                failed.add(name)
+                continue
+            prev = times.get(name)
+            times[name] = round(dt if prev is None else min(prev, dt), 3)
+            if _pass == BENCH_REPEATS - 1:
+                print(
+                    f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr
+                )
 
     ingest_sec, ingest_rows, store_path = bench_ingest(spark, sf_dir)
     for _ in range(BENCH_REPEATS - 1):

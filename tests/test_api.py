@@ -565,6 +565,9 @@ PLAN_CHANGED_THIS_ROUND = {
     # r11 new row: hybrid RRF retrieval (lexical + embedding fusion,
     # single-pass wide aggregate)
     "doc_hybrid_retrieval",
+    # r11 new row: cluster-balanced diversity subsampling (hash-fair
+    # per-cluster cap over the inlined-centroid Lloyd assignment)
+    "emb_cluster_capped",
 }
 
 

@@ -509,3 +509,54 @@ def test_semantic_decontaminate_blocked_lloyd_identity(spark):
         )
     )
     assert got == want
+
+
+def test_cluster_capped_sample_contract(spark):
+    """Cluster-balanced subsampling: every cluster keeps at most cap
+    rows; the kept set is the hash-fair (md5-prefix, id tie-break)
+    prefix of each cluster; assignments agree with kmeans_assign's
+    per-centroid counts; ranks are dense 1..min(cap, |cluster|)."""
+    import hashlib
+
+    from timely_spark.operators.similarity import (
+        cluster_capped_sample,
+        kmeans_assign,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 7
+    got = cluster_capped_sample(df, k=4, cap=cap).collect()
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r["centroid_id"], []).append(r)
+    sizes = {c: n["n_assigned"] for c, n in (
+        (r["centroid_id"], r) for r in kmeans_assign(df, k=4).collect()
+    )}
+    assert set(by_cluster) <= set(sizes)
+    for cid, kept in by_cluster.items():
+        assert len(kept) == min(cap, sizes[cid])
+        assert sorted(r["rank"] for r in kept) == list(
+            range(1, len(kept) + 1)
+        )
+        # hash-fair order: rank follows the md5-prefix key, id tie-break
+        keyed = sorted(
+            kept,
+            key=lambda r: (
+                int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:8], 16),
+                r["vec_id"],
+            ),
+        )
+        assert [r["rank"] for r in keyed] == list(range(1, len(kept) + 1))
+    # empty input: empty result with the contract schema
+    empty = cluster_capped_sample(
+        spark.createDataFrame([], "vec_id long, embedding array<double>"),
+        k=4,
+        cap=3,
+    )
+    assert empty.count() == 0

@@ -328,6 +328,77 @@ def _assignments(emb: DataFrame, scored) -> DataFrame:
     )
 
 
+def cluster_capped_sample(
+    emb: DataFrame,
+    k: int = 8,
+    cap: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Diversity-aware subsampling: keep at most ``cap`` vectors per
+    coarse k-means cluster (the cluster-balanced selection step of
+    DCLM/SemDeDup-style pipelines — a raw quality rank over-samples the
+    densest region of embedding space; capping per cluster preserves
+    coverage of the tails at a fixed budget).
+
+    Assignment reuses the deterministic Lloyd step (centroids = the k
+    lowest-id vectors, inlined as literals — assignment is a pure
+    column expression, no corpus-keyed shuffle). Within each cluster
+    the keep rank is HASH-FAIR: ordered by the md5-prefix of the id
+    (the dual-engine hash idiom, so the DuckDB oracle reproduces the
+    exact kept set), id tie-break — a deterministic uniform sample of
+    the cluster rather than a quality-correlated one. The rank runs as
+    the salted two-phase window (local top-cap per (cluster, salt),
+    global top-cap over <= salt_buckets * cap rows), so one giant
+    cluster never funnels the corpus through a single window partition.
+
+    Output: (id, centroid_id, cos, rank) — kept rows only, rank
+    1..cap within the cluster."""
+    cents = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not cents:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, centroid_id long, cos double, rank long"
+        )
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_similarity_col(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
+                    ),
+                    6,
+                ).alias("cos"),
+                F.lit(-int(row[id_col])).alias("negid"),
+            )
+            for row in cents
+        ]
+    )
+    a = _assignments(emb, scored).select(
+        F.col(id_col),
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("cos"),
+    )
+    rk = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    a = a.withColumn("__rk", rk).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    w_local = Window.partitionBy("centroid_id", "__salt").orderBy(
+        "__rk", id_col
+    )
+    w_global = Window.partitionBy("centroid_id").orderBy("__rk", id_col)
+    return (
+        a.withColumn("__r", F.row_number().over(w_local))
+        .filter(F.col("__r") <= cap)
+        .withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= cap)
+        .select(id_col, "centroid_id", "cos", "rank")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,
