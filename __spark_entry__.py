@@ -641,6 +641,127 @@ def q_ts_hybrid_cache(spark, sf_dir):
     )
 
 
+def q_ts_cache_admission(spark, sf_dir):
+    """F9 cache admission control through the FULL engine path
+    (DataStoreCache.java:607-633 nonCachedMetrics regex set +
+    355-372 maxUniqueTagSets eviction): 'view' is regex-rejected from
+    the hot tier, and the tag-set budget (200) admits every metric at
+    sf0.01 (150 tag sets each) but evicts them all at sf0.1 (~1500) —
+    the two driver scales jointly exercise BOTH admission branches.
+    Admission changes PLACEMENT only: rejected metrics' recent rows
+    route to the cold scan, and the result must be byte-identical to a
+    single-tier scan — which is exactly what the DuckDB oracle
+    computes."""
+    import os
+    import shutil
+
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+    from timely_spark.sources.store import write_points
+
+    store = os.path.join(
+        "/root/repo/.engine_stores",
+        os.path.basename(sf_dir.rstrip("/")) + "_admission",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    write_points(_points(spark, sf_dir), store)
+    eng = TimelyEngine(spark, store_path=store, meta_path=store + "_meta")
+    eng.enable_hot_cache(
+        window_ms=7 * 86_400_000,
+        non_cached_metrics=("^view$",),
+        max_unique_tag_sets=200,
+    )
+    out = eng.query(
+        {
+            "start": 1,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": m,
+                    "downsample": "1h-avg",
+                    "tags": {"user": "3\\d"},  # users 30-39
+                }
+                for m in ("view", "click")
+            ],
+        },
+        auths=ALL_AUTHS,
+    )
+    rows = [
+        (s["metric"], s["tags"]["user"], int(ts), v)
+        for s in out
+        for ts, v in s["dps"].items()
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, tag_user string, bucket_ts long, value double"
+    )
+    return df.select(
+        "metric",
+        "tag_user",
+        "bucket_ts",
+        (F.round("value", 4) + F.lit(0.0)).alias("avg_value"),
+    )
+
+
+def q_ts_cache_archive(spark, sf_dir):
+    """S10 hot-cache archive persistence (GorillaStore.java:165-213's
+    HDFS archive, re-expressed as Parquet + a one-row metadata
+    sidecar): pin the 7-day window, archive it, RESTORE it into a
+    brand-new HotCache (the restart path — no ingest replay), attach
+    that cache to the engine and query through the hybrid seam. The
+    restored boundary must reproduce the exact split, so the result is
+    byte-identical to a single-tier scan — the DuckDB oracle computes
+    that directly from events."""
+    import os
+    import shutil
+
+    from timely_spark.api import ALL_AUTHS, TimelyEngine
+    from timely_spark.sources.hot_cache import HotCache
+    from timely_spark.sources.store import write_points
+
+    store = os.path.join(
+        "/root/repo/.engine_stores",
+        os.path.basename(sf_dir.rstrip("/")) + "_cachearch",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    write_points(_points(spark, sf_dir), store)
+    eng = TimelyEngine(spark, store_path=store, meta_path=store + "_meta")
+    eng.enable_hot_cache(window_ms=7 * 86_400_000)
+    arch = store + "_cachearchive"
+    eng._hot.archive(arch)
+    restored = HotCache(spark)
+    restored.restore(arch)
+    eng.attach_hot_cache(restored)
+    out = eng.query(
+        {
+            "start": 1,
+            "msResolution": True,
+            "queries": [
+                {
+                    "aggregator": "sum",
+                    "metric": "error",
+                    "downsample": "1h-avg",
+                    "tags": {"user": "4\\d"},  # users 40-49
+                }
+            ],
+        },
+        auths=ALL_AUTHS,
+    )
+    rows = [
+        (s["metric"], s["tags"]["user"], int(ts), v)
+        for s in out
+        for ts, v in s["dps"].items()
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, tag_user string, bucket_ts long, value double"
+    )
+    return df.select(
+        "metric",
+        "tag_user",
+        "bucket_ts",
+        (F.round("value", 4) + F.lit(0.0)).alias("avg_value"),
+    )
+
+
 def q_ts_none_raw(spark, sf_dir):
     """A9 'none' aggregator (Aggregator.java:40-59, DownsampleIterator.java:161-169):
     no downsample, no cross-series combine — raw points with the queried
@@ -3319,6 +3440,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_streaming_rate": q_ts_streaming_rate,
         "ts_engine_query": q_ts_engine_query,
         "ts_hybrid_cache": q_ts_hybrid_cache,
+        # new r11: F9 cache admission control (regex set + tag-set
+        # budget eviction) — takes doc_minhash_pairs's slot
+        # (driver-green r4..r10, stable banded-LSH plan; dedup family
+        # stays evidenced in-prefix by doc_substring_rewrite /
+        # doc_streaming_dedup / doc_corpus_line_dedup; still swept at
+        # both scales + bench-gated)
+        "ts_cache_admission": q_ts_cache_admission,
+        # new r11: S10 hot-cache archive/restore persistence — takes
+        # doc_simhash's slot (driver-green r4..r10, stable pigeonhole
+        # plan, same family evidence; still swept + bench-gated)
+        "ts_cache_archive": q_ts_cache_archive,
         # r6 final-conversion rotation: the six freshly oracle-backed
         # tail rows (plans changed by their conversion) take checked
         # slots per the standing rule; see ROTATED_TO_TAIL justifications
@@ -3376,9 +3508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_minhash_pairs: true-Jaccard pair-list oracle (r6)
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_ivfpq_rerank": q_emb_ivfpq_rerank,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        # rows-only (no SQL oracle) — 6 prefix slots (r6, cap <=10)
-        "doc_simhash": q_doc_simhash,
         "media_features": q_media_features,
         "media_near_dup": q_media_near_dup,
         "media_caption_dedup": q_media_caption_dedup,
@@ -3515,6 +3644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family still evidenced in-prefix by
         # events_streaming_heavy_hitters; swept + bench-gated
         "doc_cms_heavy_hitters": q_doc_cms_heavy_hitters,
+        # rotated to tail r11 (displaced by ts_cache_admission /
+        # ts_cache_archive): MinHash true-Jaccard pair list and SimHash
+        # md5-equal pair surface, driver-green r4..r10, stable plans;
+        # dedup family stays evidenced in-prefix by
+        # doc_substring_rewrite / doc_streaming_dedup /
+        # doc_corpus_line_dedup; both swept at both scales + bench-gated
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash": q_doc_simhash,
         "doc_bpe_encode": q_doc_bpe_encode,
         "doc_perplexity": q_doc_perplexity,
         "doc_weighted_sample": q_doc_weighted_sample,
@@ -4098,6 +4235,28 @@ FROM ds GROUP BY 1, 2, 3""",
 WITH pts AS ({PTS}),
 f AS (SELECT metric, tag_user, ts, value FROM pts
       WHERE metric = 'view' AND regexp_matches(tag_user, '^(?:2\\d)$')),
+ds AS (SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts, avg(value) AS v
+       FROM f GROUP BY 1, 2, 3)
+SELECT metric, tag_user, bucket_ts, round(sum(v), 4) + 0.0 AS avg_value
+FROM ds GROUP BY 1, 2, 3""",
+        # ts_cache_admission / ts_cache_archive: the oracle is the
+        # SINGLE-TIER scan — admission control and archive/restore
+        # change the hot tier's PLACEMENT, never results, so any seam
+        # defect (dropped recent rows of a rejected metric, a stale
+        # restored boundary double-counting the overlap) hash-mismatches
+        "ts_cache_admission": f"""
+WITH pts AS ({PTS}),
+f AS (SELECT metric, tag_user, ts, value FROM pts
+      WHERE metric IN ('view', 'click')
+        AND regexp_matches(tag_user, '^(?:3\\d)$')),
+ds AS (SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts, avg(value) AS v
+       FROM f GROUP BY 1, 2, 3)
+SELECT metric, tag_user, bucket_ts, round(sum(v), 4) + 0.0 AS avg_value
+FROM ds GROUP BY 1, 2, 3""",
+        "ts_cache_archive": f"""
+WITH pts AS ({PTS}),
+f AS (SELECT metric, tag_user, ts, value FROM pts
+      WHERE metric = 'error' AND regexp_matches(tag_user, '^(?:4\\d)$')),
 ds AS (SELECT metric, tag_user, ts - ts % 3600000 AS bucket_ts, avg(value) AS v
        FROM f GROUP BY 1, 2, 3)
 SELECT metric, tag_user, bucket_ts, round(sum(v), 4) + 0.0 AS avg_value

@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "ts_fir_ma5",
     "ts_fir_bucketed",
     "ts_hybrid_cache",
+    "ts_cache_admission",
+    "ts_cache_archive",
     "ts_tag_regex",
     "ts_viz",
     "ts_meta",

@@ -568,6 +568,12 @@ PLAN_CHANGED_THIS_ROUND = {
     # r11 new row: cluster-balanced diversity subsampling (hash-fair
     # per-cluster cap over the inlined-centroid Lloyd assignment)
     "emb_cluster_capped",
+    # r11 new rows: F9 cache admission control + S10 hot-cache
+    # archive/restore — the last two reference components previously
+    # scoped out as n/a, now implemented Spark-first (placement-only
+    # semantics pinned by the single-tier-scan oracle)
+    "ts_cache_admission",
+    "ts_cache_archive",
 }
 
 
@@ -797,3 +803,100 @@ def test_register_views_enforce_viz_and_dynamic_clock(spark, tmp_path_factory):
     plan = spark.table("anon_points")._jdf.queryExecution().analyzed().toString()
     assert "current_timestamp" in plan
     assert n("anon") == 0 and n("all") == 0
+
+
+def test_hot_cache_admission_control(spark, tmp_path_factory):
+    """F9 (DataStoreCache.java:607-633, 355-372): regex-rejected metrics
+    never enter the hot tier; a metric whose window exceeds the unique
+    tag-set budget is evicted; and in BOTH cases the hybrid view still
+    covers every store row exactly once (admission changes placement,
+    never results)."""
+    from timely_spark.sources.hot_cache import HotCache
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import read_points, write_points
+
+    b = 1_447_767_913_000
+    store = str(tmp_path_factory.mktemp("admission") / "m")
+    lines = []
+    # 'noisy' carries 9 distinct tag sets, 'quiet' 2, 'skipme' 3
+    for i in range(9):
+        lines.append(f"put noisy {b + i * 1000} {float(i)} host=h{i}")
+    for i in range(6):
+        lines.append(f"put quiet {b + i * 1000} {float(i)} host=h{i % 2}")
+    for i in range(3):
+        lines.append(f"put skipme {b + i * 1000} {float(i)} host=h{i}")
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+    )
+    pts = read_points(spark, store)
+    hc = HotCache(
+        spark,
+        window_ms=60_000,
+        non_cached_metrics=("^skip",),
+        max_unique_tag_sets=5,
+    )
+    try:
+        hc.refresh(pts, now_ms=b + 9_000)
+        st = hc.status()
+        # eviction: only 'noisy' crosses the 5-tag-set budget (regex-
+        # rejected 'skipme' is out BEFORE the budget count)
+        assert st["evicted"] == ["noisy"]
+        assert st["metrics"] == ["quiet"]  # the only admitted metric
+        # placement only: the hybrid still covers all 18 rows once
+        hybrid = hc.hybrid(pts)
+        assert hybrid.count() == 18
+        per_metric = {
+            r["metric"]: r["n"]
+            for r in hybrid.groupBy("metric").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert per_metric == {"noisy": 9, "quiet": 6, "skipme": 3}
+    finally:
+        hc.close()
+
+
+def test_hot_cache_archive_restore(spark, tmp_path_factory):
+    """S10 (GorillaStore.java:165-213): archive persists the pinned
+    window + boundary/eviction metadata; restore() re-pins it in a
+    fresh HotCache (no ingest replay) with the exact same hybrid seam —
+    byte-identical hybrid results, boundary and admission state carried
+    over."""
+    from timely_spark.sources.hot_cache import HotCache
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import read_points, write_points
+
+    b = 1_447_767_913_000
+    root = tmp_path_factory.mktemp("cachearch")
+    store = str(root / "m")
+    lines = [
+        f"put m {b + i * 1000} {float(i)} host=h{i % 3}" for i in range(30)
+    ]
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+    )
+    pts = read_points(spark, store)
+    hc = HotCache(spark, window_ms=10_000, non_cached_metrics=("^other",))
+    arch = str(root / "arch")
+    try:
+        hc.refresh(pts, now_ms=b + 29_000)
+        before = sorted(map(tuple, hc.hybrid(pts).collect()))
+        hc.archive(arch)
+        restored = HotCache(spark)
+        restored.restore(arch)
+        assert restored.oldest_ts == hc.oldest_ts
+        assert restored.newest_ts == hc.newest_ts
+        assert restored.non_cached_metrics == ["^other"]
+        after = sorted(map(tuple, restored.hybrid(pts).collect()))
+        assert after == before
+        restored.close()
+    finally:
+        hc.close()
+    # archiving an un-refreshed cache is a loud error, not a no-op
+    import pytest as _pytest
+
+    empty = HotCache(spark)
+    with _pytest.raises(ValueError, match="refresh"):
+        empty.archive(str(root / "never"))

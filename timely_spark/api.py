@@ -200,17 +200,36 @@ class TimelyEngine:
 
     # ----------------------------------------------------------- hot tier
 
-    def enable_hot_cache(self, window_ms: int = 2 * 3_600_000) -> None:
+    def enable_hot_cache(
+        self,
+        window_ms: int = 2 * 3_600_000,
+        non_cached_metrics: tuple[str, ...] | list[str] = (),
+        max_unique_tag_sets: int | None = None,
+    ) -> None:
         """Pin the trailing window in executor memory (the Gorilla-cache
         analogue, S7); queries transparently read cache+store hybrid
-        (DataStore.java:655-690)."""
+        (DataStore.java:655-690). ``non_cached_metrics`` /
+        ``max_unique_tag_sets`` are the F9 admission controls
+        (DataStoreCache.java:607-633, 355-372) — rejected metrics'
+        recent rows route to the cold scan, results never change."""
         from .sources.hot_cache import HotCache
 
-        self._hot = HotCache(self.spark, window_ms)
+        self._hot = HotCache(
+            self.spark,
+            window_ms,
+            non_cached_metrics=non_cached_metrics,
+            max_unique_tag_sets=max_unique_tag_sets,
+        )
         try:
             self._hot.refresh(self._durable_points())
         except Exception:
             pass  # empty store: first ingest will refresh
+
+    def attach_hot_cache(self, cache) -> None:
+        """Adopt an existing HotCache — the restart path: a cache
+        restored from its S10 archive (HotCache.restore) serves this
+        engine's hybrid reads without replaying ingest."""
+        self._hot = cache
 
     # -------------------------------------------------------------- reads
 

@@ -1,4 +1,4 @@
-"""Recent-window hot tier — the Gorilla-cache analogue (S7/X3).
+"""Recent-window hot tier — the Gorilla-cache analogue (S7/X3/F9/S10).
 
 Reference: server/.../store/cache/DataStoreCache.java keeps the last N
 hours of every (cacheable) series in per-series Gorilla compressors and
@@ -16,6 +16,24 @@ both sides share schema the downstream aggregation is one plan —
 Catalyst handles the per-series merge that DataStore.java:655-690 did by
 hand.
 
+Admission control (F9, DataStoreCache.java:607-633 + 355-372): metrics
+matching any ``non_cached_metrics`` regex are never pinned, and metrics
+whose recent window carries more than ``max_unique_tag_sets`` distinct
+tag combinations are evicted from the hot tier (the reference's
+uniqueTagSets guard — one runaway-cardinality metric would otherwise
+evict everyone else's cache blocks). Because the durable store holds ALL
+rows, admission only changes PLACEMENT: the hybrid read routes a
+rejected metric's recent rows to the cold scan, and results are
+byte-identical to a single-tier scan (the ts_cache_admission oracle row
+pins exactly that).
+
+Archive persistence (S10, GorillaStore.java:165-213): ``archive(path)``
+persists the pinned window plus its boundary/eviction metadata through
+the Spark writer (shared-filesystem safe — hdfs://, s3a://), and
+``restore(path)`` re-pins it in a fresh session, so the hot tier
+survives a restart without replaying ingest — the reference's HDFS
+cache archive, re-expressed as Parquet + a metadata sidecar.
+
 At scale: the cache covers `window_ms` of ingest (default 2 h ≈ the
 reference's hourly-archived live compressors). Memory is bounded by
 recent-window volume, not corpus size; executors evict blocks LRU under
@@ -28,15 +46,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _canonical_tags(col: str = "tags"):
+    """Order-independent rendering of the tag map — the unique-tag-set
+    KEY (the reference counts TreeMap-sorted tag strings; map_entries
+    order is storage-dependent, so sort before joining)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col(col))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
+    )
+
+
 class HotCache:
     """Pin the trailing ``window_ms`` of the store in executor memory."""
 
-    def __init__(self, spark: SparkSession, window_ms: int = 2 * 3_600_000):
+    def __init__(
+        self,
+        spark: SparkSession,
+        window_ms: int = 2 * 3_600_000,
+        non_cached_metrics: tuple[str, ...] | list[str] = (),
+        max_unique_tag_sets: int | None = None,
+    ):
         self.spark = spark
         self.window_ms = window_ms
+        self.non_cached_metrics = list(non_cached_metrics)
+        self.max_unique_tag_sets = max_unique_tag_sets
         self._df: DataFrame | None = None
         self._cut: int | None = None  # window cutoff = hybrid split boundary
         self._newest: int | None = None
+        self._evicted: list[str] = []  # metrics over the tag-set budget
+
+    # --------------------------------------------------------- admission
+
+    def _regex_rejected(self):
+        """Column predicate: metric matches any non-cached pattern."""
+        rej = F.lit(False)
+        for p in self.non_cached_metrics:
+            rej = rej | F.col("metric").rlike(p)
+        return rej
+
+    def _rejected(self):
+        """Full admission predicate at READ time: regex set + the
+        tag-set-budget evictions computed by the last refresh."""
+        rej = self._regex_rejected()
+        if self._evicted:
+            rej = rej | F.col("metric").isin(self._evicted)
+        return rej
 
     # ------------------------------------------------------------ refresh
 
@@ -46,18 +103,38 @@ class HotCache:
 
         Job budget: ZERO Spark jobs when the caller supplies ``now_ms``
         (the ingest path already knows its batch max), ONE max(ts)
-        aggregation otherwise. The split boundary is the window CUTOFF
-        (now - window), not the oldest cached row — every row above the
-        cutoff is in the cache by construction, so the hybrid seam is
-        identical and the old min(ts)-over-the-window job disappears.
-        The pinned DataFrame materializes lazily on first query."""
+        aggregation otherwise, plus ONE window-bounded distinct-tag-set
+        aggregation when ``max_unique_tag_sets`` is set (the F9 guard —
+        its cost is recent-window-sized, never corpus-sized). The split
+        boundary is the window CUTOFF (now - window), not the oldest
+        cached row — every ADMITTED row above the cutoff is in the
+        cache by construction. The pinned DataFrame materializes lazily
+        on first query."""
         if now_ms is None:
             hi = points.agg(F.max("ts")).collect()[0][0]
             now_ms = hi if hi is not None else 0
         if self._newest is not None:
             now_ms = max(now_ms, self._newest)  # window never moves backward
         cut = now_ms - self.window_ms
-        fresh = points.filter(F.col("ts") > cut)
+        fresh = points.filter(F.col("ts") > cut).filter(
+            ~self._regex_rejected()
+        )
+        if self.max_unique_tag_sets is not None:
+            # F9 eviction: one agg over the (regex-admitted) window —
+            # the driver collects a metric-name list, never rows
+            over = (
+                fresh.groupBy("metric")
+                .agg(
+                    F.countDistinct(_canonical_tags()).alias("__n_tagsets")
+                )
+                .filter(F.col("__n_tagsets") > self.max_unique_tag_sets)
+                .collect()
+            )
+            self._evicted = sorted(r["metric"] for r in over)
+            if self._evicted:
+                fresh = fresh.filter(~F.col("metric").isin(self._evicted))
+        else:
+            self._evicted = []
         if self._df is not None:
             self._df.unpersist()
         self._df = fresh.cache()
@@ -81,19 +158,34 @@ class HotCache:
         together; the reference likewise walks its live maps per status
         call (DataStoreCache.java:911-922)."""
         if self._df is None:
-            return {"oldestTs": None, "newestTs": None, "metrics": []}
+            return {
+                "oldestTs": None,
+                "newestTs": None,
+                "metrics": [],
+                "nonCachedMetrics": list(self.non_cached_metrics),
+                "evicted": list(self._evicted),
+            }
         row = self._df.agg(
             F.min("ts").alias("lo"),
             F.max("ts").alias("hi"),
             F.sort_array(F.collect_set("metric")).alias("names"),
         ).collect()[0]
-        return {"oldestTs": row["lo"], "newestTs": row["hi"], "metrics": row["names"]}
+        return {
+            "oldestTs": row["lo"],
+            "newestTs": row["hi"],
+            "metrics": row["names"],
+            "nonCachedMetrics": list(self.non_cached_metrics),
+            "evicted": list(self._evicted),
+        }
 
     # -------------------------------------------------------------- reads
 
     def hybrid(self, store_points: DataFrame) -> DataFrame:
         """Union view: recent rows from the cached tier, older rows from
         the store, split at the cache's oldest ts (DataStore.java:655-690).
+        A metric the admission policy keeps OUT of the hot tier reads
+        its recent rows from the cold scan instead — placement changes,
+        results never do.
 
         Returns a plain DataFrame — callers (the query builder) see one
         logical table; the cached side serves from memory, the store side
@@ -101,13 +193,62 @@ class HotCache:
         """
         if self._df is None or self._cut is None:
             return store_points
-        cold = store_points.filter(F.col("ts") <= self._cut)
+        cold = store_points.filter(
+            (F.col("ts") <= self._cut) | self._rejected()
+        )
         hot = self._df
         cols = [c for c in store_points.columns if c in hot.columns]
         return cold.select(*cols).unionByName(hot.select(*cols))
+
+    # ------------------------------------------------------------ archive
+
+    def archive(self, path: str) -> None:
+        """Persist the pinned window + boundary/eviction metadata (the
+        S10 HDFS cache archive, GorillaStore.java:165-213) so a restart
+        re-pins without replaying ingest. Everything goes through the
+        Spark writer — shared-filesystem safe (hdfs://, s3a://); the
+        metadata rides a one-row parquet sidecar, not a driver-local
+        file (the store-existence-probe lesson, BASELINE.md)."""
+        if self._df is None or self._cut is None:
+            raise ValueError("nothing to archive: refresh() first")
+        self._df.write.mode("overwrite").parquet(path)
+        import json as _json
+
+        meta = self.spark.createDataFrame(
+            [
+                (
+                    int(self._cut),
+                    int(self._newest),
+                    _json.dumps(self._evicted),
+                    _json.dumps(self.non_cached_metrics),
+                    int(self.window_ms),
+                )
+            ],
+            "cut long, newest long, evicted string, non_cached string, "
+            "window_ms long",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+
+    def restore(self, path: str) -> None:
+        """Re-pin an archived window in this (possibly fresh) session:
+        the restart path. The restored cache carries the archived
+        boundary, eviction list and admission config, so hybrid() seams
+        exactly as before the restart."""
+        import json as _json
+
+        meta = self.spark.read.parquet(path + "_meta").collect()[0]
+        if self._df is not None:
+            self._df.unpersist()
+        self._df = self.spark.read.parquet(path).cache()
+        self._cut = int(meta["cut"])
+        self._newest = int(meta["newest"])
+        self._evicted = _json.loads(meta["evicted"])
+        self.non_cached_metrics = _json.loads(meta["non_cached"])
+        self.window_ms = int(meta["window_ms"])
 
     def close(self) -> None:
         if self._df is not None:
             self._df.unpersist()
             self._df = None
             self._cut = self._newest = None
+            self._evicted = []
