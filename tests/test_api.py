@@ -648,6 +648,21 @@ def test_registry_bench_completeness():
     )
     ungated = (benched | synthetic) - set(gates)
     assert not ungated, f"bench entries without a committed gate: {sorted(ungated)}"
+    # gate PROVENANCE is structural (VERDICT r11 #2): every gate is an
+    # object carrying sec + first_green_sec, and any gate re-baselined
+    # past 1.5x its first-green needs a standing justification (note +
+    # round_set) — the ratchet cannot move silently
+    for name, g in gates.items():
+        assert isinstance(g, dict) and "sec" in g and "first_green_sec" in g, (
+            f"gate {name} lacks provenance fields"
+        )
+        assert g["sec"] > 0 and g["first_green_sec"] > 0
+        if g["sec"] > 1.5 * g["first_green_sec"]:
+            assert g.get("note") and g.get("round_set"), (
+                f"gate {name} is {g['sec'] / g['first_green_sec']:.2f}x its "
+                "first-green value but carries no standing justification "
+                "(note + round_set required past the 1.5x ratchet)"
+            )
 
 
 def test_correctness_local_artifact_fresh():
@@ -900,3 +915,47 @@ def test_hot_cache_archive_restore(spark, tmp_path_factory):
     empty = HotCache(spark)
     with _pytest.raises(ValueError, match="refresh"):
         empty.archive(str(root / "never"))
+
+
+def test_hot_cache_restore_carries_admission_budget(spark, tmp_path_factory):
+    """ADVICE r11 (medium): restore() must carry max_unique_tag_sets —
+    the F9 tag-set guard has to survive the restart it exists for. The
+    first refresh() after a restore still evicts an over-budget metric."""
+    from timely_spark.sources.hot_cache import HotCache
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.sources.store import read_points, write_points
+
+    b = 1_447_767_913_000
+    root = tmp_path_factory.mktemp("cachebudget")
+    store = str(root / "m")
+    lines = [
+        f"put noisy {b + i * 1000} {float(i)} host=h{i}" for i in range(8)
+    ] + [f"put quiet {b + i * 1000} {float(i)} host=h0" for i in range(4)]
+    write_points(
+        parse_lines_df(spark.createDataFrame([(l,) for l in lines], ["value"])),
+        store,
+    )
+    pts = read_points(spark, store)
+    hc = HotCache(spark, window_ms=60_000, max_unique_tag_sets=5)
+    arch = str(root / "arch")
+    try:
+        hc.refresh(pts, now_ms=b + 8_000)
+        assert hc._evicted == ["noisy"]
+        hc.archive(arch)
+    finally:
+        hc.close()
+    restored = HotCache(spark)  # default: NO budget
+    try:
+        restored.restore(arch)
+        assert restored.max_unique_tag_sets == 5  # config carried
+        assert restored._evicted == ["noisy"]  # last outcome carried
+        # the guard still FIRES on the next refresh cycle post-restart
+        restored.refresh(pts, now_ms=b + 8_000)
+        assert restored._evicted == ["noisy"]
+        assert restored.status(max_metrics=0)["metricCount"] == 1
+        # bounded status: names suppressed, count intact
+        st = restored.status(max_metrics=0)
+        assert st["metrics"] == [] and st["metricCount"] == 1
+        assert restored.status(max_metrics=10)["metrics"] == ["quiet"]
+    finally:
+        restored.close()

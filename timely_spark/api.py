@@ -228,7 +228,11 @@ class TimelyEngine:
     def attach_hot_cache(self, cache) -> None:
         """Adopt an existing HotCache — the restart path: a cache
         restored from its S10 archive (HotCache.restore) serves this
-        engine's hybrid reads without replaying ingest."""
+        engine's hybrid reads without replaying ingest. An already
+        attached/enabled cache is closed first so its pinned DataFrame
+        does not linger in executor memory for the session lifetime."""
+        if getattr(self, "_hot", None) is not None and self._hot is not cache:
+            self._hot.close()
         self._hot = cache
 
     # -------------------------------------------------------------- reads

@@ -28,7 +28,9 @@ from collections import Counter
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORD_RE = re.compile(r"[a-z0-9']+")
+from .text import TOKEN_RE
+
+_WORD_RE = re.compile(TOKEN_RE)
 _END = "</w>"
 
 

@@ -1363,7 +1363,9 @@ def excise_spans_original_text(
     out_schema = f"{id_col} {id_type}, {text_col} string, excised boolean"
 
     def emit(batches):
-        word = re.compile(r"[a-z0-9']+")
+        from .text import TOKEN_RE
+
+        word = re.compile(TOKEN_RE)
         for pdf in batches:
             out_id, out_text, out_flag = [], [], []
             for rid, text, nt, cuts in zip(

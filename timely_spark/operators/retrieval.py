@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens
+from .text import TOKEN_RE, tokens
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -49,7 +49,7 @@ def _query_terms(query: str) -> list[str]:
     import re
 
     out: list[str] = []
-    for t in re.findall(r"[a-z0-9']+", query.lower()):
+    for t in re.findall(TOKEN_RE, query.lower()):
         if t not in out:
             out.append(t)
     return out
@@ -505,7 +505,7 @@ def _query_hash_sums(text: str, dim: int = 32) -> tuple[list[int], int]:
     import re
 
     sums = [0] * dim
-    for t in re.findall(r"[a-z0-9']+", text.lower()):
+    for t in re.findall(TOKEN_RE, text.lower()):
         h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
         for d in range(dim):
             sums[d] += 1 - 2 * ((h >> d) & 1)
@@ -679,6 +679,20 @@ def hybrid_topk(
     # the correct 100 TB shape: ONE corpus pass materializes the
     # query-sized frame, both rankings and the fusion read the cache.
     scored = scored.persist()
+    try:
+        return _hybrid_fuse(scored, id_col, k, k_fuse, rrf_k)
+    finally:
+        # the fused result is localCheckpoint-ed (eager) inside
+        # _hybrid_fuse, so the cache is consumed by the time we get
+        # here — unpersisting now prevents a per-call cached-frame
+        # leak across a long curation session (ADVICE r11).
+        scored.unpersist()
+
+
+def _hybrid_fuse(scored, id_col, k, k_fuse, rrf_k):
+    """Rank both legs off the persisted match frame, fuse, and EAGERLY
+    materialize the query-sized result (localCheckpoint) so the caller
+    holds a lineage-free frame and the corpus cache can be released."""
     bm_ranked = _topk_per_query(
         scored.filter(F.col("n_hit") > 0).select(
             "query_id", id_col, F.col("bm").alias("score")
@@ -721,6 +735,7 @@ def hybrid_topk(
             "emb_rank",
             "rank",
         )
+        .localCheckpoint(eager=True)
     )
 
 

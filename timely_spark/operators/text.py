@@ -20,6 +20,13 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+# THE tokenizer character class — the one contract every engine-side
+# (tokens/TOKENS_SQL) and driver-side (retrieval query parsing,
+# similarity query hashing) tokenizer must share: a drift here silently
+# breaks the dual-engine score/embedding twins (ADVICE r11).
+TOKEN_RE = "[a-z0-9']+"
+
+
 def tokens(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     # NULL text tokenizes to an EMPTY array, not NULL: Spark's size(NULL)
@@ -34,7 +41,7 @@ def tokens(text_col: str | Column) -> Column:
     # re-evaluate per element, the tokenizer's cost multiplies: the r6
     # split+filter tokenizer re-baselined four bench gates 1.6-2x up
     # (mis-attributed to host drift; r7 same-session A/B pinned it)
-    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9']+"), 0)
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
 
 
 def token_count(text_col: str | Column = "text") -> Column:

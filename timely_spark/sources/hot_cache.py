@@ -81,7 +81,14 @@ class HotCache:
     # --------------------------------------------------------- admission
 
     def _regex_rejected(self):
-        """Column predicate: metric matches any non-cached pattern."""
+        """Column predicate: metric matches any non-cached pattern.
+
+        Patterns are UNANCHORED regexes (``rlike`` substring semantics):
+        ``non_cached_metrics=("view",)`` rejects ``pageview_total`` too.
+        The reference's nonCachedMetrics is an exact-name set plus regex
+        patterns (DataStoreCache.java:355-372); callers wanting exact
+        names should anchor (``^view$``). Placement-only either way —
+        results never change, only what is pinned hot."""
         rej = F.lit(False)
         for p in self.non_cached_metrics:
             rej = rej | F.col("metric").rlike(p)
@@ -153,27 +160,40 @@ class HotCache:
     def newest_ts(self) -> int | None:
         return self._newest
 
-    def status(self) -> dict:
+    def status(self, max_metrics: int | None = 1000) -> dict:
         """One aggregation job over the (cached) window — min/max/names
         together; the reference likewise walks its live maps per status
-        call (DataStoreCache.java:911-922)."""
+        call (DataStoreCache.java:911-922).
+
+        ``max_metrics`` bounds the returned name list so the driver-side
+        payload stays status-sized at 100k+ metric deployments (the full
+        distinct count is always reported in ``metricCount``); pass
+        ``None`` for the unbounded list, ``0`` for count-only."""
         if self._df is None:
             return {
                 "oldestTs": None,
                 "newestTs": None,
                 "metrics": [],
+                "metricCount": 0,
                 "nonCachedMetrics": list(self.non_cached_metrics),
                 "evicted": list(self._evicted),
             }
-        row = self._df.agg(
+        aggs = [
             F.min("ts").alias("lo"),
             F.max("ts").alias("hi"),
-            F.sort_array(F.collect_set("metric")).alias("names"),
-        ).collect()[0]
+            F.countDistinct("metric").alias("n"),
+        ]
+        if max_metrics != 0:
+            names_agg = F.sort_array(F.collect_set("metric"))
+            if max_metrics is not None:
+                names_agg = F.slice(names_agg, 1, max_metrics)
+            aggs.append(names_agg.alias("names"))
+        row = self._df.agg(*aggs).collect()[0]
         return {
             "oldestTs": row["lo"],
             "newestTs": row["hi"],
-            "metrics": row["names"],
+            "metrics": list(row["names"]) if max_metrics != 0 else [],
+            "metricCount": row["n"],
             "nonCachedMetrics": list(self.non_cached_metrics),
             "evicted": list(self._evicted),
         }
@@ -222,10 +242,15 @@ class HotCache:
                     _json.dumps(self._evicted),
                     _json.dumps(self.non_cached_metrics),
                     int(self.window_ms),
+                    (
+                        None
+                        if self.max_unique_tag_sets is None
+                        else int(self.max_unique_tag_sets)
+                    ),
                 )
             ],
             "cut long, newest long, evicted string, non_cached string, "
-            "window_ms long",
+            "window_ms long, max_unique_tag_sets long",
         )
         meta.coalesce(1).write.mode("overwrite").parquet(path + "_meta")
 
@@ -245,6 +270,17 @@ class HotCache:
         self._evicted = _json.loads(meta["evicted"])
         self.non_cached_metrics = _json.loads(meta["non_cached"])
         self.window_ms = int(meta["window_ms"])
+        # Carry the FULL admission config, not just its last outcome —
+        # without this the first refresh() after a restart would take
+        # the no-budget branch and silently re-admit runaway-cardinality
+        # metrics (the F9 guard must survive the restart it exists for).
+        # Sidecars written before this field default to "no budget".
+        muts = (
+            meta["max_unique_tag_sets"]
+            if "max_unique_tag_sets" in meta.__fields__
+            else None
+        )
+        self.max_unique_tag_sets = None if muts is None else int(muts)
 
     def close(self) -> None:
         if self._df is not None:
