@@ -2602,6 +2602,58 @@ def q_emb_ivfpq_ann(spark, sf_dir):
     return _ann_recall_verdict(ann, cosine_topk(emb, q, k=10), 0.50)
 
 
+def q_emb_ann_restored(spark, sf_dir):
+    """ANN index LIFECYCLE (VERDICT r11 #1 — the last 100 TB asymmetry):
+    build the IVFADC index once, persist it (codes as a Parquet table +
+    one-row model sidecar, the hot_cache archive pattern), re-open it,
+    and prove the restored index answers BYTE-IDENTICALLY to the
+    same-session index — so a daily curation loop loads the index
+    instead of re-paying the corpus encode pass. The verdict row pins
+    (a) restored top-k == live top-k (ranks AND ADC scores, full-outer
+    compared in-plan) and (b) the restored index still clears the
+    ivfpq recall floor against the independently-recomputed exact side.
+    No reference analogue (no vector tier); lifecycle mirrors FAISS
+    write_index/read_index as Spark tables
+    (operators/ann_index.py)."""
+    import os
+    import tempfile
+
+    from timely_spark.operators.ann_index import IvfPqIndex
+    from timely_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _ann_queries(emb)
+    # materialize(): ONE encode pass feeds both save() and the live leg
+    idx = IvfPqIndex.build(emb, dim=64, m=16, ksub=256, ncells=32).materialize()
+    # deterministic per-scale path, overwritten per call (self-cleaning;
+    # the restored frame scans it lazily, so it must outlive this fn)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"timely_spark_ann_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    idx.save(path)
+    restored = IvfPqIndex.load(spark, path)
+    live = idx.topk(q, k=10, nprobe=16)
+    rest = restored.topk(q, k=10, nprobe=16)
+    j = live.select(
+        "query_id", "vec_id", "rank", F.col("adc_score").alias("__sa")
+    ).join(
+        rest.select(
+            "query_id", "vec_id", "rank", F.col("adc_score").alias("__sb")
+        ),
+        ["query_id", "vec_id", "rank"],
+        "full_outer",
+    )
+    ident = j.agg(
+        F.sum(
+            F.when(F.col("__sa") == F.col("__sb"), 0).otherwise(1)
+        ).alias("__bad")
+    ).select((F.col("__bad") == 0).alias("restored_identical"))
+    return _ann_recall_verdict(rest, cosine_topk(emb, q, k=10), 0.50).crossJoin(
+        ident
+    )
+
+
 def q_emb_pca_project(spark, sf_dir):
     """PCA projection to 8 components: basis trained on a deterministic
     hash-ordered sample (numpy eigh, sign-canonicalized), projection as
@@ -3568,7 +3620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bench-gated)
         "doc_split_guarded": q_doc_split_guarded,
         "media_video_near_dup": q_media_video_near_dup,
-        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        # new r12: ANN index lifecycle — persist/restore/append (VERDICT
+        # r11 #1, the last 100 TB asymmetry): restored-index top-k must
+        # equal same-session top-k AND clear the ivfpq recall floor —
+        # takes doc_bloom_decontaminate's slot (driver-green r5..r11,
+        # plan unchanged this round, Bloom-parameter contract also
+        # pytest-pinned; still swept at both scales + bench-gated)
+        "emb_ann_restored": q_emb_ann_restored,
         # PLAN_CHANGED_THIS_ROUND (r8): training-side feature assembly
         # moved from a row-at-a-time Python UDF to all-JVM
         # map_from_entries/transform/array_to_vector (bit-identical
@@ -3631,6 +3689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_perplexity — all driver-green >=3 rounds, plans unchanged
         # this round, still swept at both scales + bench-gated
         "doc_corpus_ingest": q_doc_corpus_ingest,
+        # rotated to tail r12 (displaced by emb_ann_restored): n-gram
+        # Bloom decontamination, driver-green r5..r11, plan unchanged,
+        # false-positive-rate contract pytest-pinned; still swept at
+        # both scales + bench-gated
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         # rotated to tail r11 (displaced by doc_bm25_topk): n-gram
         # broadcast decontamination, driver-green r2..r10, plan
         # unchanged, still swept at both scales + bench-gated
@@ -4445,6 +4508,11 @@ FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id""",
         # contraction bound — same bounded-oracle pattern
         "emb_pq_ann": _ann_verdict_sql(0.60),
         "emb_ivfpq_ann": _ann_verdict_sql(0.50),
+        # restored-index row: the ivfpq verdict (the restored index must
+        # still clear the floor against the recomputed exact side) PLUS
+        # the lifecycle invariant — restored top-k == same-session top-k
+        "emb_ann_restored": _ann_verdict_sql(0.50)
+        + ", TRUE AS restored_identical",
         # r9: floor raised 0.50 -> 0.80 with the nprobe=12 promotion
         # (measured 0.885-0.905 across all three scales first)
         "emb_knn_ivf": _ann_verdict_sql(0.80),

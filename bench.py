@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "doc_bm25_topk",
     "doc_hybrid_retrieval",
     "emb_cluster_capped",
+    # r12: ANN index lifecycle (build+save+load+identity verdict; the
+    # query-only cost is isolated by the ann_query_restored synthetic)
+    "emb_ann_restored",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)
@@ -181,6 +184,10 @@ BENCH_SYNTHETIC = [
     "store_query_tag_pushdown",
     "store_query_bucketed",
     "streaming_summarize",
+    # r12: query-time against a RESTORED ANN index — build+save run
+    # UNTIMED, the clock covers load + ADC top-k only (VERDICT r11 #1:
+    # the daily-loop cost a persisted index is supposed to buy)
+    "ann_query_restored",
 ]
 
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing
@@ -340,6 +347,25 @@ def bench_store_query_bucketed(spark, sf_dir: str):
     )
     dt = time.time() - t0
     return dt, sum(len(s["dps"]) for s in out)
+
+
+def bench_ann_restored_query(spark, sf_dir: str, path: str) -> tuple[float, int]:
+    """Query-time against a PERSISTED ANN index: load (one-row model
+    collect + lazy codes scan) + ADC top-k. The build/save ran outside
+    the clock — this row measures what a daily curation loop pays per
+    probe batch once the index exists."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import IvfPqIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    idx = IvfPqIndex.load(spark, path)
+    n = len(idx.topk(q, k=10, nprobe=16).collect())
+    return time.time() - t0, n
 
 
 def bench_streaming_summarize(spark, sf_dir: str):
@@ -505,6 +531,29 @@ def main() -> int:
     except Exception as e:  # plan regression surfaces as a sentinel
         print(f"bench store_query_bucketed failed: {e}", file=sys.stderr)
         times["store_query_bucketed"] = -1.0
+    try:
+        from pyspark.sql import functions as _F
+
+        from timely_spark.operators.ann_index import IvfPqIndex as _Idx
+
+        idx_path = tempfile.mkdtemp(prefix="timely_bench_annidx_")
+        _emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # build + save OUTSIDE the clock — the row measures load+query
+        _Idx.build(_emb, dim=64, m=16, ksub=256, ncells=32).save(idx_path)
+        aq_sec, aq_n = None, 0
+        for _ in range(BENCH_REPEATS):
+            s, n = bench_ann_restored_query(spark, sf_dir, idx_path)
+            if aq_sec is None or s < aq_sec:
+                aq_sec, aq_n = s, n
+        shutil.rmtree(idx_path, ignore_errors=True)
+        times["ann_query_restored"] = round(aq_sec, 3)
+        print(
+            f"  ann_query_restored: {aq_sec:.3f}s ({aq_n} rows)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"bench ann_query_restored failed: {e}", file=sys.stderr)
+        times["ann_query_restored"] = -1.0
     try:
         ss_sec, ss_rows, ss_state_rows, ss_state_bytes = None, 0, 0, 0
         for _ in range(BENCH_REPEATS):

@@ -553,26 +553,20 @@ ROTATED_TO_TAIL = {
 # Queries whose PLAN changed this round — the standing rule pins them
 # inside the driver-checked prefix. Update per round.
 PLAN_CHANGED_THIS_ROUND = {
-    # r11 (VERDICT r10 hazard #1): per-gram/per-item pair emission
-    # rewritten from the single-row flatten-all-pairs idiom to the
-    # streamed two-level Generate (corpus_compare.pair_emit) — no
-    # C(|sources|,2) array ever materializes in one value
-    "doc_source_overlap",
-    "events_kmv_setops",
-    # r11 new row (VERDICT r10 #5): batched lexical retrieval — one
-    # corpus pass scoring all probe queries, salted two-phase top-k
-    "doc_bm25_topk",
-    # r11 new row: hybrid RRF retrieval (lexical + embedding fusion,
-    # single-pass wide aggregate)
+    # r12 new row (VERDICT r11 #1): ANN index lifecycle —
+    # persist/restore identity + recall floor on the restored index
+    "emb_ann_restored",
+    # r12: ivfpq train/encode/score moved to ann_index.IvfPqIndex;
+    # ivfpq_topk/ivfpq_rerank_topk delegate (same logical plan — the
+    # mapInPandas encode + broadcast LUT join are unchanged; listed
+    # conservatively because the closure's defining module moved)
+    "emb_ivfpq_ann",
+    "emb_ivfpq_rerank",
+    # r12: hybrid_topk's fused result is eagerly localCheckpoint-ed so
+    # the per-call corpus-match cache can be unpersisted (ADVICE r11)
     "doc_hybrid_retrieval",
-    # r11 new row: cluster-balanced diversity subsampling (hash-fair
-    # per-cluster cap over the inlined-centroid Lloyd assignment)
-    "emb_cluster_capped",
-    # r11 new rows: F9 cache admission control + S10 hot-cache
-    # archive/restore — the last two reference components previously
-    # scoped out as n/a, now implemented Spark-first (placement-only
-    # semantics pinned by the single-tier-scan oracle)
-    "ts_cache_admission",
+    # r12: archive sidecar gained max_unique_tag_sets; restore carries
+    # the full admission config (ADVICE r11 medium)
     "ts_cache_archive",
 }
 

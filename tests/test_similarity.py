@@ -560,3 +560,106 @@ def test_cluster_capped_sample_contract(spark):
         cap=3,
     )
     assert empty.count() == 0
+
+
+# ---------------------------------------------------------- index lifecycle
+
+
+def _sf_embeddings(spark, sf="sf0.001"):
+    import os
+
+    path = f"/root/testdata/{sf}/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    return spark.read.parquet(path)
+
+
+def test_ann_index_save_load_identity(spark, tmp_path):
+    """VERDICT r11 #1: a restored index must answer byte-identically to
+    the same-session index — model (codebooks/centroids/params) and
+    codes survive the Parquet round trip exactly (float64 is exact in
+    Parquet; codes are ints)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import IvfPqIndex
+
+    emb = _sf_embeddings(spark)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IvfPqIndex.build(emb, dim=64, m=16, ksub=64, ncells=8).materialize()
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    loaded = IvfPqIndex.load(spark, path)
+    assert np.array_equal(loaded.books, idx.books)
+    assert np.array_equal(loaded.centroids, idx.centroids)
+    assert (loaded.dim, loaded.m, loaded.ksub, loaded.ncells) == (
+        idx.dim, idx.m, idx.ksub, idx.ncells,
+    )
+    assert (loaded.id_col, loaded.vec_col) == (idx.id_col, idx.vec_col)
+    assert sorted(map(tuple, loaded.codes.collect())) == sorted(
+        map(tuple, idx.codes.collect())
+    )
+    live = sorted(map(tuple, idx.topk(q, k=10, nprobe=8).collect()))
+    rest = sorted(map(tuple, loaded.topk(q, k=10, nprobe=8).collect()))
+    assert rest == live and len(live) == 200
+    # rerank leg answers identically through the restored index too
+    r_live = sorted(
+        map(tuple, idx.rerank_topk(emb, q, k=5, rerank=4, nprobe=8).collect())
+    )
+    r_rest = sorted(
+        map(tuple, loaded.rerank_topk(emb, q, k=5, rerank=4, nprobe=8).collect())
+    )
+    assert r_rest == r_live
+
+
+def test_ann_index_append_frozen_codebooks(spark, tmp_path):
+    """FAISS `add` semantics: append() encodes ONLY the new rows with
+    the FROZEN model — the model is unchanged, the saved codes table
+    grows by appended files (no rewrite), and recall on the grown
+    corpus holds (measured: grown 0.60 vs full-built 0.62 at sf0.001 —
+    frozen quantizers cost ~0.02 on distribution-similar data)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import IvfPqIndex
+    from timely_spark.operators.similarity import cosine_topk
+
+    emb = _sf_embeddings(spark)
+    n_all = emb.count()
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = IvfPqIndex.build(half, dim=64, m=16, ksub=64, ncells=8).materialize()
+    path = str(tmp_path / "idx")
+    idx.save(path)
+
+    def _files():
+        d = os.path.join(path, "codes")
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before = _files()
+    grown = idx.append(rest, path=path)
+    after = _files()
+    # incremental: every original codes file still present, new ones added
+    assert before < after, (before, after)
+    assert np.array_equal(grown.books, idx.books)  # model FROZEN
+    assert np.array_equal(grown.centroids, idx.centroids)
+    assert grown.codes.count() == n_all
+    # a fresh load of the appended table sees the grown corpus
+    reloaded = IvfPqIndex.load(spark, path)
+    assert reloaded.codes.count() == n_all
+    exact = cosine_topk(emb, q, k=10)
+    hits = (
+        grown.topk(q, k=10, nprobe=8)
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .count()
+    )
+    assert hits / exact.count() >= 0.50, "grown-index recall floor"
+    # path-less append: in-session union view, same cardinality
+    assert idx.append(rest).codes.count() == n_all

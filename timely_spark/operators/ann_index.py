@@ -1,0 +1,316 @@
+"""Persistent ANN index lifecycle — build / save / load / append.
+
+The r11 verdict's last 100 TB asymmetry: every ``emb_*`` ANN row derived
+its index (PQ codebooks, IVF centroids, encoded codes) inside the run,
+so a daily 100 TB curation loop would re-pay the training sample, the
+centroid pick and — the real cost — the full-corpus encode pass on every
+run. This module gives the FAISS-IVFADC-shaped index (the composition
+``similarity.ivfpq_topk`` runs) a durable lifecycle:
+
+- ``IvfPqIndex.build(corpus, ...)``  — train + encode (one Arrow pass),
+- ``idx.save(path)``                 — codes as a Parquet TABLE via the
+  Spark writer (shared-filesystem safe: hdfs://, s3a://) + a one-row
+  model sidecar carrying codebooks/centroids/params — exactly the
+  archive/restore pattern ``sources/hot_cache.py`` established for S10,
+- ``IvfPqIndex.load(spark, path)``   — re-open in a fresh session; query
+  time no longer includes the build,
+- ``idx.append(new_docs[, path])``   — encode ONLY the new rows with the
+  FROZEN codebooks/centroids and (optionally) append just those files
+  to the saved codes table — the daily-increment path: cost is
+  new-rows-sized, never corpus-sized.
+
+No reference analogue (the reference has no vector tier — SURVEY §2
+extension set); the lifecycle shape mirrors FAISS ``write_index`` /
+``read_index`` / ``add`` re-expressed as Spark tables.
+
+Scale notes: the model sidecar is ``m*ksub*dsub + ncells*dim`` doubles
+(~160 KB at m=16/ksub=256/dim=64/ncells=64) — one row, broadcastable;
+the codes table is the only corpus-sized artifact (8 + ~m bytes/vector,
+~24 B at m=16 vs 512 B of raw float64 — the 20x scan-side compression
+that makes the ADC path pay). Query plans are identical to the
+in-session composition: scan(codes) -> broadcast LUT join -> salted
+window top-k; the scan side of a restored index reads Parquet instead
+of recomputing the encode mapInPandas stage, which is the whole point.
+
+Frozen-model caveat (FAISS semantics too): ``append`` quantizes new
+vectors with the ORIGINAL codebooks/centroids. Recall on appended data
+holds while it is distribution-similar to the training sample (pinned
+by tests/test_similarity.py's append recall-floor test); a drifted
+corpus wants a rebuild, which is a policy decision, not an index bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import per_query_topk, pq_train_codebooks
+
+
+def _encode_cells_codes(
+    corpus: DataFrame, books, C, id_col: str, vec_col: str
+) -> DataFrame:
+    """ONE Arrow pass: coarse cell assignment (argmax cosine over the
+    centroid matrix) + PQ sub-codebook indices per vector. The model
+    rides the task closure (numpy arrays, ~160 KB — the pq_encode
+    shipping contract: never Catalyst literal trees)."""
+    m, ksub, dsub = books.shape
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cells = (X @ C.T).argmax(1).astype("int64")
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pdf[[id_col]].assign(cell_id=cells, codes=list(codes))
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, cell_id long, codes array<int>"
+    )
+
+
+class IvfPqIndex:
+    """A built IVF+PQ index: frozen model (codebooks + centroids) and a
+    distributed codes table. Construct via :meth:`build` or :meth:`load`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        books,
+        centroids,
+        codes: DataFrame,
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        import numpy as np
+
+        self.spark = spark
+        self.books = np.asarray(books, dtype=np.float64)
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.codes = codes
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.m, self.ksub, self.dsub = self.books.shape
+        self.ncells = len(self.centroids)
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        dim: int,
+        m: int = 16,
+        ksub: int = 64,
+        ncells: int = 64,
+        sample: int = 2048,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        """Train on the deterministic hash-ordered sample (the
+        pq_train_codebooks / ivf centroid idiom — no RNG, no stored
+        randomness) and encode the full corpus in one Arrow pass."""
+        import numpy as np
+
+        books = pq_train_codebooks(
+            corpus, dim, m=m, ksub=ksub, sample=sample,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cent_rows = (
+            corpus.select(F.col(vec_col))
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(ncells)
+            .collect()
+        )
+        C = np.array([r[0] for r in cent_rows], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        codes = _encode_cells_codes(corpus, books, C, id_col, vec_col)
+        return cls(corpus.sparkSession, books, C, codes, dim, id_col, vec_col)
+
+    def materialize(self) -> "IvfPqIndex":
+        """Pin the encoded codes in block storage (eager localCheckpoint
+        — lineage TRUNCATED, unlike persist(), per the BASELINE.md
+        lineage lessons) so that save() plus any number of topk() calls
+        pay the Arrow encode pass exactly once. Codes are ~(8 + m*4)
+        bytes/vector, so the pinned footprint is code-sized, never
+        vector-sized."""
+        self.codes = self.codes.localCheckpoint(eager=True)
+        return self
+
+    # ----------------------------------------------------------- persist
+
+    def save(self, path: str) -> None:
+        """Codes -> ``path/codes`` (Parquet, overwrite); model ->
+        ``path/model`` (one-row Parquet sidecar). Everything goes
+        through the Spark writer — shared-filesystem safe, and the
+        existence/merge semantics stay with the FS that owns the path
+        (the store-existence-probe lesson, BASELINE.md)."""
+        self.codes.write.mode("overwrite").parquet(path + "/codes")
+        model = self.spark.createDataFrame(
+            [
+                (
+                    int(self.dim),
+                    int(self.m),
+                    int(self.ksub),
+                    int(self.ncells),
+                    self.id_col,
+                    self.vec_col,
+                    [[list(map(float, c)) for c in b] for b in self.books],
+                    [list(map(float, c)) for c in self.centroids],
+                )
+            ],
+            "dim int, m int, ksub int, ncells int, id_col string, "
+            "vec_col string, codebooks array<array<array<double>>>, "
+            "centroids array<array<double>>",
+        )
+        model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
+        """Re-open a saved index: the codes table stays a lazy Parquet
+        scan (corpus-sized data never touches the driver); only the
+        one-row model sidecar collects."""
+        import numpy as np
+
+        row = spark.read.parquet(path + "/model").collect()[0]
+        books = np.array(row["codebooks"], dtype=np.float64)
+        C = np.array(row["centroids"], dtype=np.float64)
+        codes = spark.read.parquet(path + "/codes")
+        return cls(
+            spark, books, C, codes, int(row["dim"]),
+            row["id_col"], row["vec_col"],
+        )
+
+    # ------------------------------------------------------------ append
+
+    def append(self, new_docs: DataFrame, path: str | None = None) -> "IvfPqIndex":
+        """Incremental encode: ONLY ``new_docs`` pass through the Arrow
+        encode stage, with the FROZEN codebooks/centroids (FAISS
+        ``add`` semantics). Returns a new index whose codes view is the
+        union; with ``path``, the new codes also land as appended files
+        in the saved codes table (no rewrite of existing files — the
+        daily-increment cost is new-rows-sized)."""
+        fresh = _encode_cells_codes(
+            new_docs, self.books, self.centroids, self.id_col, self.vec_col
+        )
+        if path is not None:
+            fresh.write.mode("append").parquet(path + "/codes")
+            fresh = self.spark.read.parquet(path + "/codes")
+            return IvfPqIndex(
+                self.spark, self.books, self.centroids, fresh,
+                self.dim, self.id_col, self.vec_col,
+            )
+        return IvfPqIndex(
+            self.spark, self.books, self.centroids,
+            self.codes.unionByName(fresh),
+            self.dim, self.id_col, self.vec_col,
+        )
+
+    # ------------------------------------------------------------- query
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 16,
+        query_id_col: str = "query_id",
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """ADC top-k against the codes table (Jegou et al. 2011): each
+        query probes its ``nprobe`` nearest cells; candidates score via
+        per-subspace lookup tables, JVM-side (m element_at lookups per
+        candidate). Plan: codes scan -> broadcast (query, cell, LUT)
+        join -> salted two-phase window top-k — one broadcast, one
+        shuffle, zero Python stages at query time.
+
+        ``exclude_self`` drops the id == query_id match (the registry
+        rows query corpus members; recall@k is over the OTHER
+        neighbors)."""
+        import numpy as np
+
+        m, dsub, ksub = self.m, self.dsub, self.ksub
+        C = self.centroids
+        lut_rows = []
+        for r in queries.select(F.col(query_id_col), F.col(self.vec_col)).collect():
+            qv = np.asarray(r[self.vec_col], dtype=np.float64)
+            qv /= max(float(np.linalg.norm(qv)), 1e-12)
+            probes = np.argsort(-(C @ qv))[:nprobe]
+            luts = [
+                [
+                    round(
+                        float(
+                            np.dot(qv[s * dsub : (s + 1) * dsub], self.books[s][j])
+                        ),
+                        9,
+                    )
+                    for j in range(ksub)
+                ]
+                for s in range(m)
+            ]
+            for cell in probes:
+                lut_rows.append((r[query_id_col], int(cell), luts))
+        qdf = F.broadcast(
+            self.spark.createDataFrame(
+                lut_rows,
+                f"{query_id_col} long, cell_id long, luts array<array<double>>",
+            )
+        )
+        scored = self.codes.join(qdf, "cell_id")
+        if exclude_self:
+            scored = scored.filter(F.col(self.id_col) != F.col(query_id_col))
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("luts"),
+                F.col("codes"),
+                lambda lut, cde: F.element_at(lut, cde + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return per_query_topk(
+            scored.withColumn("adc_score", adc), k, "adc_score",
+            query_id_col, self.id_col,
+        ).select(query_id_col, self.id_col, "adc_score", "rank")
+
+    def rerank_topk(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        rerank: int = 8,
+        nprobe: int = 16,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """ADC prune to ``k * rerank`` candidates, exact-cosine refine
+        against the full vectors (the FAISS ``IVFPQ,Refine`` shape —
+        quantization error affects candidate SELECTION, never the final
+        ordering). The candidate set is |Q|*k*rerank rows — broadcast;
+        the vector fetch is a broadcast semi-join, no corpus shuffle."""
+        from .similarity import cosine_similarity_col
+
+        cands = self.topk(queries, k * rerank, nprobe, query_id_col)
+        qv = F.broadcast(
+            queries.select(F.col(query_id_col), F.col(self.vec_col).alias("__qvec"))
+        )
+        ex = (
+            corpus.select(self.id_col, self.vec_col)
+            .join(F.broadcast(cands.select(query_id_col, self.id_col)), self.id_col)
+            .join(qv, query_id_col)
+            .withColumn(
+                "cosine",
+                F.round(
+                    cosine_similarity_col(F.col(self.vec_col), F.col("__qvec")), 6
+                ),
+            )
+        )
+        return per_query_topk(ex, k, "cosine", query_id_col, self.id_col).select(
+            query_id_col, self.id_col, "cosine", "rank"
+        )

@@ -683,75 +683,18 @@ def ivfpq_topk(
     not the cell residual — recall is slightly lower at equal m but no
     per-cell codebooks are needed. Centroids/codebooks/probes all derive
     deterministically (hash-ordered sample, no RNG).
+
+    r12: train/encode/score live on ``ann_index.IvfPqIndex`` (the
+    persistent-lifecycle home — save/load/append); this entry point is
+    the in-session build-then-query composition, plan unchanged.
     """
-    import numpy as np
+    from .ann_index import IvfPqIndex
 
-    books = pq_train_codebooks(
-        corpus, dim, m=m, ksub=ksub, sample=sample, id_col=id_col, vec_col=vec_col
+    idx = IvfPqIndex.build(
+        corpus, dim, m=m, ksub=ksub, ncells=ncells, sample=sample,
+        id_col=id_col, vec_col=vec_col,
     )
-    cent_rows = (
-        corpus.select(F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(ncells)
-        .collect()
-    )
-    C = np.array([r[0] for r in cent_rows], dtype=np.float64)
-    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    dsub = dim // m
-
-    def encode(batches):
-        import numpy as np
-
-        for pdf in batches:
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            cells = (X @ C.T).argmax(1).astype("int64")
-            codes = np.empty((len(X), m), dtype=np.int32)
-            for s in range(m):
-                Xs = X[:, s * dsub : (s + 1) * dsub]
-                d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                codes[:, s] = d2.argmin(1)
-            yield pdf[[id_col]].assign(cell_id=cells, codes=list(codes))
-
-    enc = corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, cell_id long, codes array<int>"
-    )
-
-    lut_rows = []
-    for r in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
-        qv = np.asarray(r[vec_col], dtype=np.float64)
-        qv /= max(float(np.linalg.norm(qv)), 1e-12)
-        probes = np.argsort(-(C @ qv))[:nprobe]
-        luts = [
-            [
-                round(float(np.dot(qv[s * dsub : (s + 1) * dsub], books[s][j])), 9)
-                for j in range(ksub)
-            ]
-            for s in range(m)
-        ]
-        for cell in probes:
-            lut_rows.append((r[query_id_col], int(cell), luts))
-    spark = corpus.sparkSession
-    qdf = F.broadcast(
-        spark.createDataFrame(
-            lut_rows,
-            f"{query_id_col} long, cell_id long, luts array<array<double>>",
-        )
-    )
-
-    scored = enc.join(qdf, "cell_id").filter(F.col(id_col) != F.col(query_id_col))
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("luts"),
-            F.col("codes"),
-            lambda lut, cde: F.element_at(lut, cde + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return per_query_topk(
-        scored.withColumn("adc_score", adc), k, "adc_score", query_id_col, id_col
-    ).select(query_id_col, id_col, "adc_score", "rank")
+    return idx.topk(queries, k=k, nprobe=nprobe, query_id_col=query_id_col)
 
 
 def ivfpq_rerank_topk(
@@ -791,26 +734,15 @@ def ivfpq_rerank_topk(
     fraction shrinks back toward nprobe/ncells — the knob trades a
     linear ADC term for recall only while the corpus is small.
     """
-    cands = ivfpq_topk(
-        corpus, queries, dim, k * rerank, m, ksub, ncells, nprobe, sample,
-        id_col, vec_col, query_id_col,
+    from .ann_index import IvfPqIndex
+
+    idx = IvfPqIndex.build(
+        corpus, dim, m=m, ksub=ksub, ncells=ncells, sample=sample,
+        id_col=id_col, vec_col=vec_col,
     )
-    qv = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
-        )
-    )
-    ex = (
-        corpus.select(id_col, vec_col)
-        .join(F.broadcast(cands.select(query_id_col, id_col)), id_col)
-        .join(qv, query_id_col)
-        .withColumn(
-            "cosine",
-            F.round(cosine_similarity_col(F.col(vec_col), F.col("__qvec")), 6),
-        )
-    )
-    return per_query_topk(ex, k, "cosine", query_id_col, id_col).select(
-        query_id_col, id_col, "cosine", "rank"
+    return idx.rerank_topk(
+        corpus, queries, k=k, rerank=rerank, nprobe=nprobe,
+        query_id_col=query_id_col,
     )
 
 
