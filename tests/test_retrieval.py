@@ -339,10 +339,55 @@ def test_hybrid_topk_sql_twin_agrees(spark):
     assert got == want
 
 
-def test_hybrid_topk_rejects_oversized_union(spark):
+def test_hybrid_rowshape_path_matches_wide(spark, monkeypatch):
+    """Past WIDE_TERMS_MAX union terms hybrid_topk degrades like its
+    lexical sibling (VERDICT r11 #4) instead of raising: the BM25 leg
+    goes row-shaped, the embedding leg keeps its fixed dim-column
+    aggregate, and the fused output is bit-identical to the wide plan
+    at the boundary."""
+    import timely_spark.operators.retrieval as retrieval
+
+    docs = _fixture_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wide = sorted(
+        map(tuple, retrieval.hybrid_topk(df, _PROBES, k=4, k_fuse=5).collect())
+    )
+    monkeypatch.setattr(retrieval, "WIDE_TERMS_MAX", 1)
+    narrow = sorted(
+        map(tuple, retrieval.hybrid_topk(df, _PROBES, k=4, k_fuse=5).collect())
+    )
+    assert wide == narrow
+    # and the golden still holds through the fallback plan
+    assert sorted(narrow, key=lambda r: (r[0], r[5])) == _expected_hybrid(
+        docs, _PROBES, k=4, k_fuse=5
+    )
+
+
+def test_hybrid_topk_oversized_union_runs(spark):
+    """A probe batch with >WIDE_TERMS_MAX distinct terms (the r11 hard
+    failure: hundreds of benchmark prompts) now runs through the
+    fallback and still ranks the real match first."""
     from timely_spark.operators.retrieval import WIDE_TERMS_MAX, hybrid_topk
 
-    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
-    big = {"q": " ".join(f"t{i}" for i in range(WIDE_TERMS_MAX + 1))}
-    with pytest.raises(ValueError, match="distinct terms"):
-        hybrid_topk(df, big)
+    docs = _fixture_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    probes = dict(_PROBES)
+    # widen the union far past the threshold with no-hit filler terms
+    probes["qwide"] = "alpha " + " ".join(
+        f"zz{i}" for i in range(WIDE_TERMS_MAX + 8)
+    )
+    got = hybrid_topk(df, probes, k=4, k_fuse=5)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} >= set(probes)
+    # the original probes fuse identically whether or not the filler
+    # query inflated the union past the wide budget
+    base = {
+        (r["query_id"], r["doc_id"], r["rank"], r["rrf_score"])
+        for r in hybrid_topk(df, _PROBES, k=4, k_fuse=5).collect()
+    }
+    got_base = {
+        (r["query_id"], r["doc_id"], r["rank"], r["rrf_score"])
+        for r in rows
+        if r["query_id"] in dict(_PROBES)
+    }
+    assert got_base == base

@@ -564,15 +564,30 @@ def hybrid_topk(
         for t in ts:
             if t not in union_terms:
                 union_terms.append(t)
-    if len(union_terms) > WIDE_TERMS_MAX:
-        raise ValueError(
-            f"hybrid_topk supports <= {WIDE_TERMS_MAX} distinct terms "
-            f"across the probe batch (got {len(union_terms)}); split the "
-            "batch — the single-pass wide aggregate is the point here"
-        )
     qsums = {qid: _query_hash_sums(text, dim) for qid, text in (
         list(queries.items()) if isinstance(queries, dict) else list(queries)
     )}
+    if len(union_terms) > WIDE_TERMS_MAX:
+        # row-shaped fallback (VERDICT r11 #4, mirroring _bm25_rowshape):
+        # past the codegen-safe per-term column budget the LEXICAL leg
+        # goes row-shaped; the embedding sign sums are a FIXED
+        # ``dim``-column aggregate (they never grow with the probe
+        # batch), so that leg keeps its wide shape. Costs one extra
+        # corpus tokenize pass vs the single-pass wide plan — the
+        # degradation is graceful, identical results (identity-tested
+        # at the boundary), instead of the r11 hard ValueError.
+        bm_scored = _bm25_rowshape(docs, qterms, text_col, id_col, k1, b)
+        emb_scored = _hybrid_emb_rowshape(
+            docs, [(qid, qsums[qid]) for qid, _ in qterms], dim,
+            text_col, id_col,
+        )
+        bm_ranked = _topk_per_query(
+            bm_scored.select("query_id", id_col, "score"), id_col, k_fuse
+        ).select("query_id", id_col, F.col("rank").alias("bm25_rank"))
+        em_ranked = _topk_per_query(emb_scored, id_col, k_fuse).select(
+            "query_id", id_col, F.col("rank").alias("emb_rank")
+        )
+        return _rrf_fuse(bm_ranked, em_ranked, id_col, k, rrf_k)
     idx = {t: i for i, t in enumerate(union_terms)}
     ex = docs.select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
@@ -689,6 +704,77 @@ def hybrid_topk(
         scored.unpersist()
 
 
+def _hybrid_emb_rowshape(docs, qsums_items, dim, text_col, id_col):
+    """Embedding leg of the >WIDE_TERMS_MAX fallback: (query_id, id,
+    score=cosine) for every doc with a POSITIVE cosine against the
+    query's md5-sign embedding. The per-doc sign sums stay a FIXED
+    ``dim``-column aggregate (fallback pressure comes from the tf
+    block, never from here), and the per-query cosines reuse the wide
+    plan's exact expressions — identical rounding, identical nulls."""
+    ex = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    base = (
+        ex.select(id_col, h.alias("__h"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(
+                    F.lit(1)
+                    - F.lit(2)
+                    * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
+                ).alias(f"__e{d}")
+                for d in range(dim)
+            ]
+        )
+    )
+    norm2 = F.coalesce(
+        _bal([F.col(f"__e{d}") * F.col(f"__e{d}") for d in range(dim)]),
+        F.lit(0),
+    )
+    structs = []
+    for qid, (qs, q2) in qsums_items:
+        dot_terms = [
+            F.lit(qs[d]) * F.col(f"__e{d}") for d in range(dim) if qs[d]
+        ]
+        if q2 <= 0 or not dot_terms:
+            continue  # zero-norm query: no embedding ranking (wide parity)
+        dot = F.coalesce(_bal(dot_terms), F.lit(0))
+        cos = F.when(
+            (F.col("__norm2") > 0) & (dot > 0),
+            F.round(
+                dot.cast("double")
+                / F.sqrt((F.col("__norm2") * F.lit(q2)).cast("double"))
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+        structs.append(
+            F.struct(F.lit(qid).alias("query_id"), cos.alias("score"))
+        )
+    if not structs:  # every probe zero-norm: empty, contract-typed
+        return docs.select(
+            F.lit(qsums_items[0][0]).alias("query_id"),
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    return (
+        base.withColumn("__norm2", norm2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.array(*structs), lambda s: s["score"].isNotNull()
+                )
+            ).alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            F.col(id_col),
+            F.col("__q.score").alias("score"),
+        )
+    )
+
+
 def _hybrid_fuse(scored, id_col, k, k_fuse, rrf_k):
     """Rank both legs off the persisted match frame, fuse, and EAGERLY
     materialize the query-sized result (localCheckpoint) so the caller
@@ -707,6 +793,15 @@ def _hybrid_fuse(scored, id_col, k, k_fuse, rrf_k):
         id_col,
         k_fuse,
     ).select("query_id", id_col, F.col("rank").alias("emb_rank"))
+    return _rrf_fuse(bm_ranked, em_ranked, id_col, k, rrf_k)
+
+
+def _rrf_fuse(bm_ranked, em_ranked, id_col, k, rrf_k):
+    """Reciprocal-rank fusion of the two ranked legs (shared by the
+    wide single-pass plan and the row-shaped fallback): score = sum of
+    1/(rrf_k + rank) over rankings, absent rank contributes 0; the
+    query-sized result eagerly materializes (localCheckpoint) so the
+    caller holds a lineage-free frame."""
     fused = (
         bm_ranked.join(em_ranked, ["query_id", id_col], "full_outer")
         .withColumn(
