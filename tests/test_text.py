@@ -487,6 +487,33 @@ def test_curate_cli_pipeline(spark, tmp_path):
     assert 100 not in {r["doc_id"] for r in back.collect()}
 
 
+def test_curate_cli_uri_out_stage_cleanup(spark, tmp_path):
+    """VERDICT r11 #5: stage cleanup goes through the Hadoop FileSystem
+    API, so it works when ``out`` is a URI (file://, hdfs://, s3a://) —
+    a driver-local shutil.rmtree would silently no-op on a URI path and
+    retain a corpus copy per stage. Run with a file:// out dir and
+    require the _stages sibling to be GONE after success."""
+    import os
+    import sys
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    filler = " ".join(["sample text words"] * 30)
+    rows = [(i, "web", filler + f" unique{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out_local = str(tmp_path / "packed_uri")
+    out = "file://" + out_local
+    stats = curate(spark, str(tmp_path), out, seq_len=128, min_p_keep=0.0)
+    assert stats["n_shards"] >= 1
+    assert spark.read.parquet(out).count() == stats["n_survivors"]
+    # the URI-addressed stage dir was deleted through the Hadoop FS API
+    assert not os.path.exists(out_local + "_stages"), (
+        "stage dir survived a successful run with a URI out path"
+    )
+
+
 def test_curate_cli_budget_and_shuffle(spark, tmp_path):
     """--token-budget trims each source to its quality-ranked token
     budget; --shuffle-seed packs by deterministic shuffled position

@@ -628,9 +628,23 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     if n_out:
         # provenance manifest next to the shards: a packed corpus whose
         # curation config/counts travel with it is reproducible; a bare
-        # directory of parquet is not
-        with open(os.path.join(out, "_curation_manifest.json"), "w") as f:
-            json.dump(stats, f, indent=1, sort_keys=True)
+        # directory of parquet is not. Written through the Hadoop
+        # FileSystem API for the same reason the stage cleanup is — a
+        # driver-local open() throws on file:// and silently writes to
+        # the wrong place (or throws) on hdfs://s3a:// out dirs.
+        mpath = _jvm.org.apache.hadoop.fs.Path(
+            out.rstrip("/") + "/_curation_manifest.json"
+        )
+        mfs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = mfs.create(mpath, True)
+        try:
+            stream.write(
+                bytearray(
+                    json.dumps(stats, indent=1, sort_keys=True).encode()
+                )
+            )
+        finally:
+            stream.close()
     return stats
 
 
