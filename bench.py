@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     # r12: ANN index lifecycle (build+save+load+identity verdict; the
     # query-only cost is isolated by the ann_query_restored synthetic)
     "emb_ann_restored",
+    # r12: frozen-model append + exact-refine recall over the grown index
+    "emb_ann_appended",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)

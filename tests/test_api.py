@@ -556,6 +556,8 @@ PLAN_CHANGED_THIS_ROUND = {
     # r12 new row (VERDICT r11 #1): ANN index lifecycle —
     # persist/restore identity + recall floor on the restored index
     "emb_ann_restored",
+    # r12 new row: frozen-model append + exact-refine recall
+    "emb_ann_appended",
     # r12: ivfpq train/encode/score moved to ann_index.IvfPqIndex;
     # ivfpq_topk/ivfpq_rerank_topk delegate (same logical plan — the
     # mapInPandas encode + broadcast LUT join are unchanged; listed

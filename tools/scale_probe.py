@@ -571,6 +571,74 @@ def main() -> int:
                           file=sys.stderr)
                 results[name] = res
 
+        # --- x100 decade probe, ANN index LIFECYCLE (r12) -------------
+        # The persistence story quantified: full build+save cost grows
+        # with the corpus (one encode pass — unavoidable, paid once),
+        # while APPEND of a fixed 1x-sized daily increment onto the
+        # saved index must stay ~FLAT as the base corpus grows 10x/100x
+        # (only new rows pass the encode stage; existing code files are
+        # never rewritten), and the restored-index query pays load +
+        # ADC scan only. This is the measured claim behind
+        # ann_index.append's "daily-increment cost is new-rows-sized".
+        if want("x100_ann_index"):
+            from timely_spark.operators.ann_index import IvfPqIndex
+
+            e10p = os.path.join(tmp, "emb10p")
+            e100p = os.path.join(tmp, "emb100p")
+            if not os.path.exists(e10p):
+                build_embeddings_perm(spark, sf_dir, e10p, 10)
+            if not os.path.exists(e100p):
+                build_embeddings_perm(spark, sf_dir, e100p, 100)
+            aframes = {
+                "x1": spark.read.parquet(
+                    f"{sf_dir}/embeddings.parquet"
+                ).select("vec_id", "embedding"),
+                "x10": spark.read.parquet(e10p),
+                "x100": spark.read.parquet(e100p),
+            }
+            # the fixed-size daily increment: the x1 corpus, ids offset
+            # past every replica so appended rows never collide
+            increment = (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .select(
+                    (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+                    "embedding",
+                )
+            )
+
+            def aquery(idx, df):
+                q = df.filter(F.col("vec_id") < 20).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                )
+                top = idx.topk(q, k=10, nprobe=16)
+                return top.agg(
+                    F.sum(F.xxhash64(*top.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            res = {}
+            for scale, df in aframes.items():
+                path = os.path.join(tmp, f"annidx_{scale}")
+                t0 = time.time()
+                IvfPqIndex.build(
+                    df, dim=64, m=16, ksub=64, ncells=32
+                ).save(path)
+                t_build = time.time() - t0
+                idx = IvfPqIndex.load(spark, path)
+                t0 = time.time()
+                idx = idx.append(increment, path=path)
+                t_append = time.time() - t0
+                t0 = time.time()
+                aquery(IvfPqIndex.load(spark, path), df)
+                t_query = time.time() - t0
+                res[scale] = {
+                    "build_save": round(t_build, 2),
+                    "append_1x": round(t_append, 2),
+                    "load_query": round(t_query, 2),
+                }
+                print(f"x100_ann_index {scale}: {res[scale]}",
+                      file=sys.stderr)
+            results["x100_ann_index"] = res
+
         # --- SemDeDup deployed-recipe probe (r9 second wave) ----------
         # The cluster-then-prune bound Sum|c|^2 holds only when k GROWS
         # with the corpus (similarity.py documents the recipe; the ANN
