@@ -1858,6 +1858,34 @@ def q_doc_semantic_decontaminate_blocked(spark, sf_dir):
     )
 
 
+def q_doc_decon_restored(spark, sf_dir):
+    """Persistent DECONTAMINATION index (r12, the sibling of
+    emb_ann_restored): the blocked screen's benchmark-side structure
+    (cell-assigned sign sums + centroids + radii —
+    ann_index.DeconIndex) is built once, saved (cells Parquet table +
+    one-row model sidecar), re-opened, and the RESTORED index screens
+    the corpus. A daily curation loop screens a growing corpus against
+    a FROZEN benchmark suite; this row pins that the restored index
+    answers byte-identically — its oracle is the IDENTICAL DuckDB SQL
+    as doc_semantic_decontaminate AND its blocked sibling, so the
+    driver check is a TRIPLE-path identity proof (broadcast ==
+    blocked == restored-index) on top of pytest's."""
+    import os
+    import tempfile
+
+    from timely_spark.operators.ann_index import DeconIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    idx = DeconIndex.build(bench, threshold=0.95, ncells=16)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"timely_spark_decon_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    idx.save(path)
+    return DeconIndex.load(spark, path).screen(docs)
+
+
 def q_doc_bloom_decontaminate(spark, sf_dir):
     """Decontamination for the LARGE-benchmark regime: a Bloom bitset of
     the bench 8-gram hashes broadcasts (~10x smaller than the exact-join
@@ -3558,11 +3586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch plan; the CMS family stays evidenced in-prefix by
         # events_streaming_heavy_hitters; still swept + bench-gated)
         "emb_cluster_capped": q_emb_cluster_capped,
-        # new r7: text->embedding computation (first driver evidence) —
-        # takes events_asof_join's slot (driver-green r6, plan unchanged
-        # this round, AS-OF still verified vs DuckDB's native ASOF in
-        # the full sweep + bench-gated)
-        "doc_text_embedding": q_doc_text_embedding,
+        # new r12: persistent decontamination index (restored-index
+        # screen, triple-path identity oracle) — takes
+        # doc_text_embedding's slot (driver-green r7..r11, plan
+        # unchanged this round, the text->vector seam stays evidenced
+        # in-prefix by doc_hybrid_retrieval's embedding leg; still
+        # swept at both scales + bench-gated)
+        "doc_decon_restored": q_doc_decon_restored,
         "events_hll_rollup": q_events_hll_rollup,
         # new r8: queue-message ingest round trip (first driver
         # evidence for the WriteNSQPlugin consumer leg) — takes
@@ -3735,6 +3765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, versioning family still pytest-pinned; still swept at
         # both scales + bench-gated
         "doc_snapshot_diff": q_doc_snapshot_diff,
+        # rotated to tail r12 (displaced by doc_decon_restored):
+        # text->embedding computation, driver-green r7..r11, plan
+        # unchanged this round; still swept at both scales +
+        # bench-gated
+        "doc_text_embedding": q_doc_text_embedding,
         # rotated to tail r11 (displaced by doc_bm25_topk): n-gram
         # broadcast decontamination, driver-green r2..r10, plan
         # unchanged, still swept at both scales + bench-gated
@@ -4883,6 +4918,9 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""",
         # proof on the operator — and the verdict predicate is shared),
         # so one SQL string pins both paths to one truth
         "doc_semantic_decontaminate_blocked": _semantic_decon_sql(),
+        # restored-index screen: the SAME oracle as the broadcast and
+        # blocked rows — the driver check is the triple-path identity
+        "doc_decon_restored": _semantic_decon_sql(),
         "doc_bloom_decontaminate": f"""
 WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
 sh AS (SELECT doc_id,

@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "emb_ann_restored",
     # r12: frozen-model append + exact-refine recall over the grown index
     "emb_ann_appended",
+    # r12: restored decontamination index screens the corpus
+    "doc_decon_restored",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)

@@ -558,6 +558,11 @@ PLAN_CHANGED_THIS_ROUND = {
     "emb_ann_restored",
     # r12 new row: frozen-model append + exact-refine recall
     "emb_ann_appended",
+    # r12 new row: restored decontamination index (triple-path oracle)
+    "doc_decon_restored",
+    # r12: semantic_decontaminate_blocked delegates its benchmark-side
+    # build to ann_index.DeconIndex (same plan; listed conservatively)
+    "doc_semantic_decontaminate_blocked",
     # r12: ivfpq train/encode/score moved to ann_index.IvfPqIndex;
     # ivfpq_topk/ivfpq_rerank_topk delegate (same logical plan — the
     # mapInPandas encode + broadcast LUT join are unchanged; listed

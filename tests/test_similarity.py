@@ -663,3 +663,53 @@ def test_ann_index_append_frozen_codebooks(spark, tmp_path):
     assert hits / exact.count() >= 0.50, "grown-index recall floor"
     # path-less append: in-session union view, same cardinality
     assert idx.append(rest).codes.count() == n_all
+
+
+def test_decon_index_save_load_identity(spark, tmp_path):
+    """DeconIndex (r12): the persisted benchmark-side index screens the
+    corpus byte-identically to the in-session blocked path AND the
+    broadcast path — triple-path identity, plus the empty-benchmark
+    round trip (nothing can be contaminated, before or after restore)."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import DeconIndex
+    from timely_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_blocked,
+    )
+
+    import os
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    broadcast = sorted(
+        map(tuple, semantic_decontaminate(docs, bench, threshold=0.95).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            semantic_decontaminate_blocked(docs, bench, threshold=0.95).collect(),
+        )
+    )
+    assert blocked == broadcast
+    idx = DeconIndex.build(bench, threshold=0.95)
+    p = str(tmp_path / "decon_idx")
+    idx.save(p)
+    restored = DeconIndex.load(spark, p)
+    assert restored.threshold == idx.threshold
+    assert restored.radii == idx.radii
+    got = sorted(map(tuple, restored.screen(docs).collect()))
+    assert got == broadcast
+    # at least one planted contamination exists (bench docs ARE corpus
+    # docs, so they self-hit) — the identity above is not vacuous
+    assert any(r[2] for r in got)
+    # empty benchmark: save/load keeps the nothing-contaminated contract
+    e = DeconIndex.build(bench.limit(0), threshold=0.95)
+    pe = str(tmp_path / "decon_idx_empty")
+    e.save(pe)
+    out = DeconIndex.load(spark, pe).screen(docs)
+    assert out.count() == docs.count()
+    assert out.filter("contaminated").count() == 0

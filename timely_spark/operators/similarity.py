@@ -1387,57 +1387,30 @@ def semantic_decontaminate_blocked(
     over probed cells of |cell| — bounded by geometry, degrading toward
     the cross join only if every doc aims at every cell (an
     unclustered-benchmark worst case that stays corpus-linear)."""
-    import math
+    # NOTE on expression shape (now enforced inside DeconIndex.screen):
+    # the squared norms are NOT built as 32-term Catalyst Add chains
+    # here (the broadcast path's form). Under this path's equi-join +
+    # AQE planning, canonicalization of large commutative Add chains
+    # (CommutativeExpression.orderCommutative) blows the driver heap —
+    # observed OOM at 8g on a 500-doc corpus. The norms are instead
+    # computed EXACTLY in the Arrow stages as int64 (coordinates are
+    # bounded by token count, so the sums stay far below 2^63), and the
+    # only norm logic in SQL is a non-commutative `greatest` zero-norm
+    # guard.
+    #
+    # r12: the benchmark-side structure (cell-assigned sums + centroids
+    # + radii) lives on ann_index.DeconIndex — the persistent-lifecycle
+    # home (a daily loop screens a growing corpus against a FROZEN
+    # benchmark; DeconIndex.save/load reuses the index across runs).
+    # This entry point is the in-session build-then-screen composition,
+    # plan unchanged.
+    from .ann_index import DeconIndex
 
-    p, q = _tau_pq(threshold)
-    eps = 1e-6
-    theta_tau = math.acos(threshold)
-
-    # NOTE on expression shape: the squared norms are NOT built as
-    # 32-term Catalyst Add chains here (the broadcast path's form).
-    # Under this path's equi-join + AQE planning, canonicalization of
-    # large commutative Add chains (CommutativeExpression
-    # .orderCommutative) blows the driver heap — observed OOM at 8g on
-    # a 500-doc corpus. The norms are instead computed EXACTLY in the
-    # Arrow stages below as int64 (coordinates are bounded by token
-    # count, so the sums stay far below 2^63), and the only norm logic
-    # in SQL is a non-commutative `greatest` zero-norm guard.
-    ds = _hashed_sums(docs, dim, text_col, id_col)
-
-    bs = _hashed_sums(bench, dim, text_col, id_col).select(
-        F.col(id_col).alias("__bid"),
-        *[F.col(f"__s{d}").alias(f"__b{d}") for d in range(dim)],
+    idx = DeconIndex.build(
+        bench, threshold=threshold, dim=dim, ncells=ncells,
+        text_col=text_col, id_col=id_col, lloyd_iters=lloyd_iters,
     )
-    # zero-norm bench vectors can never satisfy the predicate (__n2 > 0
-    # is part of _integer_hit) — drop them before they'd poison a cell
-    nonzero = F.greatest(*[F.abs(F.col(f"__b{d}")) for d in range(dim)]) > 0
-    bs = bs.filter(nonzero)
-
-    index = _decon_cell_index(bs, dim, ncells, lloyd_iters)
-    if index is None:
-        # empty / all-zero benchmark: nothing can be contaminated
-        # (n_bench_hits cast long so the schema matches the non-empty
-        # path's count()/sum() output exactly)
-        return _hits_shape(
-            docs,
-            ds.select(
-                id_col, F.lit(0).cast("long").alias("n_bench_hits")
-            ).limit(0),
-            id_col,
-        )
-    b_assigned, cent, radii = index
-    probes = _decon_probes(ds, cent, radii, theta_tau, eps, id_col)
-
-    dot = _bal_sum(
-        F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)
-    )
-    hits = (
-        probes.join(b_assigned, "__cell")
-        .filter(_integer_hit(dot, F.col("__n1"), F.col("__n2"), p, q))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
-    )
-    return _hits_shape(docs, hits, id_col)
+    return idx.screen(docs)
 
 
 def semantic_decontaminate_sql(
