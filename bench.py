@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "emb_ann_appended",
     # r12: restored decontamination index screens the corpus
     "doc_decon_restored",
+    # r12: persistent lexical MinHash index — build/save/load/append/
+    # screen round trip per call (the lifecycle IS the contract)
+    "doc_minhash_restored",
     # r9: integer-exact weight-proportional sampling
     "doc_weighted_sample",
     # r9: candidate-free heavy hitters (Misra-Gries summary)

@@ -560,6 +560,9 @@ PLAN_CHANGED_THIS_ROUND = {
     "emb_ann_appended",
     # r12 new row: restored decontamination index (triple-path oracle)
     "doc_decon_restored",
+    # r12 new row: persistent lexical MinHash index (build/save/load/
+    # append/screen, exhaustive cross-Jaccard oracle)
+    "doc_minhash_restored",
     # r12: semantic_decontaminate_blocked delegates its benchmark-side
     # build to ann_index.DeconIndex (same plan; listed conservatively)
     "doc_semantic_decontaminate_blocked",

@@ -713,3 +713,98 @@ def test_decon_index_save_load_identity(spark, tmp_path):
     out = DeconIndex.load(spark, pe).screen(docs)
     assert out.count() == docs.count()
     assert out.filter("contaminated").count() == 0
+
+
+def test_minhash_index_lifecycle_identity(spark, tmp_path):
+    """MinHashIndex (r12, the lexical lifecycle sibling): (a) the
+    restored index screens byte-identically to the in-session one,
+    (b) append through the restored handle == full rebuild EXACTLY
+    (the hash 'permutations' are constants — no frozen-model recall
+    caveat), (c) screen == minhash_dedup over the union restricted to
+    cross pairs (same banding, same verify join), (d) append lands as
+    new files without rewriting existing ones, (e) exclude_self drops
+    batch-overlap trivial matches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import MinHashIndex
+    from timely_spark.operators.dedup import minhash_dedup
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = MinHashIndex.build(
+        part_a, threshold=0.5, num_hashes=64, bands=32
+    ).materialize()
+    p = str(tmp_path / "mh_idx")
+    idx.save(p)
+    restored = MinHashIndex.load(spark, p)
+    for attr in ("threshold", "num_hashes", "bands", "shingle_n",
+                 "text_col", "id_col"):
+        assert getattr(restored, attr) == getattr(idx, attr)
+
+    def _shape(df):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 6)) for r in df.collect()
+        )
+
+    # (a) restored == live on the half-corpus index
+    live_half = _shape(idx.screen(batch))
+    assert _shape(restored.screen(batch)) == live_half
+
+    # (d) append is file-incremental in the saved tables
+    def _files(sub):
+        d = os.path.join(p, sub)
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    bands_before, sh_before = _files("bands"), _files("shingles")
+    grown = restored.append(part_b, p)
+    assert bands_before < _files("bands")
+    assert sh_before < _files("shingles")
+
+    # (b) append == full rebuild, byte-identically (both the persisted
+    # and the in-session union views)
+    full = MinHashIndex.build(docs, threshold=0.5, num_hashes=64, bands=32)
+    got = _shape(grown.screen(batch))
+    assert got == _shape(full.screen(batch))
+    assert got == _shape(idx.append(part_b).screen(batch))
+    # a fresh load of the appended tables answers the same
+    assert got == _shape(MinHashIndex.load(spark, p).screen(batch))
+    # the planted copies guarantee the identity is not vacuous: every
+    # 7th doc's re-id'd copy must pair with its original at j = 1.0
+    planted = {r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0).collect()}
+    found = {(a, b) for a, b, j in got if j == 1.0}
+    assert {(d, d + 100_000) for d in planted} <= found
+
+    # (c) screen == minhash_dedup(corpus ∪ batch) restricted to cross
+    # pairs (orientation-normalized: id_a = corpus side)
+    union = docs.unionByName(batch)
+    cross = (
+        minhash_dedup(union, threshold=0.5, num_hashes=64, bands=32)
+        .filter(
+            (F.col("id_a") < 100_000) != (F.col("id_b") < 100_000)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    assert got == _shape(cross)
+
+    # (e) a batch overlapping the index: exclude_self drops the trivial
+    # self pairs, exclude_self=False reports them at j = 1.0
+    overlap = docs.filter(F.col("doc_id") % 7 == 0)
+    with_self = _shape(full.screen(overlap, exclude_self=False))
+    without = _shape(full.screen(overlap))
+    selfs = {(a, b) for a, b, j in with_self if a == b}
+    assert selfs == {(d, d) for d in planted}
+    assert [t for t in with_self if t[0] != t[1]] == without

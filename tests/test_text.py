@@ -1489,3 +1489,90 @@ def test_curate_cli_retrieval_decon(spark, tmp_path):
     assert "retrieval_decon" in stats["stage_wall_s"]
     with _pytest.raises(ValueError, match="--probe-topk requires"):
         curate(spark, str(tmp_path), str(tmp_path / "p2"), probe_topk=5)
+
+
+def test_curate_cli_history_index(spark, tmp_path):
+    """--history-index daily-loop accumulator (r12): run 1 bootstraps
+    the persistent MinHash index from its shipped survivors; run 2
+    screens a NEW batch against it — re-submitted copies (new doc_ids,
+    same text) are dropped, genuinely new docs ship and are appended;
+    run 3 then catches copies of run 2's docs, proving the append
+    registered them. The index path is a file:// URI so the whole
+    round trip exercises the shared-FS code path. A threshold
+    mismatching an existing index errors loudly (never a quiet
+    override)."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "tools")
+    from curate import curate
+
+    def _docs(ids_texts, day):
+        df = spark.createDataFrame(
+            [(i, "web", t) for i, t in ids_texts],
+            ["doc_id", "source", "text"],
+        )
+        d = tmp_path / f"day{day}"
+        d.mkdir()
+        df.write.parquet(str(d / "documents.parquet"))
+        return str(d)
+
+    # fully distinct token sets per doc: cross-doc jaccard is 0 except
+    # for the planted copies (jaccard 1.0)
+    def _text(i):
+        return " ".join(f"tok{i}x{k}" for k in range(40))
+
+    idx_path = "file://" + str(tmp_path / "history_idx")
+    day1 = _docs([(i, _text(i)) for i in range(10)], 1)
+    s1 = curate(
+        spark, day1, str(tmp_path / "out1"), seq_len=128, min_p_keep=0.0,
+        history_index=idx_path,
+    )
+    assert s1["history_bootstrap"] is True
+    assert s1["n_history_dedup"] is None  # nothing to screen against yet
+    assert s1["n_history_appended"] == s1["n_survivors"] == 10
+
+    # day 2: 3 re-submitted copies of day-1 docs (new ids) + 5 new docs
+    day2 = _docs(
+        [(200 + i, _text(i)) for i in range(3)]
+        + [(300 + i, _text(100 + i)) for i in range(5)],
+        2,
+    )
+    s2 = curate(
+        spark, day2, str(tmp_path / "out2"), seq_len=128, min_p_keep=0.0,
+        history_index=idx_path,
+    )
+    assert s2["history_bootstrap"] is False
+    assert s2["n_history_dedup"] == 5  # the 3 copies dropped
+    assert s2["n_survivors"] == 5
+    assert s2["n_history_appended"] == 5
+    back2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out2")).collect()}
+    assert back2 == {300 + i for i in range(5)}
+    assert "history_dedup" in s2["stage_wall_s"]
+    assert "history_append" in s2["stage_wall_s"]
+
+    # day 3: a copy of a DAY-2 doc must now be caught (append worked)
+    day3 = _docs([(400, _text(102)), (401, _text(999))], 3)
+    s3 = curate(
+        spark, day3, str(tmp_path / "out3"), seq_len=128, min_p_keep=0.0,
+        history_index=idx_path,
+    )
+    assert s3["n_history_dedup"] == 1 and s3["n_survivors"] == 1
+    back3 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out3")).collect()}
+    assert back3 == {401}
+
+    # threshold mismatch on an existing index: loud error
+    with _pytest.raises(ValueError, match="history-threshold"):
+        curate(
+            spark, day3, str(tmp_path / "out4"), seq_len=128,
+            min_p_keep=0.0, history_index=idx_path, history_threshold=0.5,
+        )
+    # paired-flag rule: threshold without index fails loudly
+    with _pytest.raises(ValueError, match="requires --history-index"):
+        curate(
+            spark, day3, str(tmp_path / "out5"), seq_len=128,
+            min_p_keep=0.0, history_threshold=0.5,
+        )

@@ -496,3 +496,219 @@ class DeconIndex:
             .agg(F.count(F.lit(1)).alias("n_bench_hits"))
         )
         return _hits_shape(docs, hits, id_col)
+
+
+# ----------------------------------------------------- minhash index
+
+
+class MinHashIndex:
+    """Persistent LEXICAL near-dup index — the third lifecycle family
+    (vector :class:`IvfPqIndex`, semantic :class:`DeconIndex`, and now
+    MinHash+LSH). A daily curation loop near-dedups each incoming batch
+    against the ACCUMULATED corpus; without a persisted index every run
+    re-tokenizes, re-shingles and re-signs the whole history just to
+    band it again. This index stores the two derived relations the
+    screen actually joins on:
+
+    - ``bands``    — (id, band, bucket), the exact
+      :func:`dedup.minhash_bands` relation (one 64-bit bucket per band),
+    - ``shingles`` — (id, array<long> distinct shingle hashes), the
+      verify side :func:`dedup.minhash_dedup` joins back in.
+
+    Both are hash-only: RAW TEXT NEVER PERSISTS in the index (the
+    shingle store is ~8 B per distinct shingle — same order as the text
+    it summarizes but shareable where the text itself may not be).
+    Saved via the Spark writer as Parquet tables + a one-row model
+    sidecar (the hot_cache/IvfPqIndex archive pattern; shared-FS safe).
+
+    ``append(batch)`` is trivially frozen-model (the "permutations" are
+    compile-time multiply-add constants — nothing trains), so unlike
+    PQ codebooks there is no drift caveat: append == rebuild, exactly.
+
+    ``screen(batch)`` emits verified cross pairs (index doc, batch doc,
+    jaccard >= threshold). Identity contract (pinned in tests):
+    screening a batch against index(corpus) returns exactly
+    :func:`dedup.minhash_dedup`(corpus ∪ batch) restricted to cross
+    pairs — same banding, same verify join, byte-identical jaccard.
+
+    Scale shape: the per-run cost is batch-sized (batch bands +
+    shingles) plus one join against the bands table keyed on
+    (band, bucket) — candidate-bounded, never corpus-rescanning; the
+    verify join fetches index shingle arrays for SURVIVING candidates
+    only. Batch-side relations are small => AQE broadcasts them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        bands_df: DataFrame,
+        shingles: DataFrame,
+        threshold: float,
+        num_hashes: int,
+        bands: int,
+        shingle_n: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.bands_df = bands_df  # (id_col, band, bucket)
+        self.shingles = shingles  # (id_col, sh: array<long>)
+        self.threshold = float(threshold)
+        self.num_hashes = int(num_hashes)
+        self.bands = int(bands)
+        self.shingle_n = int(shingle_n)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        threshold: float = 0.7,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "MinHashIndex":
+        from .dedup import _shingle_hashes, minhash_bands
+
+        bdf = minhash_bands(
+            corpus, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        sh = corpus.select(
+            F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh")
+        )
+        return cls(
+            corpus.sparkSession, bdf, sh, threshold, num_hashes, bands,
+            shingle_n, text_col, id_col,
+        )
+
+    def materialize(self) -> "MinHashIndex":
+        """Pin both derived relations (eager localCheckpoint — lineage
+        truncated) so save() plus any number of screen() calls pay the
+        tokenize/shingle/sign pass exactly once."""
+        self.bands_df = self.bands_df.localCheckpoint(eager=True)
+        self.shingles = self.shingles.localCheckpoint(eager=True)
+        return self
+
+    # ----------------------------------------------------------- persist
+
+    def save(self, path: str) -> None:
+        """bands -> ``path/bands``, shingles -> ``path/shingles``
+        (Parquet, overwrite); params -> ``path/model`` one-row sidecar.
+        Spark writer throughout (shared-FS safe)."""
+        self.bands_df.write.mode("overwrite").parquet(path + "/bands")
+        self.shingles.write.mode("overwrite").parquet(path + "/shingles")
+        model = self.spark.createDataFrame(
+            [
+                (
+                    float(self.threshold),
+                    int(self.num_hashes),
+                    int(self.bands),
+                    int(self.shingle_n),
+                    self.text_col,
+                    self.id_col,
+                )
+            ],
+            "threshold double, num_hashes int, bands int, shingle_n int, "
+            "text_col string, id_col string",
+        )
+        model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MinHashIndex":
+        """Re-open: both relations stay lazy Parquet scans (corpus-sized
+        data never touches the driver); only the one-row sidecar
+        collects."""
+        row = spark.read.parquet(path + "/model").collect()[0]
+        return cls(
+            spark,
+            spark.read.parquet(path + "/bands"),
+            spark.read.parquet(path + "/shingles"),
+            row["threshold"],
+            row["num_hashes"],
+            row["bands"],
+            row["shingle_n"],
+            row["text_col"],
+            row["id_col"],
+        )
+
+    # ------------------------------------------------------------ append
+
+    def append(self, new_docs: DataFrame, path: str | None = None) -> "MinHashIndex":
+        """Incremental: ONLY ``new_docs`` pass the tokenize/shingle/sign
+        stages. With ``path``, the new rows land as appended files in
+        the saved tables (no rewrite of existing files); without, the
+        returned index unions in-session. No frozen-model caveat: the
+        hash 'permutations' are constants, so append == full rebuild,
+        byte-identically (pinned in tests)."""
+        from .dedup import _shingle_hashes, minhash_bands
+
+        fb = minhash_bands(
+            new_docs, self.text_col, self.id_col, self.num_hashes,
+            self.bands, self.shingle_n,
+        )
+        fs = new_docs.select(
+            F.col(self.id_col),
+            _shingle_hashes(self.text_col, self.shingle_n).alias("sh"),
+        )
+        if path is not None:
+            fb.write.mode("append").parquet(path + "/bands")
+            fs.write.mode("append").parquet(path + "/shingles")
+            fb = self.spark.read.parquet(path + "/bands")
+            fs = self.spark.read.parquet(path + "/shingles")
+        else:
+            fb = self.bands_df.unionByName(fb)
+            fs = self.shingles.unionByName(fs)
+        return MinHashIndex(
+            self.spark, fb, fs, self.threshold, self.num_hashes,
+            self.bands, self.shingle_n, self.text_col, self.id_col,
+        )
+
+    # ------------------------------------------------------------ screen
+
+    def screen(self, batch: DataFrame, exclude_self: bool = True) -> DataFrame:
+        """Verified near-dup cross pairs of ``batch`` against the index:
+        (id_a = index doc, id_b = batch doc, jaccard >= threshold).
+
+        Plan: batch bands (batch-sized) join index bands on
+        (band, bucket) -> distinct candidate pairs -> verify join
+        fetching the stored index shingle array + the batch's computed
+        one -> exact hashed-shingle Jaccard filter. ``exclude_self``
+        drops id_a == id_b rows (a batch overlapping the index would
+        otherwise report each overlap as its own trivial dup)."""
+        from .dedup import _shingle_hashes, minhash_bands
+
+        id_col = self.id_col
+        qb = minhash_bands(
+            batch, self.text_col, id_col, self.num_hashes, self.bands,
+            self.shingle_n,
+        ).withColumnRenamed(id_col, "__qid")
+        cands = (
+            self.bands_df.join(qb, ["band", "bucket"])
+            .select(
+                F.col(id_col).alias("id_a"), F.col("__qid").alias("id_b")
+            )
+            .distinct()
+        )
+        if exclude_self:
+            cands = cands.filter(F.col("id_a") != F.col("id_b"))
+        qsh = batch.select(
+            F.col(id_col).alias("id_b"),
+            _shingle_hashes(self.text_col, self.shingle_n).alias("sh_b"),
+        )
+        j = cands.join(
+            self.shingles.select(
+                F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
+        ).join(qsh, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        return (
+            j.withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id_a", "id_b", "jaccard")
+        )

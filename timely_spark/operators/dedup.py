@@ -167,6 +167,41 @@ def minhash_signature(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The LSH banding relation: (id, band, bucket) — one row per band,
+    bucket = xxhash64 of that band's signature slice. This is THE
+    banding contract: both the in-session candidate join
+    (:func:`minhash_lsh_candidates`) and the persistent index
+    (``ann_index.MinHashIndex``) build on this exact relation, so a
+    saved bands table collides with a fresh batch's bands iff the
+    one-session self-join would have — the restored-index identity is
+    structural, not re-derived."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -184,23 +219,7 @@ def minhash_lsh_candidates(
     for reasonable thresholds). The banded relation is one shuffle output
     reused on both sides of the self-join (exchange reuse).
     """
-    rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * rows + 1, rows))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

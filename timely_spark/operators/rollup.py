@@ -237,22 +237,17 @@ def refresh_rollup(
             .localCheckpoint(eager=True)
         )
     except AnalysisException as e:
-        # match the structured error class first (stable across Spark
-        # versions), falling back to message text only for builds that
-        # don't populate it (ADVICE r10 #3 — coupling correctness to
-        # error prose is brittle; an unmatched benign first write
+        # match the structured error condition first (stable across
+        # Spark versions), falling back to message text only for builds
+        # that don't populate it (ADVICE r10 #3 — coupling correctness
+        # to error prose is brittle; an unmatched benign first write
         # raises, fail-safe, rather than overwriting)
-        klass = None
-        get_class = getattr(e, "getErrorClass", None)
-        if callable(get_class):
-            try:
-                klass = get_class()
-            except Exception:
-                klass = None
+        from ..session import error_condition
+
         first_write_classes = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
         msg = str(e)
         if not (
-            (klass or "").startswith(first_write_classes)
+            error_condition(e).startswith(first_write_classes)
             or "PATH_NOT_FOUND" in msg
             or "Path does not exist" in msg
             or "UNABLE_TO_INFER_SCHEMA" in msg

@@ -70,7 +70,9 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
            semantic_blocked_over: int = 100_000,
            baseline_snapshot: str | None = None,
            probe_queries: dict | None = None,
-           probe_topk: int | None = None):
+           probe_topk: int | None = None,
+           history_index: str | None = None,
+           history_threshold: float | None = None):
     from pyspark.sql import functions as F
 
     from timely_spark.operators.dedup import exact_dup_groups
@@ -97,6 +99,8 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         raise ValueError("--probe-topk requires --probes")
     if probe_queries is not None and probe_topk is None:
         probe_topk = 100
+    if history_threshold is not None and history_index is None:
+        raise ValueError("--history-threshold requires --history-index")
 
     # per-stage wall clock (VERDICT r9 #5: the composition-level view —
     # a recomputed stage or missing persist only surfaces here, not in
@@ -253,6 +257,49 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
     n_semantic_decon = semantic_decon_regime = None
     n_retrieval_decon = None
     n_substring = n_excise_fallback = None
+    n_history_dedup = n_history_appended = history_bootstrap = None
+    history_idx = None
+    if history_index is not None:
+        # cross-RUN near-dedup against the persisted corpus index
+        # (ann_index.MinHashIndex — the daily-loop accumulator).
+        # Existence probe goes THROUGH Spark (try-load, match the
+        # structured error class), never os.path: a driver-local probe
+        # is always false on hdfs://s3a:// and would silently flip
+        # "screen against history" into "bootstrap overwrite" — the
+        # store.py/refresh_rollup bug class, hit twice before.
+        from timely_spark.operators.ann_index import MinHashIndex
+
+        from timely_spark.session import error_condition
+
+        try:
+            history_idx = MinHashIndex.load(spark, history_index)
+            history_bootstrap = False
+        except Exception as e:
+            first = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            msg = str(e)
+            if not (
+                error_condition(e).startswith(first)
+                or "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                raise
+            history_bootstrap = True
+        if (
+            history_idx is not None
+            and history_threshold is not None
+            and history_threshold != history_idx.threshold
+        ):
+            # loud, not silent: the stored threshold governs an existing
+            # index (changing it would make this run's screen
+            # inconsistent with every doc already admitted under the old
+            # one) — a caller asking for a different value needs a new
+            # index path, not a quiet override
+            raise ValueError(
+                f"--history-threshold {history_threshold} != existing "
+                f"index threshold {history_idx.threshold} at "
+                f"{history_index}; rebuild under a new path to change it"
+            )
     try:
         if minhash_threshold is not None and n_out:
             # fuzzy near-dup pass over the exact-dedup survivors:
@@ -274,6 +321,27 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             survivors, n_out = _materialize(survivors.join(keep_ids, "doc_id"))
             n_minhash = n_out
             _mark("minhash_dedup")
+        if history_idx is not None and n_out:
+            # HISTORY near-dedup: drop batch docs whose shingle Jaccard
+            # against ANY already-shipped doc clears the index's stored
+            # threshold. Runs EARLY (right after the in-batch fuzzy
+            # pass) so every downstream screen sees only genuinely new
+            # material; the matching-survivor APPEND runs at the END so
+            # the index accumulates exactly what ships (a doc screened
+            # out later must stay screenable next run). Cost shape: the
+            # batch side signs once; the candidate join is
+            # (band, bucket)-keyed against the persisted bands table —
+            # never a corpus re-sign.
+            hits = (
+                history_idx.screen(survivors.select("doc_id", "text"))
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            )
+            survivors, n_out = _materialize(
+                survivors.join(hits, "doc_id", "left_anti")
+            )
+            n_history_dedup = n_out
+            _mark("history_dedup")
         if (substring_rewrite or max_dup_frac is not None) and n_out:
             # stride-1 exact-substring pass (Lee et al. 2022): the
             # expensive window-hash explode runs ONCE (persisted
@@ -575,6 +643,28 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             else 0
         )
         _mark("pack_write")
+        if history_index is not None and n_out:
+            # register the SHIPPED survivor set with the history index —
+            # after the pack write succeeds (a failed run must not
+            # poison the index), with the FINAL text (post rewrite /
+            # normalize: the index mirrors what shipped). Bootstrap
+            # builds+saves; thereafter append signs only this run's
+            # survivors (the hash permutations are constants, so the
+            # grown index equals a from-scratch rebuild exactly).
+            from timely_spark.operators.ann_index import MinHashIndex
+
+            final_docs = survivors.select("doc_id", "text")
+            if history_bootstrap:
+                MinHashIndex.build(
+                    final_docs,
+                    threshold=(
+                        0.7 if history_threshold is None else history_threshold
+                    ),
+                ).materialize().save(history_index)
+            else:
+                history_idx.append(final_docs, history_index)
+            n_history_appended = n_out
+            _mark("history_append")
     finally:
         staged.unpersist()
     # success-only cleanup: a failed run leaves _stages in place as the
@@ -612,6 +702,10 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
         "semantic_decon_regime": semantic_decon_regime,
         "n_retrieval_decon": n_retrieval_decon,
         "probe_topk": probe_topk,
+        "n_history_dedup": n_history_dedup,
+        "n_history_appended": n_history_appended,
+        "history_bootstrap": history_bootstrap,
+        "history_index": history_index,
         "n_dsir": n_dsir,
         "n_ppl": n_ppl,
         "bpe_tokens": bpe_tokens,
@@ -733,6 +827,19 @@ def main() -> int:
     ap.add_argument("--probe-topk", type=int, default=None, metavar="K",
                     help="per-probe removal depth for --probes "
                          "(default 100; requires --probes)")
+    ap.add_argument("--history-index", default=None, metavar="PATH",
+                    help="persistent MinHash index dir (daily-loop "
+                         "accumulator): screen this run's docs against "
+                         "every previously shipped doc, then append the "
+                         "shipped survivors; first run bootstraps the "
+                         "index. Caller must keep doc_ids globally "
+                         "unique across runs (content-hash ids do)")
+    ap.add_argument("--history-threshold", type=float, default=None,
+                    metavar="JACCARD",
+                    help="shingle-Jaccard threshold when BOOTSTRAPPING "
+                         "--history-index (default 0.7); an existing "
+                         "index's stored threshold governs and a "
+                         "mismatching value errors loudly")
     args = ap.parse_args()
     probe_queries = None
     if args.probes:
@@ -762,7 +869,9 @@ def main() -> int:
                    semantic_blocked_over=args.semantic_blocked_over,
                    baseline_snapshot=args.baseline_snapshot,
                    probe_queries=probe_queries,
-                   probe_topk=args.probe_topk)
+                   probe_topk=args.probe_topk,
+                   history_index=args.history_index,
+                   history_threshold=args.history_threshold)
     print(json.dumps(stats))
     return 0
 
