@@ -639,6 +639,90 @@ def main() -> int:
                       file=sys.stderr)
             results["x100_ann_index"] = res
 
+        if want("x100_minhash_index"):
+            # lexical index lifecycle decade probe (r12, the MinHash
+            # sibling of x100_ann_index): build+save scales with the
+            # corpus (one sign pass), append of a FIXED 1x increment
+            # must stay flat (new-rows-sized — the whole point of the
+            # persisted index), and screen of a fixed batch grows only
+            # with the bands-table scan (int rows), never re-signing
+            # the corpus.
+            from timely_spark.operators.ann_index import MinHashIndex
+
+            d10p = os.path.join(tmp, "docs10p")
+            d100p = os.path.join(tmp, "docs100p")
+            if not os.path.exists(d10p):
+                build_docs_perm(spark, sf_dir, d10p, 10)
+            if not os.path.exists(d100p):
+                build_docs_perm(spark, sf_dir, d100p, 100)
+            base_docs = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).select("doc_id", "text")
+            mframes = {
+                "x1": base_docs,
+                "x10": spark.read.parquet(d10p).select("doc_id", "text"),
+                "x100": spark.read.parquet(d100p).select("doc_id", "text"),
+            }
+            # fixed-size daily increment: x1 docs under a permutation
+            # seed outside every replica's (no cross near-dups), ids
+            # offset past every replica
+            import random as _random
+
+            rng = _random.Random(10_000)
+            lo = list(string.ascii_lowercase)
+            up = list(string.ascii_uppercase)
+            dg = list(string.digits)
+            for chars in (lo, up, dg):
+                rng.shuffle(chars)
+            src = (
+                string.ascii_lowercase + string.ascii_uppercase
+                + string.digits
+            )
+            increment = base_docs.select(
+                (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"),
+                F.translate("text", src, "".join(lo + up + dg)).alias(
+                    "text"
+                ),
+            )
+            # fixed screen batch: copies of every 7th x1 doc — present
+            # in every frame, so the hit work is scale-honest
+            batch = base_docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + F.lit(600_000_000)).alias("doc_id"),
+                "text",
+            )
+
+            def mscreen(idx):
+                out = idx.screen(batch)
+                # checksum forces FULL evaluation (bare count() lets
+                # Catalyst prune the verify join)
+                return out.agg(
+                    F.sum(F.xxhash64(*out.columns)).alias("c")
+                ).collect()[0]["c"]
+
+            res = {}
+            for scale, df in mframes.items():
+                path = os.path.join(tmp, f"mhidx_{scale}")
+                t0 = time.time()
+                MinHashIndex.build(
+                    df, threshold=0.5, num_hashes=64, bands=32
+                ).save(path)
+                t_build = time.time() - t0
+                idx = MinHashIndex.load(spark, path)
+                t0 = time.time()
+                idx = idx.append(increment, path=path)
+                t_append = time.time() - t0
+                t0 = time.time()
+                mscreen(MinHashIndex.load(spark, path))
+                t_screen = time.time() - t0
+                res[scale] = {
+                    "build_save": round(t_build, 2),
+                    "append_1x": round(t_append, 2),
+                    "load_screen": round(t_screen, 2),
+                }
+                print(f"x100_minhash_index {scale}: {res[scale]}",
+                      file=sys.stderr)
+            results["x100_minhash_index"] = res
+
         # --- SemDeDup deployed-recipe probe (r9 second wave) ----------
         # The cluster-then-prune bound Sum|c|^2 holds only when k GROWS
         # with the corpus (similarity.py documents the recipe; the ANN
