@@ -808,3 +808,78 @@ def test_minhash_index_lifecycle_identity(spark, tmp_path):
     selfs = {(a, b) for a, b, j in with_self if a == b}
     assert selfs == {(d, d) for d in planted}
     assert [t for t in with_self if t[0] != t[1]] == without
+
+
+def test_index_compact_identity(spark, tmp_path):
+    """compact() (r12): after many small appends, both index classes
+    rewrite their saved tables into fewer right-sized files THROUGH the
+    Hadoop FS swap, and answer byte-identically afterwards — the
+    small-file repair for the daily-append loop."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import IvfPqIndex, MinHashIndex
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(docs_path):
+        pytest.skip(f"{docs_path} not present")
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    p = str(tmp_path / "mh")
+    idx = MinHashIndex.build(
+        docs.filter(F.col("doc_id") % 4 == 0), threshold=0.5,
+        num_hashes=64, bands=32,
+    )
+    idx.save(p)
+    # simulate a month of daily increments: many tiny appended file sets
+    for r in range(1, 4):
+        idx = idx.append(docs.filter(F.col("doc_id") % 4 == r), p)
+
+    def _files(sub):
+        d = os.path.join(p, sub)
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    before_files = len(_files("bands"))
+    before = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in MinHashIndex.load(spark, p).screen(batch).collect()
+    )
+    compacted = MinHashIndex.compact(spark, p)
+    assert len(_files("bands")) < before_files
+    assert len(_files("bands")) == 1 and len(_files("shingles")) == 1
+    after = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in compacted.screen(batch).collect()
+    )
+    assert after == before and len(after) > 0
+    # no swap debris left behind
+    assert not os.path.exists(p + "/bands__old")
+    assert not os.path.exists(p + "/bands__compacting")
+
+    # IvfPq sibling: appended codes compact to one file, identical topk
+    emb = _sf_embeddings(spark)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ep = str(tmp_path / "ivfpq")
+    aidx = IvfPqIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), dim=64, m=16, ksub=64,
+        ncells=8,
+    ).materialize()
+    aidx.save(ep)
+    aidx.append(emb.filter(F.col("vec_id") % 2 == 1), ep)
+    n_before = len(
+        [f for f in os.listdir(ep + "/codes") if f.endswith(".parquet")]
+    )
+    t_before = sorted(
+        map(tuple, IvfPqIndex.load(spark, ep).topk(q, k=10, nprobe=8).collect())
+    )
+    c = IvfPqIndex.compact(spark, ep)
+    n_after = len(
+        [f for f in os.listdir(ep + "/codes") if f.endswith(".parquet")]
+    )
+    assert n_after == 1 < n_before
+    assert sorted(map(tuple, c.topk(q, k=10, nprobe=8).collect())) == t_before

@@ -47,6 +47,37 @@ from pyspark.sql import functions as F
 from .similarity import per_query_topk, pq_train_codebooks
 
 
+def _compact_table(spark: SparkSession, path: str, rows_per_file: int) -> None:
+    """Rewrite one saved index table into right-sized files — the
+    small-file repair for append-heavy indexes (every ``append(path)``
+    lands one file set; a year of daily increments is ~365 tiny files
+    per table, the store-probe small-file cliff measured in SCALE.md).
+    Maintenance job, never inline with queries (readers between the
+    swap renames see a missing table).
+
+    Swap goes through the Hadoop FileSystem API (shared-FS safe) in a
+    RECOVERABLE order: current -> ``__old``, compacted tmp -> current,
+    delete ``__old`` — a crash mid-swap leaves the data in ``__old``
+    instead of deleted (delete-first would not)."""
+    df = spark.read.parquet(path)
+    n = max(1, -(-df.count() // rows_per_file))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    cur, tmp_p = hpath(path), hpath(tmp)
+    old = hpath(path.rstrip("/") + "__old")
+    fs = cur.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(old, True)  # stale leftover from a crashed prior swap
+    if not fs.rename(cur, old):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(tmp_p, cur):
+        raise IOError(
+            f"compact: swap failed; previous table preserved at {old}"
+        )
+    fs.delete(old, True)
+
+
 def _encode_cells_codes(
     corpus: DataFrame, books, C, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -213,6 +244,18 @@ class IvfPqIndex:
             self.codes.unionByName(fresh),
             self.dim, self.id_col, self.vec_col,
         )
+
+    @classmethod
+    def compact(
+        cls, spark: SparkSession, path: str, rows_per_file: int = 4_000_000
+    ) -> "IvfPqIndex":
+        """Rewrite the saved codes table into right-sized files after
+        many appends (codes are ~8 + 4*m bytes/row, so the default
+        packs ~300 MB files at m=16). Model sidecar untouched. Returns
+        the reloaded index; answers are byte-identical (pinned in
+        tests)."""
+        _compact_table(spark, path + "/codes", rows_per_file)
+        return cls.load(spark, path)
 
     # ------------------------------------------------------------- query
 
@@ -666,6 +709,23 @@ class MinHashIndex:
             self.spark, fb, fs, self.threshold, self.num_hashes,
             self.bands, self.shingle_n, self.text_col, self.id_col,
         )
+
+    @classmethod
+    def compact(
+        cls,
+        spark: SparkSession,
+        path: str,
+        bands_rows_per_file: int = 8_000_000,
+        shingle_rows_per_file: int = 1_000_000,
+    ) -> "MinHashIndex":
+        """Rewrite both saved tables into right-sized files after many
+        appends (bands rows are 3 longs; shingle rows carry the hash
+        array — hence the asymmetric defaults). Model sidecar
+        untouched. Returns the reloaded index; screen output is
+        byte-identical (pinned in tests)."""
+        _compact_table(spark, path + "/bands", bands_rows_per_file)
+        _compact_table(spark, path + "/shingles", shingle_rows_per_file)
+        return cls.load(spark, path)
 
     # ------------------------------------------------------------ screen
 
