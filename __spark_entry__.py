@@ -1419,6 +1419,86 @@ def q_doc_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_doc_streaming_history_dedup(spark, sf_dir):
+    """Streaming INCREMENTAL near-dup loop (r12 — the ingest-time
+    counterpart of curate --history-index): three micro-batches
+    (doc_id % 3, mtime-ordered single-file triggers) flow through
+    streaming/dedup.streaming_history_dedup_query — each batch screens
+    against the persistent MinHash index the PREVIOUS batches built
+    and registers its survivors (partitioned dynamic-overwrite writes:
+    crash-replay idempotent, no marker files). Batches 1 and 2 also
+    carry planted re-submissions (exact copies, new ids) of half the
+    prior batch's docs. Oracle: the acceptance recursion unrolled in
+    SQL — acc1 = b1 originals with no true-Jaccard >= 0.5 match in b0;
+    acc2 = b2 originals with no match in b0 ∪ acc1; every copy is
+    dropped BY ARGUMENT (a copy of an accepted doc matches it at
+    j = 1.0 — identical signatures, certain detection; a copy of a
+    REJECTED doc matches whatever its original matched, at the same
+    j >= 0.5 — measured natural cross-pairs sit at j >= 0.8, miss
+    P ~ 6e-15 with bands=32). Value-exact: the shipped
+    (doc_id, content_md5) set must equal the unrolled recursion's.
+    Corpus restricted to doc_id % 5 == 0: the oracle's unrolled
+    NOT EXISTS is quadratic in batch size (8.3M list-intersects at
+    full sf0.1, ~220 s of DuckDB per sweep); the fifth keeps every
+    structural property (3 batches, copies, bootstrap + 2
+    screen/register rounds) at 1/25th the oracle cost."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from timely_spark.streaming.dedup import streaming_history_dedup_query
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    srcdir = tempfile.mkdtemp(prefix="timely_histdedup_src_")
+
+    def _one_file(df, tag, mtime):
+        # the file-source gotcha: a Spark-WRITTEN directory sits as an
+        # unlisted subdir and feeds zero rows — land each batch as one
+        # FILE with a pinned mtime (FileStreamSource orders by it)
+        d = tempfile.mkdtemp(prefix="timely_histdedup_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(srcdir, f"{tag}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(d, ignore_errors=True)
+        os.utime(dst, (mtime, mtime))
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    copies1 = b0.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    copies2 = b1.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    t0 = 1_700_000_000
+    _one_file(b0, "b0", t0)
+    _one_file(b1.unionByName(copies1), "b1", t0 + 10)
+    _one_file(b2.unionByName(copies2), "b2", t0 + 20)
+    idx = tempfile.mkdtemp(prefix="timely_histdedup_idx_")
+    shutil.rmtree(idx)  # the query bootstraps it fresh
+    out = tempfile.mkdtemp(prefix="timely_histdedup_out_")
+    ck = tempfile.mkdtemp(prefix="timely_histdedup_ck_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcdir)
+    )
+    q = streaming_history_dedup_query(
+        stream, idx, out, ck, threshold=0.5, num_hashes=64, bands=32
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+
+
 def q_doc_bpe_encode(spark, sf_dir):
     """Real BPE tokenization (Sennrich 2016): merge table trained on a
     deterministic hash-ordered 128-doc sample (tokenizer training is a
@@ -3714,11 +3794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_global_shuffle's slot (green r5-r6, plan unchanged, its
         # two-phase rank is value-pinned by the plain-window oracle and
         # still swept + bench-gated)
-        # new r10: vocabulary coverage curve (first driver evidence) —
-        # takes doc_substring_dedup's slot (driver-green r6-r9, plan
-        # unchanged this round, its sibling doc_substring_rewrite stays
-        # in-prefix, still swept at both scales + bench-gated)
-        "doc_vocab_coverage": q_doc_vocab_coverage,
+        # new r12: streaming incremental near-dup loop (each micro-batch
+        # screens against the persistent MinHash index the previous
+        # batches built; unrolled-recursion oracle) — takes
+        # doc_vocab_coverage's slot (driver-green r10..r11, stable
+        # column-expression plan, tokenizer-budget family still swept
+        # at both scales + bench-gated)
+        "doc_streaming_history_dedup": q_doc_streaming_history_dedup,
         # new r6: stride-1 substring REWRITE (oracle: byte-exact md5) —
         # takes doc_token_budget's slot (green r5-r6, plan unchanged,
         # hypothesis-modeled, still swept + bench-gated)
@@ -3820,6 +3902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged this round; still swept at both scales +
         # bench-gated
         "doc_text_embedding": q_doc_text_embedding,
+        # rotated to tail r12 (displaced by doc_streaming_history_dedup):
+        # vocabulary coverage curve, driver-green r10..r11, plan
+        # unchanged this round; still swept at both scales + bench-gated
+        "doc_vocab_coverage": q_doc_vocab_coverage,
         # rotated to tail r12 (displaced by doc_minhash_restored): BM25
         # probe-query scoring, driver-green r9..r11, plan unchanged
         # this round, retrieval family evidenced in-prefix by
@@ -4616,6 +4702,36 @@ pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
   FROM sh a CROSS JOIN bat b)
 SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs WHERE j >= 0.5""",
+        # doc_streaming_history_dedup: the acceptance recursion
+        # unrolled — batch k's originals ship iff no true-Jaccard >=
+        # 0.5 match among the EARLIER batches' accepted originals;
+        # planted copies never ship (each matches its original's fate
+        # at the same j — see the row docstring's argument)
+        "doc_streaming_history_dedup": f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents
+             WHERE doc_id % 5 = 0),
+sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+       THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' ')))
+       ELSE [array_to_string(t, ' ')] END AS s FROM tok),
+b0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 0),
+b1 AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 1),
+b2 AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 = 2),
+acc1 AS (SELECT a.doc_id, a.s FROM b1 a WHERE NOT EXISTS (
+  SELECT 1 FROM b0 y WHERE
+    CAST(len(list_intersect(a.s, y.s)) AS DOUBLE)
+      / CAST(len(a.s) + len(y.s) - len(list_intersect(a.s, y.s)) AS DOUBLE)
+    >= 0.5)),
+acc01 AS (SELECT doc_id, s FROM b0 UNION ALL SELECT doc_id, s FROM acc1),
+acc2 AS (SELECT a.doc_id FROM b2 a WHERE NOT EXISTS (
+  SELECT 1 FROM acc01 y WHERE
+    CAST(len(list_intersect(a.s, y.s)) AS DOUBLE)
+      / CAST(len(a.s) + len(y.s) - len(list_intersect(a.s, y.s)) AS DOUBLE)
+    >= 0.5)),
+acc AS (SELECT doc_id FROM b0 UNION ALL SELECT doc_id FROM acc1
+        UNION ALL SELECT doc_id FROM acc2)
+SELECT d.doc_id, md5(d.text) AS content_md5
+FROM documents d JOIN acc USING (doc_id) WHERE d.doc_id % 5 = 0""",
         # ANN bounded verdicts (the HLL-row pattern): Spark computes both
         # the ANN answer and the exact top-k in one plan and emits a
         # recall-floor boolean; the oracle pins it TRUE — sub-floor

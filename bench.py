@@ -204,6 +204,16 @@ BENCH_EXEMPT = {
     # same engine plan, timed through the real watermarked stream drain
     # (bench_streaming_summarize) rather than a batch collect
     "ts_streaming_summarize",
+    # r12: the row is a 3-trigger foreachBatch FIXTURE whose wall is
+    # ~30 s of scale-independent trigger/write machinery (measured
+    # 34.9 s at sf0.01 vs 55.3 s at sf0.1, oracle included) — exactly
+    # the host-noise class the r11 streaming re-baselines documented.
+    # Its data-dependent costs are already gated: the index
+    # sign/screen/append path under doc_minhash_restored, the
+    # streaming drain under ts_streaming_rate / doc_streaming_dedup /
+    # events_streaming_heavy_hitters. A gate here would be the suite's
+    # largest and noisiest without measuring anything new.
+    "doc_streaming_history_dedup",
 }
 
 

@@ -563,6 +563,9 @@ PLAN_CHANGED_THIS_ROUND = {
     # r12 new row: persistent lexical MinHash index (build/save/load/
     # append/screen, exhaustive cross-Jaccard oracle)
     "doc_minhash_restored",
+    # r12 new row: streaming incremental near-dup loop (persistent
+    # index maintained by foreachBatch; unrolled-recursion oracle)
+    "doc_streaming_history_dedup",
     # r12: semantic_decontaminate_blocked delegates its benchmark-side
     # build to ann_index.DeconIndex (same plan; listed conservatively)
     "doc_semantic_decontaminate_blocked",

@@ -1099,3 +1099,120 @@ def test_state_store_knob_lands_in_checkpoint(spark, tmp_path):
     assert (
         meta["conf"][_PROVIDER_KEY] == ROCKSDB_PROVIDER
     ), meta["conf"]
+
+
+def test_streaming_history_dedup_incremental_index(spark, tmp_path):
+    """Incremental NEAR-dup ingest loop (r12): each micro-batch screens
+    against the persisted MinHash index and registers its survivors —
+    a later batch's re-submission of an accepted text (new doc_id) is
+    dropped; the index the stream maintains is readable by the batch
+    tooling (MinHashIndex.load/screen); a crash-replay of the last
+    batch is byte-idempotent (partitioned dynamic overwrite, no marker
+    files); fold-compaction collapses committed partitions without
+    changing answers or breaking later batches; mismatched restart
+    params fail loudly."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from timely_spark.operators.ann_index import MinHashIndex
+    from timely_spark.streaming.dedup import (
+        compact_history_index,
+        register_screen_batch,
+        streaming_history_dedup_query,
+    )
+
+    def text(i):
+        return " ".join(f"w{i}q{k}" for k in range(30))
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = [
+        [{"doc_id": i, "text": text(i)} for i in range(1, 6)],
+        [{"doc_id": 10 + i, "text": text(100 + i)} for i in range(3)]
+        + [{"doc_id": 21, "text": text(2)}],      # re-submission of doc 2
+        [{"doc_id": 31, "text": text(101)},       # re-submission of doc 11
+         {"doc_id": 32, "text": text(200)}],
+    ]
+    for n, rows in enumerate(batches):
+        p = src / f"b{n}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (1_700_000_000 + n, 1_700_000_000 + n))
+
+    idx = str(tmp_path / "hist_idx")
+    out = str(tmp_path / "accepted")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = streaming_history_dedup_query(
+        stream, idx, out, str(tmp_path / "ckpt"), threshold=0.5,
+        num_hashes=64, bands=32,
+    )
+    q.awaitTermination(180)
+    shipped = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert shipped == {1, 2, 3, 4, 5, 10, 11, 12, 32}
+    # batch tooling reads the stream-maintained index: a probe copying
+    # an accepted doc hits it
+    probe = spark.createDataFrame(
+        [(900, text(200)), (901, text(999))], "doc_id long, text string"
+    )
+    hits = MinHashIndex.load(spark, idx).screen(probe)
+    assert {r.id_b for r in hits.collect()} == {900}
+
+    def _counts():
+        return (
+            spark.read.parquet(out).count(),
+            spark.read.parquet(idx + "/bands").count(),
+            spark.read.parquet(idx + "/shingles").count(),
+        )
+
+    # crash-replay of the LAST batch: foreachBatch re-delivers batch 2
+    before = _counts()
+    replay = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in batches[2]],
+        "doc_id long, text string",
+    )
+    register_screen_batch(
+        replay, 2, index_path=idx, out_path=out, threshold=0.5,
+        num_hashes=64, bands=32,
+    )
+    assert _counts() == before
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == shipped
+
+    # fold-compaction: committed partitions collapse into __batch=-1,
+    # the newest (replayable) partition survives, answers unchanged
+    pre = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in MinHashIndex.load(spark, idx).screen(probe).collect()
+    )
+    compact_history_index(spark, idx)
+    parts = {
+        d for d in os.listdir(idx + "/bands") if d.startswith("__batch=")
+    }
+    assert parts == {"__batch=-1", "__batch=2"}
+    post = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in MinHashIndex.load(spark, idx).screen(probe).collect()
+    )
+    assert post == pre
+    # the stream resumes cleanly on the folded layout: a new batch with
+    # one re-submission and one new doc
+    nxt = spark.createDataFrame(
+        [(41, text(3)), (42, text(300))], "doc_id long, text string"
+    )
+    register_screen_batch(
+        nxt, 3, index_path=idx, out_path=out, threshold=0.5,
+        num_hashes=64, bands=32,
+    )
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == (
+        shipped | {42}
+    )
+    # restart with different params: loud error, never a quiet override
+    with _pytest.raises(ValueError, match="index params"):
+        register_screen_batch(
+            nxt, 4, index_path=idx, out_path=out, threshold=0.9,
+            num_hashes=64, bands=32,
+        )

@@ -722,7 +722,12 @@ class MinHashIndex:
         appends (bands rows are 3 longs; shingle rows carry the hash
         array — hence the asymmetric defaults). Model sidecar
         untouched. Returns the reloaded index; screen output is
-        byte-identical (pinned in tests)."""
+        byte-identical (pinned in tests).
+
+        NOT for a STREAMING-maintained index (``__batch``-partitioned
+        layout): the unpartitioned rewrite followed by a partitioned
+        batch write is a conflicting directory layout. Use
+        ``streaming.dedup.compact_history_index`` there."""
         _compact_table(spark, path + "/bands", bands_rows_per_file)
         _compact_table(spark, path + "/shingles", shingle_rows_per_file)
         return cls.load(spark, path)
