@@ -1183,3 +1183,62 @@ def test_snapshot_diff_matches_python_model(spark, old, new):
         else:
             want[i] = "changed"
     assert got == want
+
+
+# ------------------------------------------------- persistent minhash index
+
+# small alphabet + short docs => high natural collision rate, so random
+# corpora genuinely exercise near-dup pairs across the split
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=14),
+    split_bits=st.integers(min_value=0, max_value=2**14 - 1),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_index_screen_matches_union_dedup(
+    spark, tmp_path_factory, texts, split_bits, threshold
+):
+    """MinHashIndex.screen == minhash_dedup(corpus ∪ batch) restricted
+    to cross pairs, for ARBITRARY corpora and splits — the identity the
+    registry row pins on planted data, generalized: same banding, same
+    verify join, byte-identical jaccard, through a save/load round
+    trip. Docs assigned to the batch side by the random split mask;
+    ids disjoint by construction."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import MinHashIndex
+    from timely_spark.operators.dedup import minhash_dedup
+
+    corpus_rows, batch_rows = [], []
+    for i, t in enumerate(texts):
+        if (split_bits >> i) & 1:
+            batch_rows.append((1000 + i, t))
+        else:
+            corpus_rows.append((i, t))
+    if not corpus_rows or not batch_rows:
+        return
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    p = str(tmp_path_factory.mktemp("mh_prop"))
+    MinHashIndex.build(
+        corpus, threshold=threshold, num_hashes=32, bands=16
+    ).save(p)
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in MinHashIndex.load(spark, p).screen(batch).collect()
+    )
+    union = corpus.unionByName(batch)
+    want = sorted(
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b), round(r.jaccard, 9))
+        for r in minhash_dedup(
+            union, threshold=threshold, num_hashes=32, bands=16
+        )
+        .filter((F.col("id_a") < 1000) != (F.col("id_b") < 1000))
+        .collect()
+    )
+    assert got == want
