@@ -1564,15 +1564,48 @@ def test_curate_cli_history_index(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "out3")).collect()}
     assert back3 == {401}
 
+    # day 4 with --history-compact: append then rewrite the index
+    # tables into single right-sized files; the compacted index still
+    # screens (a copy of the day-4 doc is caught by a direct screen)
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import MinHashIndex
+
+    day4 = _docs([(500, _text(500))], 4)
+    s4 = curate(
+        spark, day4, str(tmp_path / "out_c"), seq_len=128, min_p_keep=0.0,
+        history_index=idx_path, history_compact=True,
+    )
+    assert "history_compact" in s4["stage_wall_s"]
+    local_idx = str(tmp_path / "history_idx")
+    for sub in ("bands", "shingles"):
+        import os as _os
+
+        files = [
+            f for f in _os.listdir(_os.path.join(local_idx, sub))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (sub, files)
+    probe = spark.createDataFrame(
+        [(600, _text(500))], ["doc_id", "text"]
+    ).withColumn("doc_id", F.col("doc_id").cast("long"))
+    hits = MinHashIndex.load(spark, idx_path).screen(probe)
+    assert {r.id_b for r in hits.collect()} == {600}
+
     # threshold mismatch on an existing index: loud error
     with _pytest.raises(ValueError, match="history-threshold"):
         curate(
             spark, day3, str(tmp_path / "out4"), seq_len=128,
             min_p_keep=0.0, history_index=idx_path, history_threshold=0.5,
         )
-    # paired-flag rule: threshold without index fails loudly
+    # paired-flag rule: threshold/compact without index fail loudly
     with _pytest.raises(ValueError, match="requires --history-index"):
         curate(
             spark, day3, str(tmp_path / "out5"), seq_len=128,
             min_p_keep=0.0, history_threshold=0.5,
+        )
+    with _pytest.raises(ValueError, match="requires --history-index"):
+        curate(
+            spark, day3, str(tmp_path / "out6"), seq_len=128,
+            min_p_keep=0.0, history_compact=True,
         )
