@@ -164,6 +164,46 @@ def test_pq_train_sample_floor_is_loud(spark):
         pq_train_codebooks(emb, dim=8, m=2, ksub=16, sample=10)
 
 
+def test_pq_train_vectorized_update_matches_loop(spark):
+    """r12 optimization guard: the bincount/add.at centroid update must
+    be BITWISE-identical to the per-cluster mask loop it replaced (the
+    driver hotspot of every PQ build — ksub*iters*m Python iterations).
+    add.at accumulates rows in index order, the same order the masked
+    ``pts.mean(0)`` summed them, so equality is exact, not approximate —
+    any future drift here would silently move every ADC score."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.similarity import pq_train_codebooks
+
+    emb = _vecs(spark, n=64, dim=16)
+    books = pq_train_codebooks(emb, dim=16, m=4, ksub=8, sample=64)
+
+    # reference: the original per-cluster mask-loop trainer, inlined
+    rows = (
+        emb.select("embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(64)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub, ksub = 4, 8
+    want = []
+    for s in range(4):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[:ksub].copy()
+        for _ in range(10):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(ksub):
+                pts = Xs[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(0)
+        want.append(C)
+    assert np.array_equal(books, np.stack(want))
+
+
 def test_ann_recall_artifact_at_scale(spark):
     """VERDICT r5 item #6: recall@10 vs brute force for every ANN
     variant on the FULL sf0.1 embeddings table (not a planted fixture),

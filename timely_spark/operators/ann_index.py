@@ -279,31 +279,42 @@ class IvfPqIndex:
         neighbors)."""
         import numpy as np
 
-        m, dsub, ksub = self.m, self.dsub, self.ksub
+        m, dsub = self.m, self.dsub
         C = self.centroids
         lut_rows = []
         for r in queries.select(F.col(query_id_col), F.col(self.vec_col)).collect():
             qv = np.asarray(r[self.vec_col], dtype=np.float64)
             qv /= max(float(np.linalg.norm(qv)), 1e-12)
             probes = np.argsort(-(C @ qv))[:nprobe]
+            # r12: vectorized LUT build (one matvec per subspace replaces
+            # ksub np.dot calls — m*ksub interpreted rounds per query was
+            # the measured driver cost of every topk call); the per-entry
+            # Python round(.., 9) is kept, and the rounded LUTs are
+            # verified identical to the dot-loop's on the real sf0.01 +
+            # sf0.1 embeddings (205k entries, zero mismatches).
             luts = [
                 [
-                    round(
-                        float(
-                            np.dot(qv[s * dsub : (s + 1) * dsub], self.books[s][j])
-                        ),
-                        9,
-                    )
-                    for j in range(ksub)
+                    round(float(v), 9)
+                    for v in self.books[s] @ qv[s * dsub : (s + 1) * dsub]
                 ]
                 for s in range(m)
             ]
-            for cell in probes:
-                lut_rows.append((r[query_id_col], int(cell), luts))
+            lut_rows.append(
+                (r[query_id_col], [int(c) for c in probes], luts)
+            )
+        # ONE row per query shipped (cells as an array, exploded JVM-side
+        # inside the broadcast build) — the old shape duplicated each
+        # query's m*ksub LUT nprobe times through Py4J, 16x the bytes at
+        # the registry operating point (r12 measured driver cost).
         qdf = F.broadcast(
             self.spark.createDataFrame(
                 lut_rows,
-                f"{query_id_col} long, cell_id long, luts array<array<double>>",
+                f"{query_id_col} long, __cells array<long>, "
+                "luts array<array<double>>",
+            ).select(
+                F.col(query_id_col),
+                F.explode("__cells").alias("cell_id"),
+                F.col("luts"),
             )
         )
         scored = self.codes.join(qdf, "cell_id")
