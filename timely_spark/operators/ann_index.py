@@ -180,38 +180,45 @@ class IvfPqIndex:
 
     def save(self, path: str) -> None:
         """Codes -> ``path/codes`` (Parquet, overwrite); model ->
-        ``path/model`` (one-row Parquet sidecar). Everything goes
-        through the Spark writer — shared-filesystem safe, and the
-        existence/merge semantics stay with the FS that owns the path
-        (the store-existence-probe lesson, BASELINE.md)."""
+        ``path/model.json`` (driver-side JSON sidecar through the
+        Hadoop FS API — r12: the one-row-parquet sidecar cost a full
+        Spark job on each side of the lifecycle for a handful of
+        parameters; the JSON file keeps the same shared-FS semantics
+        at zero jobs, see ``fsutil``)."""
+        from ..fsutil import sidecar_delete, sidecar_write_json
+
         self.codes.write.mode("overwrite").parquet(path + "/codes")
-        model = self.spark.createDataFrame(
-            [
-                (
-                    int(self.dim),
-                    int(self.m),
-                    int(self.ksub),
-                    int(self.ncells),
-                    self.id_col,
-                    self.vec_col,
-                    [[list(map(float, c)) for c in b] for b in self.books],
-                    [list(map(float, c)) for c in self.centroids],
-                )
-            ],
-            "dim int, m int, ksub int, ncells int, id_col string, "
-            "vec_col string, codebooks array<array<array<double>>>, "
-            "centroids array<array<double>>",
+        sidecar_write_json(
+            self.spark,
+            path + "/model.json",
+            {
+                "dim": int(self.dim),
+                "m": int(self.m),
+                "ksub": int(self.ksub),
+                "ncells": int(self.ncells),
+                "id_col": self.id_col,
+                "vec_col": self.vec_col,
+                "codebooks": [
+                    [list(map(float, c)) for c in b] for b in self.books
+                ],
+                "centroids": [list(map(float, c)) for c in self.centroids],
+            },
         )
-        model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
+        sidecar_delete(self.spark, path + "/model")  # pre-r12 layout
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfPqIndex":
         """Re-open a saved index: the codes table stays a lazy Parquet
-        scan (corpus-sized data never touches the driver); only the
-        one-row model sidecar collects."""
+        scan (corpus-sized data never touches the driver); the model
+        sidecar is a driver-side JSON read (pre-r12 one-row-parquet
+        sidecars still load via the fallback)."""
         import numpy as np
 
-        row = spark.read.parquet(path + "/model").collect()[0]
+        from ..fsutil import sidecar_read_json
+
+        row = sidecar_read_json(spark, path + "/model.json")
+        if row is None:  # pre-r12 layout
+            row = spark.read.parquet(path + "/model").collect()[0]
         books = np.array(row["codebooks"], dtype=np.float64)
         C = np.array(row["centroids"], dtype=np.float64)
         codes = spark.read.parquet(path + "/codes")
@@ -459,34 +466,34 @@ class DeconIndex:
 
     def save(self, path: str) -> None:
         """Cells table -> ``path/cells``; centroids/radii/params ->
-        ``path/model`` one-row sidecar. Spark writer throughout
-        (shared-FS safe). An EMPTY index saves a model row with
-        ncells=0 and no cells table — restore reproduces the
-        nothing-can-contaminate behavior."""
+        ``path/model.json`` (driver-side JSON sidecar via the Hadoop FS
+        API — r12 zero-job sidecar, see ``fsutil``). An EMPTY index
+        saves a model with ncells=0 and no cells table — restore
+        reproduces the nothing-can-contaminate behavior."""
         import json as _json
+
+        from ..fsutil import sidecar_delete, sidecar_write_json
 
         if not self.empty:
             self.cells.write.mode("overwrite").parquet(path + "/cells")
-        model = self.spark.createDataFrame(
-            [
-                (
-                    float(self.threshold),
-                    int(self.dim),
-                    self.text_col,
-                    self.id_col,
-                    0 if self.empty else len(self.cent),
-                    (
-                        []
-                        if self.empty
-                        else [list(map(float, c)) for c in self.cent]
-                    ),
-                    _json.dumps(self.radii),
-                )
-            ],
-            "threshold double, dim int, text_col string, id_col string, "
-            "ncells int, centroids array<array<double>>, radii string",
+        sidecar_write_json(
+            self.spark,
+            path + "/model.json",
+            {
+                "threshold": float(self.threshold),
+                "dim": int(self.dim),
+                "text_col": self.text_col,
+                "id_col": self.id_col,
+                "ncells": 0 if self.empty else len(self.cent),
+                "centroids": (
+                    []
+                    if self.empty
+                    else [list(map(float, c)) for c in self.cent]
+                ),
+                "radii": _json.dumps(self.radii),
+            },
         )
-        model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
+        sidecar_delete(self.spark, path + "/model")  # pre-r12 layout
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "DeconIndex":
@@ -494,7 +501,11 @@ class DeconIndex:
 
         import numpy as np
 
-        row = spark.read.parquet(path + "/model").collect()[0]
+        from ..fsutil import sidecar_read_json
+
+        row = sidecar_read_json(spark, path + "/model.json")
+        if row is None:  # pre-r12 layout
+            row = spark.read.parquet(path + "/model").collect()[0]
         if row["ncells"] == 0:
             return cls(
                 spark, None, {}, None, row["threshold"], row["dim"],
@@ -626,57 +637,111 @@ class MinHashIndex:
         text_col: str = "text",
         id_col: str = "doc_id",
     ) -> "MinHashIndex":
-        from .dedup import _shingle_hashes, minhash_bands
+        from .dedup import _shingle_hashes, minhash_bands_from_shingles
 
-        bdf = minhash_bands(
-            corpus, text_col, id_col, num_hashes, bands, shingle_n
-        )
+        # ONE text derivation (r12): the shingle-hash relation is the
+        # index's verify side AND the sufficient input for the banding
+        # relation (signature = mins over the same hashes), so bands
+        # derive FROM the shingles frame instead of re-running the
+        # tokenize/shingle pass — materialize() then pays the text pass
+        # exactly once for the whole lifecycle.
         sh = corpus.select(
             F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh")
         )
-        return cls(
+        bdf = minhash_bands_from_shingles(sh, id_col, num_hashes, bands)
+        idx = cls(
             corpus.sparkSession, bdf, sh, threshold, num_hashes, bands,
             shingle_n, text_col, id_col,
         )
+        idx._bands_derive_from_shingles = True
+        return idx
 
     def materialize(self) -> "MinHashIndex":
         """Pin both derived relations (eager localCheckpoint — lineage
         truncated) so save() plus any number of screen() calls pay the
-        tokenize/shingle/sign pass exactly once."""
-        self.bands_df = self.bands_df.localCheckpoint(eager=True)
+        tokenize/shingle/sign pass exactly once. When bands derive from
+        shingles (a :meth:`build` index), the shingles checkpoint runs
+        FIRST and bands re-derive from it — the banding aggregation then
+        reads pinned hash arrays instead of re-tokenizing the corpus
+        (r12: was two full text passes, now one)."""
+        from .dedup import minhash_bands_from_shingles
+
         self.shingles = self.shingles.localCheckpoint(eager=True)
+        if getattr(self, "_bands_derive_from_shingles", False):
+            self.bands_df = minhash_bands_from_shingles(
+                self.shingles, self.id_col, self.num_hashes, self.bands
+            )
+        self.bands_df = self.bands_df.localCheckpoint(eager=True)
         return self
 
     # ----------------------------------------------------------- persist
 
     def save(self, path: str) -> None:
         """bands -> ``path/bands``, shingles -> ``path/shingles``
-        (Parquet, overwrite); params -> ``path/model`` one-row sidecar.
-        Spark writer throughout (shared-FS safe)."""
+        (Parquet, overwrite); params -> ``path/model.json``
+        (driver-side JSON sidecar via the Hadoop FS API — r12 zero-job
+        sidecar, see ``fsutil``)."""
+        from ..fsutil import sidecar_delete, sidecar_write_json
+
         self.bands_df.write.mode("overwrite").parquet(path + "/bands")
         self.shingles.write.mode("overwrite").parquet(path + "/shingles")
-        model = self.spark.createDataFrame(
-            [
-                (
-                    float(self.threshold),
-                    int(self.num_hashes),
-                    int(self.bands),
-                    int(self.shingle_n),
-                    self.text_col,
-                    self.id_col,
-                )
-            ],
-            "threshold double, num_hashes int, bands int, shingle_n int, "
-            "text_col string, id_col string",
-        )
-        model.coalesce(1).write.mode("overwrite").parquet(path + "/model")
+        sidecar_write_json(self.spark, path + "/model.json", self._params())
+        sidecar_delete(self.spark, path + "/model")  # pre-r12 layout
+
+    def _params(self) -> dict:
+        return {
+            "threshold": float(self.threshold),
+            "num_hashes": int(self.num_hashes),
+            "bands": int(self.bands),
+            "shingle_n": int(self.shingle_n),
+            "text_col": self.text_col,
+            "id_col": self.id_col,
+        }
+
+    @classmethod
+    def _read_params(cls, spark: SparkSession, path: str) -> dict | None:
+        """The model sidecar as a dict (JSON first, pre-r12 one-row
+        parquet as fallback); ``None`` when neither exists — shared by
+        :meth:`load` and the streaming history-dedup loop's per-batch
+        params check (which this turns from a Spark job into a driver
+        file read)."""
+        from ..fsutil import sidecar_read_json
+
+        row = sidecar_read_json(spark, path + "/model.json")
+        if row is not None:
+            return row
+        from ..session import error_condition
+
+        try:
+            prow = spark.read.parquet(path + "/model").collect()[0]
+        except Exception as e:  # missing either way -> None
+            first = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            msg = str(e)
+            if not (
+                error_condition(e).startswith(first)
+                or "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                raise
+            return None
+        return {k: prow[k] for k in prow.__fields__}
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MinHashIndex":
         """Re-open: both relations stay lazy Parquet scans (corpus-sized
-        data never touches the driver); only the one-row sidecar
-        collects."""
-        row = spark.read.parquet(path + "/model").collect()[0]
+        data never touches the driver); the model sidecar is a
+        driver-side JSON read."""
+        row = cls._read_params(spark, path)
+        if row is None:
+            # message carries the "Path does not exist" marker the
+            # existence-probe callers (curate bootstrap) match on — the
+            # same contract the parquet reader's PATH_NOT_FOUND gave
+            # them before the sidecar moved off parquet (r12)
+            raise FileNotFoundError(
+                f"Path does not exist: {path}/model.json "
+                "(no index model sidecar)"
+            )
         return cls(
             spark,
             spark.read.parquet(path + "/bands"),
@@ -698,15 +763,20 @@ class MinHashIndex:
         returned index unions in-session. No frozen-model caveat: the
         hash 'permutations' are constants, so append == full rebuild,
         byte-identically (pinned in tests)."""
-        from .dedup import _shingle_hashes, minhash_bands
+        from .dedup import _shingle_hashes, minhash_bands_from_shingles
 
-        fb = minhash_bands(
-            new_docs, self.text_col, self.id_col, self.num_hashes,
-            self.bands, self.shingle_n,
-        )
         fs = new_docs.select(
             F.col(self.id_col),
             _shingle_hashes(self.text_col, self.shingle_n).alias("sh"),
+        )
+        if path is not None:
+            # pin the batch's shingle hashes once (r12): both appended
+            # tables derive from them, so the tokenize/shingle pass runs
+            # once per increment instead of once per table — the
+            # daily-increment cost this verb exists to bound
+            fs = fs.localCheckpoint(eager=True)
+        fb = minhash_bands_from_shingles(
+            fs, self.id_col, self.num_hashes, self.bands
         )
         if path is not None:
             fb.write.mode("append").parquet(path + "/bands")

@@ -153,9 +153,26 @@ def minhash_signature(
     nested-higher-order-function formulation falls out of whole-stage
     codegen and is ~100x slower.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(_shingle_hashes(text_col, shingle_n)).alias("__h")
+    sh = df.select(
+        F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh")
     )
+    return minhash_signature_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_signature_from_shingles(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    sh_col: str = "sh",
+) -> DataFrame:
+    """:func:`minhash_signature` over a PRECOMPUTED (id, shingle-hash
+    array) relation (r12): the signature is a pure function of the
+    distinct shingle hashes, so a caller that already holds them — the
+    persistent ``MinHashIndex``, whose shingles table is saved anyway
+    for the verify join — derives the banding relation WITHOUT paying
+    the tokenize/shingle pass a second time. Values are identical to
+    the text-side entry point (the explode sees the same array)."""
+    exploded = sh_df.select(F.col(id_col), F.explode(sh_col).alias("__h"))
     aggs = []
     for i in range(num_hashes):
         a, b = _perm_consts(i)
@@ -183,8 +200,28 @@ def minhash_bands(
     saved bands table collides with a fresh batch's bands iff the
     one-session self-join would have — the restored-index identity is
     structural, not re-derived."""
-    rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    return _bands_from_signature(sigs, id_col, num_hashes, bands)
+
+
+def minhash_bands_from_shingles(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    sh_col: str = "sh",
+) -> DataFrame:
+    """:func:`minhash_bands` over a precomputed shingle-hash relation
+    (r12) — same (id, band, bucket) contract, one less corpus text
+    pass for callers that persist their shingles anyway."""
+    sigs = minhash_signature_from_shingles(sh_df, id_col, num_hashes, sh_col)
+    return _bands_from_signature(sigs, id_col, num_hashes, bands)
+
+
+def _bands_from_signature(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    rows = num_hashes // bands
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     return sigs.select(
         F.col(id_col),

@@ -225,61 +225,76 @@ class HotCache:
     def archive(self, path: str) -> None:
         """Persist the pinned window + boundary/eviction metadata (the
         S10 HDFS cache archive, GorillaStore.java:165-213) so a restart
-        re-pins without replaying ingest. Everything goes through the
-        Spark writer — shared-filesystem safe (hdfs://, s3a://); the
-        metadata rides a one-row parquet sidecar, not a driver-local
-        file (the store-existence-probe lesson, BASELINE.md)."""
+        re-pins without replaying ingest. The window goes through the
+        Spark writer; the metadata rides a JSON sidecar written via the
+        Hadoop FS API — both land on the filesystem that owns the path
+        (file://, hdfs://, s3a://), never on a driver-local disk (the
+        store-existence-probe lesson, BASELINE.md; r12 moved the
+        sidecar off the one-row-parquet Spark job, see ``fsutil``)."""
         if self._df is None or self._cut is None:
             raise ValueError("nothing to archive: refresh() first")
-        self._df.write.mode("overwrite").parquet(path)
-        import json as _json
+        from ..fsutil import sidecar_delete, sidecar_write_json
 
-        meta = self.spark.createDataFrame(
-            [
-                (
-                    int(self._cut),
-                    int(self._newest),
-                    _json.dumps(self._evicted),
-                    _json.dumps(self.non_cached_metrics),
-                    int(self.window_ms),
-                    (
-                        None
-                        if self.max_unique_tag_sets is None
-                        else int(self.max_unique_tag_sets)
-                    ),
-                )
-            ],
-            "cut long, newest long, evicted string, non_cached string, "
-            "window_ms long, max_unique_tag_sets long",
+        self._df.write.mode("overwrite").parquet(path)
+        sidecar_write_json(
+            self.spark,
+            path + "_meta.json",
+            {
+                "cut": int(self._cut),
+                "newest": int(self._newest),
+                "evicted": list(self._evicted),
+                "non_cached": list(self.non_cached_metrics),
+                "window_ms": int(self.window_ms),
+                "max_unique_tag_sets": (
+                    None
+                    if self.max_unique_tag_sets is None
+                    else int(self.max_unique_tag_sets)
+                ),
+            },
         )
-        meta.coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+        sidecar_delete(self.spark, path + "_meta")  # pre-r12 layout
 
     def restore(self, path: str) -> None:
         """Re-pin an archived window in this (possibly fresh) session:
         the restart path. The restored cache carries the archived
         boundary, eviction list and admission config, so hybrid() seams
-        exactly as before the restart."""
+        exactly as before the restart. The metadata sidecar is a
+        driver-side JSON read (r12 zero-job sidecar, see ``fsutil``);
+        pre-r12 one-row-parquet sidecars still restore via the
+        fallback."""
         import json as _json
 
-        meta = self.spark.read.parquet(path + "_meta").collect()[0]
+        from ..fsutil import sidecar_read_json
+
+        meta = sidecar_read_json(self.spark, path + "_meta.json")
+        if meta is None:  # pre-r12 layout
+            row = self.spark.read.parquet(path + "_meta").collect()[0]
+            meta = {
+                "cut": row["cut"],
+                "newest": row["newest"],
+                "evicted": _json.loads(row["evicted"]),
+                "non_cached": _json.loads(row["non_cached"]),
+                "window_ms": row["window_ms"],
+                "max_unique_tag_sets": (
+                    row["max_unique_tag_sets"]
+                    if "max_unique_tag_sets" in row.__fields__
+                    else None
+                ),
+            }
         if self._df is not None:
             self._df.unpersist()
         self._df = self.spark.read.parquet(path).cache()
         self._cut = int(meta["cut"])
         self._newest = int(meta["newest"])
-        self._evicted = _json.loads(meta["evicted"])
-        self.non_cached_metrics = _json.loads(meta["non_cached"])
+        self._evicted = list(meta["evicted"])
+        self.non_cached_metrics = list(meta["non_cached"])
         self.window_ms = int(meta["window_ms"])
         # Carry the FULL admission config, not just its last outcome —
         # without this the first refresh() after a restart would take
         # the no-budget branch and silently re-admit runaway-cardinality
         # metrics (the F9 guard must survive the restart it exists for).
         # Sidecars written before this field default to "no budget".
-        muts = (
-            meta["max_unique_tag_sets"]
-            if "max_unique_tag_sets" in meta.__fields__
-            else None
-        )
+        muts = meta.get("max_unique_tag_sets")
         self.max_unique_tag_sets = None if muts is None else int(muts)
 
     def close(self) -> None:

@@ -80,41 +80,30 @@ def register_screen_batch(
     admitted). Within-batch near-dups are NOT collapsed here — compose
     ``minhash_dedup`` upstream if the stream itself carries them; the
     contract is against HISTORY, matching curate's stage."""
+    from ..fsutil import sidecar_write_json
     from ..operators.ann_index import MinHashIndex
     from ..operators.dedup import _shingle_hashes, minhash_bands
-    from ..session import error_condition
 
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
     docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-    boot = False
-    try:
-        row = spark.read.parquet(index_path + "/model").collect()[0]
-    except Exception as e:
-        first = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-        msg = str(e)
-        if not (
-            error_condition(e).startswith(first)
-            or "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-        ):
-            raise
-        boot = True
-    if boot:
-        model = spark.createDataFrame(
-            [
-                (
-                    float(threshold), int(num_hashes), int(bands),
-                    int(shingle_n), text_col, id_col,
-                )
-            ],
-            "threshold double, num_hashes int, bands int, shingle_n int, "
-            "text_col string, id_col string",
-        )
-        model.coalesce(1).write.mode("overwrite").parquet(
-            index_path + "/model"
+    # r12: the per-batch params check is a driver-side sidecar read
+    # (was a one-row-parquet Spark job EVERY micro-batch); pre-r12
+    # parquet sidecars still load via the shared fallback
+    row = MinHashIndex._read_params(spark, index_path)
+    if row is None:
+        sidecar_write_json(
+            spark,
+            index_path + "/model.json",
+            {
+                "threshold": float(threshold),
+                "num_hashes": int(num_hashes),
+                "bands": int(bands),
+                "shingle_n": int(shingle_n),
+                "text_col": text_col,
+                "id_col": id_col,
+            },
         )
         survivors = docs
     else:
