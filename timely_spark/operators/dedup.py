@@ -360,7 +360,17 @@ def hamming_near_dups(
         raise ValueError("need max_hamming < chunks <= 64 and chunks | 64")
     bits = 64 // chunks
     mask = (1 << bits) - 1
-    sh = hashed.select(F.col(id_col), F.col(hash_col).alias("__hh"))
+    # r12: pin the (id, hash) projection BEFORE the blocked self-join —
+    # both join sides otherwise re-evaluate the full upstream lineage
+    # (the interpreted-HOF simhash fold for text; the mapInPandas codec
+    # decode + pHash stages for image/video), doubling the one genuinely
+    # expensive pass. The pinned frame is 16 bytes/row, so the
+    # checkpoint is hash-sized at any corpus scale while the saved pass
+    # is corpus-sized (guide §2.4: two operations keyed the same way
+    # share one evaluation).
+    sh = hashed.select(
+        F.col(id_col), F.col(hash_col).alias("__hh")
+    ).localCheckpoint(eager=True)
     chunk_idx = F.sequence(F.lit(0), F.lit(chunks - 1))
     blocked = sh.select(
         F.col(id_col),
