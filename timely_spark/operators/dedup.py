@@ -256,7 +256,14 @@ def minhash_lsh_candidates(
     for reasonable thresholds). The banded relation is one shuffle output
     reused on both sides of the self-join (exchange reuse).
     """
-    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # r12: pin the banded relation — exchange reuse shared it between
+    # the self-join's sides only when BOTH sides actually shuffle; under
+    # AQE's broadcast conversion (any sub-threshold corpus slice) the
+    # broadcast side re-ran the whole tokenize/shingle/sign pipeline.
+    # The pinned rows are (id, band, 64-bit bucket) — ~24 B/row.
+    banded = minhash_bands(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -285,8 +292,13 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_n)
     # verify on hashed shingles: exact Jaccard modulo 64-bit collisions
     # (~0 at any realistic corpus), rows ~8x lighter through the join;
-    # same _shingle_hashes mapping the signatures use
-    sh = df.select(F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh"))
+    # same _shingle_hashes mapping the signatures use. r12: pinned once
+    # — the two verify joins (sh_a, sh_b) otherwise each re-ran the
+    # tokenize/shingle pass; the pinned rows are hash arrays, ~8 B per
+    # distinct shingle.
+    sh = df.select(
+        F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=True)
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -555,11 +567,15 @@ def ngram_jaccard_pairs(
     ``threshold > 0`` (the set-join path is corpus-linear and unguarded).
     """
     blk = block_col or "__blk"
+    # r12: pin the shingled frame ONCE — it is consumed by both sides of
+    # the set-join, the zero-pair skeleton's two sides, and the guard
+    # count (up to five tokenize/shingle corpus passes before; one now).
+    # The pinned rows carry hashes, not text: ~8 B per distinct shingle.
     docs = df.select(
         F.col(id_col),
         (F.col(block_col) if block_col else F.lit(1)).alias(blk),
         _shingle_hashes(text_col, n).alias("sh"),
-    ).withColumn("nsh", F.size("sh"))
+    ).withColumn("nsh", F.size("sh")).localCheckpoint(eager=True)
 
     ex = docs.select(id_col, blk, "nsh", F.explode("sh").alias("h"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -583,7 +599,7 @@ def ngram_jaccard_pairs(
         pairs = inter
     else:
         top = (
-            df.groupBy(F.col(block_col) if block_col else F.lit(1))
+            docs.groupBy(blk)  # r12: guard reads the pinned frame
             .count()
             .agg(F.max("count").alias("mx"))
             .collect()[0]["mx"]
