@@ -167,10 +167,15 @@ def source_overlap_matrix(
         F.explode(_gram_pairs(text_col, n)).alias("g"),
     ).select("source", F.col("g.h1").alias("h1"), F.col("g.h2").alias("h2"))
     # per-gram source list (sorted => pairs come out ordered a < b);
-    # |sources| is bounded, so the array and its pair set stay tiny
+    # |sources| is bounded, so the array and its pair set stay tiny.
+    # r12: pinned — the per-source counts and the pair emission both
+    # consume this aggregate, and exchange reuse did not cover the two
+    # branches (plan showed the corpus explode running more than once);
+    # the pinned frame is |distinct grams| rows of (two longs, tiny
+    # source array), far smaller than the corpus text it summarizes.
     srcs = g.groupBy("h1", "h2").agg(
         F.array_sort(F.collect_set("source")).alias("ss")
-    )
+    ).localCheckpoint(eager=True)
     per_source = (
         srcs.select(F.explode("ss").alias("source"))
         .groupBy("source")

@@ -1167,6 +1167,10 @@ def corpus_line_dedup(
     (LEFT join restore).
 
     Output: (id, text cleaned, n_kept, n_stripped)."""
+    # r12: pinned — the frequency aggregate, the decision join's probe
+    # side and the rebuild join each consumed this exploded relation,
+    # re-running the split/posexplode corpus pass three times; one
+    # eager checkpoint (line rows + their two hashes) runs it once.
     ln = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
@@ -1177,7 +1181,7 @@ def corpus_line_dedup(
         # together 128 bits of line identity, see scale-shape note
         "__h2",
         F.xxhash64("__line", F.lit(1)),
-    )
+    ).localCheckpoint(eager=True)
     freq = ln.groupBy("__h", "__h2").agg(
         F.countDistinct(id_col).alias("__nd")
     )
