@@ -551,6 +551,27 @@ def test_substring_spans_shared_detection(spark):
         spans.unpersist()
 
 
+def test_substring_detection_single_corpus_pass(spark):
+    """r12 plan pin: duplicate flagging + global-first run as WINDOW
+    functions over the hash partition, so the expensive window-hash
+    fold + Generate appears ONCE in the plan — the aggregate-and-join
+    form it replaced evaluated it once per join side (2x screen / 4x
+    keeper, the committed r12 before-plans)."""
+    from timely_spark.operators.dedup import (
+        repeated_span_stats,
+        substring_dedup_rewrite,
+    )
+
+    rows = [(i, " ".join(f"tok{j}" for j in range(20))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for frame in (
+        repeated_span_stats(df, window=8),
+        substring_dedup_rewrite(df, window=8),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate") == 1, plan
+
+
 def test_excise_spans_original_text_verbatim(spark):
     """The curate-facing transform cuts ONLY the duplicated spans'
     character ranges: casing, punctuation and whitespace outside the

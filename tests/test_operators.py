@@ -451,6 +451,23 @@ def test_dsir_hashed_feature_table_bounded(spark):
     assert distinct_f > b  # the bound actually bit
 
 
+def test_dsir_scoring_plan_single_corpus_explode(spark):
+    """r12 plan pin: the corpus feature-explode appears ONCE in the
+    scoring plan — the count aggregates are localCheckpoint-pinned
+    before the driver-seam collects, so neither the smoothing-constant
+    reads nor the feature-weight join re-run the tokenize + bigram +
+    explode pass (3 Generates -> 1 in the committed plan diff)."""
+    from timely_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.range(50).selectExpr(
+        "id AS doc_id", "concat('tok', id % 7, ' tok', id % 11) AS text"
+    )
+    target = docs.filter("doc_id % 5 = 0")
+    frame = dsir_log_weights(docs, target, hash_buckets=997)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of: latest right at-or-before per key; exact-ts ties
     match (DuckDB >= semantics); tolerance nulls out stale matches;

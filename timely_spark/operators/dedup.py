@@ -1223,24 +1223,49 @@ def substring_spans(
     """
     if occ is None:
         occ = window_occurrences(df, text_col, id_col, window)
-    counts = occ.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
-    dup_occ = occ.join(counts.filter(F.col("__c") > 1), "__h")
+    # Duplicate flagging + global-first as WINDOW functions over the hash
+    # partition, not aggregate-and-join: the join form evaluated the
+    # exploded window-hash relation once per join side — the interpreted
+    # fold + Generate (the operator's dominant cost, SCALE.md round-6)
+    # ran 2x (screen) / 4x (keeper) per call, measured in the committed
+    # r12 before-plans (doc_substring_dedup: Generate nodes (5),(8);
+    # doc_substring_rewrite: (5),(8),(20),(23)). One Window pass computes
+    # the occurrence count AND the min-(doc,pos) struct over the same
+    # hash partition, so the corpus explode runs ONCE; the trade is one
+    # (id, pos, hash) int-only shuffle + sort, which the r12 A/B measured
+    # well under one fold re-evaluation at sf0.1. Semantics identical:
+    # the inner count join kept whole hash groups, so min over the full
+    # partition equals min over the dup-filtered rows.
+    wh = Window.partitionBy("__h")
     if with_keeper:
-        first = dup_occ.groupBy("__h").agg(
-            F.min(
-                F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))
-            ).alias("__first")
-        )
-        flagged = dup_occ.join(first, "__h").select(
-            id_col,
-            "__p",
-            (
-                (F.col(id_col) == F.col("__first.d"))
-                & (F.col("__p") == F.col("__first.p"))
-            ).alias("__isf"),
+        first = F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("__p").alias("p"))
+        ).over(wh)
+        flagged = (
+            occ.select(
+                id_col,
+                "__p",
+                F.count(F.lit(1)).over(wh).alias("__c"),
+                first.alias("__first"),
+            )
+            .filter(F.col("__c") > 1)
+            .select(
+                id_col,
+                "__p",
+                (
+                    (F.col(id_col) == F.col("__first.d"))
+                    & (F.col("__p") == F.col("__first.p"))
+                ).alias("__isf"),
+            )
         )
     else:
-        flagged = dup_occ.select(id_col, "__p")
+        flagged = (
+            occ.select(
+                id_col, "__p", F.count(F.lit(1)).over(wh).alias("__c")
+            )
+            .filter(F.col("__c") > 1)
+            .select(id_col, "__p")
+        )
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("__p")

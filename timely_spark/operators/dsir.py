@@ -96,8 +96,20 @@ def dsir_log_weights(
     join + per-doc sum scores every document. In hashed mode the
     feature table is <= B rows and broadcasts explicitly.
     """
-    q_counts = _feature_counts(docs, text_col, hash_buckets)
-    p_counts = _feature_counts(target, text_col, hash_buckets)
+    # Pin both count aggregates (eager localCheckpoint) before the scalar
+    # collects: each frame is consumed TWICE — once by the driver-seam
+    # aggregate below and once by the feature-weight join — and without
+    # the pin the corpus/target tokenize + bigram + explode pass re-ran
+    # per consumer (r12; the same double-evaluation shape as the dedup
+    # self-joins). The pinned relations are feature-table-sized: <= B
+    # rows in hashed mode, vocab-sized in oracle mode — never corpus-
+    # sized.
+    q_counts = _feature_counts(docs, text_col, hash_buckets).localCheckpoint(
+        eager=True
+    )
+    p_counts = _feature_counts(
+        target, text_col, hash_buckets
+    ).localCheckpoint(eager=True)
 
     # 3-scalar driver seam: smoothing denominators
     tot_q, vocab = q_counts.agg(
