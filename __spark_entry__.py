@@ -2895,7 +2895,17 @@ def _ann_recall_verdict(ann: DataFrame, exact: DataFrame, floor: float) -> DataF
     side hash-mismatches; the ANN top-k lists stay pinned by goldens +
     the sf0.1 RECALL.json artifact. The sum is order-independent
     (per-term 4-decimal round, DECIMAL accumulation — the dsir
-    precedent)."""
+    precedent).
+
+    r12: both inputs are pinned (eager localCheckpoint) before the
+    verdict joins — they are query-sized (20 queries x k rows), yet
+    ``exact`` fed two consumers (the hit join and the cosine-mass agg),
+    so the brute-force crossJoin + two-phase top-k ran TWICE per ANN
+    row; the pin runs each side once and every verdict join reads ~200
+    pinned rows. Applies to all five ANN-family rows sharing this
+    helper."""
+    ann = ann.localCheckpoint(eager=True)
+    exact = exact.localCheckpoint(eager=True)
     hits = ann.select("query_id", "vec_id").join(
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )

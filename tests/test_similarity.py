@@ -67,6 +67,48 @@ def test_lsh_finds_duplicate(spark, corpus):
     assert any(r["vec_id"] == 100 and r["cosine"] == pytest.approx(1.0) for r in res)
 
 
+def test_lsh_arrow_buckets_bit_identical(spark):
+    """r12: the corpus-side Arrow numpy bucket stage must reproduce the
+    inline JVM expression's buckets EXACTLY (the numpy loop accumulates
+    dimensions in order — the same IEEE left fold as the JVM aggregate
+    — over weights computed by the JVM's own xxhash64), and pass the
+    embeddings through byte-exactly. Real testdata, every (id, table,
+    bucket) row compared."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.similarity import (
+        _hyperplane_sign_bits,
+        hyperplane_weights,
+        lsh_buckets_arrow,
+    )
+
+    dim, planes, tables = 64, 4, 16
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    W = hyperplane_weights(spark, dim, planes, tables)
+    old = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _hyperplane_sign_bits("embedding", dim, planes, table=t)
+                    for t in range(tables)
+                ]
+            )
+        ),
+    )
+    new = lsh_buckets_arrow(emb, W).select(
+        "vec_id", F.posexplode("__buckets")
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    back = {
+        r["vec_id"]: r["embedding"]
+        for r in lsh_buckets_arrow(emb, W).select("vec_id", "embedding").collect()
+    }
+    assert vecs == back
+
+
 def test_ivf_finds_duplicate(spark, corpus):
     res = ivf_topk(corpus, _queries(corpus), k=5, ncells=8, nprobe=8).collect()
     # probing every cell == exact: duplicate must surface

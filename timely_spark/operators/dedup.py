@@ -457,11 +457,19 @@ def embedding_near_dups(
     Output: (id_a, id_b, cosine) with id_a < id_b.
     """
     if planes > 0:
-        from .similarity import _hyperplane_sign_bits, cosine_similarity_col
+        from .similarity import (
+            _hyperplane_sign_bits,
+            cosine_similarity_col,
+            hyperplane_weights,
+        )
 
         dim = len(vectors.select(vec_col).first()[0])
+        # r12: hoisted weight matrix (one tiny job) instead of per-row
+        # per-element xxhash64 — see similarity.hyperplane_weights
+        W = hyperplane_weights(vectors.sparkSession, dim, planes, 1)
         v = vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
-            "__bucket", _hyperplane_sign_bits(vec_col, dim, planes)
+            "__bucket",
+            _hyperplane_sign_bits(vec_col, dim, planes, weights=W[0]),
         )
         a, b = v.alias("a"), v.alias("b")
         j = a.join(b, ["__bucket"]).filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

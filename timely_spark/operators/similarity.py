@@ -107,14 +107,84 @@ def per_query_topk(
     )
 
 
-def _hyperplane_sign_bits(vec_col, dim: int, planes: int, table: int = 0) -> "F.Column":
+def hyperplane_weights(
+    spark, dim: int, planes: int, tables: int = 1
+) -> list[list[list[float]]]:
+    """The LSH hyperplane weight tensor ``[table][plane][dim]`` — the
+    SAME xxhash64-derived pseudo-uniforms the inline per-row expression
+    computes, hoisted to driver-side constants by one tiny JVM job
+    (``tables*planes*dim`` rows, collected once per operator call).
+
+    r12 (guide §1.2 per-row work): the inline form re-evaluated
+    ``xxhash64(d, p)`` per ROW per element — planes*tables*dim = 4096
+    hashes per corpus row at the registry's 4x16x64 operating point,
+    the measured dominant cost of ``emb_knn_lsh``. The hoisted tensor
+    binds as ONE nested-array ``F.lit`` (a single Literal node — the
+    bloom-bitset idiom), NOT per-weight literal expressions: the
+    literal-weights formulation with 4096 expression NODES was A/B'd
+    and rejected (2x slower end-to-end, analysis/codegen dominated —
+    OPTIMIZATION_r12.md §6). Derivation is kept bit-identical by
+    computing the weights with the JVM's own xxhash64 over the same
+    INT (d, p) inputs and the same double cast/divide."""
+    n = tables * planes
+    rows = (
+        spark.range(n * dim)
+        .selectExpr(
+            f"CAST(id DIV {dim} AS INT) AS p",
+            f"CAST(id % {dim} AS INT) AS d",
+        )
+        .selectExpr(
+            "p",
+            "d",
+            "CAST(xxhash64(d, p) AS DOUBLE)"
+            " / CAST(9.223372036854775808E18 AS DOUBLE) AS w",
+        )
+        .collect()
+    )
+    out = [
+        [[0.0] * dim for _ in range(planes)] for _ in range(tables)
+    ]
+    for r in rows:
+        out[r["p"] // planes][r["p"] % planes][r["d"]] = r["w"]
+    return out
+
+
+def _hyperplane_sign_bits(
+    vec_col, dim: int, planes: int, table: int = 0, weights=None
+) -> "F.Column":
     """LSH bucket id: sign bits of `planes` pseudo-random hyperplanes.
 
     Hyperplane p's weight for dimension d = a deterministic pseudo-uniform
     in [-1, 1) derived from xxhash64(d, p) — no RNG state, reproducible on
     any cluster. ``table`` offsets the plane indices so each hash table
     draws independent hyperplanes.
-    """
+
+    ``weights``: this table's precomputed ``[plane][dim]`` weight matrix
+    (``hyperplane_weights(...)[table]``) — the r12 fast path every
+    corpus-sized caller uses: the per-element work drops from an
+    xxhash64 + divide to one array lookup, with the plane loop unrolled
+    driver-side (planes is 4-8) instead of a nested HOF. ``None`` keeps
+    the self-contained inline-hash form (the equivalence baseline the
+    parity test pins the fast path against)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if weights is not None:
+        wlit = F.lit(weights)  # ONE Literal node holding planes*dim doubles
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(wlit, i + 1),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for i in range(planes)
+        ]
+        bucket = F.lit(0).cast("long")
+        for d in dots:
+            bucket = bucket * 2 + F.when(d >= 0, 1).otherwise(0)
+        return bucket
     lo = table * planes
     plane_idx = F.sequence(F.lit(lo), F.lit(lo + planes - 1))
     dim_idx = F.sequence(F.lit(0), F.lit(dim - 1))
@@ -126,7 +196,7 @@ def _hyperplane_sign_bits(vec_col, dim: int, planes: int, table: int = 0) -> "F.
     def plane_dot(p):
         return F.aggregate(
             F.zip_with(
-                F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                vec,
                 dim_idx,
                 lambda x, d: x.cast("double") * weight(d, p),
             ),
@@ -139,6 +209,87 @@ def _hyperplane_sign_bits(vec_col, dim: int, planes: int, table: int = 0) -> "F.
     )
     # fold sign bits into a bucket id: acc*2 + bit
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
+
+
+def lsh_buckets_arrow(
+    df: DataFrame,
+    weights: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, vec, __buckets array<long>) — the corpus-side LSH bucket
+    computation as ONE Arrow-batched numpy stage (r12, guide §4 + the
+    r9 landmine rule: float candidate math past the expression-tree
+    budget goes to Arrow numpy stages).
+
+    Why not the JVM expression: the inline fold recomputes
+    ``xxhash64(d, p)`` per row per element (tables*planes*dim = 4096
+    hashes/row at the 4x16x64 registry point — the measured dominant
+    cost of ``emb_knn_lsh``), and BOTH literal-hoisting forms were
+    A/B'd and rejected (per-weight literals AND nested ``F.lit`` each
+    build multi-thousand-node CreateArray trees whose analysis/codegen
+    exceeds the execution cost — OPTIMIZATION_r12.md §6/§9).
+
+    Bit-identical by construction: the numpy accumulation loops over
+    dimensions IN ORDER (``acc = acc + X[:,d] * w[d]``), each step an
+    IEEE-754 double op — exactly the left fold the JVM ``aggregate``
+    evaluates — and the weights come from ``hyperplane_weights`` (the
+    JVM's own xxhash64). The parity test pins exploded (id, table,
+    bucket) equality against the inline expression on real embeddings.
+
+    ``parallelism``: explicit pre-stage repartition width (defaults to
+    ``sparkContext.defaultParallelism``) — a single-file parquet scan
+    would otherwise feed ONE Python worker; explicit N keeps AQE from
+    coalescing the small local frame back to one task. At production
+    scale the scan already carries enough partitions; pass ``None``
+    semantics stay scale-adaptive (cores on local, cluster cores on a
+    real deployment).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_par = parallelism or spark.sparkContext.defaultParallelism
+    Wnp = np.asarray(weights, dtype=np.float64)  # [tables][planes][dim]
+    tables, planes, dim = Wnp.shape
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, {vec_col} array<double>, __buckets array<long>"
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            buckets = np.zeros((n, tables), dtype=np.int64)
+            for t in range(tables):
+                acc_b = np.zeros(n, dtype=np.int64)
+                for p in range(planes):
+                    acc = np.zeros(n, dtype=np.float64)
+                    w = Wnp[t, p]
+                    for d in range(dim):
+                        # in-order IEEE double fold == the JVM aggregate
+                        acc = acc + X[:, d] * w[d]
+                    acc_b = acc_b * 2 + (acc >= 0).astype(np.int64)
+                buckets[:, t] = acc_b
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "__buckets": list(buckets),
+                }
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .repartition(n_par, F.col(id_col))
+        .mapInPandas(emit, out_schema)
+    )
 
 
 def lsh_topk(
@@ -167,9 +318,20 @@ def lsh_topk(
             *[_hyperplane_sign_bits(vc, dim, planes, table=t) for t in range(tables)]
         )
 
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(buckets(vec_col))
-    ).select(id_col, vec_col, F.col("pos").alias("__t"), F.col("col").alias("__bucket"))
+    # corpus side: Arrow numpy bucket stage (bit-identical to the inline
+    # expression — see lsh_buckets_arrow); the query side stays the
+    # self-contained JVM form, it is probe-batch-sized
+    W = hyperplane_weights(corpus.sparkSession, dim, planes, tables)
+    c = (
+        lsh_buckets_arrow(corpus, W, id_col=id_col, vec_col=vec_col)
+        .select(id_col, vec_col, F.posexplode("__buckets"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("pos").alias("__t"),
+            F.col("col").alias("__bucket"),
+        )
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
