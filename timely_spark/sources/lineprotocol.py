@@ -28,39 +28,74 @@ def parse_lines_df(lines: DataFrame, value_col: str = "value", keep_corrupt: boo
     the reserved ``viz`` tag is lifted out of the tag map
     (MetricAdapter.java:44,152-167).
     """
+    # r12 (guide §4/§1.2: per-row work): the parse is built in TWO
+    # projection stages so the token array and the parsed tag map are
+    # each evaluated ONCE per row — the single-select form re-derived
+    # the full regex-unescape entry chain for every consumer (tags map,
+    # viz lift, AND a separate exists() validity pass: ~3 evaluations
+    # per row; Catalyst's CollapseProject keeps the split because the
+    # shared expressions are non-cheap). Each tag token also takes a
+    # REGEX-FREE fast path when it contains no backslash (the
+    # overwhelming case on real feeds): for an escape-free token the
+    # lazy key regex is exactly "split at the first '='" and the
+    # unescape is the identity, so first-'=' substring ops replace four
+    # regex evaluations — the escaped path keeps the original
+    # expressions verbatim, and the golden parse tests pin equality.
     arr = F.split(F.col(value_col), " ")
-    raw_ts = F.element_at(arr, 3).cast("long")
-    ts = F.when(raw_ts < 1_000_000_000_000, raw_ts * 1000).otherwise(raw_ts)
-    val = F.element_at(arr, 4).cast("double")
-    tag_tokens = F.filter(
-        F.slice(arr, 5, F.greatest(F.size(arr) - 4, F.lit(0))), lambda t: t != ""
-    )
+
+    def kv(t):
+        esc = t.contains("\\")
+        key_re = F.regexp_replace(
+            F.regexp_extract(t, _KV_KEY_RE, 1), r"\\(.)", "$1"
+        )
+        val_re = F.regexp_replace(
+            F.regexp_extract(t, _KV_KEY_RE, 2), r"\\(.)", "$1"
+        )
+        has_eq = t.contains("=")
+        key_fast = F.when(has_eq, F.substring_index(t, "=", 1)).otherwise("")
+        val_fast = F.when(
+            has_eq, t.substr(F.instr(t, "=") + F.lit(1), F.length(t))
+        ).otherwise("")
+        return F.struct(
+            F.when(esc, key_re).otherwise(key_fast).alias("key"),
+            F.when(esc, val_re).otherwise(val_fast).alias("value"),
+        )
+
     entries = F.transform(
-        tag_tokens,
-        lambda t: F.struct(
-            F.regexp_replace(
-                F.regexp_extract(t, _KV_KEY_RE, 1), r"\\(.)", "$1"
-            ).alias("key"),
-            F.regexp_replace(
-                F.regexp_extract(t, _KV_KEY_RE, 2), r"\\(.)", "$1"
-            ).alias("value"),
+        F.filter(
+            F.slice(arr, 5, F.greatest(F.size(arr) - 4, F.lit(0))),
+            lambda t: t != "",
         ),
+        kv,
     )
-    all_tags = F.map_from_entries(entries)
-    parsed = lines.select(
-        F.element_at(arr, 2).alias("metric"),
+    stage1 = lines.select(
+        F.col(value_col).alias("__raw"),
+        arr.alias("__arr"),
+        F.map_from_entries(entries).alias("__all_tags"),
+    )
+    raw_ts = F.element_at(F.col("__arr"), 3).cast("long")
+    ts = F.when(raw_ts < 1_000_000_000_000, raw_ts * 1000).otherwise(raw_ts)
+    val = F.element_at(F.col("__arr"), 4).cast("double")
+    parsed = stage1.select(
+        F.element_at(F.col("__arr"), 2).alias("metric"),
         ts.alias("ts"),
         val.alias("value"),
-        F.map_filter(all_tags, lambda k, _v: k != "viz").alias("tags"),
-        F.element_at(all_tags, F.lit("viz")).alias("viz"),
+        F.map_filter(F.col("__all_tags"), lambda k, _v: k != "viz").alias(
+            "tags"
+        ),
+        F.element_at(F.col("__all_tags"), F.lit("viz")).alias("viz"),
         (
-            (F.element_at(arr, 1) == "put")
-            & (F.size(arr) >= 4)
+            (F.element_at(F.col("__arr"), 1) == "put")
+            & (F.size(F.col("__arr")) >= 4)
             & raw_ts.isNotNull()
             & val.isNotNull()
-            & ~F.exists(tag_tokens, lambda t: F.regexp_extract(t, _KV_KEY_RE, 1) == "")
+            # a malformed token (no unescaped '=', or an empty key)
+            # parses to key '' — exactly what the old per-token
+            # regex-exists pass detected, now read off the already-
+            # built map instead of re-running the regex chain
+            & ~F.map_contains_key(F.col("__all_tags"), "")
         ).alias("__ok"),
-        F.col(value_col).alias("__raw"),
+        F.col("__raw"),
     )
     good = parsed.filter("__ok").drop("__ok", "__raw")
     if keep_corrupt:
