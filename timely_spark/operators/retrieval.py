@@ -371,11 +371,17 @@ def bm25_topk(
     ex = docs.select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
     )
+    # r12: SQL-string rendering of the wide builders (one F.expr per
+    # aggregate / per query struct) — the py4j-per-node Column form cost
+    # seconds of pure driver time per call at the 20-probe batch shape;
+    # trees identical (D-suffixed doubles, balanced-sum bracketing,
+    # same _bm25_term_score grouping). See hybrid_topk for the measured
+    # attribution.
     perdoc = ex.groupBy(id_col).agg(
         F.count("__t").alias("__dl"),
         *[
-            F.sum(
-                F.when(F.col("__t") == F.lit(t), 1).otherwise(0)
+            F.expr(
+                f"sum(CASE WHEN __t = {_slit(t)} THEN 1 ELSE 0 END)"
             ).alias(f"__tf{i}")
             for i, t in enumerate(union_terms)
         ],
@@ -384,50 +390,42 @@ def bm25_topk(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__total"),
         *[
-            F.sum((F.col(f"__tf{i}") > 0).cast("int")).alias(f"__df{i}")
+            F.expr(f"sum(CAST((__tf{i} > 0) AS INT))").alias(f"__df{i}")
             for i in range(len(union_terms))
         ],
     )
     j = perdoc.crossJoin(F.broadcast(stats))
-    avgdl = F.col("__total").cast("double") / F.col("__n")
 
-    def q_struct(qid: str, ts: list[str]):
+    def term_sql(i: int) -> str:
+        idf = (
+            f"LN(1.0D + (CAST(__n AS DOUBLE) - __df{i} + 0.5D)"
+            f" / (__df{i} + 0.5D))"
+        )
+        return (
+            f"(({idf} * __tf{i} * {_dlit(k1 + 1.0)})"
+            f" / (__tf{i} + {_dlit(k1)} * ({_dlit(1.0 - b)}"
+            f" + {_dlit(b)} * __dl / (CAST(__total AS DOUBLE) / __n))))"
+        )
+
+    def q_struct_sql(qid: str, ts: list[str]) -> str:
         ids = [idx[t] for t in ts]
-
-        def bal(lo: int, hi: int):
-            if hi - lo == 1:
-                i = ids[lo]
-                return _bm25_term_score(
-                    F.col(f"__tf{i}"),
-                    F.col(f"__df{i}"),
-                    F.col("__n"),
-                    F.col("__dl"),
-                    avgdl,
-                    k1,
-                    b,
-                )
-            mid = (lo + hi) // 2
-            return bal(lo, mid) + bal(mid, hi)
-
-        n_hit = sum((F.col(f"__tf{i}") > 0).cast("int") for i in ids)
-        return F.struct(
-            F.lit(qid).alias("query_id"),
-            n_hit.cast("long").alias("n_terms_hit"),
-            F.round(bal(0, len(ids)) + F.lit(1e-9), 4).alias("score"),
+        bm = _bal_sql([term_sql(i) for i in ids])
+        n_hit = " + ".join(f"CAST((__tf{i} > 0) AS INT)" for i in ids)
+        return (
+            f"named_struct('query_id', {_slit(qid)}, "
+            f"'n_terms_hit', CAST(({n_hit}) AS BIGINT), "
+            f"'score', ROUND(({bm}) + 1e-09D, 4))"
         )
 
     # unpivot to (doc, query) rows, keeping only actual hits — the
     # exploded frame is match-selective, never |docs| x |queries|
+    arr = (
+        "filter(array("
+        + ", ".join(q_struct_sql(qid, ts) for qid, ts in qterms)
+        + "), s -> s.n_terms_hit > 0)"
+    )
     scored = (
-        j.select(
-            F.col(id_col),
-            F.explode(
-                F.filter(
-                    F.array(*[q_struct(qid, ts) for qid, ts in qterms]),
-                    lambda s: s["n_terms_hit"] > 0,
-                )
-            ).alias("__q"),
-        )
+        j.select(F.col(id_col), F.explode(F.expr(arr)).alias("__q"))
         .select(
             F.col("__q.query_id").alias("query_id"),
             F.col(id_col),
@@ -521,6 +519,33 @@ def _bal(exprs):
     return _bal(exprs[: n // 2]) + _bal(exprs[n // 2:])
 
 
+def _bal_sql(parts: list[str]) -> str:
+    """:func:`_bal` for SQL-string rendering (r12): balanced
+    parenthesization, so the parser builds the SAME shallow Add tree
+    the Column form did — a plain joined chain parses left-deep and
+    re-opens the canonicalization cliff."""
+    n = len(parts)
+    if n == 1:
+        return parts[0]
+    return (
+        "(" + _bal_sql(parts[: n // 2]) + " + " + _bal_sql(parts[n // 2:]) + ")"
+    )
+
+
+def _slit(s: str) -> str:
+    """SQL single-quoted string literal (tokenizer charset admits
+    apostrophes — double them)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _dlit(v: float) -> str:
+    """SQL DOUBLE literal: repr + D suffix. Plain decimal SQL literals
+    parse as DECIMAL, which would silently change every downstream
+    type; repr is shortest-round-trip so the parsed double is
+    bit-identical to the F.lit(float) it replaces."""
+    return repr(float(v)) + "D"
+
+
 def hybrid_topk(
     docs: DataFrame,
     queries,
@@ -593,22 +618,30 @@ def hybrid_topk(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("__t")
     )
     h = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    # r12 (guide §5, the driver): the wide plan's column builders are
+    # rendered as SQL strings (one F.expr per aggregate / per query
+    # struct) instead of per-node Column calls — constructing the
+    # ~3k-node tree through py4j measured 4.3-4.6 s of pure DRIVER
+    # time per call (JVM analysis+optimization 0.5 s; execution
+    # unchanged). The strings reproduce the exact same expression
+    # trees: D-suffixed double literals (plain SQL decimals parse as
+    # DECIMAL), explicit parentheses mirroring the Column operator
+    # grouping, and the same balanced-sum bracketing (_bal_sql — the
+    # canonicalization-depth lesson applies to parser output too).
     perdoc = ex.select(id_col, F.col("__t"), h.alias("__h")).groupBy(
         id_col
     ).agg(
         F.count("__t").alias("__dl"),
         *[
-            F.sum(
-                F.when(F.col("__t") == F.lit(t), 1).otherwise(0)
+            F.expr(
+                f"sum(CASE WHEN __t = {_slit(t)} THEN 1 ELSE 0 END)"
             ).alias(f"__tf{i}")
             for i, t in enumerate(union_terms)
         ],
         *[
-            F.sum(
-                F.lit(1)
-                - F.lit(2)
-                * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
-            ).alias(f"__e{d}")
+            F.expr(f"sum(1 - 2 * (shiftright(__h, {d}) & 1))").alias(
+                f"__e{d}"
+            )
             for d in range(dim)
         ],
     )
@@ -616,69 +649,61 @@ def hybrid_topk(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__total"),
         *[
-            F.sum((F.col(f"__tf{i}") > 0).cast("int")).alias(f"__df{i}")
+            F.expr(f"sum(CAST((__tf{i} > 0) AS INT))").alias(f"__df{i}")
             for i in range(len(union_terms))
         ],
     )
     j = perdoc.crossJoin(F.broadcast(stats))
-    avgdl = F.col("__total").cast("double") / F.col("__n")
-    doc_norm2 = F.coalesce(
-        _bal([F.col(f"__e{d}") * F.col(f"__e{d}") for d in range(dim)]),
-        F.lit(0),
+    doc_norm2 = F.expr(
+        "COALESCE("
+        + _bal_sql([f"(__e{d} * __e{d})" for d in range(dim)])
+        + ", 0)"
     )
 
-    def q_struct(qid: str, ts: list[str]):
-        ids = [idx[t] for t in ts]
-        bm = _bal(
-            [
-                _bm25_term_score(
-                    F.col(f"__tf{i}"),
-                    F.col(f"__df{i}"),
-                    F.col("__n"),
-                    F.col("__dl"),
-                    avgdl,
-                    k1,
-                    b,
-                )
-                for i in ids
-            ]
+    def term_sql(i: int) -> str:
+        # _bm25_term_score rendered: ((idf * tf) * (k1+1)) / (tf + k1 *
+        # ((1-b) + ((b * dl) / avgdl))) with avgdl inlined
+        idf = (
+            f"LN(1.0D + (CAST(__n AS DOUBLE) - __df{i} + 0.5D)"
+            f" / (__df{i} + 0.5D))"
         )
-        n_hit = sum((F.col(f"__tf{i}") > 0).cast("int") for i in ids)
-        qs, q2 = qsums[qid]
-        dot_terms = [
-            F.lit(qs[d]) * F.col(f"__e{d}") for d in range(dim) if qs[d]
-        ]
-        if q2 > 0 and dot_terms:
-            dot = F.coalesce(_bal(dot_terms), F.lit(0))
-            cos = F.when(
-                (F.col("__norm2") > 0) & (dot > 0),
-                F.round(
-                    dot.cast("double")
-                    / F.sqrt((F.col("__norm2") * F.lit(q2)).cast("double"))
-                    + F.lit(1e-9),
-                    6,
-                ),
-            )
-        else:  # zero-norm query: no embedding ranking
-            cos = F.lit(None).cast("double")
-        return F.struct(
-            F.lit(qid).alias("query_id"),
-            n_hit.cast("long").alias("n_hit"),
-            F.round(bm + F.lit(1e-9), 4).alias("bm"),
-            cos.alias("cos"),
+        return (
+            f"(({idf} * __tf{i} * {_dlit(k1 + 1.0)})"
+            f" / (__tf{i} + {_dlit(k1)} * ({_dlit(1.0 - b)}"
+            f" + {_dlit(b)} * __dl / (CAST(__total AS DOUBLE) / __n))))"
         )
 
+    def q_struct_sql(qid: str, ts: list[str]) -> str:
+        ids = [idx[t] for t in ts]
+        bm = _bal_sql([term_sql(i) for i in ids])
+        n_hit = " + ".join(f"CAST((__tf{i} > 0) AS INT)" for i in ids)
+        qs, q2 = qsums[qid]
+        dot_terms = [f"({qs[d]} * __e{d})" for d in range(dim) if qs[d]]
+        if q2 > 0 and dot_terms:
+            dot = "COALESCE(" + _bal_sql(dot_terms) + ", 0)"
+            cos = (
+                f"CASE WHEN (__norm2 > 0) AND ({dot} > 0) THEN "
+                f"ROUND(CAST({dot} AS DOUBLE)"
+                f" / SQRT(CAST((__norm2 * {q2}) AS DOUBLE))"
+                f" + 1e-09D, 6) END"
+            )
+        else:  # zero-norm query: no embedding ranking
+            cos = "CAST(NULL AS DOUBLE)"
+        return (
+            f"named_struct('query_id', {_slit(qid)}, "
+            f"'n_hit', CAST(({n_hit}) AS BIGINT), "
+            f"'bm', ROUND(({bm}) + 1e-09D, 4), "
+            f"'cos', ({cos}))"
+        )
+
+    arr = (
+        "filter(array("
+        + ", ".join(q_struct_sql(qid, ts) for qid, ts in qterms)
+        + "), s -> s.n_hit > 0 OR s.cos IS NOT NULL)"
+    )
     scored = (
         j.withColumn("__norm2", doc_norm2)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.filter(
-                    F.array(*[q_struct(qid, ts) for qid, ts in qterms]),
-                    lambda s: (s["n_hit"] > 0) | s["cos"].isNotNull(),
-                )
-            ).alias("__q"),
-        )
+        .select(F.col(id_col), F.explode(F.expr(arr)).alias("__q"))
         .select(
             F.col("__q.query_id").alias("query_id"),
             F.col(id_col),
