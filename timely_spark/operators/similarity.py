@@ -41,6 +41,42 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _centroid_scored_expr(cents, vec_col: str, id_col: str):
+    """The inlined-centroid (cos, negid) struct array rendered as ONE
+    SQL expression (r12, guide §5 the driver): the Column form built
+    k × dim literal nodes plus k HOF cosine trees through per-node
+    py4j calls — measured seconds of pure driver time per call on the
+    registry shapes (the retrieval wide-plan finding; same fix). The
+    string reproduces the exact ops: `_dot`/`_norm`'s
+    AGGREGATE/ZIP_WITH/TRANSFORM folds verbatim, D-suffixed
+    repr-shortest double literals (bit-identical parse), ROUND(..., 6)
+    before the argmax."""
+
+    def cos_sql(vals) -> str:
+        arr = "array(" + ", ".join(repr(float(x)) + "D" for x in vals) + ")"
+        dot = (
+            f"AGGREGATE(ZIP_WITH({vec_col}, {arr},"
+            " (x, y) -> CAST((x * y) AS DOUBLE)), 0.0D,"
+            " (acc, v) -> acc + v)"
+        )
+        na = (
+            f"SQRT(AGGREGATE(TRANSFORM({vec_col},"
+            " x -> CAST((x * x) AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+        )
+        nb = (
+            f"SQRT(AGGREGATE(TRANSFORM({arr},"
+            " x -> CAST((x * x) AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+        )
+        return f"ROUND({dot} / ({na} * {nb}), 6)"
+
+    parts = ", ".join(
+        f"named_struct('cos', {cos_sql(row[vec_col])},"
+        f" 'negid', {-int(row[id_col])})"
+        for row in cents
+    )
+    return F.expr(f"array({parts})")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -447,21 +483,9 @@ def kmeans_assign(
             [],
             f"{id_col} long, centroid_id long, dup_of long, cosine double",
         )
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_similarity_col(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
-                    ),
-                    6,
-                ).alias("cos"),
-                F.lit(-int(row[id_col])).alias("negid"),
-            )
-            for row in cents
-        ]
-    )
+    # ONE rendered SQL expression instead of k x dim py4j literal nodes
+    # (r12 — see _centroid_scored_expr)
+    scored = _centroid_scored_expr(cents, vec_col, id_col)
     # array_max on (cos, negid): max cosine, then max(-id) = min id
     return (
         _assignments(emb, scored)
@@ -522,21 +546,9 @@ def cluster_capped_sample(
         return emb.sparkSession.createDataFrame(
             [], f"{id_col} long, centroid_id long, cos double, rank long"
         )
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine_similarity_col(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in row[vec_col]]),
-                    ),
-                    6,
-                ).alias("cos"),
-                F.lit(-int(row[id_col])).alias("negid"),
-            )
-            for row in cents
-        ]
-    )
+    # ONE rendered SQL expression instead of k x dim py4j literal nodes
+    # (r12 — see _centroid_scored_expr)
+    scored = _centroid_scored_expr(cents, vec_col, id_col)
     a = _assignments(emb, scored).select(
         F.col(id_col),
         F.col("centroid_id").cast("long").alias("centroid_id"),

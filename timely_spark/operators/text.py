@@ -971,7 +971,13 @@ def classifier_score(
     md5-bucket hashing (not xxhash64) keeps the oracle engine-exact.
     """
     w = weights if weights is not None else _clf_weights()
-    warr = F.array(*[F.lit(float(x)) for x in w])
+    # r12: ONE rendered array literal (repr-shortest D-suffixed doubles,
+    # bit-identical parse) instead of dim py4j F.lit nodes — the
+    # retrieval wide-plan driver-time finding applied to the serving
+    # expression (dim=256 default)
+    warr = F.expr(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in w) + ")"
+    )
     d = len(w)
     toks = tokens(text_col)
     # md5 hex prefix -> bucket: identical arithmetic in DuckDB
