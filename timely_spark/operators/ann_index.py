@@ -446,8 +446,11 @@ class DeconIndex:
             F.col(id_col).alias("__bid"),
             *[F.col(f"__s{d}").alias(f"__b{d}") for d in range(dim)],
         )
-        nonzero = (
-            F.greatest(*[F.abs(F.col(f"__b{d}")) for d in range(dim)]) > 0
+        # r12: rendered SQL (one F.expr) — same greatest(abs(...)) tree
+        nonzero = F.expr(
+            "greatest("
+            + ", ".join(f"abs(__b{d})" for d in range(dim))
+            + ") > 0"
         )
         bs = bs.filter(nonzero)
         index = _decon_cell_index(bs, dim, ncells, lloyd_iters)
@@ -528,7 +531,7 @@ class DeconIndex:
         import math
 
         from .similarity import (
-            _bal_sum,
+            _bal_sql,
             _decon_probes,
             _hashed_sums,
             _hits_shape,
@@ -551,8 +554,9 @@ class DeconIndex:
             ds, self.cent, self.radii, math.acos(self.threshold), 1e-6,
             id_col,
         )
-        dot = _bal_sum(
-            F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)
+        # r12: rendered SQL sum (one F.expr, _bal_sql bracketing)
+        dot = F.expr(
+            _bal_sql([f"(__s{d} * __b{d})" for d in range(dim)])
         )
         hits = (
             probes.join(self.cells, "__cell")

@@ -519,17 +519,9 @@ def _bal(exprs):
     return _bal(exprs[: n // 2]) + _bal(exprs[n // 2:])
 
 
-def _bal_sql(parts: list[str]) -> str:
-    """:func:`_bal` for SQL-string rendering (r12): balanced
-    parenthesization, so the parser builds the SAME shallow Add tree
-    the Column form did — a plain joined chain parses left-deep and
-    re-opens the canonicalization cliff."""
-    n = len(parts)
-    if n == 1:
-        return parts[0]
-    return (
-        "(" + _bal_sql(parts[: n // 2]) + " + " + _bal_sql(parts[n // 2:]) + ")"
-    )
+# _bal_sql (the SQL-string twin of _bal) lives in similarity next to
+# _bal_sum — one definition of the balanced bracketing for both modules.
+from .similarity import _bal_sql  # noqa: E402
 
 
 def _slit(s: str) -> str:

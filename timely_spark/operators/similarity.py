@@ -1089,12 +1089,14 @@ def _hashed_sums(
     ex = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
     ).select(id_col, h.alias("__h"))
+    # r12: rendered SQL aggregates (one F.expr each) — the per-node
+    # Column form cost driver seconds across this function's many
+    # consumers (the retrieval wide-plan finding); trees identical
     return ex.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.lit(1)
-                - F.lit(2) * F.shiftright(F.col("__h"), d).bitwiseAND(F.lit(1))
-            ).alias(f"__s{d}")
+            F.expr(f"sum(1 - 2 * (shiftright(__h, {d}) & 1))").alias(
+                f"__s{d}"
+            )
             for d in range(dim)
         ]
     )
@@ -1128,18 +1130,21 @@ def hashed_text_embedding(
     emit the zero vector with norm2 0).
     """
     sums = _hashed_sums(df, dim, text_col, id_col)  # guards dim 1..32
-    norm2 = _bal_sum(
-        F.col(f"__s{d}") * F.col(f"__s{d}") for d in range(dim)
+    # r12: rendered SQL (one F.expr each) — the per-node Column form
+    # cost driver seconds per call (the retrieval wide-plan finding);
+    # trees identical (_bal_sql balanced bracketing, CASE == when/
+    # otherwise, explicit casts)
+    norm2 = F.expr(
+        _bal_sql([f"(__s{d} * __s{d})" for d in range(dim)])
     )
-    emb = F.array(
-        *[
-            F.when(
-                F.col("__norm2") > 0,
-                F.col(f"__s{d}").cast("double")
-                / F.sqrt(F.col("__norm2").cast("double")),
-            ).otherwise(F.lit(0.0))
+    emb = F.expr(
+        "array("
+        + ", ".join(
+            f"CASE WHEN __norm2 > 0 THEN CAST(__s{d} AS DOUBLE)"
+            " / SQRT(CAST(__norm2 AS DOUBLE)) ELSE 0.0D END"
             for d in range(dim)
-        ]
+        )
+        + ")"
     )
     out = sums.withColumn("__norm2", norm2).select(
         F.col(id_col),
@@ -1211,6 +1216,20 @@ def _bal_sum(cols):
             for i in range(0, len(items), 2)
         ]
     return items[0]
+
+
+def _bal_sql(parts: list[str]) -> str:
+    """:func:`_bal_sum` for SQL-string rendering (r12): balanced
+    parenthesization, so the parser builds the SAME shallow Add tree
+    the Column form did — a plain joined chain parses left-deep and
+    re-opens the canonicalization cliff. Lives here next to its Column
+    twin; retrieval imports it (one definition of the bracketing)."""
+    n = len(parts)
+    if n == 1:
+        return parts[0]
+    return (
+        "(" + _bal_sql(parts[: n // 2]) + " + " + _bal_sql(parts[n // 2:]) + ")"
+    )
 
 
 def _tau_pq(threshold: float) -> tuple[int, int]:
@@ -1293,9 +1312,12 @@ def semantic_decontaminate(
     # squared norms are per-ROW constants: compute them once per doc /
     # bench row BEFORE the pair join, not dim multiply-adds per PAIR
     # (Catalyst cannot hoist a subexpression across a join)
+    # r12: rendered SQL sums (one F.expr each, _bal_sql bracketing) —
+    # same trees as the per-node Column form at a fraction of the
+    # driver construction cost
     def with_norm2(df_, prefix, out):
-        n = _bal_sum(
-            F.col(f"{prefix}{d}") * F.col(f"{prefix}{d}") for d in range(dim)
+        n = F.expr(
+            _bal_sql([f"({prefix}{d} * {prefix}{d})" for d in range(dim)])
         )
         return df_.withColumn(out, n)
 
@@ -1309,8 +1331,8 @@ def semantic_decontaminate(
         "__b",
         "__n2",
     )
-    dot = _bal_sum(
-        F.col(f"__s{d}") * F.col(f"__b{d}") for d in range(dim)
+    dot = F.expr(
+        _bal_sql([f"(__s{d} * __b{d})" for d in range(dim)])
     )
     pairs = ds.crossJoin(F.broadcast(bs)).select(
         F.col(id_col),
