@@ -173,14 +173,22 @@ def minhash_signature_from_shingles(
     the tokenize/shingle pass a second time. Values are identical to
     the text-side entry point (the explode sees the same array)."""
     exploded = sh_df.select(F.col(id_col), F.explode(sh_col).alias("__h"))
+    # r12: rendered SQL aggregates (one F.expr each) — the per-node
+    # Column form costs driver construction time per call (the
+    # retrieval wide-plan finding); L-suffixed BIGINT literals keep the
+    # long*long wrap-around arithmetic identical
     aggs = []
     for i in range(num_hashes):
         a, b = _perm_consts(i)
-        aggs.append(F.min(F.col("__h") * F.lit(a) + F.lit(b)).alias(f"__s{i}"))
+        aggs.append(
+            F.expr(f"min(__h * {a}L + {b}L)").alias(f"__s{i}")
+        )
     wide = exploded.groupBy(id_col).agg(*aggs)
     return wide.select(
         F.col(id_col),
-        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("signature"),
+        F.expr(
+            "array(" + ", ".join(f"__s{i}" for i in range(num_hashes)) + ")"
+        ).alias("signature"),
     )
 
 
