@@ -470,18 +470,29 @@ def main() -> int:
     # attributed (host vs plan) instead of argued from suite medians.
     from pyspark.sql import functions as F
 
-    cal_best = None
-    for _ in range(BENCH_REPEATS):
+    def run_cal() -> float:
         t0 = time.time()
         spark.range(0, 100_000_000, 1, 32).selectExpr(
             "id * 2654435761 % 1000003 AS k"
         ).groupBy((F.col("k") % 64).alias("b")).agg(
             F.sum("k").alias("s")
         ).collect()
-        dt = time.time() - t0
+        return time.time() - t0
+
+    cal_best = None
+    for _ in range(BENCH_REPEATS):
+        dt = run_cal()
         cal_best = dt if cal_best is None else min(cal_best, dt)
     times["host_calibration"] = round(cal_best, 3)
     print(f"  host_calibration: {times['host_calibration']}s", file=sys.stderr)
+    # r12: an IN-SUITE calibration series — the same fixed synthetic
+    # sampled every CAL_EVERY entries DURING the passes. The start/end
+    # brackets alone cannot attribute a mid-run host stall (r12 found a
+    # full run whose entries read 1.4-2x vs same-window isolated probes
+    # while BOTH brackets were clean); the series makes window quality
+    # over the whole run part of the artifact. ~15 samples x ~0.5 s
+    # adds <10 s to the suite and times nothing differently.
+    cal_series: list[float] = []
     # SPACED repeats: full passes over the suite, min per entry — NOT
     # back-to-back per-entry repeats. A multi-second host stall covers
     # both back-to-back repeats of whichever entries it lands on (r11
@@ -491,8 +502,11 @@ def main() -> int:
     # approximates the isolated-warm number the gates were recorded
     # against. Pass 1 doubles as the warm-up for pass 2.
     failed: set[str] = set()
+    CAL_EVERY = 25
     for _pass in range(BENCH_REPEATS):
-        for name in BENCH_QUERIES:
+        for _i, name in enumerate(BENCH_QUERIES):
+            if _i % CAL_EVERY == 0:
+                cal_series.append(round(run_cal(), 3))
             if name in failed:
                 continue
             fn = qs[name]
@@ -662,6 +676,18 @@ def main() -> int:
         "n_queries": len(times),
         "host_calibration": times.get("host_calibration"),
         "host_cal_end": round(cal_end, 3),
+        # in-suite window quality: min/median/max of the calibration
+        # series sampled every CAL_EVERY entries during the passes
+        "host_cal_series": (
+            {
+                "n": len(cal_series),
+                "min": min(cal_series),
+                "med": sorted(cal_series)[len(cal_series) // 2],
+                "max": max(cal_series),
+            }
+            if cal_series
+            else None
+        ),
         "host_cal_ratio": (
             round(times["host_calibration"] / cal_gate, 3)
             if cal_gate and times.get("host_calibration")
@@ -681,6 +707,7 @@ def main() -> int:
     }
     local = dict(summary)
     local["queries"] = times  # the full map lives in the committed sidecar
+    local["host_cal_series_full"] = cal_series
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
