@@ -1963,6 +1963,9 @@ def q_doc_decon_restored(spark, sf_dir):
         f"timely_spark_decon_index_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     idx.save(path)
+    # r13 pin lifecycle: the returned frame reads only the RELOADED
+    # on-disk index — the build handle's cells cache is done serving
+    idx.release()
     return DeconIndex.load(spark, path).screen(docs)
 
 
@@ -2007,6 +2010,9 @@ def q_doc_minhash_restored(spark, sf_dir):
         f"timely_spark_mh_index_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     idx.save(path)
+    # r13 pin lifecycle: everything below reads the RELOADED on-disk
+    # tables; the build handle's materialize() pins are done serving
+    idx.release()
     grown = MinHashIndex.load(spark, path).append(part_b, path)
     out = grown.screen(batch)
     return out.select(

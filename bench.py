@@ -197,6 +197,39 @@ BENCH_SYNTHETIC = [
     "ann_query_restored",
 ]
 
+# FIXED stdout headline subset (VERDICT r12 item 2): the summary line's
+# "queries" map used to be the top-10 worst gate ratios OF THAT RUN — a
+# selection that rotates with host noise, so the external driver's
+# round-over-round per-query comparison was built on two different
+# windows (n_common=4 in PERF_r12). These keys are emitted EVERY run:
+# the 10 keys of the r12 stdout map (continuity — never remove a key the
+# driver has seen) plus 8 fixed heavy/representative entries. The FULL
+# per-entry map still goes to the BENCH_LOCAL.json sidecar; the rotating
+# worst-10 ratios stay available under "worst".
+BENCH_HEADLINE = [
+    # r12 stdout continuity set
+    "host_calibration",
+    "doc_incremental_dedup",
+    "events_anomaly",
+    "emb_semantic_dedup",
+    "events_funnel",
+    "doc_domain_mixture",
+    "events_sessionize_native",
+    "emb_knn_ivf",
+    "events_retention",
+    "emb_pca_project",
+    # fixed heavy/representative adds (r13): the streaming drains, the
+    # iterative CC row, the MLlib row, two index-lifecycle rows, ingest
+    "doc_streaming_dedup",
+    "ts_streaming_rate",
+    "doc_dedup_clusters",
+    "doc_trained_classifier",
+    "emb_ann_restored",
+    "doc_minhash_restored",
+    "ingest_lineprotocol",
+    "streaming_summarize",
+]
+
 # Registry queries NOT in BENCH_QUERIES, each with a reason. The pairing
 # is test-enforced (tests/test_api.py::test_registry_bench_completeness).
 BENCH_EXEMPT = {
@@ -674,6 +707,13 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(times),
+        # scaling-contract observability (VERDICT r12 item 2): the
+        # driver runs the bench at two core counts; these two fields
+        # prove what parallelism a run ACTUALLY had, so an 8-vs-32-core
+        # ratio near 1.0 is attributable (env not propagated vs shared
+        # host under-delivering cores) instead of argued.
+        "master": spark.sparkContext.master,
+        "defaultParallelism": spark.sparkContext.defaultParallelism,
         "host_calibration": times.get("host_calibration"),
         "host_cal_end": round(cal_end, 3),
         # in-suite window quality: min/median/max of the calibration
@@ -695,10 +735,14 @@ def main() -> int:
         ),
         "gate_ratio_max": ratios[-1] if ratios else None,
         "gate_ratio_median": ratios[len(ratios) // 2] if ratios else None,
-        # top-10 worst entries, both shapes: ratio (for adjudication) and
-        # seconds under "queries" (the driver's expected map key)
+        # top-10 worst gate ratios of THIS run (adjudication aid only —
+        # rotates with noise, never used for round-over-round tracking)
         "worst": worst,
-        "queries": {k: times[k] for k in worst},
+        # FIXED headline subset in seconds — same keys every run, so the
+        # driver's per-query PERF comparison has a stable n_common
+        "queries": {
+            k: times[k] for k in BENCH_HEADLINE if times.get(k) is not None
+        },
         "queries_file": "BENCH_LOCAL.json",
         "ungated": ungated,
         "rebaselined": rebaselined,
@@ -716,7 +760,9 @@ def main() -> int:
         fh.write("\n")
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1600:  # belt-and-braces: never overflow the 2000-char tail
-        for trim in ("queries", "worst", "ungated", "rebaselined"):
+        # trim the rotating/diagnostic maps FIRST — the fixed "queries"
+        # headline map is the driver's comparison key and goes last
+        for trim in ("worst", "ungated", "rebaselined", "queries"):
             summary.pop(trim, None)
             line = json.dumps(summary, separators=(",", ":"))
             if len(line) <= 1600:

@@ -655,6 +655,25 @@ def test_registry_bench_completeness():
     )
     ungated = (benched | synthetic) - set(gates)
     assert not ungated, f"bench entries without a committed gate: {sorted(ungated)}"
+    # the stdout headline subset is FIXED (VERDICT r12 item 2): every
+    # key must be a real benched/synthetic entry, and the 10 keys the
+    # r12 driver artifact saw may never be removed or renamed — the
+    # external round-over-round comparison keys off them
+    headline = list(bench.BENCH_HEADLINE)
+    assert len(headline) == len(set(headline)), "duplicate headline keys"
+    assert set(headline) <= benched | synthetic, (
+        f"headline keys not benched: {sorted(set(headline) - benched - synthetic)}"
+    )
+    r12_continuity = {
+        "host_calibration", "doc_incremental_dedup", "events_anomaly",
+        "emb_semantic_dedup", "events_funnel", "doc_domain_mixture",
+        "events_sessionize_native", "emb_knn_ivf", "events_retention",
+        "emb_pca_project",
+    }
+    assert r12_continuity <= set(headline), (
+        f"r12 stdout continuity keys missing from BENCH_HEADLINE: "
+        f"{sorted(r12_continuity - set(headline))}"
+    )
     # gate PROVENANCE is structural (VERDICT r11 #2): every gate is an
     # object carrying sec + first_green_sec, and any gate re-baselined
     # past 1.5x its first-green needs a standing justification (note +

@@ -214,12 +214,19 @@ def test_bloom_decontaminate_matches_exact(spark):
     # contamination detected THROUGH apostrophe-bearing shingles
     assert want[3][0] == 4 and want[3][2] and want[3][1] > 0
     # ADVICE r5: the bench-shingle cache must not outlive the operator —
-    # re-running the whole thing leaves the persisted-RDD set unchanged
-    # (relative compare: other fixtures may legitimately hold caches)
+    # re-running the whole thing registers NO new persisted RDDs. The
+    # assertion compares RDD-id SETS, not the session-global COUNT: the
+    # async ContextCleaner may collect OTHER fixtures' pins between the
+    # two snapshots (exactly the race that flaked the r12 driver run,
+    # VERDICT r12 item 1), which shrinks the set but can never add to
+    # it — only a leak by THIS operator can.
     jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     bloom_decontaminate(docs, bench, n=4).collect()
-    assert jsc.getPersistentRDDs().size() == before
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), (
+        f"bloom_decontaminate leaked persisted RDDs: {sorted(after - before)}"
+    )
 
 
 def test_bloom_bitset_shape(spark):

@@ -1,0 +1,84 @@
+"""Pin lifecycle (VERDICT r12 item 1): eager localCheckpoint pins are
+releasable deterministically, iterative operators unpersist superseded
+pins in-loop, and re-running a pinned operator (plus releasing its
+result) leaves ZERO new persisted RDDs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timely_spark.pins import pin, release_pins, unpin
+
+
+def _persisted_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_pin_unpin_roundtrip(spark):
+    """pin() registers exactly one persisted RDD; unpin() releases
+    exactly it (synchronously when blocking)."""
+    before = _persisted_ids(spark)
+    df = pin(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    mid = _persisted_ids(spark)
+    assert len(mid - before) == 1
+    assert df.count() == 100  # readable while pinned
+    assert unpin(df, blocking=True)
+    assert _persisted_ids(spark) - before == set()
+    # unpin on a non-pin frame is a harmless no-op
+    assert not unpin(spark.range(3))
+
+
+def test_release_pins_walks_derived_frames(spark):
+    """release_pins() finds every LogicalRDD leaf under a derived frame
+    — the caller-facing verb for operators returning lazy frames backed
+    by internal pins."""
+    before = _persisted_ids(spark)
+    a = pin(spark.range(50).selectExpr("id", "id % 5 AS k"))
+    b = pin(spark.range(50).selectExpr("id", "id % 3 AS j"))
+    out = a.join(b, "id").groupBy("k").agg(F.sum("j").alias("s"))
+    out.collect()  # consumer materializes first (the safety rule)
+    assert release_pins(out, blocking=True) == 2
+    assert _persisted_ids(spark) - before == set()
+
+
+def test_connected_components_releases_superseded_pins(spark):
+    """The iterative CC loop unpersists round N-1's pins after round N
+    is pinned: a multi-round run holds at most ONE pin (the final
+    labels) at return — not 2 + 2*rounds (VERDICT r12 items 1/7)."""
+    from timely_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-...-9 forces several contraction rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    before = _persisted_ids(spark)
+    cc = connected_components(pairs)
+    held = _persisted_ids(spark) - before
+    assert len(held) <= 1, (
+        f"CC left {len(held)} pins — superseded per-round pins must be "
+        "unpersisted in-loop"
+    )
+    rows = {(r["node"], r["cluster_id"]) for r in cc.collect()}
+    assert rows == {(i, 0) for i in range(10)}
+    release_pins(cc, blocking=True)
+    assert _persisted_ids(spark) - before == set()
+
+
+def test_rerun_pinned_operator_leaves_zero_new_rdds(spark):
+    """VERDICT r12 item 1 'done' criterion: re-running a pinned operator
+    twice, releasing each materialized result, leaves zero NEW persisted
+    RDDs relative to the pre-run session state."""
+    from timely_spark.operators.dedup import dedup_cluster_assignment
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    before = _persisted_ids(spark)
+    for _ in range(2):
+        out = dedup_cluster_assignment(docs, pairs)
+        assert out.count() == 12
+        release_pins(out, blocking=True)
+    assert _persisted_ids(spark) - before == set()

@@ -176,6 +176,20 @@ class IvfPqIndex:
         self.codes = self.codes.localCheckpoint(eager=True)
         return self
 
+    def release(self) -> None:
+        """Unpersist the ``materialize()`` pin (no-op when not pinned).
+
+        Deterministic lifecycle (VERDICT r12 item 1): call when the
+        index object is done serving — after ``save()`` when the caller
+        continues against the RELOADED on-disk index, or when a
+        transient in-session index goes out of scope. Do NOT call while
+        a lazy frame derived from ``topk()`` is still unmaterialized
+        (the pin's lineage is truncated; see ``timely_spark.pins``).
+        """
+        from ..pins import unpin
+
+        unpin(self.codes)
+
     # ----------------------------------------------------------- persist
 
     def save(self, path: str) -> None:
@@ -465,6 +479,16 @@ class DeconIndex:
             text_col, id_col,
         )
 
+    def release(self) -> None:
+        """Unpersist the cells cache a ``build()`` left behind (no-op on
+        a loaded/empty index). Unlike the localCheckpoint pins this is a
+        plain persist() — lineage intact, so releasing early merely
+        costs a recompute, never correctness. Call when the handle is
+        done serving (e.g. after ``save()`` when the caller continues
+        against the reloaded on-disk index)."""
+        if self.cells is not None:
+            self.cells.unpersist()
+
     # ----------------------------------------------------------- persist
 
     def save(self, path: str) -> None:
@@ -678,6 +702,15 @@ class MinHashIndex:
         self.bands_df = self.bands_df.localCheckpoint(eager=True)
         return self
 
+    def release(self) -> None:
+        """Unpersist the ``materialize()`` pins (no-op when not pinned).
+        Same contract as ``IvfPqIndex.release``: only call once nothing
+        derived from ``screen()`` remains unmaterialized."""
+        from ..pins import unpin
+
+        unpin(self.bands_df)
+        unpin(self.shingles)
+
     # ----------------------------------------------------------- persist
 
     def save(self, path: str) -> None:
@@ -778,13 +811,19 @@ class MinHashIndex:
             # tables derive from them, so the tokenize/shingle pass runs
             # once per increment instead of once per table — the
             # daily-increment cost this verb exists to bound
-            fs = fs.localCheckpoint(eager=True)
+            from ..pins import pin, unpin
+
+            fs = pin(fs)
         fb = minhash_bands_from_shingles(
             fs, self.id_col, self.num_hashes, self.bands
         )
         if path is not None:
             fb.write.mode("append").parquet(path + "/bands")
             fs.write.mode("append").parquet(path + "/shingles")
+            # both appended tables are on disk and re-read below: the
+            # increment pin is fully consumed — release it so a daily
+            # append loop holds zero pins per round (VERDICT r12 item 1)
+            unpin(fs)
             fb = self.spark.read.parquet(path + "/bands")
             fs = self.spark.read.parquet(path + "/shingles")
         else:

@@ -859,7 +859,10 @@ def bloom_bitset(
         .collect()
     )
     if shingles is None:  # caller-owned frames stay cached for the join
-        b.unpersist()
+        # blocking: the release is deterministic, not racing the async
+        # ContextCleaner (the r12 driver pytest flake was an absolute
+        # persisted-RDD-count assertion catching exactly such a race)
+        b.unpersist(blocking=True)
     words = [0] * (m_bits // 64)
     for r in rows:
         words[r["w"]] = r["bits"]
@@ -972,7 +975,7 @@ def bloom_decontaminate(
         F.explode(_shingle_hashes(text_col, n)).alias("__h")
     ).distinct()
     words, m_bits, k = bloom_bitset(bench, text_col, n, fpp, shingles=b)
-    b.unpersist()
+    b.unpersist(blocking=True)
     d = docs.select(
         F.col(id_col), F.explode(_shingle_hashes(text_col, n)).alias("__h")
     )
@@ -1016,30 +1019,38 @@ def connected_components(
     at convergence every component is uniformly labeled with its min id.
     ``localCheckpoint`` truncates lineage each round; a driver-side loop
     over distributed steps, like every iterative algorithm on Spark.
+
+    Pin lifecycle (r13, VERDICT r12 items 1/7): every superseded pin is
+    unpersisted as soon as its successor is eagerly materialized —
+    round N-1's labels and cross-edge pins die when round N's labels
+    pin lands, and the edge pin dies at convergence. The function
+    returns holding exactly ONE pin (the final labels, which backs the
+    lazily-returned frame); callers that loop release it after
+    materializing via ``timely_spark.pins.release_pins(result)``.
     """
-    edges = (
+    from ..pins import pin, unpin
+
+    edges = pin(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = pin(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         ls = labels.select(F.col("node").alias("src"), F.col("lbl").alias("ls"))
         ld = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("ld"))
-        cross = (
+        cross = pin(
             edges.join(ls, "src")
             .join(ld, "dst")
             .select("ls", "ld")
             .filter(F.col("ls") != F.col("ld"))
-            .localCheckpoint(eager=True)
         )
         if cross.isEmpty():
+            unpin(cross)
             break
         merge = (
             cross.union(cross.select(F.col("ld").alias("ls"), F.col("ls").alias("ld")))
@@ -1047,11 +1058,15 @@ def connected_components(
             .agg(F.min("ld").alias("m"))
             .filter(F.col("m") < F.col("ls"))
         )
-        labels = (
+        new_labels = pin(
             labels.join(merge.withColumnRenamed("ls", "lbl"), "lbl", "left")
             .select("node", F.coalesce("m", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
+        # new_labels is materialized: round N-1's pins are dead weight
+        unpin(labels)
+        unpin(cross)
+        labels = new_labels
+    unpin(edges)
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
 

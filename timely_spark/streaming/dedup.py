@@ -83,11 +83,12 @@ def register_screen_batch(
     from ..fsutil import sidecar_write_json
     from ..operators.ann_index import MinHashIndex
     from ..operators.dedup import _shingle_hashes, minhash_bands
+    from ..pins import pin, unpin
 
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
-    docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+    docs = pin(batch_df.select(id_col, text_col))
     # r12: the per-batch params check is a driver-side sidecar read
     # (was a one-row-parquet Spark job EVERY micro-batch); pre-r12
     # parquet sidecars still load via the shared fallback
@@ -138,9 +139,7 @@ def register_screen_batch(
         )
         # pin the survivor set: THREE writes follow (output, bands,
         # shingles) and each would otherwise re-run the screen join
-        survivors = docs.join(hits, id_col, "left_anti").localCheckpoint(
-            eager=True
-        )
+        survivors = pin(docs.join(hits, id_col, "left_anti"))
     prev = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -162,6 +161,11 @@ def register_screen_batch(
         ).partitionBy("__batch").parquet(index_path + "/shingles")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # deterministic pin lifecycle (VERDICT r12 item 1): both pins are
+        # fully consumed by the writes above; without this every
+        # micro-batch leaked 1-2 persisted RDDs for the session's life
+        unpin(survivors)
+        unpin(docs)
 
 
 def streaming_history_dedup_query(

@@ -318,10 +318,20 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
                 survivors.select("doc_id", "text"),
                 threshold=minhash_threshold,
             )
-            keep_ids = dedup_cluster_assignment(
+            keep_frame = dedup_cluster_assignment(
                 survivors.select("doc_id"), pairs
-            ).filter("is_keeper").select("doc_id")
+            )
+            keep_ids = keep_frame.filter("is_keeper").select("doc_id")
             survivors, n_out = _materialize(survivors.join(keep_ids, "doc_id"))
+            # the stage is parquet-materialized: the banded/shingle pins
+            # behind `pairs` (consumed by CC's eager edge pin) and the
+            # CC labels pin behind keep_frame are all done serving —
+            # release them so a daily curation loop holds zero pins per
+            # run (VERDICT r12 item 1; pins.py lifecycle contract)
+            from timely_spark.pins import release_pins
+
+            release_pins(pairs)
+            release_pins(keep_frame)
             n_minhash = n_out
             _mark("minhash_dedup")
         if history_idx is not None and n_out:
