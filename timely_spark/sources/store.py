@@ -95,9 +95,37 @@ def write_points(
         points = with_promoted_tags(points, promote_tags)
     df = with_partition_cols(points, bucket_metrics)
     part_cols = (["metric_bucket"] if bucket_metrics else ["metric"]) + ["dt"]
+    # r13 (guide §6/§2.4, measured): two changes to the write plan, same
+    # store layout byte-for-byte (one file per (metric, dt) dir, ts-
+    # sorted row groups):
+    # - EXPLICIT shuffle-partition count. A keyed repartition without a
+    #   count is AQE-coalesced to byte-right-sized partitions — correct
+    #   for shuffles, wrong for a dynamic-partition WRITE, whose cost
+    #   driver is files-per-task (each task opens/closes/commits its
+    #   directories sequentially). At sf0.1 AQE coalesced 150 dirs into
+    #   2 tasks and the write ran near-serial: 6.3 s vs 2.5 s with the
+    #   session's configured parallelism (A/B, best-of-3). The count is
+    #   the session's shuffle.partitions — cluster-sized, not a local
+    #   constant; each (metric, dt) group still lands whole in one task,
+    #   so the one-file-per-directory layout is unchanged.
+    # - Partition-col-PREFIXED sort. sortWithinPartitions(metric, ts)
+    #   did not satisfy the writer's required ordering (the partition
+    #   columns), so V1Writes added its own sort by (metric, dt) above
+    #   it — and EliminateSorts then REMOVED ours as redundant: the old
+    #   executed plan's only sort was [metric, dt] (committed evidence,
+    #   plans/r13/write_points_writeplan_before.txt), i.e. the tight-
+    #   ts-row-group contract held only through local-mode fetch-order
+    #   luck, not by construction. Prefixing the partition cols makes
+    #   our sort satisfy the writer's requirement, so it SURVIVES as
+    #   the plan's one sort and within-file ts order is guaranteed —
+    #   dt = floor(ts/day) is monotone in ts within a metric, so the
+    #   row order equals the intended (metric, ts) order. A/B: parity
+    #   (2.51 vs 2.71 s, within noise).
+    sort_cols = part_cols + [c for c in ("metric", "ts") if c not in part_cols]
+    n_write = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     (
-        df.repartition(*[F.col(c) for c in part_cols])
-        .sortWithinPartitions("metric", "ts")
+        df.repartition(n_write, *[F.col(c) for c in part_cols])
+        .sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .partitionBy(*part_cols)
         .parquet(path)
@@ -284,9 +312,13 @@ def compact_partitions(
     df = spark.read.parquet(path)
     part_cols = [c for c in ("metric", "metric_bucket", "dt") if c in df.columns]
     tmp = path.rstrip("/") + "__compacting"
+    # same write-plan shape as write_points (r13): explicit parallelism
+    # (files-per-task is the cost driver, not bytes-per-task) and a
+    # partition-col-prefixed sort so the writer adds no second sort
+    n_write = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
-        df.repartition(*[F.col(c) for c in part_cols])
-        .sortWithinPartitions("ts")
+        df.repartition(n_write, *[F.col(c) for c in part_cols])
+        .sortWithinPartitions(*part_cols, "ts")
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .option("maxRecordsPerFile", 4_000_000)
