@@ -1022,17 +1022,33 @@ def connected_components(
 
     Pin lifecycle (r13, VERDICT r12 items 1/7): every superseded pin is
     unpersisted as soon as its successor is eagerly materialized —
-    round N-1's labels and cross-edge pins die when round N's labels
-    pin lands, and the edge pin dies at convergence. The function
-    returns holding exactly ONE pin (the final labels, which backs the
-    lazily-returned frame); callers that loop release it after
-    materializing via ``timely_spark.pins.release_pins(result)``.
+    round N-1's labels pin dies when round N's lands, and the edge pin
+    dies at convergence. The function returns holding exactly ONE pin
+    (the final labels, which backs the lazily-returned frame); callers
+    that loop release it after materializing via
+    ``timely_spark.pins.release_pins(result)``.
+
+    Round shape (r13, guide §2.4/§1.2 — measured per-round split): the
+    ``pairs`` subtree is evaluated ONCE (explode to both orientations,
+    not a union of two evaluations — the union form re-ran the caller's
+    pair-generation join twice inside the edge pin), and each round is
+    ONE pinned job instead of two: the symmetric cross-label relation
+    is exploded from a single evaluation (so it needs no pin of its
+    own), the merge map left-joins onto labels, and a ``__chg`` flag
+    rides the pin so convergence is a cheap filter-isEmpty on pinned
+    rows. merge is empty iff cross is empty (for any cross pair the
+    larger label always gains a smaller min-adjacent), so the round
+    count and every label are IDENTICAL to the two-job form.
     """
     from ..pins import pin, unpin
 
+    orient = F.array(
+        F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+    )
     edges = pin(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.explode(orient).alias("e"))
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels = pin(
@@ -1043,29 +1059,36 @@ def connected_components(
     for _ in range(max_iter):
         ls = labels.select(F.col("node").alias("src"), F.col("lbl").alias("ls"))
         ld = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("ld"))
-        cross = pin(
+        cross = (
             edges.join(ls, "src")
             .join(ld, "dst")
             .select("ls", "ld")
             .filter(F.col("ls") != F.col("ld"))
         )
-        if cross.isEmpty():
-            unpin(cross)
-            break
+        sym = F.array(
+            F.struct(F.col("ls").alias("a"), F.col("ld").alias("b")),
+            F.struct(F.col("ld").alias("a"), F.col("ls").alias("b")),
+        )
         merge = (
-            cross.union(cross.select(F.col("ld").alias("ls"), F.col("ls").alias("ld")))
-            .groupBy("ls")
-            .agg(F.min("ld").alias("m"))
-            .filter(F.col("m") < F.col("ls"))
+            cross.select(F.explode(sym).alias("e"))
+            .select("e.a", "e.b")
+            .groupBy("a")
+            .agg(F.min("b").alias("m"))
+            .filter(F.col("m") < F.col("a"))
         )
         new_labels = pin(
-            labels.join(merge.withColumnRenamed("ls", "lbl"), "lbl", "left")
-            .select("node", F.coalesce("m", "lbl").alias("lbl"))
+            labels.join(merge.withColumnRenamed("a", "lbl"), "lbl", "left")
+            .select(
+                "node",
+                F.coalesce("m", "lbl").alias("lbl"),
+                F.col("m").isNotNull().alias("__chg"),
+            )
         )
-        # new_labels is materialized: round N-1's pins are dead weight
+        # new_labels is materialized: round N-1's pin is dead weight
         unpin(labels)
-        unpin(cross)
         labels = new_labels
+        if labels.filter("__chg").isEmpty():  # cheap: pinned rows
+            break
     unpin(edges)
     return labels.select("node", F.col("lbl").alias("cluster_id"))
 
