@@ -391,6 +391,10 @@ def q_ts_streaming_summarize(spark, sf_dir):
         watermark_seconds=120,
         exact=True,  # exact percentiles: SQL-expressible for the oracle
         available_now=True,
+        # r13 stateful-shuffle sizing (streaming/state.py rule): open
+        # (series, window) state rows are bounded by the backlog row
+        # count — a cheap parquet metadata count
+        expected_keys=ev_batch.count(),
     )
     q.awaitTermination()
     # 1-row driver seam: the final watermark's anchor
@@ -447,6 +451,8 @@ def q_events_streaming_sessionize(spark, sf_dir):
         gap_minutes=30,
         watermark_seconds=120,
         available_now=True,
+        # r13 stateful-shuffle sizing: open sessions <= backlog rows
+        expected_keys=ev_batch.count(),
     )
     q.awaitTermination()
     mx = ev_batch.agg(F.max(ts_epoch_ms(ev_batch)).alias("m")).collect()[0]["m"]
@@ -495,6 +501,12 @@ def q_ts_streaming_rate(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="timely_rate_out_")
     ck = tempfile.mkdtemp(prefix="timely_rate_ck_")
+    # NOTE (r13): deliberately NOT right-sizing state partitions here —
+    # applyInPandasWithState's cost driver is the per-group PYTHON work
+    # (one worker per state partition), not state-store commit count;
+    # an expected_keys-shrunk partition count serialized the Python
+    # stage and read 2x SLOWER in the same-window A/B (16.0 -> 34.6 s).
+    # The per-row loop is vectorized instead (streaming/stateful_rate).
     q = (
         streaming_rate(pts, RateOptions(interval_ms=1000))
         .writeStream.outputMode("append")
@@ -1389,15 +1401,22 @@ def q_doc_streaming_dedup(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="timely_dedup_out_")
     ck = tempfile.mkdtemp(prefix="timely_dedup_ck_")
-    q = (
+    from timely_spark.streaming.state import provider_for_start
+
+    # r13 stateful-shuffle sizing (streaming/state.py, measured on this
+    # exact row: 32 state stores for 5k keys spent 28-122 s cumulative
+    # in commits; right-sized, 0.4-2.4 s): dedup state keys = distinct
+    # texts <= backlog rows (a parquet metadata count)
+    writer = (
         streaming_exact_dedup(stream)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out)
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
-        .start()
     )
+    with provider_for_start(spark, "auto", expected_keys=batch.count()):
+        q = writer.start()
     q.awaitTermination()
     sink = spark.read.parquet(out)
     # survivor id canonicalized to min(doc_id) per content hash: at
@@ -1588,6 +1607,8 @@ def q_ts_streaming_ddsketch(spark, sf_dir):
     q = ddsketch_stream_query(
         pts, window_seconds=3600, checkpoint=ck, out_path=out,
         watermark_seconds=120, available_now=True,
+        # r13 stateful-shuffle sizing: open sketch partials <= backlog
+        expected_keys=ev_batch.count(),
     )
     q.awaitTermination()
     mx = ev_batch.agg(F.max(ts_epoch_ms(ev_batch)).alias("m")).collect()[0]["m"]
@@ -1638,6 +1659,9 @@ def q_events_streaming_heavy_hitters(spark, sf_dir):
     q = cms_stream_query(
         pts, "item", window_seconds=3600, checkpoint=ck, out_path=out,
         watermark_seconds=120, available_now=True,
+        # r13 stateful-shuffle sizing: open (window, row) CMS cells are
+        # bounded by depth x width x windows << backlog rows
+        expected_keys=ev_batch.count(),
     )
     q.awaitTermination()
     mx = ev_batch.agg(F.max(ts_epoch_ms(ev_batch)).alias("m")).collect()[0]["m"]

@@ -439,7 +439,9 @@ def bench_streaming_summarize(spark, sf_dir: str):
             os.path.abspath(f"{sf_dir}/events.parquet"),
             os.path.join(srcdir, "events.parquet"),
         )
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = ev_batch.schema
+        n_backlog = ev_batch.count()  # outside the clock, like schema
         ev = spark.readStream.schema(schema).parquet(srcdir)
         pts = ev.select(
             F.col("event_type").alias("metric"),
@@ -458,6 +460,9 @@ def bench_streaming_summarize(spark, sf_dir: str):
             watermark_seconds=120,
             exact=False,  # percentile_approx: the 100 TB path
             available_now=True,
+            # r13 stateful-shuffle sizing (streaming/state.py rule),
+            # mirroring the registry row
+            expected_keys=n_backlog,
         )
         q.awaitTermination()
         dt = time.time() - t0

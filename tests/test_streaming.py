@@ -244,6 +244,68 @@ def test_streaming_rate_state_across_microbatches(spark, tmp_path):
         assert got[k] == pytest.approx(v, rel=1e-12)
 
 
+def test_streaming_rate_counter_late_and_equal_ts_semantics(spark, tmp_path):
+    """Pin the r13 vectorized update's scalar semantics corner by
+    corner: counter wrap (+counter_max on a negative delta), an
+    equal-timestamp pair (rate 0.0), and the monotonic-state guard (a
+    point OLDER than the carried state arriving in a LATER micro-batch
+    is dropped, not emitted as a negative-dt rate)."""
+    from timely_spark.operators.rate import RateOptions
+    from timely_spark.sources.lineprotocol import parse_lines_df
+    from timely_spark.streaming.stateful_rate import streaming_rate
+
+    b = 1_447_767_913_000
+    src = tmp_path / "pts"
+    src.mkdir()
+    # equal-ts values kept EQUAL so pandas' non-stable tie order cannot
+    # change which value becomes the carried state
+    f1 = [
+        f"put m {b + 1000} 10.0 host=h1",
+        f"put m {b + 2000} 4.0 host=h1",
+        f"put m {b + 2000} 4.0 host=h1",
+    ]
+    f2 = [
+        f"put m {b + 1500} 99.0 host=h1",  # older than state -> dropped
+        f"put m {b + 3000} 1.0 host=h1",   # counter wrap: -3 + 100
+        f"put m {b + 4000} 5.0 host=h1",
+    ]
+    (src / "f1.txt").write_text("\n".join(f1) + "\n")
+    (src / "f2.txt").write_text("\n".join(f2) + "\n")
+    import os
+    import time as _t
+
+    os.utime(src / "f1.txt", (_t.time() - 20, _t.time() - 20))
+
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    pts = parse_lines_df(lines)
+    q = (
+        streaming_rate(
+            pts,
+            RateOptions(interval_ms=1000, counter=True, counter_max=100),
+        )
+        .writeStream.format("memory")
+        .queryName("rates_ctr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["ts"], r["value"])
+        for r in spark.sql("select * from rates_ctr").collect()
+    )
+    want = [
+        (b + 2000, 0.0),    # equal-timestamp pair
+        (b + 2000, 94.0),   # (4-10) wraps to +94 over 1s
+        (b + 3000, 97.0),   # (1-4) wraps to +97; the late 1500 point dropped
+        (b + 4000, 4.0),    # plain delta
+    ]
+    assert got == want
+
+
 def test_summarization_writeback_loop(spark, tmp_path):
     """A11 full loop: raw points -> summarize -> sample-tagged points ->
     store -> queryable via the same OpenTSDB API (the Flink job's

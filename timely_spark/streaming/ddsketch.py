@@ -34,11 +34,18 @@ def ddsketch_stream_query(
     watermark_seconds: int = 120,
     gamma: float = DD_GAMMA,
     available_now: bool = False,
+    state_store: str = "auto",
+    expected_keys: int | None = None,
 ):
     """Event-time tumbling windows + watermark -> DDSketch partial rows
     (metric, bucket_ts, dd_sign, dd_idx, cnt) in an append-mode parquet
     sink. Drain with ``available_now=True`` for bounded backlogs; read
     quantiles off the sink with ``operators.rollup.ddsketch_quantile``.
+
+    ``state_store`` / ``expected_keys``: provider + stateful-shuffle
+    sizing knob per ``streaming.state`` (same contract as
+    ``summarization_query``); keys here are open
+    (metric, window, sign, idx) partials.
     """
     wm = stream.withColumn(
         "event_time", F.timestamp_millis(F.col("ts"))
@@ -69,4 +76,7 @@ def ddsketch_stream_query(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from .state import provider_for_start
+
+    with provider_for_start(stream.sparkSession, state_store, expected_keys):
+        return writer.start()

@@ -73,47 +73,74 @@ def streaming_rate(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # r13 (guide §4.2): vectorized — the old per-row itertuples loop
+        # was the drain's dominant Python cost at backlog volume. The
+        # numpy form reproduces the scalar semantics exactly, per pdf
+        # chunk with the (last_ts, last_value) state carried across
+        # chunks like the loop did:
+        # - within a sorted chunk only the PREFIX can violate the
+        #   monotonic-state guard (t < incoming last_ts), so the guard
+        #   is one boolean mask;
+        # - rate = diff(v)/diff(t)*interval elementwise, the same IEEE
+        #   double ops in the same order as the scalar code;
+        # - equal-timestamp pairs (dt == 0) emit 0.0;
+        # - counter mode adds counter_max (or the previous value) to
+        #   negative deltas and zeroes rates above reset_value.
+        import numpy as np
+
         (series_key,) = key
         if state.exists:
             last_ts, last_v = state.get
         else:
             last_ts, last_v = None, None
 
-        out_ts: list[int] = []
-        out_v: list[float] = []
+        frames: list[pd.DataFrame] = []
         metric = None
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values("ts")
-            for row in pdf.itertuples(index=False):
-                metric = row.metric
-                t, v = int(row.ts), float(row.value)
-                if last_ts is not None:
-                    if t < last_ts:
-                        continue  # monotonic-state guard (GorillaStore.java:293-316)
-                    if t == last_ts:
-                        # RateIterator.java:93-95: equal-timestamp pair -> 0.0
-                        r = 0.0
-                    else:
-                        dv = v - last_v
-                        if counter and dv < 0:
-                            dv += counter_max if counter_max is not None else last_v
-                        r = dv / (t - last_ts) * interval
-                        # RateIterator.java:101-104: counter mode only, signed
-                        if counter and reset_value > 0 and r > reset_value:
-                            r = 0.0
-                    out_ts.append(t)
-                    out_v.append(r)
-                last_ts, last_v = t, v
-        state.update((last_ts, last_v))
-        if out_ts:
-            yield pd.DataFrame(
-                {
-                    "series_key": series_key,
-                    "metric": metric,
-                    "ts": out_ts,
-                    "value": out_v,
-                }
+            metric = pdf["metric"].iloc[-1]
+            ts = pdf["ts"].to_numpy(dtype=np.int64)
+            vv = pdf["value"].to_numpy(dtype=np.float64)
+            if last_ts is not None:
+                keep = ts >= last_ts  # monotonic-state guard prefix
+                ts, vv = ts[keep], vv[keep]
+                if len(ts) == 0:
+                    continue
+                seq_t = np.concatenate(([last_ts], ts))
+                seq_v = np.concatenate(([last_v], vv))
+            else:
+                seq_t, seq_v = ts, vv
+            last_ts, last_v = int(seq_t[-1]), float(seq_v[-1])
+            if len(seq_t) < 2:
+                continue
+            dt = np.diff(seq_t)
+            dv = seq_v[1:] - seq_v[:-1]
+            if counter:
+                neg = dv < 0
+                if counter_max is not None:
+                    dv = np.where(neg, dv + counter_max, dv)
+                else:
+                    dv = np.where(neg, dv + seq_v[:-1], dv)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = dv / dt * interval
+            if counter and reset_value > 0:
+                r = np.where(r > reset_value, 0.0, r)
+            r = np.where(dt == 0, 0.0, r)  # equal-timestamp pair -> 0.0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series_key": series_key,
+                        "metric": metric,
+                        "ts": seq_t[1:],
+                        "value": r,
+                    }
+                )
             )
+        state.update((last_ts, last_v))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     from ..model import series_id
 
