@@ -965,3 +965,108 @@ def test_index_compact_identity(spark, tmp_path):
     )
     assert n_after == 1 < n_before
     assert sorted(map(tuple, c.topk(q, k=10, nprobe=8).collect())) == t_before
+
+
+def test_adc_arrow_scores_match_hof_fold(spark):
+    """r13: the Arrow ADC stage's scores are BITWISE identical to the
+    zip_with/aggregate left fold it replaced — full score set (not just
+    top-k), both the crossJoin (pq) shape and the probe-pruned (ivf)
+    shape, on the real sf0.001 embeddings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.ann_index import IvfPqIndex
+    from timely_spark.operators.similarity import (
+        adc_scores_arrow,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = _sf_embeddings(spark)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    m, dsub, ksub = 8, 8, 16
+    books = pq_train_codebooks(emb, dim=64, m=m, ksub=ksub, sample=256)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    lut_rows = []
+    for r in q.collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        lut_rows.append(
+            (
+                r["query_id"],
+                [
+                    [
+                        round(float(v), 9)
+                        for v in books[s] @ qv[s * dsub : (s + 1) * dsub]
+                    ]
+                    for s in range(m)
+                ],
+            )
+        )
+    # the r12 JVM reference form, inlined
+    qluts = F.broadcast(
+        spark.createDataFrame(
+            lut_rows, "query_id long, luts array<array<double>>"
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("luts"),
+            F.col("codes"),
+            lambda lut, cde: F.element_at(lut, cde + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    old = {
+        (r[0], r[1]): r[2]
+        for r in codes.crossJoin(qluts)
+        .withColumn("adc_score", adc)
+        .select("query_id", "vec_id", "adc_score")
+        .collect()
+    }
+    new = {
+        (r[0], r[1]): r[2]
+        for r in adc_scores_arrow(codes, lut_rows, m).collect()
+    }
+    assert set(old) == set(new) and len(old) > 0
+    assert all(old[k] == new[k] for k in old)  # bitwise, no tolerance
+
+    # probe-pruned shape: the index's topk scores must equal the HOF
+    # fold over the INDEX'S OWN books/codes (same model), pair by pair
+    # — the pruning may only SUBSET pairs, never change a score
+    idx = IvfPqIndex.build(emb, dim=64, m=m, ksub=ksub, ncells=8)
+    ilut_rows = []
+    for r in q.collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        qv /= max(float(np.linalg.norm(qv)), 1e-12)
+        ilut_rows.append(
+            (
+                r["query_id"],
+                [
+                    [
+                        round(float(v), 9)
+                        for v in idx.books[s] @ qv[s * dsub : (s + 1) * dsub]
+                    ]
+                    for s in range(m)
+                ],
+            )
+        )
+    iqluts = F.broadcast(
+        spark.createDataFrame(
+            ilut_rows, "query_id long, luts array<array<double>>"
+        )
+    )
+    ref = {
+        (r[0], r[1]): r[2]
+        for r in idx.codes.crossJoin(iqluts)
+        .withColumn("adc_score", adc)
+        .select("query_id", "vec_id", "adc_score")
+        .collect()
+    }
+    got = idx.topk(q, k=5, nprobe=4).collect()
+    assert len(got) > 0
+    for r in got:
+        assert ref[(r["query_id"], r["vec_id"])] == r["adc_score"]

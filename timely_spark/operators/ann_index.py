@@ -290,10 +290,11 @@ class IvfPqIndex:
     ) -> DataFrame:
         """ADC top-k against the codes table (Jegou et al. 2011): each
         query probes its ``nprobe`` nearest cells; candidates score via
-        per-subspace lookup tables, JVM-side (m element_at lookups per
-        candidate). Plan: codes scan -> broadcast (query, cell, LUT)
-        join -> salted two-phase window top-k — one broadcast, one
-        shuffle, zero Python stages at query time.
+        per-subspace lookup tables inside ONE Arrow stage (the LUT
+        tensor rides the task closure, probe pruning is a boolean
+        gather). Plan: codes scan -> MapInPandas (skinny
+        query/id/score rows out) -> salted two-phase window top-k —
+        one Python stage, one shuffle, no per-row LUT materialization.
 
         ``exclude_self`` drops the id == query_id match (the registry
         rows query corpus members; recall@k is over the OTHER
@@ -323,35 +324,25 @@ class IvfPqIndex:
             lut_rows.append(
                 (r[query_id_col], [int(c) for c in probes], luts)
             )
-        # ONE row per query shipped (cells as an array, exploded JVM-side
-        # inside the broadcast build) — the old shape duplicated each
-        # query's m*ksub LUT nprobe times through Py4J, 16x the bytes at
-        # the registry operating point (r12 measured driver cost).
-        qdf = F.broadcast(
-            self.spark.createDataFrame(
-                lut_rows,
-                f"{query_id_col} long, __cells array<long>, "
-                "luts array<array<double>>",
-            ).select(
-                F.col(query_id_col),
-                F.explode("__cells").alias("cell_id"),
-                F.col("luts"),
-            )
+        # r13: the broadcast cell join + zip_with/aggregate fold became
+        # one Arrow stage with the LUT tensor in the task closure — the
+        # JVM form materialized each scored row's m x ksub LUT array in
+        # unsafe row format (~32 KB/row of pure churn) before the
+        # interpreted fold read 16 entries of it. The probe pruning is
+        # a per-query boolean gather inside the stage; scores are
+        # bitwise identical (same 0.0-seeded left fold, parity
+        # test-pinned). See similarity.adc_scores_arrow.
+        from .similarity import adc_scores_arrow
+
+        scored = adc_scores_arrow(
+            self.codes, lut_rows, m, id_col=self.id_col,
+            query_id_col=query_id_col, cell_col="cell_id",
+            ncells=len(C),
         )
-        scored = self.codes.join(qdf, "cell_id")
         if exclude_self:
             scored = scored.filter(F.col(self.id_col) != F.col(query_id_col))
-        adc = F.aggregate(
-            F.zip_with(
-                F.col("luts"),
-                F.col("codes"),
-                lambda lut, cde: F.element_at(lut, cde + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
         return per_query_topk(
-            scored.withColumn("adc_score", adc), k, "adc_score",
+            scored, k, "adc_score",
             query_id_col, self.id_col,
         ).select(query_id_col, self.id_col, "adc_score", "rank")
 
