@@ -1070,3 +1070,40 @@ def test_adc_arrow_scores_match_hof_fold(spark):
     assert len(got) > 0
     for r in got:
         assert ref[(r["query_id"], r["vec_id"])] == r["adc_score"]
+
+
+def test_cosine_arrow_scores_match_hof_fold(spark):
+    """r13: cosine_scores_arrow is BITWISE identical to the
+    cosine_similarity_col HOF form over the full score set on the real
+    (float32) embeddings — element-type multiply, double accumulation
+    in dimension order, IEEE sqrt, same division parenthesization."""
+    from pyspark.sql import functions as F
+
+    from timely_spark.operators.similarity import (
+        cosine_scores_arrow,
+        cosine_similarity_col,
+    )
+
+    emb = _sf_embeddings(spark)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qb = F.broadcast(
+        q.select("query_id", F.col("embedding").alias("__qvec"))
+    )
+    old = {
+        (r[0], r[1]): r[2]
+        for r in emb.select("vec_id", "embedding")
+        .crossJoin(qb)
+        .withColumn(
+            "cosine",
+            cosine_similarity_col(F.col("embedding"), F.col("__qvec")),
+        )
+        .select("query_id", "vec_id", "cosine")
+        .collect()
+    }
+    new = {
+        (r[0], r[1]): r[2] for r in cosine_scores_arrow(emb, q).collect()
+    }
+    assert set(old) == set(new) and len(old) > 0
+    assert all(old[k] == new[k] for k in old)  # bitwise, no tolerance

@@ -77,6 +77,75 @@ def _centroid_scored_expr(cents, vec_col: str, id_col: str):
     return F.expr(f"array({parts})")
 
 
+def cosine_scores_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Every (query, corpus) cosine as ONE Arrow stage with the query
+    matrix riding the task closure (r13; the adc_scores_arrow sibling).
+
+    The JVM form crossJoined the corpus against a query broadcast —
+    every scored row materialized BOTH dim-float arrays in unsafe row
+    format before three interpreted HOF folds (dot + two norms, ~3*dim
+    interpreted ops/row) consumed them. Here the corpus vectors cross
+    the boundary once as Arrow batches and the scoring is dim
+    vectorized ops per batch.
+
+    BITWISE-identical cosines to ``cosine_similarity_col``: the input
+    element type is preserved (float32 corpora multiply in float32 and
+    widen to double exactly like the JVM's ``(x*y).cast("double")``),
+    the dot/norm accumulators add per-dimension in index order (the
+    aggregate fold's order), np.sqrt == Math.sqrt (IEEE correctly
+    rounded), and the division takes ``dot / (norm_a * norm_b)`` with
+    the same parenthesization. Parity is test-pinned with no tolerance.
+
+    Queries must be small (driver-collected — the same contract the
+    broadcast form had).
+    """
+    import numpy as np
+
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Qm64 = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    dim = Qm64.shape[1]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            Qx = Qm64.astype(X.dtype)  # exact round trip for float32
+            n, nq = len(ids), len(qids)
+            dot = np.zeros((n, nq))
+            xn = np.zeros(n)
+            qn = np.zeros(nq)
+            for d in range(dim):
+                # element-type multiply, double accumulate, d-order —
+                # exactly the JVM fold
+                dot += np.multiply.outer(X[:, d], Qx[:, d])
+                xn += X[:, d] * X[:, d]
+                qn += Qx[:, d] * Qx[:, d]
+            cos = dot / (np.sqrt(xn)[:, None] * np.sqrt(qn)[None, :])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qids, n),
+                    id_col: np.repeat(ids, nq),
+                    "cosine": cos.reshape(-1),
+                }
+            )
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, f"{query_id_col} long, {id_col} long, cosine double"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,19 +157,16 @@ def cosine_topk(
     """Exact top-k neighbors per query. Queries must be small (broadcast).
 
     Output: (query_id, vec_id, cosine) with rank<=k; ties broken by id
-    so results are deterministic.
+    so results are deterministic. r13: scoring is the Arrow stage
+    (cosine_scores_arrow — bitwise-identical cosines, parity
+    test-pinned); the top-k window is unchanged.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
-        )
-    )
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
-    # exclude self-matches when the query set is drawn from the corpus
-    joined = joined.filter(F.col(id_col) != F.col(query_id_col))
-    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    scored = cosine_scores_arrow(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).filter(F.col(id_col) != F.col(query_id_col))
     return per_query_topk(
-        joined.withColumn("cosine", sim), k, "cosine", query_id_col, id_col
+        scored, k, "cosine", query_id_col, id_col
     ).select(query_id_col, id_col, "cosine", "rank")
 
 
