@@ -3400,7 +3400,12 @@ def q_media_caption_dedup(spark, sf_dir):
             payload = bytes(p)
         rows.append((i, "image", "image/bmp", payload, None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    feats = extract_image_features(media).select("media_id", "phash")
+    # r13: pin the decoded-feature projection once — the Hamming join
+    # and the keeper anti-join below otherwise each re-ran the BMP
+    # decode + aHash mapInPandas stage (guide §2.4)
+    from timely_spark.pins import pin
+
+    feats = pin(extract_image_features(media).select("media_id", "phash"))
     pairs = hamming_near_dups(feats, "phash", id_col="media_id", max_hamming=3)
     losers = pairs.select(F.greatest("id_a", "id_b").alias("media_id")).distinct()
     keepers = feats.join(losers, "media_id", "left_anti")

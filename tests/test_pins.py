@@ -82,3 +82,53 @@ def test_rerun_pinned_operator_leaves_zero_new_rdds(spark):
         assert out.count() == 12
         release_pins(out, blocking=True)
     assert _persisted_ids(spark) - before == set()
+
+
+def test_hamming_skips_redundant_pin_on_pin_backed_input(spark):
+    """r13: when the caller already pinned the hashed projection (the
+    video/caption operators share it across several joins),
+    ``hamming_near_dups`` must NOT add a second pin — and the returned
+    plan must contain zero Python stages (the decode pass ran exactly
+    once, inside the caller's pin)."""
+    from timely_spark.operators.dedup import hamming_near_dups
+    from timely_spark.pins import pin, pin_backed, release_pins
+
+    hashed = pin(
+        spark.createDataFrame(
+            [(1, 7), (2, 7), (3, 1 << 40)], "doc_id long, h long"
+        )
+    )
+    assert pin_backed(hashed)
+    before = _persisted_ids(spark)
+    out = hamming_near_dups(hashed, "h", max_hamming=3)
+    assert _persisted_ids(spark) - before == set(), (
+        "hamming_near_dups re-pinned an already pin-backed input"
+    )
+    rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert rows == {(1, 2)}
+    release_pins(hashed, blocking=True)
+
+
+def test_video_near_dups_single_decode_evaluation(spark):
+    """r13: video_near_dups' returned plan reads only the pinned frame
+    hashes — zero MapInPandas/ArrowEval nodes, so the container-parse +
+    JPEG-decode pipeline runs once per call instead of once per join."""
+    from timely_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_avi_mjpeg,
+        video_near_dups,
+    )
+
+    rows = [
+        (0, "video", "video/x-msvideo",
+         make_avi_mjpeg(3, width=32, height=24, fps=2.0, seed=5), None),
+        (1000, "video", "video/x-msvideo",
+         make_avi_mjpeg(3, width=32, height=24, fps=2.0, seed=5,
+                        luma_shift=6), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = video_near_dups(media, every_n_seconds=0.5, min_shared_frames=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(0, 1000)}
+    release_pins(out, blocking=True)

@@ -387,10 +387,15 @@ def hamming_near_dups(
     # expensive pass. The pinned frame is 16 bytes/row, so the
     # checkpoint is hash-sized at any corpus scale while the saved pass
     # is corpus-sized (guide §2.4: two operations keyed the same way
-    # share one evaluation).
-    sh = hashed.select(
-        F.col(id_col), F.col(hash_col).alias("__hh")
-    ).localCheckpoint(eager=True)
+    # share one evaluation). r13: skip the pin when the caller already
+    # pinned the shared upstream pass (video_near_dups, caption dedup —
+    # their keep/align joins read the same decoded features, so THEY
+    # own the pin and this one would only copy pinned rows).
+    from ..pins import pin_backed
+
+    sh = hashed.select(F.col(id_col), F.col(hash_col).alias("__hh"))
+    if not pin_backed(hashed):
+        sh = sh.localCheckpoint(eager=True)
     chunk_idx = F.sequence(F.lit(0), F.lit(chunks - 1))
     blocked = sh.select(
         F.col(id_col),

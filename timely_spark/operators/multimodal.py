@@ -1194,17 +1194,24 @@ def video_near_dups(
     frame); the Hamming join blocks on hash chunks exactly like image
     near-dup; the final pair count is a groupBy over candidate pairs
     only. No stage touches raw video bytes after the hash pass."""
+    from ..pins import pin
     from .dedup import hamming_near_dups
 
     # surrogate frame id = xxhash64(media_id, frame_idx): safe for ANY
     # id domain (hash-derived/negative 64-bit media ids included, where
     # an arithmetic composite would mis-decompose); identity is
     # recovered by joining back to the frame table, never by arithmetic
-    fh = video_frame_hashes(media, every_n_seconds).select(
-        F.xxhash64("media_id", "frame_idx").alias("fid"),
-        "media_id",
-        "frame_idx",
-        "phash",
+    # r13: ONE pin of the hashed-frame projection (28 B/row) feeds the
+    # Hamming join AND both identity-recovery joins — the container
+    # parse + JPEG decode + aHash mapInPandas pipeline otherwise ran
+    # once per consumer (3x per call; guide §2.4)
+    fh = pin(
+        video_frame_hashes(media, every_n_seconds).select(
+            F.xxhash64("media_id", "frame_idx").alias("fid"),
+            "media_id",
+            "frame_idx",
+            "phash",
+        )
     )
     pairs = hamming_near_dups(fh, "phash", id_col="fid", max_hamming=max_hamming)
     key = fh.select("fid", "media_id", "frame_idx")

@@ -56,6 +56,25 @@ def _logical_rdd(df: DataFrame):
     return None
 
 
+def pin_backed(df: DataFrame) -> bool:
+    """True when every leaf of ``df``'s analyzed plan is a LogicalRDD —
+    i.e. the frame reads only checkpoint pins (or other ExistingRDD
+    scans) and re-evaluating it repeats no expensive lineage. Operators
+    that pin internally (``hamming_near_dups``) consult this to skip a
+    redundant second pin when the caller already pinned the shared
+    upstream pass."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    except Exception:
+        return False
+    if leaves.size() == 0:
+        return False
+    for i in range(leaves.size()):
+        if leaves.apply(i).getClass().getSimpleName() != "LogicalRDD":
+            return False
+    return True
+
+
 def unpin(df: DataFrame, blocking: bool = False) -> bool:
     """Release the persisted RDD behind a :func:`pin` result.
 
