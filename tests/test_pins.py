@@ -132,3 +132,57 @@ def test_video_near_dups_single_decode_evaluation(spark):
     assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(0, 1000)}
     release_pins(out, blocking=True)
+
+
+def test_minhash_screen_single_batch_pass_and_releasable(spark):
+    """r13: MinHashIndex.screen runs the batch tokenize/shingle/sign
+    pass ONCE (both the banding and verify sides read the internal
+    pin — no tokenizer expression left in the returned plan) and the
+    pin is releasable via release_pins after the output materializes."""
+    from timely_spark.operators.ann_index import MinHashIndex
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{k}" for k in range(20))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = MinHashIndex.build(
+        docs, threshold=0.5, num_hashes=64, bands=32
+    ).materialize()
+    batch = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    before = _persisted_ids(spark)
+    out = idx.screen(batch)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "regexp_extract_all" not in plan, (
+        "screen's returned plan re-runs the tokenize pass:\n" + plan
+    )
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {
+        (i, i + 100) for i in range(8)
+    }
+    release_pins(out, blocking=True)
+    assert _persisted_ids(spark) - before == set()
+    idx.release()
+
+
+def test_register_screen_batch_leaves_zero_pins(spark, tmp_path):
+    """r13: each streaming history-dedup micro-batch computes its
+    shingle pass once into a pin and releases EVERY pin before
+    returning (VERDICT r12 item 1 'done' criterion for the loop)."""
+    from timely_spark.streaming.dedup import register_screen_batch
+
+    def rows(ids):
+        return [(i, " ".join(f"t{i}z{k}" for k in range(25))) for i in ids]
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    before = _persisted_ids(spark)
+    for bid, ids in enumerate([range(5), range(10, 14)]):
+        b = spark.createDataFrame(rows(ids), "doc_id long, text string")
+        register_screen_batch(
+            b, bid, index_path=idx, out_path=out, threshold=0.5,
+            num_hashes=64, bands=32,
+        )
+        assert _persisted_ids(spark) - before == set(), (
+            f"batch {bid} leaked pins"
+        )
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == set(range(5)) | set(range(10, 14))

@@ -849,7 +849,12 @@ class MinHashIndex:
 
     # ------------------------------------------------------------ screen
 
-    def screen(self, batch: DataFrame, exclude_self: bool = True) -> DataFrame:
+    def screen(
+        self,
+        batch: DataFrame,
+        exclude_self: bool = True,
+        shingles: DataFrame | None = None,
+    ) -> DataFrame:
         """Verified near-dup cross pairs of ``batch`` against the index:
         (id_a = index doc, id_b = batch doc, jaccard >= threshold).
 
@@ -858,13 +863,33 @@ class MinHashIndex:
         fetching the stored index shingle array + the batch's computed
         one -> exact hashed-shingle Jaccard filter. ``exclude_self``
         drops id_a == id_b rows (a batch overlapping the index would
-        otherwise report each overlap as its own trivial dup)."""
-        from .dedup import _shingle_hashes, minhash_bands
+        otherwise report each overlap as its own trivial dup).
+
+        r13 (guide §2.4): the batch's tokenize/shingle/sign pass used
+        to run TWICE per call — once under the banding aggregation and
+        once for the verify side. It now runs exactly once: the
+        (id, sh) relation is pinned and BOTH sides derive from the pin
+        (batch-sized hash arrays, same weight class as the
+        ``minhash_dedup`` verify pin). Callers that loop release it via
+        ``release_pins`` on the consumed output; callers that already
+        hold the batch's shingle relation (the streaming history loop,
+        which also writes it to the index) pass it as ``shingles``
+        ((id_col, sh) shape) and no internal pin is created."""
+        from ..pins import pin
+        from .dedup import _shingle_hashes, minhash_bands_from_shingles
 
         id_col = self.id_col
-        qb = minhash_bands(
-            batch, self.text_col, id_col, self.num_hashes, self.bands,
-            self.shingle_n,
+        if shingles is None:
+            shingles = pin(
+                batch.select(
+                    F.col(id_col),
+                    _shingle_hashes(self.text_col, self.shingle_n).alias(
+                        "sh"
+                    ),
+                )
+            )
+        qb = minhash_bands_from_shingles(
+            shingles, id_col, self.num_hashes, self.bands
         ).withColumnRenamed(id_col, "__qid")
         cands = (
             self.bands_df.join(qb, ["band", "bucket"])
@@ -875,9 +900,8 @@ class MinHashIndex:
         )
         if exclude_self:
             cands = cands.filter(F.col("id_a") != F.col("id_b"))
-        qsh = batch.select(
-            F.col(id_col).alias("id_b"),
-            _shingle_hashes(self.text_col, self.shingle_n).alias("sh_b"),
+        qsh = shingles.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
         )
         j = cands.join(
             self.shingles.select(

@@ -82,13 +82,25 @@ def register_screen_batch(
     contract is against HISTORY, matching curate's stage."""
     from ..fsutil import sidecar_write_json
     from ..operators.ann_index import MinHashIndex
-    from ..operators.dedup import _shingle_hashes, minhash_bands
+    from ..operators.dedup import (
+        _shingle_hashes,
+        minhash_bands_from_shingles,
+    )
     from ..pins import pin, unpin
 
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return
     docs = pin(batch_df.select(id_col, text_col))
+    # r13 (guide §2.4): ONE tokenize/shingle/sign pass per micro-batch.
+    # This pinned (id, sh) relation feeds the screen's banding AND
+    # verify sides and BOTH index-increment writes below — previously
+    # each of those four consumers re-ran the pass over the batch.
+    sh_docs = pin(
+        docs.select(
+            F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh")
+        )
+    )
     # r12: the per-batch params check is a driver-side sidecar read
     # (was a one-row-parquet Spark job EVERY micro-batch); pre-r12
     # parquet sidecars still load via the shared fallback
@@ -133,7 +145,7 @@ def register_screen_batch(
             *stored,
         )
         hits = (
-            hist.screen(docs)
+            hist.screen(docs, shingles=sh_docs)
             .select(F.col("id_b").alias(id_col))
             .distinct()
         )
@@ -149,22 +161,24 @@ def register_screen_batch(
         tagged.write.mode("overwrite").partitionBy("__batch").parquet(
             out_path
         )
-        minhash_bands(
-            survivors, text_col, id_col, num_hashes, bands, shingle_n
+        # survivor shingles = the pinned batch pass restricted to the
+        # surviving ids (an inner join of two pins — no re-sign)
+        surv_sh = sh_docs.join(survivors.select(id_col), id_col)
+        minhash_bands_from_shingles(
+            surv_sh, id_col, num_hashes, bands
         ).withColumn("__batch", F.lit(int(batch_id))).write.mode(
             "overwrite"
         ).partitionBy("__batch").parquet(index_path + "/bands")
-        survivors.select(
-            F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("sh")
-        ).withColumn("__batch", F.lit(int(batch_id))).write.mode(
+        surv_sh.withColumn("__batch", F.lit(int(batch_id))).write.mode(
             "overwrite"
         ).partitionBy("__batch").parquet(index_path + "/shingles")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        # deterministic pin lifecycle (VERDICT r12 item 1): both pins are
+        # deterministic pin lifecycle (VERDICT r12 item 1): all pins are
         # fully consumed by the writes above; without this every
-        # micro-batch leaked 1-2 persisted RDDs for the session's life
+        # micro-batch leaked persisted RDDs for the session's life
         unpin(survivors)
+        unpin(sh_docs)
         unpin(docs)
 
 

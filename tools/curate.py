@@ -353,6 +353,11 @@ def curate(spark, sf_dir: str, out: str, seq_len: int = 512, min_p_keep: float =
             survivors, n_out = _materialize(
                 survivors.join(hits, "doc_id", "left_anti")
             )
+            # release screen()'s internal batch-shingle pin now that the
+            # survivor set is materialized (r13; pins.py lifecycle)
+            from timely_spark.pins import release_pins
+
+            release_pins(hits)
             n_history_dedup = n_out
             _mark("history_dedup")
         if (substring_rewrite or max_dup_frac is not None) and n_out:
