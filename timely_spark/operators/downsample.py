@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.time import query_aligned_bucket
-from ..model import series_id
+from ..model import projected_tags, series_id
 from ..parse import DownsampleSpec
 from .aggregators import agg_expr
 
@@ -84,9 +84,11 @@ def combine_series(
 
     Output: metric, tags (projected map), bucket_ts, value.
     """
-    keys = F.array(*[F.lit(k) for k in group_tag_keys])
-    projected = F.map_filter("tags", lambda k, _v: F.array_contains(keys, k))
-    proj = downsampled.withColumn("tags", projected)
+    # r13: SQL-rendered projection (one parse, not a lambda-builder
+    # py4j exchange) — values identical, see model.projected_tags
+    proj = downsampled.withColumn(
+        "tags", projected_tags(group_tag_keys)
+    )
     # map columns can't be groupBy keys pre-Spark-3.x semantics; use the
     # canonical sorted rendering as the shuffle key, keep the map via first()
     proj = proj.withColumn("__gkey", series_id())

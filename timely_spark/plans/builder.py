@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.viz import viz_filter
-from ..model import series_id
+from ..model import projected_tags, series_id
 from ..operators.aggregators import agg_expr
 from ..operators.downsample import combine_series, downsample
 from ..operators.rate import rate
@@ -166,11 +166,9 @@ def build_subquery(
     if q.aggregator == "none":
         # 'none' disables downsampling AND cross-series combine
         # (Aggregator.java:40-59): raw points, tags projected
-        keys = F.array(*[F.lit(k) for k in group_keys])
-        projected = F.map_filter("tags", lambda k, _v: F.array_contains(keys, k))
         return df.select(
             "metric",
-            projected.alias("tags"),
+            projected_tags(group_keys).alias("tags"),
             F.col("ts").alias("bucket_ts"),
             "value",
         )
@@ -178,8 +176,7 @@ def build_subquery(
     if spec is None or spec.aggregator == "none" or spec.aggregator == q.aggregator:
         # single-shuffle path: one aggregation over (projected tags, bucket)
         agg_name = q.aggregator
-        keys = F.array(*[F.lit(k) for k in group_keys])
-        projected = F.map_filter("tags", lambda k, _v: F.array_contains(keys, k))
+        projected = projected_tags(group_keys)
         if spec is None or spec.aggregator == "none":
             bucket = F.col("ts")
         else:
