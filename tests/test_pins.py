@@ -93,11 +93,15 @@ def test_hamming_skips_redundant_pin_on_pin_backed_input(spark):
     from timely_spark.operators.dedup import hamming_near_dups
     from timely_spark.pins import pin, pin_backed, release_pins
 
-    hashed = pin(
-        spark.createDataFrame(
-            [(1, 7), (2, 7), (3, 1 << 40)], "doc_id long, h long"
-        )
+    raw = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 1 << 40)], "doc_id long, h long"
     )
+    # a parallelized local collection ALSO analyzes to a LogicalRDD
+    # leaf but is NOT persisted — it must not count as pin-backed, or
+    # operators skip the pin and re-run expensive lineage per consumer
+    # (the media_near_dup plan-audit regression)
+    assert not pin_backed(raw)
+    hashed = pin(raw)
     assert pin_backed(hashed)
     before = _persisted_ids(spark)
     out = hamming_near_dups(hashed, "h", max_hamming=3)

@@ -57,12 +57,18 @@ def _logical_rdd(df: DataFrame):
 
 
 def pin_backed(df: DataFrame) -> bool:
-    """True when every leaf of ``df``'s analyzed plan is a LogicalRDD —
-    i.e. the frame reads only checkpoint pins (or other ExistingRDD
-    scans) and re-evaluating it repeats no expensive lineage. Operators
-    that pin internally (``hamming_near_dups``) consult this to skip a
-    redundant second pin when the caller already pinned the shared
-    upstream pass."""
+    """True when every leaf of ``df``'s analyzed plan is a PERSISTED
+    LogicalRDD — i.e. the frame reads only checkpoint pins and
+    re-evaluating it repeats no expensive lineage. Operators that pin
+    internally (``hamming_near_dups``) consult this to skip a redundant
+    second pin when the caller already pinned the shared upstream pass.
+
+    The storage-level check is load-bearing: ``createDataFrame`` over a
+    parallelized local collection ALSO analyzes to a LogicalRDD leaf,
+    but its RDD is not persisted and everything derived from it (e.g. a
+    mapInPandas decode stage) re-runs per consumer — exactly the case
+    the internal pin exists for (caught by the r13 plan audit:
+    media_near_dup's decode briefly ran on both self-join sides)."""
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
     except Exception:
@@ -70,7 +76,14 @@ def pin_backed(df: DataFrame) -> bool:
     if leaves.size() == 0:
         return False
     for i in range(leaves.size()):
-        if leaves.apply(i).getClass().getSimpleName() != "LogicalRDD":
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        try:
+            lvl = leaf.rdd().getStorageLevel()
+            if not (lvl.useMemory() or lvl.useDisk()):
+                return False
+        except Exception:
             return False
     return True
 
